@@ -1,0 +1,114 @@
+"""Query registry: every implemented operator from SURVEY.md §2 registers a
+(PySpark callable, DuckDB oracle SQL) pair here; ``__spark_entry__.py``
+re-exports the dicts for the driver's correctness gate.
+
+Cross-engine determinism rules (so the driver's order-insensitive value hash
+matches bit-for-bit):
+
+* Money/measure aggregates cast inputs to tight DECIMALs *before* summing —
+  decimal arithmetic is exact in both Spark and DuckDB, so the sums are
+  identical regardless of row order; results are cast back to DOUBLE at the
+  end (both engines produce the same IEEE value from the same exact decimal).
+* Averages are expressed as exact-decimal SUM cast to DOUBLE, divided by
+  COUNT — a single deterministic IEEE division — never engine-native
+  AVG-over-double (whose accumulation order differs per engine).
+* Timestamps never cross the boundary raw: queries return dates, epoch
+  seconds, or formatted strings (events.parquet is nanosecond-precision,
+  which Spark reads as long via ``spark.sql.legacy.parquet.nanosAsLong``).
+* Every computed column is aliased identically in the Spark plan and the
+  oracle SQL (the driver sorts columns by name before hashing).
+* Top-k queries always order by a unique tiebreaker key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehousing_assignment_spark.session import apply_runtime_confs
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable:
+    """Register a (spark, sf_dir) -> DataFrame callable, optionally with its
+    DuckDB oracle SQL. Ops without an oracle get the driver's weaker
+    rows-only check (reserved for genuinely non-SQL-expressible ops)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            apply_runtime_confs(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, normalizing the events timestamp (stored as
+    parquet TIMESTAMP(NANOS) which Spark has no native type for: read as
+    long, keep integer nanos in `ts_ns`, plus micro-truncated `ts`)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return (
+            df.withColumnRenamed("ts", "ts_ns")
+            # integer div keeps this exact; double division would wobble at µs
+            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dec(col: Column | str, precision: int = 12, scale: int = 2) -> Column:
+    """Exact-decimal view of a 2-dp money/measure double (inputs verified
+    2-dp clean, TESTDATA.md tables)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({precision},{scale})")
+
+
+def dsum(col: Column | str, precision: int = 12, scale: int = 2) -> Column:
+    """Order-independent exact sum of a 2-dp double, surfaced as DOUBLE."""
+    return F.sum(dec(col, precision, scale)).cast("double")
+
+
+def davg(col: Column | str, precision: int = 12, scale: int = 2) -> Column:
+    """Deterministic average: exact decimal sum → double, one IEEE divide."""
+    return F.sum(dec(col, precision, scale)).cast("double") / F.count(F.lit(1))
+
+
+# Oracle-side fragments mirroring dsum/davg, f-string-able into SQL:
+def o_dsum(col: str, precision: int = 12, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({col} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+
+
+def o_davg(col: str, precision: int = 12, scale: int = 2) -> str:
+    return f"(CAST(SUM(CAST({col} AS DECIMAL({precision},{scale}))) AS DOUBLE) / COUNT(*))"
+
+
+def import_all_registries() -> None:
+    """Import every registry module for its registration side effects."""
+    from data_warehousing_assignment_spark import (  # noqa: F401
+        registry_core,
+        registry_pipelines,
+        registry_extensions,
+    )
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    import_all_registries()
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    import_all_registries()
+    return dict(ORACLES)

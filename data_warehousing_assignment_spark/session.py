@@ -1,0 +1,92 @@
+"""SparkSession factory + deterministic session configuration.
+
+The reference delegates execution to pandas and the PostgreSQL planner; here
+the equivalent "engine setup" is a SparkSession tuned for the warehouse
+workload: AQE on (runtime re-planning, skew-join handling), lenient casts
+(the reference's semantics are coerce-to-null — ``pd.to_numeric(...,
+errors='coerce')``, reference ``02_Extract_and_transform_raw_data/
+A2_hr_etl.py:57``), and a fixed UTC session timezone so date/timestamp
+results are machine-independent.
+
+At 100 TB these settings still hold: AQE coalesces post-shuffle partitions,
+``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound, and all
+determinism settings are scale-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to ANY session our queries run under
+# (including a driver-owned session passed into ``entry``/``queries``).
+_RUNTIME_CONFS: dict[str, str] = {
+    # Reference semantics: failed casts coerce to NULL, never raise
+    # (pandas errors='coerce'; PostgreSQL loaders guard with regex first).
+    # Spark 4 defaults ANSI on; we use try_* functions everywhere AND turn
+    # ANSI off so stray casts match the lenient reference behavior.
+    "spark.sql.ansi.enabled": "false",
+    # Deterministic date/timestamp rendering regardless of host timezone.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime shuffle-partition coalescing + skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable determinism/perf confs to an existing session.
+
+    Safe to call on a session we did not create (the driver's); every key
+    here is runtime-mutable (no SparkContext restart needed).
+    """
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # e.g. conf made static in a future Spark — never fail a query
+            # over a tuning knob.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "data-warehousing-assignment-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession for the engine.
+
+    Local test mode: ``local[$SPARK_GRAFT_CPUS or *]`` with a shuffle
+    partition count matching core count — on a real cluster you would size
+    shuffle partitions to ~128 MB of post-shuffle data per task and let AQE
+    coalesce down.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus_env) if cpus_env else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # keep the UI off in test harnesses: faster startup, no port churn
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    # getOrCreate may have returned a pre-existing session: re-assert the
+    # runtime confs so behavior is consistent either way.
+    return apply_runtime_confs(spark)
