@@ -19,25 +19,34 @@ from pyspark.sql import functions as F
 
 # Sentinel strings the reference treats as missing (ref A2_hr_etl.py:22,
 # stg_ops_downtime.sql:19-21): '', 'NAN', 'NaN', 'nan', 'null' + whitespace.
-_NULL_SENTINELS = ("", "nan", "null", "none", "na", "n/a")
+# Exactly the reference list (case-folded) — extras like 'n/a' are opt-in
+# via the `extra_sentinels` parameter so a reference-faithful oracle never
+# diverges.
+_NULL_SENTINELS = ("", "nan", "null")
 
 
-def blank_to_null(col: Column | str) -> Column:
+def blank_to_null(
+    col: Column | str, extra_sentinels: tuple[str, ...] = ()
+) -> Column:
     """op-fn-nullif-coalesce (null-ing half): blank/sentinel strings → NULL.
 
     Reference: ``coalesce(nullif(trim(x),''), ...)`` (ref
     ``05_dbt_implementation/.../models/staging/stg_hr_employee.sql:13``)
     plus pandas sentinel list ``['', 'NAN', 'NaN', 'nan', 'null']`` (ref
-    ``A2_hr_etl.py:22``).
+    ``A2_hr_etl.py:22``). Callers wanting a wider net (e.g. 'n/a',
+    'none') pass them via ``extra_sentinels``.
     """
+    sentinels = _NULL_SENTINELS + tuple(s.lower() for s in extra_sentinels)
     c = F.trim(F.col(col) if isinstance(col, str) else col)
-    return F.when(F.lower(c).isin(*_NULL_SENTINELS), F.lit(None)).otherwise(c)
+    return F.when(F.lower(c).isin(*sentinels), F.lit(None)).otherwise(c)
 
 
-def dedup_sentinels(col: Column | str, default: str) -> Column:
+def dedup_sentinels(
+    col: Column | str, default: str, extra_sentinels: tuple[str, ...] = ()
+) -> Column:
     """Sentinel/blank → fixed default (e.g. 'UNASSIGNED_DEPT', ref
     ``A2_hr_etl.py:21-23``; 'UNKNOWN_PROCESS', ref ``C2_ops_etl.py:35-38``)."""
-    return F.coalesce(blank_to_null(col), F.lit(default))
+    return F.coalesce(blank_to_null(col, extra_sentinels), F.lit(default))
 
 
 def normalize_upper_trim(col: Column | str) -> Column:
@@ -106,17 +115,17 @@ def parse_date_multi(
     formats: tuple[str, ...] = ("yyyy-MM-dd", "dd-MM-yyyy"),
     fallback: str | None = None,
 ) -> Column:
-    """op-fn-date-parse-multi / op-fn-date-safe: tolerant multi-format date
-    parse. Try each format in order; unparseable → `fallback` (Ops/dbt use
-    ``'1957-01-01'``, ref ``C2_ops_etl.py:87-103``, ``macros/utils/
-    date_safe.sql:1-7``) or NULL (HR/Finance, ref ``A2_hr_etl.py:39-51``).
-
-    Regex-dispatched like the dbt macro so ambiguous strings (``'05-06-2020'``)
-    resolve by format *shape*, not trial parsing: ``^\\d{4}-`` → ISO first.
+    """op-fn-date-parse-multi: tolerant multi-format date parse by ordered
+    trial parsing — try each format in order, first success wins;
+    unparseable → `fallback` (Ops uses ``'1957-01-01'``, ref
+    ``C2_ops_etl.py:87-103``) or NULL (HR/Finance, ref
+    ``A2_hr_etl.py:39-51``). This mirrors the reference's pandas
+    try/retry semantics; for the dbt macro's regex-dispatch-by-shape
+    semantics use :func:`...functions.dates.date_safe_dispatch`.
     try_to_date keeps this ANSI-safe (bad input → NULL, never a throw).
     """
     c = F.trim(F.col(col) if isinstance(col, str) else col)
-    attempts = [F.try_to_date(c, F.lit(fmt)) for fmt in formats]
+    attempts = [F.try_to_date(c, fmt) for fmt in formats]
     if fallback is not None:
         attempts.append(F.to_date(F.lit(fallback)))
     return F.coalesce(*attempts)

@@ -97,6 +97,22 @@ def build_dim_time(
     ).select("time_id", "full_date", "day", "month", "quarter", "year", "is_weekend")
 
 
+def date_safe_dispatch(col: Column | str, fallback: str = FALLBACK_DATE) -> Column:
+    """op-fn-date-safe: the dbt ``date_safe`` macro's regex dispatch (ref
+    ``05_dbt_implementation/.../macros/utils/date_safe.sql:1-7``): pick the
+    parse format by the string's *shape* — ``^\\d{4}-\\d{2}-\\d{2}$`` →
+    ISO, ``^\\d{2}-\\d{2}-\\d{4}$`` → day-first — anything else gets the
+    1957 fallback. Unlike :func:`~...cleaning.parse_date_multi` (ordered
+    trial parsing), ambiguous strings resolve by shape, never by which
+    format happens to parse first."""
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    return (
+        F.when(c.rlike(r"^\d{4}-\d{2}-\d{2}$"), F.try_to_date(c, "yyyy-MM-dd"))
+        .when(c.rlike(r"^\d{2}-\d{2}-\d{4}$"), F.try_to_date(c, "dd-MM-yyyy"))
+        .otherwise(F.to_date(F.lit(fallback)))
+    )
+
+
 def fixed_today(today: str | dt.date | None) -> Column:
     """op-fn-current-date with testability: the reference stamps
     CURRENT_DATE into SCD2/snapshot rows (ref A3_load_dim_emp.sql:43,57,95);

