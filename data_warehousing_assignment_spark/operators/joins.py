@@ -40,11 +40,14 @@ def not_exists_all_columns(
     shuffles only the overlap window, not the whole fact.
     """
     cols = cols or batch.columns
+    b, e = batch.alias("__b"), existing.alias("__e")
     cond = None
     for c in cols:
-        clause = batch[c].eqNullSafe(existing[c])
+        # alias-qualified so batch/existing may derive from the same source
+        # (self-join) without ambiguous-column resolution
+        clause = F.col(f"__b.{c}").eqNullSafe(F.col(f"__e.{c}"))
         cond = clause if cond is None else cond & clause
-    return batch.join(existing, on=cond, how="left_anti")
+    return b.join(e, on=cond, how="left_anti")
 
 
 def case_insensitive_join(

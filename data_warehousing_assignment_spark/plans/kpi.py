@@ -1,0 +1,149 @@
+"""The 8 KPI views (op-pipe-kpi, ref ``04_KPI/KPIs.sql:3-110``),
+re-expressed over the driver's testdata star schema:
+
+reference domain            → testdata surrogate
+---------------------------   ------------------------------------------
+employee / dim_employee     → customer (c_custkey natural key)
+department                  → nation (via c_nationkey)
+gender                      → c_mktsegment
+salary                      → c_acctbal
+fact_employee status        → orders.o_orderstatus ('O' active, 'F' resigned)
+expenses fact               → orders.o_totalprice / lineitem revenue
+expense_type                → o_orderpriority
+is_refund                   → l_returnflag = 'R'
+downtime fact               → events.value
+process                     → events.event_type
+department (ops)            → user_id % 5 bucket
+
+Every view is a fact ⋈ broadcast-dims star join + grouped aggregate —
+the plan shape Catalyst handles with map-side partial aggregation and
+broadcast hash joins, so the fact table is scanned once and never
+shuffled for the dim joins (only for the final groupBy).
+
+All builders take already-loaded DataFrames so they are unit-testable
+and reusable at any scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_warehousing_assignment_spark.registry import dec
+
+
+def _month(col: str = "o_orderdate") -> Column:
+    return F.date_format(col, "yyyy-MM").alias("order_month")
+
+
+def kpi_headcount(orders: DataFrame) -> DataFrame:
+    """Daily headcount: COUNT(DISTINCT employee) of active rows per day
+    (ref ``KPIs.sql:3-13``)."""
+    return (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+        .agg(F.countDistinct("o_custkey").alias("headcount"))
+        .orderBy("order_date")
+    )
+
+
+def kpi_resignations(orders: DataFrame) -> DataFrame:
+    """Daily resignations: distinct keys in 'Resigned' state per day
+    (ref ``KPIs.sql:17-27``)."""
+    return (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+        .agg(F.countDistinct("o_custkey").alias("resignations"))
+        .orderBy("order_date")
+    )
+
+
+def kpi_avg_salary_by_gender(customer: DataFrame) -> DataFrame:
+    """ROUND(AVG(salary),2) by gender (ref ``KPIs.sql:31-38``)."""
+    return customer.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.round(F.sum(dec("c_acctbal")) / F.count(F.lit(1)), 2)
+        .cast("double")
+        .alias("avg_salary")
+    )
+
+
+def kpi_gross_monthly_expenses(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Gross monthly expenses by department and type (ref
+    ``KPIs.sql:43-57`` — the 4-dim star join)."""
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            _month(),
+            F.col("n_name").alias("department"),
+            F.col("o_orderpriority").alias("expense_type"),
+        )
+        .agg(
+            F.round(F.sum(dec("o_totalprice")), 2).cast("double").alias("gross_amount")
+        )
+        .orderBy("order_month", "department", "expense_type")
+    )
+
+
+def kpi_net_monthly_expenses_by_dept(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Net monthly expenses by department — refunds excluded
+    (ref ``KPIs.sql:61-74`` WHERE is_refund = FALSE)."""
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        lineitem.filter(F.col("l_returnflag") != "R")
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(_month(), F.col("n_name").alias("department"))
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("net_amount"))
+        .orderBy("order_month", "department")
+    )
+
+
+def kpi_net_monthly_expenses_by_type(
+    lineitem: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Net monthly expenses by expense type (ref ``KPIs.sql:77-88``;
+    quirk Q8's unused dim_employee join deliberately dropped)."""
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        lineitem.filter(F.col("l_returnflag") != "R")
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(_month(), F.col("o_orderpriority").alias("expense_type"))
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("net_amount"))
+        .orderBy("order_month", "expense_type")
+    )
+
+
+def kpi_downtime_by_process(events: DataFrame) -> DataFrame:
+    """Total + avg downtime by process, ranked (ref ``KPIs.sql:91-99``)."""
+    return (
+        events.groupBy(F.col("event_type").alias("process_name"))
+        .agg(
+            F.round(F.sum(dec("value")), 2).cast("double").alias("total_downtime"),
+            F.round(F.sum(dec("value")) / F.count(F.lit(1)), 2)
+            .cast("double")
+            .alias("avg_downtime"),
+        )
+        .orderBy(F.desc("total_downtime"), "process_name")
+    )
+
+
+def kpi_downtime_by_department(events: DataFrame) -> DataFrame:
+    """Total + avg downtime by department, ranked (ref ``KPIs.sql:102-110``;
+    department bucketed from the user key)."""
+    return (
+        events.withColumn("department_id", F.col("user_id") % 5)
+        .groupBy("department_id")
+        .agg(
+            F.round(F.sum(dec("value")), 2).cast("double").alias("total_downtime"),
+            F.round(F.sum(dec("value")) / F.count(F.lit(1)), 2)
+            .cast("double")
+            .alias("avg_downtime"),
+        )
+        .orderBy(F.desc("total_downtime"), "department_id")
+    )

@@ -1,0 +1,114 @@
+"""SCD Type 2 merge as a pure-functional DataFrame transform.
+
+Reference algorithm (``03_load_into_fact_and_dim_tables/A3_load_dim_emp.sql:27-62``):
+stamp an md5(concat_ws) row hash on staging, expire current dim rows whose
+hash ``IS DISTINCT FROM`` the incoming hash (``valid_to = today,
+is_current = false``), then insert new/changed rows (``valid_from = today,
+valid_to = NULL, is_current = true``). The dbt variant is the
+timestamp-strategy snapshot (``snapshots/scd2_dim_employee.sql:1-31``).
+
+Spark-first design: no MERGE/UPDATE exists without a lakehouse format, so
+the merge is expressed as a union of four disjoint row sets — history,
+unchanged-open, expired, inserts — and the caller overwrites the dim with
+the result. At 100 TB the dim is key-partitioned; every join below is an
+equi-join on the natural key, so the whole merge is one shuffle stage
+(or zero if both sides are bucketed on the key). Idempotent by
+construction: re-running with the same incoming batch finds zero distinct
+hashes and returns the input partition-for-partition.
+
+Upgrade path: with Delta/Iceberg present this becomes a single
+``MERGE INTO`` with the same hash predicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Marker substituted for NULL attributes inside the row hash so that
+#: (NULL, 'x') and ('x', NULL) hash differently (concat_ws would silently
+#: drop the NULL and collapse the two).
+_NULL_MARK = "\x00null\x00"
+
+SCD2_COLS = ("row_hash", "valid_from", "valid_to", "is_current")
+
+
+def scd2_row_hash(attrs: list[str | Column]) -> Column:
+    """md5(concat_ws('::', ...)) change-detection hash over the tracked
+    attributes (ref ``A3_load_dim_emp.sql:28``; dbt
+    ``generate_surrogate_key``, ``stg_hr_employee.sql:10``), made
+    null-total by coalescing each attribute to a marker first."""
+    parts = [
+        F.coalesce(
+            (F.col(a) if isinstance(a, str) else a).cast("string"),
+            F.lit(_NULL_MARK),
+        )
+        for a in attrs
+    ]
+    return F.md5(F.concat_ws("::", *parts))
+
+
+def merge_scd2(
+    current: DataFrame,
+    incoming: DataFrame,
+    key: str,
+    attrs: list[str],
+    as_of: str,
+) -> DataFrame:
+    """Merge an incoming attribute snapshot into an SCD2 dimension.
+
+    ``current`` carries (key, *attrs, row_hash, valid_from, valid_to,
+    is_current); ``incoming`` carries (key, *attrs) — at most one row per
+    key. Returns the new full dimension content.
+    """
+    inc = incoming.select(key, *attrs).withColumn("row_hash", scd2_row_hash(attrs))
+
+    cur_open = current.filter(F.col("is_current"))
+    history = current.filter(~F.col("is_current"))
+
+    # Null-safe hash inequality = IS DISTINCT FROM (ref A3_load_dim_emp.sql:48,61)
+    changed_keys = (
+        cur_open.alias("c")
+        .join(inc.alias("i"), on=key)
+        .filter(~F.col("c.row_hash").eqNullSafe(F.col("i.row_hash")))
+        .select(key)
+    )
+    new_keys = inc.join(cur_open, on=key, how="left_anti").select(key)
+
+    expired = (
+        cur_open.join(changed_keys, on=key, how="left_semi")
+        .withColumn("valid_to", F.to_date(F.lit(as_of)))
+        .withColumn("is_current", F.lit(False))
+    )
+    unchanged = cur_open.join(changed_keys, on=key, how="left_anti")
+
+    inserts = (
+        inc.join(changed_keys.unionByName(new_keys), on=key, how="left_semi")
+        .withColumn("valid_from", F.to_date(F.lit(as_of)))
+        .withColumn("valid_to", F.lit(None).cast("date"))
+        .withColumn("is_current", F.lit(True))
+    )
+
+    cols = [key, *attrs, *SCD2_COLS]
+    return (
+        history.select(cols)
+        .unionByName(unchanged.select(cols))
+        .unionByName(expired.select(cols))
+        .unionByName(inserts.select(cols))
+    )
+
+
+def assert_scd2_invariants(dim: DataFrame, key: str) -> dict[str, int]:
+    """Sanity counters for tests: violations of '≤1 current row per key'
+    and 'valid_from ≤ valid_to'. Returns counts (0 = healthy)."""
+    multi_current = (
+        dim.filter(F.col("is_current"))
+        .groupBy(key)
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    bad_range = dim.filter(
+        F.col("valid_to").isNotNull() & (F.col("valid_from") > F.col("valid_to"))
+    ).count()
+    return {"multi_current_keys": multi_current, "bad_valid_ranges": bad_range}
