@@ -1,0 +1,198 @@
+"""Deduplication operators for training-data pipelines (extension
+surface, SURVEY.md §7.5 — no reference counterpart; the reference's only
+dedup is pandas drop_duplicates, ref ``ET_combined.py:118-132``).
+
+Scale design — the non-negotiable at 100 TB is that NOTHING here is
+O(n²) over documents:
+
+* exact dedup: hash-groupBy — one shuffle on the content hash.
+* MinHash-LSH: signatures are row-local (array exprs, no explode, no
+  shuffle); candidates come from a bucket self-join on (band, band_hash)
+  — cost O(Σ bucket²) which LSH keeps tiny, never all-pairs.
+* SimHash: one explode + one wide aggregation — one shuffle.
+* n-gram Jaccard: computed only ON candidate pairs, row-local
+  array_intersect after the pair join.
+
+Cross-engine determinism: every hash is md5 (lower-hex in Spark, DuckDB,
+Postgres alike); min-hash minimizes the HEX STRING lexicographically, so
+no engine-specific 64-bit hash is ever involved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_warehousing_assignment_spark.operators.text import tokens, word_shingles
+
+
+def duplicate_rows(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """op-dup-capture building block: the (cols...) combos occurring more
+    than once, with their multiplicity (ref ``ET_combined.py:118-132``
+    pandas df[df.duplicated()], as one hash aggregation)."""
+    cols = cols or df.columns
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str, id_col: str, normalize: bool = True
+) -> DataFrame:
+    """Exact dedup by content hash, keeping the lowest id per hash group
+    (deterministic survivor rule). One shuffle on the 32-byte hash, never
+    on the document body — at 100 TB the shuffle carries ~40 bytes/row.
+    """
+    c = F.col(content_col)
+    if normalize:
+        c = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    hashed = df.select(F.col(id_col), F.md5(c).alias("content_hash"))
+    return (
+        hashed.groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def minhash_signature(text_col: Column | str, k: int = 12, n: int = 3) -> Column:
+    """k-permutation MinHash signature as array<string>: for each seed i,
+    the lexicographic-min md5('<i>:'||shingle) over the document's word
+    n-gram shingles. Entirely row-local (transform + array_min): the
+    signature stage of minhash-LSH costs zero shuffles."""
+    sh = word_shingles(tokens(text_col), n)
+
+    def seeded(seed: int):
+        # NB: must be a unary lambda — a two-arg lambda would be taken as
+        # F.transform's (element, index) form and the index would clobber
+        # the seed.
+        return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
+
+    sig = [F.array_min(F.transform(sh, seeded(i))) for i in range(k)]
+    return F.array(*sig)
+
+
+def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Banded LSH keys: array of (band_idx, md5(sig slice)) structs.
+    Two docs sharing ANY band hash are candidate near-dups."""
+    out = []
+    for b in range(bands):
+        parts = [F.element_at(sig, b * rows_per_band + j + 1) for j in range(rows_per_band)]
+        out.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *parts)).alias("band_hash"),
+            )
+        )
+    return F.array(*out)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 12,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH: explode the band
+    keys and self-join on (band, band_hash) with id< id to orient pairs.
+
+    The join is a plain equi-join on the band key → shuffled hash join
+    partitioned by bucket; work is Σ|bucket|², never |docs|². Returned
+    pairs are distinct across bands."""
+    r = k // bands
+    keyed = df.select(
+        F.col(id_col).alias("doc_a"),
+        F.explode(minhash_bands(minhash_signature(text_col, k, n), bands, r)).alias("bk"),
+    ).select("doc_a", "bk.band", "bk.band_hash")
+    left = keyed
+    right = keyed.withColumnRenamed("doc_a", "doc_b")
+    return (
+        left.join(right, on=["band", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs: join each
+    side's (deduplicated) shingle array onto the pair, then row-local
+    array_intersect / union sizes — integer counts, one IEEE division.
+
+    Verification stage of the dedup pipeline: cost O(|candidates|), and
+    candidates come from LSH, so the full pipeline never goes quadratic."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(word_shingles(tokens(text_col), n)).alias("_sh"),
+    )
+    a = sh.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        candidates.join(a, on="doc_a")
+        .join(b, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# -- SimHash ----------------------------------------------------------------
+
+SIMHASH_BITS = 48  # keep the fingerprint positive in an int64 across engines
+
+
+def _hex_nibble(h: Column, pos: int) -> Column:
+    """Value 0-15 of hex digit `pos` (0-based) of md5 hex string `h` —
+    via strpos on the hex alphabet (portable to DuckDB, no conv())."""
+    ch = F.substring(h, pos + 1, 1)
+    return F.instr(F.lit("0123456789abcdef"), ch) - F.lit(1)
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """SimHash fingerprint: per token, md5 supplies `bits` pseudo-random
+    bits; each bit votes ±1; the sign of the per-document vote sum forms
+    the fingerprint. Near-identical docs differ in few bits (Hamming).
+
+    Plan shape: one explode(tokens) + one wide groupBy aggregation (bits
+    SUM columns, map-side combined) — a single shuffle keyed by doc id;
+    then the fingerprint assembles row-locally. At 100 TB this is the
+    same cost as any per-doc token aggregate."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
+    ).withColumn("_h", F.md5("_tok"))
+    votes = [
+        F.sum(
+            F.when(
+                _hex_nibble(F.col("_h"), j // 4).bitwiseAND(F.lit(1 << (j % 4))) > 0,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"_v{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"_v{j}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ) * F.lit(1 << j).cast("bigint")
+        fp = bit if fp is None else fp + bit
+    return agg.select(F.col(id_col), fp.alias("simhash"))

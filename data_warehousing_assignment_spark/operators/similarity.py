@@ -1,0 +1,207 @@
+"""Similarity search over embedding columns (extension surface,
+SURVEY.md §7.5 — no reference counterpart).
+
+Embeddings are ``array<float>``. For cross-engine-verifiable scores the
+vectors are quantized to integer micro-units first — ``floor(x·10⁶)`` as
+int64 — so dot products and norms are EXACT integer arithmetic in any
+engine; only the final ``dot/(√na·√nb)`` runs in IEEE doubles (identical
+operand order → identical bits). Quantization error ~1e-6 per component
+is far below any meaningful similarity threshold.
+
+Scale design: brute-force top-k broadcasts the (small) query set and
+streams the corpus — one pass, no corpus shuffle except the final
+per-query top-k (shuffle keyed by query id, k rows each). The LSH path
+cuts the per-query candidate set via random-hyperplane sign buckets:
+the corpus is bucketed once (row-local hashes), and queries probe only
+their own bucket — candidate generation is O(bucket), never O(n) per
+query, and never O(n²) overall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 1_000_000.0
+
+
+def quantize(col: Column | str) -> Column:
+    """array<float> → array<bigint> micro-units: floor(x·10⁶). floor (not
+    round) because floor of a double is exact and identical everywhere,
+    while round-half rules differ across engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: F.floor(x.cast("double") * F.lit(QUANT)))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two quantized vectors — row-local
+    zip_with + aggregate, order-independent because integer addition is
+    associative and exact."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_similarity_col(a: Column, b: Column) -> Column:
+    """Deterministic cosine of two array<float> columns via quantized
+    integer dot/norms; the single double expression at the end is
+    bit-identical across engines."""
+    qa, qb = quantize(a), quantize(b)
+    dot = int_dot(qa, qb).cast("double")
+    na = F.sqrt(int_dot(qa, qa).cast("double"))
+    nb = F.sqrt(int_dot(qb, qb).cast("double"))
+    return dot / (na * nb)
+
+
+def brute_force_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Baseline exact ANN: broadcast the query set against the corpus,
+    score row-locally, keep top-k per query (rank ties broken by
+    neighbor id → fully deterministic output).
+
+    Cost: |corpus|·|queries| score evaluations but only ONE corpus scan
+    and a k-row-per-query shuffle — the correct baseline shape. The IVF/
+    LSH variant (lsh_cosine_topk) is the scale path when |queries| grows.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("cv")
+    )
+    dot = int_dot(F.col("qv"), F.col("cv")).cast("double")
+    nq = F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double"))
+    nc = F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (nq * nc)).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def hyperplane_signs(vec_col: Column | str, n_planes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id: sign pattern of <v, h_p> for
+    n_planes pseudo-random hyperplanes. Hyperplane coefficients are
+    derived deterministically from md5(plane:dim) nibbles (value−7.5),
+    so bucketing is reproducible across runs and engines — no RNG state.
+
+    Row-local; the bucket id is an int in [0, 2^n_planes)."""
+    v = quantize(vec_col)
+    bucket = None
+    for p in range(n_planes):
+        # h_p[d] = nibble(md5('p:d'))−7.5, folded into integer space (×2)
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.transform(
+                    v,
+                    lambda _, i: (
+                        F.instr(
+                            F.lit("0123456789abcdef"),
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"{p}:"), i.cast("string"))), 1, 1
+                            ),
+                        )
+                        * 2
+                        - 17
+                    ).cast("bigint"),
+                ),
+                lambda x, h: x * h,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p)
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: probe only the query's own hyperplane bucket.
+    Bucketing is one row-local pass over the corpus; the join is an
+    equi-join on bucket id — candidate work is O(bucket size), and
+    recall is tunable via n_planes (fewer planes → bigger buckets →
+    higher recall). Multi-probe (flip one bit) would raise recall at 2×
+    candidates; kept single-probe for clarity."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize(vec_col).alias("qv"),
+        hyperplane_signs(vec_col, n_planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize(vec_col).alias("cv"),
+        hyperplane_signs(vec_col, n_planes).alias("bucket"),
+    )
+    dot = int_dot(F.col("qv"), F.col("cv")).cast("double")
+    nq = F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double"))
+    nc = F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double"))
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", (dot / (nq * nc)).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: bucket by hyperplane signs,
+    score only within buckets, keep pairs above threshold. Same
+    O(Σ bucket²) guarantee as minhash-LSH — never all-pairs."""
+    c = corpus.select(
+        F.col(id_col).alias("doc_a"),
+        quantize(vec_col).alias("va"),
+        hyperplane_signs(vec_col, n_planes).alias("bucket"),
+    )
+    c2 = corpus.select(
+        F.col(id_col).alias("doc_b"),
+        quantize(vec_col).alias("vb"),
+        hyperplane_signs(vec_col, n_planes).alias("bucket"),
+    )
+    dot = int_dot(F.col("va"), F.col("vb")).cast("double")
+    na = F.sqrt(int_dot(F.col("va"), F.col("va")).cast("double"))
+    nb = F.sqrt(int_dot(F.col("vb"), F.col("vb")).cast("double"))
+    return (
+        c.join(c2, on="bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", (dot / (na * nb)).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )

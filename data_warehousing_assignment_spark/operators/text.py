@@ -1,0 +1,124 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(extension surface, SURVEY.md §7.5 — no reference counterpart).
+
+Everything here is a row-local Column expression over built-in array /
+string functions: zero shuffles, fully inside whole-stage codegen, and
+embarrassingly parallel at 100 TB — the cost is one columnar scan of the
+documents table regardless of cluster size. No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small and hard-coded: the heuristic must be
+# reproducible in the DuckDB oracle, and real deployments would swap in
+# fastText/CLD3 behind the same column contract.
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "pour"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "para", "que"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization, lower-cased — the split every operator
+    below shares. split on \\s+ keeps multi-space text clean."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> — row-local via
+    transform(sequence(...)), no explode needed. Multiset (not dedup'd):
+    every consumer below is order/multiplicity-insensitive (min-hash,
+    set-intersect)."""
+    # sequence(0, size-n) → one start index per shingle; slice is 1-based
+    return F.when(F.size(toks) >= n, F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    """# tokens that are stopwords of `lang` (multiplicity counts)."""
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hit counts,
+    'und' (undetermined) when no list scores a hit. Ties resolve in the
+    fixed order en > de > fr > es so the label is deterministic."""
+    tk = tokens(col)
+    scores = {lang: stopword_hits(tk, lang) for lang in STOPWORDS}
+    # Wrap back-to-front (es innermost … en outermost) so the en arm is
+    # evaluated first and >= comparisons give earlier langs tie priority.
+    out = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):
+        cond = scores[lang] > 0
+        for o in STOPWORDS:
+            if o != lang:
+                cond = cond & (scores[lang] >= scores[o])
+        out = F.when(cond, F.lit(lang)).otherwise(out)
+    return out
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, r"[.,!?;:]", ""))
+
+
+def digit_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Quality-scoring features: length, token stats, punctuation/digit/
+    stopword ratios. All integer counts + one final IEEE division each —
+    deterministic across engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    tk = tokens(c)
+    n_chars = F.length(c)
+    n_tok = F.size(tk)
+    sum_tok_len = F.aggregate(
+        F.transform(tk, F.length), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": n_tok.cast("bigint"),
+        "avg_token_len": (sum_tok_len.cast("double") / n_tok.cast("double")),
+        "punct_ratio": (punct_count(c).cast("double") / n_chars.cast("double")),
+        "digit_ratio": (digit_count(c).cast("double") / n_chars.cast("double")),
+        "stopword_ratio": (
+            stopword_hits(tk, "en").cast("double") / n_tok.cast("double")
+        ),
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1]-ish quality score: rewards stopword density and
+    moderate token length, penalizes punctuation/digit noise. Fixed
+    weights so the score is a pure deterministic expression."""
+    f = quality_features(col)
+    return (
+        F.lit(0.4) * F.least(f["stopword_ratio"] * 4.0, F.lit(1.0))
+        + F.lit(0.3) * F.least(f["n_tokens"].cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(f["punct_ratio"] * 10.0, F.lit(1.0)))
+        + F.lit(0.1) * (F.lit(1.0) - F.least(f["digit_ratio"] * 10.0, F.lit(1.0)))
+    )
+
+
+def doc_fingerprint(col: Column | str, n: int = 3) -> Column:
+    """Winnowing-style document fingerprint: the lexicographic-min md5
+    over the document's word n-gram shingles (k=1 min-hash). Identical
+    and near-identical documents collide; row-local, no shuffle."""
+    sh = word_shingles(tokens(col), n)
+    return F.array_min(F.transform(sh, F.md5))

@@ -1,0 +1,444 @@
+"""Extension registry: the 100 TB training-data-pipeline operators
+(dedup, similarity search, text analysis, streaming windows) wired to
+the documents/embeddings/events testdata, with DuckDB oracles wherever
+the computation is SQL-expressible.
+
+The md5-based hashing strategy (see operators/dedup.py) exists precisely
+so these oracles are possible: min-hash minimizes lexicographic HEX
+strings, SimHash votes on md5 nibbles, and embedding scores run on
+floor-quantized int64 micro-units — all bit-reproducible in DuckDB.
+
+Oracle-less entries (rows-only check, by design): lsh_cosine_topk and
+embedding_near_dup_pairs (the hyperplane bucketing is reproducible but
+its SQL transliteration adds no verification value over the pytest
+recall tests in tests/test_similarity.py), and the true readStream
+path (exercised in tests/test_streaming.py instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehousing_assignment_spark.registry import query, t
+from data_warehousing_assignment_spark.operators import dedup as dd
+from data_warehousing_assignment_spark.operators import similarity as sim
+from data_warehousing_assignment_spark.operators import text as tx
+from data_warehousing_assignment_spark.streaming import windows as sw
+
+# Shared DuckDB fragments -------------------------------------------------
+
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+# word 3-gram shingles with the same <3-token fallback as word_shingles()
+_SHINGLES = f"""
+    CASE WHEN len({_TOKS}) >= 3
+         THEN list_transform(range(1, len({_TOKS}) - 1),
+                i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2])
+         ELSE [array_to_string({_TOKS}, ' ')] END
+"""
+
+_K, _BANDS, _R = 12, 4, 3
+
+
+def _sig_sql() -> str:
+    """DuckDB expression list for the 12 min-hash values over shingles
+    (mirrors dedup.minhash_signature)."""
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s)))" for i in range(_K)
+    )
+    return mins
+
+
+_SIG_CTE = f"""
+    sigs AS (
+      SELECT doc_id, list_value({_sig_sql()}) AS sig
+      FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents)
+    )
+"""
+
+_BANDS_CTE = (
+    "bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(sig[{b*_R+1}] || '|' || sig[{b*_R+2}] || '|' || sig[{b*_R+3}]) AS band_hash "
+        "FROM sigs"
+        for b in range(_BANDS)
+    )
+    + ")"
+)
+
+_CAND_SQL = f"""
+    WITH {_SIG_CTE}, {_BANDS_CTE}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash
+    WHERE a.doc_id < b.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-dedup-exact",
+    oracle=r"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             AS content_hash,
+           min(doc_id) AS keep_id, COUNT(*) AS group_size
+    FROM documents GROUP BY 1
+    """,
+)
+def op_ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized content hash; survivor = min(doc_id).
+    One shuffle on the 32-char hash — never on document bodies."""
+    return dd.exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "op-ext-dedup-dupcapture",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_rows
+    FROM documents GROUP BY lang, source HAVING COUNT(*) > 1
+    """,
+)
+def op_ext_dedup_dupcapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duplicate_rows over a projection (metadata-level dup capture)."""
+    return dd.duplicate_rows(t(spark, sf_dir, "documents"), ["lang", "source"])
+
+
+@query(
+    "op-ext-minhash-sig",
+    oracle=f"WITH {_SIG_CTE} SELECT doc_id, sig FROM sigs",
+)
+def op_ext_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=12): row-local array expressions, zero
+    shuffle — the signature stage scales linearly with corpus bytes."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", dd.minhash_signature("text", _K).alias("sig")
+    )
+
+
+@query("op-ext-minhash-lsh", oracle=_CAND_SQL)
+def op_ext_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs (k=12, 4 bands × 3 rows):
+    bucket equi-join, O(Σ bucket²), never all-pairs."""
+    return dd.minhash_lsh_candidates(
+        t(spark, sf_dir, "documents"), "doc_id", "text", _K, _BANDS
+    )
+
+
+@query(
+    "op-ext-jaccard",
+    oracle=f"""
+    WITH {_SIG_CTE}, {_BANDS_CTE},
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+      WHERE a.doc_id < b.doc_id
+    ),
+    sh AS (SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM documents)
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+             / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))
+                    AS DOUBLE) AS jaccard
+    FROM cands c
+    JOIN sh x ON c.doc_a = x.doc_id
+    JOIN sh y ON c.doc_b = y.doc_id
+    """,
+)
+def op_ext_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard verification of LSH candidates — integer
+    set-intersection sizes, one IEEE division; cost O(|candidates|)."""
+    docs = t(spark, sf_dir, "documents")
+    cands = dd.minhash_lsh_candidates(docs, "doc_id", "text", _K, _BANDS)
+    return dd.ngram_jaccard_pairs(docs, cands, "doc_id", "text")
+
+
+def _simhash_oracle(bits: int = dd.SIMHASH_BITS) -> str:
+    votes = ", ".join(
+        "SUM(CASE WHEN ((strpos('0123456789abcdef', "
+        f"substr(md5(tok), {j // 4 + 1}, 1)) - 1) & {1 << (j % 4)}) > 0 "
+        f"THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, t.tok FROM (
+        SELECT doc_id, {_TOKS} AS tk FROM documents) d, unnest(d.tk) AS t(tok)
+    ), votes AS (
+      SELECT doc_id, {votes} FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, {fp} AS simhash FROM votes
+    """
+
+
+@query("op-ext-simhash", oracle=_simhash_oracle())
+def op_ext_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (48 bits from md5 nibbles): one explode + one
+    wide map-side-combined aggregation — a single shuffle keyed by doc."""
+    return dd.simhash(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-text-stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform({_TOKS}, s -> length(s))) AS DOUBLE)
+             / CAST(len({_TOKS}) AS DOUBLE) AS avg_token_len
+    FROM documents
+    """,
+)
+def op_ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + length stats — row-local, zero shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    f = tx.quality_features("text")
+    return docs.select(
+        "doc_id",
+        f["n_chars"].alias("n_chars_calc"),
+        f["n_tokens"].alias("n_tokens"),
+        f["avg_token_len"].alias("avg_token_len"),
+    )
+
+
+def _lang_oracle() -> str:
+    hits = {
+        lang: (
+            f"len(list_filter({_TOKS}, "
+            f"tk -> tk IN ({', '.join(repr(w) for w in ws)})))"
+        )
+        for lang, ws in tx.STOPWORDS.items()
+    }
+    langs = list(tx.STOPWORDS)
+    case = "CASE "
+    for lang in langs:  # first match wins → en priority like the Spark chain
+        conds = [f"{hits[lang]} > 0"] + [
+            f"{hits[lang]} >= {hits[o]}" for o in langs if o != lang
+        ]
+        case += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"SELECT doc_id, {case} AS lang_guess FROM documents"
+
+
+@query("op-ext-lang-id", oracle=_lang_oracle())
+def op_ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (argmax with fixed tie order)."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", tx.lang_id("text").alias("lang_guess")
+    )
+
+
+@query(
+    "op-ext-quality",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len({_TOKS}) AS DOUBLE) AS n_tokens,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                  AS DOUBLE) AS punct,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS DOUBLE) AS digits,
+             CAST(len(list_filter({_TOKS},
+                  tk -> tk IN ('the','a','and','of','to','in','is','that','it','for')))
+                  AS DOUBLE) AS sw
+      FROM documents
+    )
+    SELECT doc_id,
+           punct / n_chars AS punct_ratio,
+           digits / n_chars AS digit_ratio,
+           sw / n_tokens AS stopword_ratio,
+           0.4 * least(sw / n_tokens * 4.0, 1.0)
+           + 0.3 * least(n_tokens / 100.0, 1.0)
+           + 0.2 * (1.0 - least(punct / n_chars * 10.0, 1.0))
+           + 0.1 * (1.0 - least(digits / n_chars * 10.0, 1.0)) AS score
+    FROM f
+    """,
+)
+def op_ext_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: ratio features + fixed-weight composite
+    (every term is ints-then-one-division → bit-stable doubles)."""
+    docs = t(spark, sf_dir, "documents")
+    f = tx.quality_features("text")
+    return docs.select(
+        "doc_id",
+        f["punct_ratio"].alias("punct_ratio"),
+        f["digit_ratio"].alias("digit_ratio"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+        tx.quality_score("text").alias("score"),
+    )
+
+
+@query(
+    "op-ext-fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_min(list_transform({_SHINGLES}, s -> md5(s))) AS fingerprint
+    FROM documents
+    """,
+)
+def op_ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: min shingle md5 (k=1 min-hash)."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", tx.doc_fingerprint("text").alias("fingerprint")
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+_QUANT_SQL = (
+    "list_transform(embedding, x -> "
+    "CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+)
+
+_ANN_ORACLE = f"""
+    WITH qv AS (
+      SELECT vec_id AS query_id, {_QUANT_SQL} AS e
+      FROM embeddings WHERE vec_id % 100 = 0
+    ), cv AS (
+      SELECT vec_id AS neighbor_id, {_QUANT_SQL} AS e FROM embeddings
+    ), idx AS (SELECT unnest(range(1, 65)) AS i),
+    dots AS (
+      SELECT q.query_id, c.neighbor_id,
+             CAST(SUM(q.e[idx.i] * c.e[idx.i]) AS BIGINT) AS dot
+      FROM qv q, cv c, idx
+      WHERE q.query_id <> c.neighbor_id
+      GROUP BY 1, 2
+    ), norms AS (
+      SELECT vec_id, CAST(SUM(p) AS BIGINT) AS nrm FROM (
+        SELECT vec_id, e[idx.i] * e[idx.i] AS p
+        FROM (SELECT vec_id, {_QUANT_SQL} AS e FROM embeddings), idx) GROUP BY 1
+    ), scored AS (
+      SELECT d.query_id, d.neighbor_id,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.nrm AS DOUBLE)) * sqrt(CAST(nc.nrm AS DOUBLE)))
+               AS score
+      FROM dots d
+      JOIN norms nq ON d.query_id = nq.vec_id
+      JOIN norms nc ON d.neighbor_id = nc.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, score FROM (
+      SELECT query_id, neighbor_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id) AS INT) AS rank
+      FROM scored)
+    WHERE rank <= 5
+"""
+
+
+@query("op-ext-ann-bruteforce", oracle=_ANN_ORACLE)
+def op_ext_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (k=5) for the vec_id%100=0 query set —
+    the exact baseline the LSH path is measured against. Quantized int64
+    scoring makes ranks and scores bit-stable across engines."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return sim.brute_force_cosine_topk(emb, queries, k=5)
+
+
+@query("op-ext-ann-lsh")  # approximate by design → rows-only + pytest recall
+def op_ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k: same output contract as the
+    brute-force baseline, candidates limited to the query's sign bucket.
+    Verified by recall tests (tests/test_similarity.py), not an oracle —
+    approximation quality, not SQL equivalence, is the spec."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return sim.lsh_cosine_topk(emb, queries, k=5)
+
+
+@query("op-ext-embed-neardup")  # rows-only: see tests/test_similarity.py
+def op_ext_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within hyperplane buckets
+    (threshold 0.5 on this synthetic data)."""
+    return sim.embedding_near_dup_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.5
+    )
+
+
+# --------------------------------------------------------------------------
+# streaming windows (batch semantics on events; true readStream in tests)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-stream-tumbling",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def op_ext_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time windows per event_type — identical code
+    path runs under readStream (tests/test_streaming.py)."""
+    return sw.tumbling_counts(t(spark, sf_dir, "events"))
+
+
+@query(
+    "op-ext-stream-sliding",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR, value
+      FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM b GROUP BY ws
+    """,
+)
+def op_ext_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/1h windows: every event lands in exactly two windows
+    (oracle: union of the two bucket offsets)."""
+    return sw.sliding_counts(t(spark, sf_dir, "events"))
+
+
+@query(
+    "op-ext-stream-session",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM seq
+    )
+    SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def op_ext_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min gap) per user — F.session_window; oracle
+    replays the gaps-and-islands equivalent."""
+    return sw.session_counts(t(spark, sf_dir, "events"))
