@@ -26,6 +26,19 @@ from pyspark.sql import functions as F
 from data_warehousing_assignment_spark.operators.text import tokens, word_shingles
 
 
+def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition up when the scan produced fewer partitions than cores.
+
+    Hash/HOF-heavy row-local stages (minhash, simhash, hyperplane
+    projections) are CPU-bound: a single small parquet file would otherwise
+    pin the whole stage to one task. On a real cluster the input split
+    count usually suffices; this only widens, never narrows."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def duplicate_rows(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """op-dup-capture building block: the (cols...) combos occurring more
     than once, with their multiplicity (ref ``ET_combined.py:118-132``
@@ -58,21 +71,40 @@ def exact_dedup(
     )
 
 
+def _seeded_md5(seed: int):
+    # NB: must be a unary lambda — a two-arg lambda would be taken as
+    # F.transform's (element, index) form and the index would clobber
+    # the seed.
+    return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
+
+
+def minhash_from_shingles(sh: Column, k: int = 12) -> Column:
+    """k-permutation MinHash over an already-computed shingle array: for
+    each seed i, the lexicographic-min md5('<i>:'||shingle). Row-local
+    (transform + array_min) — zero shuffles."""
+    return F.array(*[F.array_min(F.transform(sh, _seeded_md5(i))) for i in range(k)])
+
+
 def minhash_signature(text_col: Column | str, k: int = 12, n: int = 3) -> Column:
-    """k-permutation MinHash signature as array<string>: for each seed i,
-    the lexicographic-min md5('<i>:'||shingle) over the document's word
-    n-gram shingles. Entirely row-local (transform + array_min): the
-    signature stage of minhash-LSH costs zero shuffles."""
-    sh = word_shingles(tokens(text_col), n)
+    """Column-level MinHash signature. Prefer :func:`minhash_signatures`
+    (the DataFrame form) in plans: it projects the shingle array ONCE
+    before fanning out to k seeds — inlined here, the optimizer cannot
+    share the shingle subtree across the k array elements and the
+    tokenize+shingle work runs k times per row."""
+    return minhash_from_shingles(word_shingles(tokens(text_col), n), k)
 
-    def seeded(seed: int):
-        # NB: must be a unary lambda — a two-arg lambda would be taken as
-        # F.transform's (element, index) form and the index would clobber
-        # the seed.
-        return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
 
-    sig = [F.array_min(F.transform(sh, seeded(i))) for i in range(k)]
-    return F.array(*sig)
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 12, n: int = 3
+) -> DataFrame:
+    """(id, sig) MinHash signatures, the scale path: widen partitions for
+    the CPU-bound hash stage, project shingles once (a separate Project
+    node — CollapseProject keeps non-cheap exprs used k times
+    unmerged), then fan out to the k seeded mins."""
+    docs = scale_out(df.select(id_col, text_col))
+    return docs.withColumn("_sh", word_shingles(tokens(text_col), n)).select(
+        id_col, minhash_from_shingles(F.col("_sh"), k).alias("sig")
+    )
 
 
 def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
@@ -103,12 +135,23 @@ def minhash_lsh_candidates(
 
     The join is a plain equi-join on the band key → shuffled hash join
     partitioned by bucket; work is Σ|bucket|², never |docs|². Returned
-    pairs are distinct across bands."""
+    pairs are distinct across bands.
+
+    The band-key frame is persisted before the self-join: the two join
+    sides carry different projections, so exchange reuse can't kick in
+    and each side would otherwise recompute every signature. Band keys
+    are ~(bands × 36) bytes/doc — at 100 TB of text that's a few hundred
+    GB cluster-wide, MEMORY_AND_DISK-safe."""
     r = k // bands
-    keyed = df.select(
-        F.col(id_col).alias("doc_a"),
-        F.explode(minhash_bands(minhash_signature(text_col, k, n), bands, r)).alias("bk"),
-    ).select("doc_a", "bk.band", "bk.band_hash")
+    sigs = minhash_signatures(df, id_col, text_col, k, n)
+    keyed = (
+        sigs.select(
+            F.col(id_col).alias("doc_a"),
+            F.explode(minhash_bands(F.col("sig"), bands, r)).alias("bk"),
+        )
+        .select("doc_a", "bk.band", "bk.band_hash")
+        .persist()
+    )
     left = keyed
     right = keyed.withColumnRenamed("doc_a", "doc_b")
     return (
@@ -133,10 +176,10 @@ def ngram_jaccard_pairs(
 
     Verification stage of the dedup pipeline: cost O(|candidates|), and
     candidates come from LSH, so the full pipeline never goes quadratic."""
-    sh = df.select(
+    sh = scale_out(df.select(id_col, text_col)).select(
         F.col(id_col).alias("_id"),
         F.array_distinct(word_shingles(tokens(text_col), n)).alias("_sh"),
-    )
+    ).persist()  # joined twice (a- and b-side) — don't shingle twice
     a = sh.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -176,7 +219,7 @@ def simhash(
     SUM columns, map-side combined) — a single shuffle keyed by doc id;
     then the fingerprint assembles row-locally. At 100 TB this is the
     same cost as any per-doc token aggregate."""
-    tok = df.select(
+    tok = scale_out(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
     ).withColumn("_h", F.md5("_tok"))
     votes = [

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_warehousing_assignment_spark.operators.dedup import scale_out
+
 QUANT = 1_000_000.0
 
 
@@ -73,7 +75,7 @@ def brute_force_cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv")
     )
-    c = corpus.select(
+    c = scale_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("cv")
     )
     dot = int_dot(F.col("qv"), F.col("cv")).cast("double")
@@ -98,35 +100,39 @@ def brute_force_cosine_topk(
     )
 
 
-def hyperplane_signs(vec_col: Column | str, n_planes: int = 8) -> Column:
-    """Random-hyperplane LSH bucket id: sign pattern of <v, h_p> for
-    n_planes pseudo-random hyperplanes. Hyperplane coefficients are
-    derived deterministically from md5(plane:dim) nibbles (value−7.5),
-    so bucketing is reproducible across runs and engines — no RNG state.
+def _plane_coeffs(plane: int, dim: int) -> list[int]:
+    """Deterministic pseudo-random hyperplane coefficients: h_p[d] =
+    2·nibble(md5('p:d')) − 15 ∈ [−15, 15]. Hashed so bucketing is
+    reproducible across runs/engines with no RNG state; computed
+    driver-side because they depend only on (plane, dim) — they are
+    model parameters, not per-row data."""
+    import hashlib
 
-    Row-local; the bucket id is an int in [0, 2^n_planes)."""
+    return [
+        2 * int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[0], 16) - 15
+        for d in range(dim)
+    ]
+
+
+def hyperplane_signs(
+    vec_col: Column | str, n_planes: int = 8, dim: int = 64
+) -> Column:
+    """Random-hyperplane LSH bucket id: sign pattern of <v, h_p> for
+    n_planes fixed pseudo-random hyperplanes (see _plane_coeffs).
+
+    Row-local; per row the cost is n_planes exact int64 dot products
+    against literal coefficient arrays (zero hashing at execution time).
+    The bucket id is an int in [0, 2^n_planes)."""
     v = quantize(vec_col)
     bucket = None
     for p in range(n_planes):
-        # h_p[d] = nibble(md5('p:d'))−7.5, folded into integer space (×2)
+        coeffs = F.array(
+            *[F.lit(c).cast("bigint") for c in _plane_coeffs(p, dim)]
+        )
+        # transform-with-index (not zip_with: it null-pads the shorter
+        # side) — iterates the vector's own length; requires dim ≥ len(v)
         proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.transform(
-                    v,
-                    lambda _, i: (
-                        F.instr(
-                            F.lit("0123456789abcdef"),
-                            F.substring(
-                                F.md5(F.concat(F.lit(f"{p}:"), i.cast("string"))), 1, 1
-                            ),
-                        )
-                        * 2
-                        - 17
-                    ).cast("bigint"),
-                ),
-                lambda x, h: x * h,
-            ),
+            F.transform(v, lambda x, i: x * F.element_at(coeffs, i + F.lit(1))),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         )
@@ -142,19 +148,32 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 6,
+    multi_probe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's own hyperplane bucket.
-    Bucketing is one row-local pass over the corpus; the join is an
-    equi-join on bucket id — candidate work is O(bucket size), and
-    recall is tunable via n_planes (fewer planes → bigger buckets →
-    higher recall). Multi-probe (flip one bit) would raise recall at 2×
-    candidates; kept single-probe for clarity."""
-    q = queries.select(
+    """Approximate top-k: probe the query's own hyperplane bucket, plus
+    (multi_probe) every bucket at Hamming distance 1 — the standard
+    recall boost: n_planes+1 probes ≈ (n_planes+1)/2^n_planes of the
+    corpus instead of 1/2^n_planes, still never all-pairs. Bucketing is
+    one row-local pass over the corpus; the join is an equi-join on
+    bucket id, so candidate work is O(probed bucket sizes). Recall is
+    tunable via n_planes (fewer planes → bigger buckets → higher
+    recall)."""
+    qbase = queries.select(
         F.col(id_col).alias("query_id"),
         quantize(vec_col).alias("qv"),
         hyperplane_signs(vec_col, n_planes).alias("bucket"),
     )
-    c = corpus.select(
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+        )
+        q = qbase.select(
+            "query_id", "qv", F.explode(probes).alias("bucket")
+        )
+    else:
+        q = qbase
+    c = scale_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         quantize(vec_col).alias("cv"),
         hyperplane_signs(vec_col, n_planes).alias("bucket"),
@@ -185,6 +204,7 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs: bucket by hyperplane signs,
     score only within buckets, keep pairs above threshold. Same
     O(Σ bucket²) guarantee as minhash-LSH — never all-pairs."""
+    corpus = scale_out(corpus)
     c = corpus.select(
         F.col(id_col).alias("doc_a"),
         quantize(vec_col).alias("va"),

@@ -26,6 +26,12 @@ from data_warehousing_assignment_spark.operators import similarity as sim
 from data_warehousing_assignment_spark.operators import text as tx
 from data_warehousing_assignment_spark.streaming import windows as sw
 
+
+def docs_t(spark, sf_dir):
+    """documents table widened for CPU-bound row-local hash stages
+    (single small parquet file → single task otherwise)."""
+    return dd.scale_out(t(spark, sf_dir, "documents"))
+
 # Shared DuckDB fragments -------------------------------------------------
 
 _TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -94,7 +100,7 @@ _CAND_SQL = f"""
 def op_ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via normalized content hash; survivor = min(doc_id).
     One shuffle on the 32-char hash — never on document bodies."""
-    return dd.exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
+    return dd.exact_dedup(docs_t(spark, sf_dir), "text", "doc_id")
 
 
 @query(
@@ -117,9 +123,7 @@ def op_ext_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=12): row-local array expressions, zero
     shuffle — the signature stage scales linearly with corpus bytes."""
     docs = t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", dd.minhash_signature("text", _K).alias("sig")
-    )
+    return dd.minhash_signatures(docs, "doc_id", "text", _K)
 
 
 @query("op-ext-minhash-lsh", oracle=_CAND_SQL)
@@ -206,7 +210,7 @@ def op_ext_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def op_ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + length stats — row-local, zero shuffle."""
-    docs = t(spark, sf_dir, "documents")
+    docs = docs_t(spark, sf_dir)
     f = tx.quality_features("text")
     return docs.select(
         "doc_id",
@@ -238,7 +242,7 @@ def _lang_oracle() -> str:
 @query("op-ext-lang-id", oracle=_lang_oracle())
 def op_ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID (argmax with fixed tie order)."""
-    return t(spark, sf_dir, "documents").select(
+    return docs_t(spark, sf_dir).select(
         "doc_id", tx.lang_id("text").alias("lang_guess")
     )
 
@@ -273,7 +277,7 @@ def op_ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_ext_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring: ratio features + fixed-weight composite
     (every term is ints-then-one-division → bit-stable doubles)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = docs_t(spark, sf_dir)
     f = tx.quality_features("text")
     return docs.select(
         "doc_id",
@@ -294,7 +298,7 @@ def op_ext_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def op_ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: min shingle md5 (k=1 min-hash)."""
-    return t(spark, sf_dir, "documents").select(
+    return docs_t(spark, sf_dir).select(
         "doc_id", tx.doc_fingerprint("text").alias("fingerprint")
     )
 

@@ -1,0 +1,96 @@
+"""Dedup operator tests: exact hash dedup, MinHash signatures vs a pure-
+Python reference, LSH candidate generation recall on constructed
+near-duplicates, and n-gram Jaccard values."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from data_warehousing_assignment_spark.operators import dedup as dd
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+    (2, "completely different text about spark engines and shuffles"),
+    (3, "The Quick  Brown fox jumps over the lazy dog"),  # exact dup of 0 mod ws/case
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def py_minhash(text: str, k: int = 12, n: int = 3) -> list[str]:
+    toks = re.split(r"\s+", text.strip().lower())
+    sh = (
+        [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        if len(toks) >= n
+        else [" ".join(toks)]
+    )
+    return [
+        min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in sh)
+        for i in range(k)
+    ]
+
+
+def test_duplicate_rows_multiplicity(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 1), ("b", 2)], "x string, y int"
+    )
+    out = {(r.x, r.y): r.n_rows for r in dd.duplicate_rows(df).collect()}
+    assert out == {("a", 1): 3}
+
+
+def test_exact_dedup_normalizes_whitespace_and_case(spark):
+    out = dd.exact_dedup(docs_df(spark), "text", "doc_id").collect()
+    groups = {r.keep_id: r.group_size for r in out}
+    # doc 3 collapses into doc 0's group after normalization
+    assert groups[0] == 2
+    assert groups[1] == 1 and groups[2] == 1
+    assert 3 not in groups
+
+
+def test_minhash_signature_matches_python(spark):
+    out = (
+        docs_df(spark)
+        .select("doc_id", dd.minhash_signature("text", 12).alias("sig"))
+        .collect()
+    )
+    for r in out:
+        assert list(r.sig) == py_minhash(DOCS[r.doc_id][1]), r.doc_id
+
+
+def test_lsh_candidates_catch_near_dups_not_distinct_docs(spark):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dd.minhash_lsh_candidates(
+            docs_df(spark), "doc_id", "text", k=12, bands=4
+        ).collect()
+    }
+    assert (0, 3) in pairs  # exact dup (mod case/ws) always collides
+    assert (0, 1) in pairs  # near-dup shares most shingles
+    assert (0, 2) not in pairs and (1, 2) not in pairs  # unrelated docs
+
+
+def test_ngram_jaccard_values(spark):
+    df = docs_df(spark)
+    cands = spark.createDataFrame([(0, 3), (0, 2)], "doc_a int, doc_b int")
+    out = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(df, cands, "doc_id", "text").collect()
+    }
+    assert out[(0, 3)] == 1.0  # identical after lowercase/ws-normalization
+    assert out[(0, 2)] == 0.0  # no shared shingles
+
+
+def test_simhash_near_dups_have_small_hamming_distance(spark):
+    fps = {
+        r.doc_id: r.simhash
+        for r in dd.simhash(docs_df(spark), "doc_id", "text").collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(fps[0], fps[3]) == 0  # identical token multiset
+    assert ham(fps[0], fps[1]) < ham(fps[0], fps[2])

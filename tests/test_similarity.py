@@ -1,0 +1,76 @@
+"""Similarity-search tests: deterministic cosine vs numpy, brute-force
+top-k correctness, and LSH recall against the brute-force baseline on the
+real sf0.001 embeddings table."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehousing_assignment_spark.operators import similarity as sim
+from tests.conftest import SF_SMALL
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+    (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+    (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+]
+
+
+def vec_df(spark):
+    return spark.createDataFrame(VECS, "vec_id int, embedding array<float>")
+
+
+def np_cos(a, b):
+    # the Spark column is array<float>: round-trip through float32 first,
+    # exactly like the stored values the engine quantizes
+    qa = np.floor(np.asarray(a, dtype=np.float32).astype(np.float64) * 1e6)
+    qb = np.floor(np.asarray(b, dtype=np.float32).astype(np.float64) * 1e6)
+    return float(qa @ qb / (math.sqrt(qa @ qa) * math.sqrt(qb @ qb)))
+
+
+def test_cosine_matches_numpy_quantized(spark):
+    df = vec_df(spark).alias("a").crossJoin(vec_df(spark).alias("b"))
+    out = df.select(
+        F.col("a.vec_id").alias("ia"),
+        F.col("b.vec_id").alias("ib"),
+        sim.cosine_similarity_col(F.col("a.embedding"), F.col("b.embedding")).alias(
+            "c"
+        ),
+    ).collect()
+    by_pair = {(r.ia, r.ib): r.c for r in out}
+    for (ia, va), (ib, vb) in [(VECS[i], VECS[j]) for i in range(4) for j in range(4)]:
+        assert by_pair[(ia, ib)] == pytest.approx(np_cos(va, vb), abs=1e-12)
+
+
+def test_brute_force_topk_ranks_correctly(spark):
+    df = vec_df(spark)
+    out = sim.brute_force_cosine_topk(df, df.filter(F.col("vec_id") == 0), k=3)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in rows] == [1, 2, 3]  # by descending cosine
+    assert rows[0].score > rows[1].score > rows[2].score
+
+
+def test_lsh_recall_on_real_embeddings(spark):
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = sim.brute_force_cosine_topk(emb, queries, k=5)
+    approx = sim.lsh_cosine_topk(emb, queries, k=5, n_planes=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 4 hyperplanes → 16 buckets; same-bucket required ⇒ imperfect recall,
+    # but far better than chance. Deterministic hashing ⇒ stable number.
+    assert recall >= 0.3, f"recall {recall:.2f}"
+
+
+def test_embedding_near_dup_pairs_symmetric_free(spark):
+    df = vec_df(spark)
+    out = sim.embedding_near_dup_pairs(df, threshold=0.9, n_planes=2).collect()
+    for r in out:
+        assert r.doc_a < r.doc_b
+        assert r.cosine >= 0.9
