@@ -107,7 +107,12 @@ def import_all_registries() -> None:
     import importlib
     import warnings
 
-    for mod in ("registry_core", "registry_pipelines", "registry_extensions"):
+    for mod in (
+        "registry_core",
+        "registry_pipelines",
+        "registry_extensions",
+        "registry_io",
+    ):
         try:
             importlib.import_module(f"data_warehousing_assignment_spark.{mod}")
         except Exception as exc:  # pragma: no cover - defensive

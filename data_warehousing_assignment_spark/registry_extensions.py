@@ -446,3 +446,55 @@ def op_ext_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30 min gap) per user — F.session_window; oracle
     replays the gaps-and-islands equivalent."""
     return sw.session_counts(t(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# multimodal columns (binary payload + typed metadata; decode stubbed)
+# --------------------------------------------------------------------------
+
+from data_warehousing_assignment_spark.operators import multimodal as mm  # noqa: E402
+
+
+@query(
+    "op-ext-mm-bytestats",
+    oracle="""
+    SELECT doc_id,
+           CAST(5 + octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5('FAKE1' || text) AS payload_md5
+    FROM documents
+    """,
+)
+def op_ext_mm_bytestats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload stats via Arrow-batched mapInPandas — the canonical
+    decode-stage plumbing (bytes in, features out, bounded batches). The
+    deterministic FAKE payload ('FAKE1' magic + utf-8 text) makes the
+    md5/byte-count oracle exact."""
+    docs = mm.with_media_columns(docs_t(spark, sf_dir))
+    return mm.byte_stats(docs).select("doc_id", "n_bytes", "payload_md5")
+
+
+@query("op-ext-mm-decode")  # rows-only: pixel arrays verified in pytest
+def op_ext_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed image decode (real codec = NotImplementedError integration
+    point): payload bytes → width×height grayscale pixel array through
+    the same mapInPandas contract a Pillow-backed decoder would use."""
+    docs = mm.with_media_columns(docs_t(spark, sf_dir))
+    decoded = mm.decode(docs)
+    return mm.resize(decoded, 4, 4)
+
+
+@query("op-ext-mm-framesample")  # rows-only: fan-out shape verified in pytest
+def op_ext_mm_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling stub: one media row fans out to one row per
+    sampled frame (every 2nd of 4 fake frames)."""
+    docs = mm.with_media_columns(docs_t(spark, sf_dir)).withColumn(
+        "meta",
+        F.struct(
+            F.lit("video/x-fake").alias("mime"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.lit(4).alias("n_frames"),
+            F.lit(0).alias("sample_rate"),
+        ),
+    )
+    return mm.sample_frames(docs, every_n=2)
