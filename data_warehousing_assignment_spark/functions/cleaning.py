@@ -134,15 +134,37 @@ def parse_date_multi(
 def fallback_id(col: Column | str, prefix: str, order_col: Column) -> Column:
     """op-win-rownumber-unordered support: fabricate ``TEMP_<n>`` ids for
     missing natural keys (ref ``A2_hr_etl.py:80-86``, ``stg_hr_employee.
-    sql:42``). The caller supplies a deterministic order column; at scale
-    prefer a hash of the row's stable attributes over a global row_number
-    (which forces a single-partition exchange).
+    sql:42``). The caller supplies a deterministic order column.
+
+    SCALE WARNING: the global row_number forces a single-partition
+    exchange — acceptable only on dim-sized frames. Fact-sized pipelines
+    use :func:`fallback_id_hash` (no exchange, stable across runs).
     """
     from pyspark.sql import Window
 
     c = blank_to_null(col)
     rn = F.row_number().over(Window.orderBy(order_col))
     return F.coalesce(c, F.concat(F.lit(prefix), rn.cast("string")))
+
+
+def fallback_id_hash(
+    col: Column | str, prefix: str, attrs: list[Column | str]
+) -> Column:
+    """Scale-path fabricated id: ``<prefix><md5 of stable attributes>``
+    instead of a global row number — fully parallel (no exchange) and
+    stable across reruns, so a re-load of the same batch fabricates the
+    SAME id (the row_number variant renumbers on every run, breaking
+    SCD2/fact idempotency for the fabricated keys). Callers dedup rows
+    first; identical attribute tuples intentionally collapse to one id.
+    """
+    c = blank_to_null(col)
+    parts = [
+        F.coalesce(
+            (F.col(a) if isinstance(a, str) else a).cast("string"), F.lit("\x00")
+        )
+        for a in attrs
+    ]
+    return F.coalesce(c, F.concat(F.lit(prefix), F.md5(F.concat_ws("::", *parts))))
 
 
 def group_mean_impute(
