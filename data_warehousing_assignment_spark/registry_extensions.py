@@ -498,3 +498,24 @@ def op_ext_mm_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return mm.sample_frames(docs, every_n=2)
+
+
+from data_warehousing_assignment_spark.streaming import stateful as st  # noqa: E402
+
+
+@query(
+    "op-ext-stream-stateful",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           COUNT(*) AS max_batch
+    FROM events GROUP BY user_id
+    """,
+)
+def op_ext_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState on streams; its
+    applyInPandas twin here): per-user running totals + burst counter.
+    Cross-batch state accumulation is pinned by tests/test_stateful.py;
+    this entry verifies the state math itself against SQL."""
+    return st.user_totals_stateful(t(spark, sf_dir, "events"))

@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis): date-parser totality, SCD2
+invariants under arbitrary two-batch histories, imputation totality.
+
+Each example builds one small DataFrame and runs one Spark job, so
+max_examples is kept low — the properties are about input *shape*
+coverage, not volume."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+from pyspark.sql import functions as F
+
+from data_warehousing_assignment_spark.functions import cleaning as cl
+from data_warehousing_assignment_spark.functions.dates import date_safe_dispatch
+from data_warehousing_assignment_spark.plans.scd2 import (
+    assert_scd2_invariants,
+    merge_scd2,
+)
+
+SPARK_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+date_like = st.one_of(
+    st.text(max_size=20),
+    st.dates(dt.date(1900, 1, 1), dt.date(2100, 1, 1)).map(str),
+    st.dates(dt.date(1900, 1, 1), dt.date(2100, 1, 1)).map(
+        lambda d: d.strftime("%d-%m-%Y")
+    ),
+    st.just(""),
+    st.none(),
+)
+
+
+@SPARK_SETTINGS
+@given(st.lists(date_like, min_size=1, max_size=30))
+def test_date_parsers_are_total(spark, values):
+    """Any input → a date, the fallback, or NULL — never an exception."""
+    df = spark.createDataFrame([(v,) for v in values], "x string")
+    out = df.select(
+        cl.parse_date_multi("x").alias("multi"),
+        cl.parse_date_multi("x", fallback="1957-01-01").alias("multi_fb"),
+        date_safe_dispatch("x").alias("dispatch"),
+    ).collect()
+    for r in out:
+        assert r.multi is None or isinstance(r.multi, dt.date)
+        assert r.multi_fb is None or isinstance(r.multi_fb, dt.date)
+        assert r.dispatch is None or isinstance(r.dispatch, dt.date)
+        # with a fallback, NULL only if the INPUT was NULL (totality)
+    nulls_in = sum(1 for v in values if v is None)
+    nulls_out = sum(1 for r in out if r.multi_fb is None)
+    assert nulls_out <= nulls_in
+
+
+keys = st.sampled_from(["k1", "k2", "k3", "k4"])
+attr = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+batch = st.lists(
+    st.tuples(keys, attr, attr), min_size=1, max_size=8, unique_by=lambda r: r[0]
+)
+
+
+@SPARK_SETTINGS
+@given(batch, batch)
+def test_scd2_invariants_hold_for_any_history(spark, b1, b2):
+    """After any two-batch history: ≤1 current row per key, ordered
+    validity ranges, and re-merging batch 2 is a no-op."""
+    mk = lambda rows: spark.createDataFrame(rows, "k string, x string, y string")
+    empty = spark.createDataFrame(
+        [],
+        "k string, x string, y string, row_hash string, "
+        "valid_from date, valid_to date, is_current boolean",
+    )
+    d1 = merge_scd2(empty, mk(b1), "k", ["x", "y"], "2024-01-01")
+    d2 = merge_scd2(d1, mk(b2), "k", ["x", "y"], "2024-02-01")
+    inv = assert_scd2_invariants(d2, "k")
+    assert inv == {"multi_current_keys": 0, "bad_valid_ranges": 0}
+    d3 = merge_scd2(d2, mk(b2), "k", ["x", "y"], "2024-03-01")
+    canon = lambda df: sorted(map(tuple, df.collect()), key=repr)
+    assert canon(d3) == canon(d2)
+
+
+measures = st.lists(
+    st.tuples(
+        st.sampled_from(["g1", "g2"]),
+        st.one_of(st.none(), st.floats(0, 100, allow_nan=False).map(lambda x: round(x, 2))),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SPARK_SETTINGS
+@given(measures)
+def test_group_mean_impute_total_and_preserves_present_values(spark, rows):
+    """No NULLs out; present values pass through untouched."""
+    df = spark.createDataFrame(rows, "g string, m double")
+    out = cl.group_mean_impute(df, "m", ["g"]).collect()
+    assert all(r.m is not None for r in out)
+    present_in = sorted(v for _, v in rows if v is not None)
+    # multiset of original non-null values is preserved in the output
+    out_vals = sorted(r.m for r in out)
+    for v in present_in:
+        assert v in out_vals
+        out_vals.remove(v)

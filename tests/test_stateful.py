@@ -1,0 +1,73 @@
+"""applyInPandasWithState operator: stream-mode state accumulation across
+micro-batches must converge to the batch aggregate (final-state parity),
+and the burst detector must see per-batch counts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehousing_assignment_spark.registry import t
+from data_warehousing_assignment_spark.streaming.stateful import (
+    user_totals_batch,
+    user_totals_stateful,
+)
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_chunks(spark, tmp_path_factory):
+    """events split into 3 parquet files so availableNow replays them as
+    multiple micro-batches (maxFilesPerTrigger=1)."""
+    path = str(tmp_path_factory.mktemp("events_chunks"))
+    ev = t(spark, SF_SMALL, "events").select("user_id", "value", "ts")
+    ev.withColumn("_b", F.col("user_id") % 3).repartition(3, "_b").drop(
+        "_b"
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_stateful_stream_matches_batch_final_state(spark, events_chunks):
+    static = spark.read.parquet(events_chunks)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_chunks)
+    )
+    out = user_totals_stateful(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update-mode memory sink appends every state emission; the LAST row
+    # per user is the final state
+    emitted = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY n_events DESC) AS rn
+          FROM stateful_totals) WHERE rn = 1
+        """
+    )
+    expected = user_totals_batch(static)
+    got = {r.user_id: r for r in emitted.collect()}
+    want = {r.user_id: r for r in expected.collect()}
+    assert set(got) == set(want)
+    for uid, w in want.items():
+        assert got[uid].n_events == w.n_events, uid
+        assert got[uid].total_value == pytest.approx(w.total_value, abs=1e-9), uid
+
+
+def test_stateful_on_static_frame_single_batch(spark):
+    ev = t(spark, SF_SMALL, "events").select("user_id", "value")
+    out = {r.user_id: r for r in user_totals_stateful(ev).collect()}
+    want = {r.user_id: r for r in user_totals_batch(ev).collect()}
+    assert set(out) == set(want)
+    for uid, w in want.items():
+        assert out[uid].n_events == w.n_events
+        # single batch → max_batch equals the full per-user count
+        assert out[uid].max_batch == w.n_events
