@@ -519,3 +519,55 @@ def op_ext_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-batch state accumulation is pinned by tests/test_stateful.py;
     this entry verifies the state math itself against SQL."""
     return st.user_totals_stateful(t(spark, sf_dir, "events"))
+
+
+from data_warehousing_assignment_spark.operators import asof as ao  # noqa: E402
+
+
+@query(
+    "op-ext-asof-join",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts_us, r.value AS value_asof
+    FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+          WHERE event_type = 'view') l
+    ASOF LEFT JOIN
+         (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+          WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+    """,
+)
+def op_ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: for every view event, the user's most recent
+    purchase value at-or-before it. Window formulation — one shuffle on
+    (user, ts), no pandas in the hot path; joins on exact int64 MICROS
+    both sides (DuckDB truncates the parquet ns timestamp to us, so us is
+    the precision the two engines share)."""
+    ev = t(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts_ns div 1000"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "value"
+    )
+    return ao.asof_join(views, purchases, "ts_us", ["user_id"], ["value"])
+
+
+from data_warehousing_assignment_spark.operators.skew import salted_join  # noqa: E402
+
+
+@query(
+    "op-ext-salted-join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def op_ext_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join: hot keys spread across n_salts reducers, small
+    side replicated. The oracle is the PLAIN join — salting must be a
+    pure physical rewrite with identical semantics."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return salted_join(orders, cust, on=["o_custkey"], n_salts=8)
