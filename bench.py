@@ -35,6 +35,8 @@ HEADLINE = [
     "op-ext-simhash",           # 48-bit simhash fingerprints
     "op-ext-ann-bruteforce",    # cosine top-k, query set vs full corpus
     "op-ext-stream-session",    # session windows over events
+    "op-ext-asof-join",         # point-in-time join (window formulation)
+    "op-ext-salted-join",       # skew-salted equi-join
 ]
 
 

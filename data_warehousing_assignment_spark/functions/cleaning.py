@@ -8,8 +8,10 @@ JVM whole-stage codegen — no Python boundary in the hot path, which is the
 difference between O(rows) Python-interpreter time and vectorized columnar
 execution at 100 TB.
 
-No Python UDF is semantically required anywhere (SURVEY.md §2.10); see
-``tests/test_cleaning.py`` for the one demonstrative @udf variant.
+No Python UDF is semantically required anywhere (SURVEY.md §2.10);
+``tests/test_udf_variant.py`` demonstrates the UDF surface by pinning a
+pandas-UDF re-implementation of one cleaner against the native Column
+version (and documents why the native version is the hot-path choice).
 """
 
 from __future__ import annotations
