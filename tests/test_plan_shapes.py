@@ -1,0 +1,103 @@
+"""Plan-shape regression tests: the physical-plan properties the engine
+is designed around must survive refactors — broadcasts where expected,
+filter pushdown into scans, no cartesian products, map-side partial
+aggregation, and shuffle-free joins on co-bucketed tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMALL
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entrymod.queries()
+
+
+def test_star_join_broadcasts_dims_and_pushes_filter(spark, qs):
+    plan = plan_of(qs["op-join-inner-star"](spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 3  # every dim side broadcast
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # dims must not trigger SMJ locally
+    # the region filter reaches the parquet scan, not a post-scan Filter only
+    assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)" in plan
+
+
+def test_fact_incr_anti_join_prunes_both_scans(spark, qs):
+    plan = plan_of(qs["op-pipe-fact-incr"](spark, SF_SMALL))
+    # date-window predicates pushed into BOTH lineitem scans
+    assert plan.count("GreaterThanOrEqual(l_shipdate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_impute_window_formulation_no_join(spark):
+    """cleaning.group_mean_impute (the warehouse pipeline's impute) is the
+    single-window formulation: one shuffle, no join-back. (The registered
+    op-pipe-impute deliberately keeps the reference's groupBy+join shape
+    for its decimal-exact oracle — both shapes are intentional.)"""
+    from data_warehousing_assignment_spark.functions.cleaning import (
+        group_mean_impute,
+    )
+
+    from data_warehousing_assignment_spark.registry import t
+
+    df = t(spark, SF_SMALL, "events").select("user_id", "value")
+    plan = plan_of(group_mean_impute(df, "value", ["user_id"]))
+    assert "Window" in plan
+    assert "Join" not in plan  # window formulation, not groupBy+join-back
+
+
+def test_agg_has_map_side_partial(spark, qs):
+    plan = plan_of(qs["op-pipe-kpi-gross-monthly"](spark, SF_SMALL))
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_column_pruning_reaches_scan(spark, qs):
+    plan = plan_of(qs["op-agg-count-distinct"](spark, SF_SMALL))
+    # the orders scan must not read money/date columns it doesn't need
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scan_lines and all("o_totalprice" not in l for l in scan_lines)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Co-located join: both sides bucketed by the join key → the join
+    plans with zero Exchange (the 100 TB pattern for repeated big-big
+    joins; bucket pruning + no shuffle)."""
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_orders")
+    lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_lineitem")
+    joined = spark.table("b_lineitem").join(
+        spark.table("b_orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    # disable broadcast so the join would OTHERWISE shuffle both sides
+    with_conf = spark.conf
+    old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+    with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # buckets align: no shuffle
+        assert joined.count() == lineitem.count()
+    finally:
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
