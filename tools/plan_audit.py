@@ -1,0 +1,72 @@
+"""Plan audit: dump every registered query's physical plan and flag
+anti-patterns (cartesian products, single-partition window exchanges,
+sort-merge joins against tiny inputs). Complements check_local.py: that
+gate proves results right; this one proves the plans stay scale-shaped.
+
+Usage: python tools/plan_audit.py [sf_dir]
+
+Intentional exceptions (documented where they occur):
+* ``op-win-rownumber-key`` / ``build_dim_time`` — global row_number over a
+  dim-sized frame (SURVEY §2.5: surrogate keys for ≤4k-row dims).
+* ``op-join-degenerate`` / snapshot facts — crossJoin against a 1-row
+  broadcast side is the intended degenerate-join shape.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# Queries where a flagged pattern is the documented, size-bounded choice.
+ALLOWED = {
+    "op-win-rownumber-key": {"single-partition window"},
+    "op-win-rownumber-unordered": {"single-partition window"},
+    "op-fn-generate-series": {"single-partition window"},
+    "op-union-distinct": {"single-partition window"},
+    "op-sort": {"single-partition window"},  # dim_time spine surrogate keys
+    "op-join-degenerate": {"cartesian"},  # 1-row broadcast snapshot stamp
+    # distinct-dates mini time-dim surrogate keys: dim-sized by construction
+    "op-pipe-snapshot": {"cartesian", "single-partition window"},
+    "op-ext-ann-bruteforce": {"cartesian"},  # scored vs broadcast query set
+    # new-members numbering after the anti-join: dim-sized by construction
+    "op-pipe-dim-upsert": {"cartesian", "single-partition window"},
+}
+
+
+def audit(plan: str) -> set[str]:
+    flags: set[str] = set()
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        flags.add("cartesian")
+    if "Exchange SinglePartition" in plan and "Window" in plan:
+        flags.add("single-partition window")
+    return flags
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    import __spark_entry__ as e
+    from data_warehousing_assignment_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bad = 0
+    for name, fn in sorted(e.queries().items()):
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001
+            print(f"ERROR {name}: {exc}")
+            bad += 1
+            continue
+        flags = audit(plan) - ALLOWED.get(name, set())
+        if flags:
+            bad += 1
+            print(f"FLAG  {name}: {sorted(flags)}")
+    print(f"\n== {bad} flagged")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
