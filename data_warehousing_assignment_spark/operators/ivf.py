@@ -1,0 +1,146 @@
+"""IVF (inverted-file) approximate nearest neighbor — the second scale
+path next to hyperplane LSH (extension surface, SURVEY.md §7.5).
+
+Classic IVF: k-means the corpus into ``n_clusters`` coarse cells once
+(an offline, amortized build), then answer each query by scoring only
+the ``n_probe`` nearest cells — candidate work is
+O(n_probe · corpus / n_clusters) per query instead of O(corpus).
+
+Everything is deterministic (no RNG): initial centroids are the
+``n_clusters`` lowest-id vectors, and Lloyd iterations are pure
+DataFrame computation — assignment is an argmin over a broadcast
+centroid table (min_by), the update step is an element-wise mean via
+posexplode + two hash aggregations. Iteration happens driver-side over
+a lazy plan per round (standard Spark iterative-algorithm shape; at
+scale you checkpoint between rounds to cut lineage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_warehousing_assignment_spark.operators.similarity import (
+    int_dot,
+    quantize,
+)
+
+
+def _l2sq(a, b):
+    """Exact integer squared-L2 between two quantized vectors."""
+    diff = F.zip_with(a, b, lambda x, y: x - y)
+    return F.aggregate(
+        F.transform(diff, lambda d: d * d),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(corpus: DataFrame, centroids: DataFrame, n_probe: int = 1) -> DataFrame:
+    """(id, vec, cluster) for each corpus row — or the n_probe nearest
+    clusters per row when n_probe > 1 (used on the query side)."""
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        corpus["*"],
+        F.col("cluster"),
+        _l2sq(F.col("qvec"), F.col("centroid")).alias("_d"),
+    )
+    w = Window.partitionBy(*[c for c in corpus.columns if c != "qvec"]).orderBy(
+        "_d", "cluster"
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_probe)
+        .drop("_d", "_rk")
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (centroids(cluster, centroid), assignments(id, cluster)).
+
+    Init: the n_clusters lowest-id vectors (deterministic). Each Lloyd
+    round: argmin-assign against broadcast centroids, then per-cluster
+    element-wise mean via posexplode → (cluster, pos) avg → re-assembled
+    array. Two hash aggregations per round, no RNG, no collect of the
+    corpus (only the k centroids ever reach the driver's broadcast)."""
+    vecs = corpus.select(F.col(id_col).alias("_id"), quantize(vec_col).alias("qvec"))
+
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition top-k,
+    # no full-corpus single-partition exchange); the row_number window
+    # then runs over just n_clusters rows.
+    seeds = vecs.orderBy("_id").limit(n_clusters)
+    centroids = seeds.select(
+        (F.row_number().over(Window.orderBy("_id")) - 1).alias("cluster"),
+        F.col("qvec").alias("centroid"),
+    )
+
+    for _ in range(n_iters):
+        assigned = _assign(vecs, centroids)
+        centroids = (
+            assigned.select("cluster", F.posexplode("qvec").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: F.round(s["m"]).cast("bigint"),
+                ).alias("centroid")
+            )
+        )
+
+    assignments = _assign(vecs, centroids).select(
+        F.col("_id").alias(id_col), "cluster"
+    )
+    return centroids, assignments
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k through the IVF index: score each query
+    against only the rows of its n_probe nearest cells. Same output
+    contract as brute_force_cosine_topk; recall grows with n_probe
+    (n_probe = n_clusters ≡ exact search)."""
+    centroids, assignments = build_ivf_index(
+        corpus, id_col, vec_col, n_clusters
+    )
+    # persist: the cell lists are the reusable index; both the probe join
+    # and any later query batch reuse them without recomputing k-means.
+    cells = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("cv"))
+        .join(
+            assignments.withColumnRenamed(id_col, "neighbor_id"), on="neighbor_id"
+        )
+        .persist()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), quantize(vec_col).alias("qvec"))
+    probes = _assign(q, centroids, n_probe=n_probe).select(
+        F.col("query_id"), F.col("qvec").alias("qv"), "cluster"
+    )
+
+    dot = int_dot(F.col("qv"), F.col("cv")).cast("double")
+    nq = F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double"))
+    nc = F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double"))
+    scored = (
+        cells.join(F.broadcast(probes), on="cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", (dot / (nq * nc)).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )

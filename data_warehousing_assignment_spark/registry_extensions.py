@@ -571,3 +571,17 @@ def op_ext_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
     )
     return salted_join(orders, cust, on=["o_custkey"], n_salts=8)
+
+
+from data_warehousing_assignment_spark.operators import ivf as iv  # noqa: E402
+
+
+@query("op-ext-ann-ivf")  # approximate by design → rows-only + pytest recall
+def op_ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic k-means cells (2 Lloyd rounds
+    of pure DataFrame aggregation), queries probe their 4 nearest of 16
+    cells. Recall vs brute force + full-probe≡exact equivalence are
+    pinned in tests/test_ivf.py."""
+    corpus = t(spark, sf_dir, "embeddings")
+    queries = corpus.filter(F.col("vec_id") % 100 == 0)
+    return iv.ivf_cosine_topk(corpus, queries, k=5, n_clusters=16, n_probe=4)

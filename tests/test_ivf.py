@@ -1,0 +1,61 @@
+"""IVF ANN: index invariants, recall vs the brute-force baseline, and
+the n_probe = n_clusters ≡ exact-search equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_warehousing_assignment_spark.operators import ivf
+from data_warehousing_assignment_spark.operators.similarity import (
+    brute_force_cosine_topk,
+)
+from tests.conftest import SF_SMALL
+
+
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+
+def test_index_partitions_corpus(spark):
+    corpus = emb(spark)
+    centroids, assignments = ivf.build_ivf_index(corpus, n_clusters=8, n_iters=1)
+    assert centroids.count() == 8
+    # every vector lands in exactly one cell
+    assert assignments.count() == corpus.count()
+    assert assignments.select("vec_id").distinct().count() == corpus.count()
+    assert assignments.agg(F.countDistinct("cluster")).first()[0] <= 8
+
+
+def test_full_probe_equals_exact(spark):
+    corpus = emb(spark).limit(200)
+    queries = corpus.filter(F.col("vec_id") % 50 == 0)
+    exact = brute_force_cosine_topk(corpus, queries, k=3)
+    full = ivf.ivf_cosine_topk(
+        corpus, queries, k=3, n_clusters=4, n_probe=4
+    )
+    canon = lambda df: sorted(
+        (r.query_id, r.neighbor_id, r.rank) for r in df.collect()
+    )
+    assert canon(full) == canon(exact)
+
+
+def test_recall_beats_chance_and_grows_with_probes(spark):
+    corpus = emb(spark)
+    queries = corpus.filter(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_cosine_topk(corpus, queries, k=5).collect()
+    }
+
+    def recall(n_probe):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf.ivf_cosine_topk(
+                corpus, queries, k=5, n_clusters=16, n_probe=n_probe
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    r2, r8 = recall(2), recall(8)
+    assert r8 >= r2  # more probes → no worse
+    assert r8 >= 0.4, f"recall@8probes {r8:.2f}"
