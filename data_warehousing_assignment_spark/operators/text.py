@@ -116,6 +116,56 @@ def quality_score(col: Column | str) -> Column:
     )
 
 
+#: GPT-2-style pre-tokenizer shape: optional leading space + a run of
+#: letters, digits, or other non-space symbols. Compatible across Java
+#: regex (Spark) and RE2 (DuckDB) — no lookarounds, no backrefs.
+BPE_TOKEN_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """BPE-ish sub-word pre-tokenization (the split a BPE tokenizer would
+    merge from): regexp_extract_all with :data:`BPE_TOKEN_RE` over the
+    lower-cased text. Row-local; the usual LLM-pipeline "token budget"
+    estimator when the real tokenizer is too expensive to ship."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(BPE_TOKEN_RE), F.lit(0))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """# BPE-ish tokens (see :func:`bpe_tokens`)."""
+    return F.size(bpe_tokens(col))
+
+
+ROLL_K = 16
+ROLL_BASE = 257
+ROLL_MOD = (1 << 31) - 1
+
+
+def rolling_hash_fingerprint(col: Column | str, k: int = ROLL_K) -> Column:
+    """Rabin-Karp-style document fingerprint: polynomial hash
+    (base 257 mod 2³¹−1) of every k-char window of the lower-cased text,
+    minimized over windows — near-identical documents (differing in a
+    suffix/prefix) still collide on their shared windows' minimum.
+
+    Expressed as nested array folds (O(len·k) integer ops per row,
+    row-local, JVM-side). Texts shorter than k hash their full length."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    n = F.length(c)
+    starts = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+
+    def win_hash(i: Column) -> Column:
+        positions = F.sequence(i, F.least(i + F.lit(k - 1), n))
+        return F.aggregate(
+            positions,
+            F.lit(0).cast("bigint"),
+            # Column.substr accepts Column positions (F.substring doesn't)
+            lambda acc, p: (acc * ROLL_BASE + F.ascii(c.substr(p, F.lit(1))))
+            % ROLL_MOD,
+        )
+
+    return F.array_min(F.transform(starts, win_hash))
+
+
 def doc_fingerprint(col: Column | str, n: int = 3) -> Column:
     """Winnowing-style document fingerprint: the lexicographic-min md5
     over the document's word n-gram shingles (k=1 min-hash). Identical

@@ -585,3 +585,45 @@ def op_ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = t(spark, sf_dir, "embeddings")
     queries = corpus.filter(F.col("vec_id") % 100 == 0)
     return iv.ivf_cosine_topk(corpus, queries, k=5, n_clusters=16, n_probe=4)
+
+
+@query(
+    "op-ext-token-bpe",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text),
+                ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS INT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def op_ext_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (GPT-2-style pre-tokenizer shape) —
+    the LLM-pipeline token-budget estimator; row-local regex pass."""
+    return docs_t(spark, sf_dir).select(
+        "doc_id", tx.bpe_token_count("text").alias("n_bpe_tokens")
+    )
+
+
+def _rolling_oracle(k: int = tx.ROLL_K) -> str:
+    return f"""
+    SELECT doc_id,
+           list_min(list_transform(
+             range(1, greatest(length(lower(text)) - {k} + 1, 1) + 1),
+             i -> list_reduce(
+                    list_transform(
+                      range(i, least(i + {k} - 1, length(lower(text))) + 1),
+                      p -> CAST(ord(substr(lower(text), CAST(p AS INT), 1)) AS BIGINT)),
+                    (a, b) -> (a * {tx.ROLL_BASE} + b) % {tx.ROLL_MOD})
+           )) AS fingerprint
+    FROM documents
+    """
+
+
+@query("op-ext-fingerprint-rolling", oracle=_rolling_oracle())
+def op_ext_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash fingerprint: min polynomial hash over all
+    16-char windows — suffix/prefix edits still collide on shared
+    windows. Row-local integer folds, JVM-side."""
+    return docs_t(spark, sf_dir).select(
+        "doc_id", tx.rolling_hash_fingerprint("text").alias("fingerprint")
+    )

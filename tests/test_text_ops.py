@@ -1,0 +1,68 @@
+"""BPE-ish token counting vs Python re, and rolling-hash fingerprint
+properties (pure-Python parity + shared-window collision)."""
+
+from __future__ import annotations
+
+import re
+
+from data_warehousing_assignment_spark.operators import text as tx
+
+PY_RE = re.compile(r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+")
+
+
+def py_rolling(text: str, k: int = tx.ROLL_K) -> int:
+    t = text.lower()
+    n = len(t)
+    hashes = []
+    for i in range(max(n - k + 1, 1)):
+        h = 0
+        for ch in t[i : i + k]:
+            h = (h * tx.ROLL_BASE + ord(ch)) % tx.ROLL_MOD
+        hashes.append(h)
+    return min(hashes)
+
+
+TEXTS = [
+    (0, "Hello, world! It's 2024."),
+    (1, "short"),
+    (2, "the quick brown fox jumps over the lazy dog once more"),
+    (3, "the quick brown fox jumps over the lazy dog once more, extended"),
+]
+
+
+def test_bpe_token_count_matches_python_re(spark):
+    df = spark.createDataFrame(TEXTS, "doc_id int, text string")
+    out = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", tx.bpe_token_count("text").alias("n")
+        ).collect()
+    }
+    for doc_id, text in TEXTS:
+        assert out[doc_id] == len(PY_RE.findall(text.lower())), text
+
+
+def test_rolling_fingerprint_matches_python(spark):
+    df = spark.createDataFrame(TEXTS, "doc_id int, text string")
+    out = {
+        r.doc_id: r.f
+        for r in df.select(
+            "doc_id", tx.rolling_hash_fingerprint("text").alias("f")
+        ).collect()
+    }
+    for doc_id, text in TEXTS:
+        assert out[doc_id] == py_rolling(text), text
+
+
+def test_rolling_fingerprint_collides_on_shared_prefix(spark):
+    # doc 3 = doc 2 + a suffix: its window set is a superset, so its min
+    # can only be <= — and for these texts the shared windows dominate
+    df = spark.createDataFrame(TEXTS, "doc_id int, text string")
+    out = {
+        r.doc_id: r.f
+        for r in df.select(
+            "doc_id", tx.rolling_hash_fingerprint("text").alias("f")
+        ).collect()
+    }
+    assert out[3] <= out[2]
+    assert py_rolling(TEXTS[2][1]) == out[2]
