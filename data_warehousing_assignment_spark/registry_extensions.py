@@ -8,11 +8,13 @@ so these oracles are possible: min-hash minimizes lexicographic HEX
 strings, SimHash votes on md5 nibbles, and embedding scores run on
 floor-quantized int64 micro-units — all bit-reproducible in DuckDB.
 
-Oracle-less entries (rows-only check, by design): lsh_cosine_topk and
-embedding_near_dup_pairs (the hyperplane bucketing is reproducible but
-its SQL transliteration adds no verification value over the pytest
-recall tests in tests/test_similarity.py), and the true readStream
-path (exercised in tests/test_streaming.py instead).
+Oracle-less entries (rows-only check, by design): the approximate ANN
+paths — lsh_cosine_topk, ivf_cosine_topk, embedding_near_dup_pairs —
+whose spec is approximation quality, pinned by recall tests
+(tests/test_similarity.py, tests/test_ivf.py) rather than SQL
+equivalence; the stubbed image decode (pixel semantics pinned in
+tests/test_multimodal.py); and the true readStream paths (exercised in
+tests/test_streaming.py, test_stateful.py, test_watermark.py).
 """
 
 from __future__ import annotations
@@ -483,10 +485,27 @@ def op_ext_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.resize(decoded, 4, 4)
 
 
-@query("op-ext-mm-framesample")  # rows-only: fan-out shape verified in pytest
+@query(
+    "op-ext-mm-framesample",
+    oracle="""
+    -- DuckDB 1.0 has no BLOB substr; the test corpus is pure ASCII
+    -- (octet_length == length for every row, asserted in pytest), so
+    -- char slicing is byte slicing here.
+    WITH b AS (
+      SELECT doc_id, text AS body,
+             greatest(octet_length(CAST(text AS BLOB)) // 4, 1) AS step
+      FROM documents
+    )
+    SELECT doc_id, f AS frame_idx,
+           md5(substr(body, f * step + 1, step)) AS frame_md5
+    FROM b, (SELECT unnest([0, 2]) AS f)
+    """,
+)
 def op_ext_mm_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling stub: one media row fans out to one row per
-    sampled frame (every 2nd of 4 fake frames)."""
+    sampled frame (every 2nd of 4 fake frames). Frames cross the oracle
+    boundary as md5 hex (raw bytes canonicalize differently per engine),
+    so the byte-slicing semantics are exactly verified."""
     docs = mm.with_media_columns(docs_t(spark, sf_dir)).withColumn(
         "meta",
         F.struct(
@@ -497,7 +516,9 @@ def op_ext_mm_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).alias("sample_rate"),
         ),
     )
-    return mm.sample_frames(docs, every_n=2)
+    return mm.sample_frames(docs, every_n=2).select(
+        "doc_id", "frame_idx", F.md5("frame_payload").alias("frame_md5")
+    )
 
 
 from data_warehousing_assignment_spark.streaming import stateful as st  # noqa: E402

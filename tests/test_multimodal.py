@@ -90,3 +90,15 @@ def test_sample_frames_fan_out(spark):
     frames = {r.frame_idx: bytes(r.frame_payload) for r in by_doc[0]}
     assert frames[0] == body[0:step]
     assert frames[2] == body[2 * step : 3 * step]
+
+
+def test_corpus_is_ascii_for_framesample_oracle(spark):
+    """The op-ext-mm-framesample oracle slices VARCHAR (DuckDB 1.0 lacks
+    BLOB substr) — valid only while the corpus is pure ASCII. Pin it."""
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    non_ascii = docs.filter(
+        F.length(F.col("text")) != F.octet_length(F.col("text"))
+    ).count()
+    assert non_ascii == 0
