@@ -101,3 +101,28 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_fact_write_prunes_on_read(spark, tmp_path):
+    """writers.write_table(partition_by=[date]) must yield scans whose
+    date filters prune partitions (PartitionFilters), not data filters —
+    the property that keeps incremental fact loads O(batch window)
+    instead of O(fact history) at 100 TB."""
+    from data_warehousing_assignment_spark.sources.writers import write_table
+
+    path = str(tmp_path / "fact")
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+    )
+    write_table(orders, path, partition_by=["order_month"])
+
+    pruned = spark.read.parquet(path).filter(F.col("order_month") == "1996-01")
+    plan = plan_of(pruned)
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PartitionFilters" in scan
+    assert "order_month" in scan.split("PartitionFilters")[1].split("]")[0]
+    # correctness of the pruned read
+    expected = orders.filter(F.col("order_month") == "1996-01").count()
+    assert pruned.count() == expected
