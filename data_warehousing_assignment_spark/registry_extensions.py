@@ -648,3 +648,19 @@ def op_ext_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs_t(spark, sf_dir).select(
         "doc_id", tx.rolling_hash_fingerprint("text").alias("fingerprint")
     )
+
+
+@query("op-ext-approx-count-distinct")  # approximate by design → rows-only
+def op_ext_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approx_count_distinct per order-month — the scale option for
+    op-agg-count-distinct (SURVEY §2.4): fixed-size sketches merge
+    map-side, so the shuffle carries KBs per group instead of the full
+    distinct-key set. rsd=0.01; error bound pinned in
+    tests/test_approx.py against the exact count."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers")
+        )
+    )
