@@ -29,6 +29,8 @@ ALLOWED = {
     # distinct-dates mini time-dim surrogate keys: dim-sized by construction
     "op-pipe-snapshot": {"cartesian", "single-partition window"},
     "op-ext-ann-bruteforce": {"cartesian"},  # scored vs broadcast query set
+    # k-means assign: corpus × broadcast n_clusters centroids (k tiny)
+    "op-ext-ann-ivf": {"cartesian"},
     # new-members numbering after the anti-join: dim-sized by construction
     "op-pipe-dim-upsert": {"cartesian", "single-partition window"},
 }
