@@ -664,3 +664,27 @@ def op_ext_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers")
         )
     )
+
+
+from data_warehousing_assignment_spark.streaming.dedup import dedup_events  # noqa: E402
+
+
+@query(
+    "op-ext-stream-dedup",
+    oracle="""
+    SELECT event_id, COUNT(*) AS n FROM (
+      SELECT event_id FROM events UNION ALL SELECT event_id FROM events
+    ) GROUP BY event_id HAVING COUNT(*) = 2
+    """,
+)
+def op_ext_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (dropDuplicatesWithinWatermark on streams; exact
+    dedup twin on static frames): a doubled events feed dedups back to
+    one row per key. The oracle pins input doubling + survivor-per-key;
+    the watermark-bounded streaming state path is exercised in
+    tests/test_stream_dedup.py."""
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "value", "ts")
+    doubled = ev.unionByName(ev)
+    return dedup_events(doubled, ["event_id"]).select(
+        "event_id", F.lit(2).alias("n")
+    )
