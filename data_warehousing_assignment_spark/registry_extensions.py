@@ -688,3 +688,36 @@ def op_ext_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_events(doubled, ["event_id"]).select(
         "event_id", F.lit(2).alias("n")
     )
+
+
+from data_warehousing_assignment_spark.streaming.joins import (  # noqa: E402
+    view_purchase_conversions,
+)
+
+
+@query(
+    "op-ext-stream-join",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           v.user_id, p.value AS purchase_value,
+           CAST(epoch(date_trunc('second', p.ts))
+                - epoch(date_trunc('second', v.ts)) AS BIGINT) AS delay_sec
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     -- compare in µs: Spark truncates the ns parquet timestamp to µs,
+     -- so ns-precision bounds could disagree exactly at the horizon
+     AND epoch_us(p.ts) >= epoch_us(v.ts)
+     AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000
+    """,
+)
+def op_ext_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (view→purchase conversion within 1h):
+    the same builder runs under readStream with two watermarked sides
+    (tests/test_stream_join.py proves stream ≡ batch); registered here on
+    the static frames against a DuckDB range-join oracle."""
+    ev = t(spark, sf_dir, "events")
+    return view_purchase_conversions(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )

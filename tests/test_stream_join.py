@@ -1,0 +1,62 @@
+"""Stream-stream interval join: streamed result ≡ batch range join on
+the same data (the Structured Streaming correctness contract)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehousing_assignment_spark.registry import t
+from data_warehousing_assignment_spark.streaming.joins import (
+    view_purchase_conversions,
+)
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ssj"))
+    t(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def canon(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_stream_stream_join_equals_batch(spark, events_dir):
+    static = spark.read.parquet(events_dir)
+    sviews = static.filter(F.col("event_type") == "view")
+    spurch = static.filter(F.col("event_type") == "purchase")
+
+    stream = spark.readStream.schema(static.schema).parquet(events_dir)
+    vstream = stream.filter(F.col("event_type") == "view")
+    pstream = stream.filter(F.col("event_type") == "purchase")
+
+    out = view_purchase_conversions(vstream, pstream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = view_purchase_conversions(sviews, spurch)
+    assert canon(spark.table("ssjoin")) == canon(batch)
+    assert batch.count() > 0  # non-degenerate fixture
+
+
+def test_interval_bounds_respected(spark, events_dir):
+    static = spark.read.parquet(events_dir)
+    out = view_purchase_conversions(
+        static.filter(F.col("event_type") == "view"),
+        static.filter(F.col("event_type") == "purchase"),
+        horizon="1 hour",
+    ).collect()
+    for r in out:
+        assert 0 <= r.delay_sec <= 3600
