@@ -8,13 +8,14 @@ so these oracles are possible: min-hash minimizes lexicographic HEX
 strings, SimHash votes on md5 nibbles, and embedding scores run on
 floor-quantized int64 micro-units — all bit-reproducible in DuckDB.
 
-Oracle-less entries (rows-only check, by design): the approximate ANN
-paths — lsh_cosine_topk, ivf_cosine_topk, embedding_near_dup_pairs —
-whose spec is approximation quality, pinned by recall tests
-(tests/test_similarity.py, tests/test_ivf.py) rather than SQL
-equivalence; the stubbed image decode (pixel semantics pinned in
-tests/test_multimodal.py); and the true readStream paths (exercised in
-tests/test_streaming.py, test_stateful.py, test_watermark.py).
+Oracle-less entries (rows-only check, by design): only the
+approximate-by-spec paths — lsh_cosine_topk, ivf_cosine_topk,
+embedding_near_dup_pairs, approx_count_distinct — whose contract is
+approximation quality, pinned by recall/error-bound tests
+(tests/test_similarity.py, test_ivf.py, test_approx.py) rather than SQL
+equivalence. The true readStream paths are exercised in
+tests/test_streaming.py, test_stateful.py, test_watermark.py,
+test_stream_sink.py, test_stream_dedup.py, test_stream_join.py.
 """
 
 from __future__ import annotations
@@ -475,11 +476,33 @@ def op_ext_mm_bytestats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.byte_stats(docs).select("doc_id", "n_bytes", "payload_md5")
 
 
-@query("op-ext-mm-decode")  # rows-only: pixel arrays verified in pytest
+#: 8×8 → 4×4 nearest-neighbor resample picks row-major source indices
+#: {0,2,4,6}×8 + {0,2,4,6}; the fake decoder tiles the text bytes
+#: cyclically (np.resize), so pixel[i] = ord(text[idx % len]) / 255.
+_DECODE_IDX = [8 * y + x for y in (0, 2, 4, 6) for x in (0, 2, 4, 6)]
+
+
+@query(
+    "op-ext-mm-decode",
+    oracle=f"""
+    -- ASCII corpus (pinned in pytest): ord(substr) = payload byte value
+    SELECT doc_id, 4 AS width, 4 AS height,
+           CASE WHEN length(text) = 0
+                THEN [{', '.join(['0.0'] * 16)}]
+                ELSE list_transform([{', '.join(map(str, _DECODE_IDX))}],
+                       i -> CAST(ord(substr(text, (i % length(text)) + 1, 1))
+                                 AS DOUBLE) / 255.0)
+           END AS pixels
+    FROM documents
+    """,
+)
 def op_ext_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stubbed image decode (real codec = NotImplementedError integration
-    point): payload bytes → width×height grayscale pixel array through
-    the same mapInPandas contract a Pillow-backed decoder would use."""
+    point) + 4×4 nearest-neighbor resize: payload bytes → grayscale pixel
+    array through the same mapInPandas contract a Pillow-backed decoder
+    would use. The oracle replays the cyclic-tile + resample arithmetic
+    on the ASCII text bytes — the pandas stages are value-verified, not
+    just shape-checked."""
     docs = mm.with_media_columns(docs_t(spark, sf_dir))
     decoded = mm.decode(docs)
     return mm.resize(decoded, 4, 4)
