@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_warehousing_assignment_spark.registry import query, t
+from data_warehousing_assignment_spark.registry import dec, query, t
 from data_warehousing_assignment_spark.operators import dedup as dd
 from data_warehousing_assignment_spark.operators import similarity as sim
 from data_warehousing_assignment_spark.operators import text as tx
@@ -743,4 +743,84 @@ def op_ext_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view_purchase_conversions(
         ev.filter(F.col("event_type") == "view"),
         ev.filter(F.col("event_type") == "purchase"),
+    )
+
+
+@query(
+    "op-ext-rollup",
+    oracle="""
+    SELECT n_name, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, o_orderpriority)
+    """,
+)
+def op_ext_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (nation → priority → grand total) — the
+    subtotal surface the reference lacks entirely. Decimal-exact sums so
+    every subtotal level hash-matches; Catalyst expands the rollup into
+    one Expand + single aggregation (one shuffle for all levels)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "o_orderpriority")
+        .agg(
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "op-ext-cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def op_ext_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping combinations in one
+    Expand + aggregation pass."""
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "op-ext-pivot",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN
+                CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN
+                CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN
+                CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def op_ext_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT order totals by status — with the pivot values DECLARED
+    (pivot without values triggers an extra distinct-scan job; never do
+    that on a 100 TB fact)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(dec("o_totalprice")).cast("double"))
     )
