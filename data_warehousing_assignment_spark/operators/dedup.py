@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_warehousing_assignment_spark.caching import pin
 from data_warehousing_assignment_spark.operators.text import tokens, word_shingles
 
 
@@ -32,9 +33,19 @@ def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     Hash/HOF-heavy row-local stages (minhash, simhash, hyperplane
     projections) are CPU-bound: a single small parquet file would otherwise
     pin the whole stage to one task. On a real cluster the input split
-    count usually suffices; this only widens, never narrows."""
+    count usually suffices; this only widens, never narrows.
+
+    The width probe reads ``inputFiles()`` (a listing, no job) rather
+    than ``df.rdd.getNumPartitions()`` (which forces plan analysis plus
+    an RDD conversion per call). Fewer files than cores → repartition;
+    many files (the real-cluster case, where maxPartitionBytes already
+    splits the scan) → no-op, no shuffle added."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file source — widen defensively
+        n_files = 0
+    if n_files < target:
         return df.repartition(target)
     return df
 
@@ -141,16 +152,16 @@ def minhash_lsh_candidates(
     sides carry different projections, so exchange reuse can't kick in
     and each side would otherwise recompute every signature. Band keys
     are ~(bands × 36) bytes/doc — at 100 TB of text that's a few hundred
-    GB cluster-wide, MEMORY_AND_DISK-safe."""
+    GB cluster-wide, MEMORY_AND_DISK-safe. The persist is scope-owned
+    (caching.pin): run inside ``cache_scope()`` to release it once the
+    pairs are materialized."""
     r = k // bands
     sigs = minhash_signatures(df, id_col, text_col, k, n)
-    keyed = (
+    keyed = pin(
         sigs.select(
             F.col(id_col).alias("doc_a"),
             F.explode(minhash_bands(F.col("sig"), bands, r)).alias("bk"),
-        )
-        .select("doc_a", "bk.band", "bk.band_hash")
-        .persist()
+        ).select("doc_a", "bk.band", "bk.band_hash")
     )
     left = keyed
     right = keyed.withColumnRenamed("doc_a", "doc_b")
@@ -176,10 +187,12 @@ def ngram_jaccard_pairs(
 
     Verification stage of the dedup pipeline: cost O(|candidates|), and
     candidates come from LSH, so the full pipeline never goes quadratic."""
-    sh = scale_out(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(word_shingles(tokens(text_col), n)).alias("_sh"),
-    ).persist()  # joined twice (a- and b-side) — don't shingle twice
+    sh = pin(  # joined twice (a- and b-side) — don't shingle twice
+        scale_out(df.select(id_col, text_col)).select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(word_shingles(tokens(text_col), n)).alias("_sh"),
+        )
+    )
     a = sh.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

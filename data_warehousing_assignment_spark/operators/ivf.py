@@ -17,9 +17,10 @@ scale you checkpoint between rounds to cut lineage).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_warehousing_assignment_spark.caching import pin
 from data_warehousing_assignment_spark.operators.similarity import (
     int_dot,
     quantize,
@@ -60,6 +61,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     n_clusters: int = 16,
     n_iters: int = 2,
+    checkpoint_every: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (centroids(cluster, centroid), assignments(id, cluster)).
 
@@ -67,7 +69,14 @@ def build_ivf_index(
     round: argmin-assign against broadcast centroids, then per-cluster
     element-wise mean via posexplode → (cluster, pos) avg → re-assembled
     array. Two hash aggregations per round, no RNG, no collect of the
-    corpus (only the k centroids ever reach the driver's broadcast)."""
+    corpus (only the k centroids ever reach the driver's broadcast).
+
+    ``checkpoint_every=N`` truncates the centroid lineage with an eager
+    ``localCheckpoint`` every N Lloyd rounds: without it the plan doubles
+    per round (each round re-derives the previous round's centroids from
+    scratch), which is fine for the default 2 rounds but pathological for
+    long convergence runs at scale. Centroids are only n_clusters rows,
+    so the checkpoint itself is tiny."""
     vecs = corpus.select(F.col(id_col).alias("_id"), quantize(vec_col).alias("qvec"))
 
     # orderBy+limit plans as TakeOrderedAndProject (per-partition top-k,
@@ -79,7 +88,7 @@ def build_ivf_index(
         F.col("qvec").alias("centroid"),
     )
 
-    for _ in range(n_iters):
+    for i in range(n_iters):
         assigned = _assign(vecs, centroids)
         centroids = (
             assigned.select("cluster", F.posexplode("qvec").alias("pos", "v"))
@@ -93,11 +102,35 @@ def build_ivf_index(
                 ).alias("centroid")
             )
         )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < n_iters:
+            centroids = centroids.localCheckpoint(eager=True)
 
     assignments = _assign(vecs, centroids).select(
         F.col("_id").alias(id_col), "cluster"
     )
     return centroids, assignments
+
+
+def save_ivf_index(
+    centroids: DataFrame, assignments: DataFrame, path: str
+) -> None:
+    """Materialize the index as two parquet tables so later query batches
+    skip k-means entirely (the build is offline/amortized at scale; the
+    assignments table is the only corpus-sized artifact and is written
+    partitioned by cluster so probing prunes to the probed cells)."""
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    assignments.write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{path}/assignments"
+    )
+
+
+def load_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignments) read back from :func:`save_ivf_index` —
+    plain parquet scans, zero k-means stages."""
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/assignments"),
+    )
 
 
 def ivf_cosine_topk(
@@ -108,22 +141,26 @@ def ivf_cosine_topk(
     k: int = 5,
     n_clusters: int = 16,
     n_probe: int = 4,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k through the IVF index: score each query
     against only the rows of its n_probe nearest cells. Same output
     contract as brute_force_cosine_topk; recall grows with n_probe
-    (n_probe = n_clusters ≡ exact search)."""
-    centroids, assignments = build_ivf_index(
+    (n_probe = n_clusters ≡ exact search).
+
+    Pass ``index=(centroids, assignments)`` (from :func:`build_ivf_index`
+    or :func:`load_ivf_index`) to reuse a prebuilt index — repeated query
+    batches then trigger no k-means stages at all."""
+    centroids, assignments = index if index is not None else build_ivf_index(
         corpus, id_col, vec_col, n_clusters
     )
-    # persist: the cell lists are the reusable index; both the probe join
-    # and any later query batch reuse them without recomputing k-means.
-    cells = (
+    # persist (scope-owned): the cell lists feed the probe join; run under
+    # cache_scope() — or save_ivf_index for cross-job reuse — to release.
+    cells = pin(
         corpus.select(F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("cv"))
         .join(
             assignments.withColumnRenamed(id_col, "neighbor_id"), on="neighbor_id"
         )
-        .persist()
     )
     q = queries.select(F.col(id_col).alias("query_id"), quantize(vec_col).alias("qvec"))
     probes = _assign(q, centroids, n_probe=n_probe).select(

@@ -21,8 +21,13 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: Sentinel for unrestricted SELECT (dw_admin). Distinct from an empty
+#: grant set, which means DENY-ALL — a role added with no grants yet must
+#: not silently inherit superuser reads (fail-closed).
+ALL_VIEWS = None
+
 #: Reference grant matrix (ref User_roles.sql:16-32, KPIs.sql:115-120).
-ROLE_GRANTS: dict[str, frozenset[str]] = {
+ROLE_GRANTS: dict[str, frozenset[str] | None] = {
     "hr_analyst": frozenset(
         {"vw_kpi_headcount", "vw_kpi_resignations", "vw_kpi_avg_salary_by_gender"}
     ),
@@ -36,7 +41,7 @@ ROLE_GRANTS: dict[str, frozenset[str]] = {
     "ops_analyst": frozenset(
         {"vw_kpi_downtime_by_process", "vw_kpi_downtime_by_department"}
     ),
-    "dw_admin": frozenset(),  # empty = unrestricted (ref User_roles.sql:7-9)
+    "dw_admin": ALL_VIEWS,  # unrestricted (ref User_roles.sql:7-9)
 }
 
 
@@ -45,12 +50,15 @@ class AccessDenied(PermissionError):
 
 
 def check_grant(role: str, view_name: str) -> None:
-    """Raise AccessDenied unless `role` may read `view_name` (dw_admin's
-    empty set means ALL — matching the reference's superuser-ish role)."""
+    """Raise AccessDenied unless `role` may read `view_name` (the
+    ALL_VIEWS sentinel marks the reference's superuser-ish dw_admin;
+    an empty grant set denies everything)."""
     if role not in ROLE_GRANTS:
         raise AccessDenied(f"unknown role: {role}")
     allowed = ROLE_GRANTS[role]
-    if allowed and view_name not in allowed:
+    if allowed is ALL_VIEWS:
+        return
+    if view_name not in allowed:
         raise AccessDenied(f"role {role} has no SELECT on {view_name}")
 
 

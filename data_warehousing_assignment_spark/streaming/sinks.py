@@ -36,9 +36,15 @@ def start_incremental_fact_sink(
     spark = stream.sparkSession
 
     def load_batch(batch: DataFrame, batch_id: int) -> None:
-        try:
+        # Probe existence explicitly: only "nothing materialized yet" may
+        # fall back to an empty existing side. A transient read failure
+        # must ABORT the batch — treating it as first-batch would skip the
+        # anti-join dedup and silently double-load on retry.
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(fact_path)  # type: ignore[union-attr]
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
+        if fs.exists(jvm_path):
             existing = spark.read.parquet(fact_path).select(*batch.columns)
-        except Exception:  # first batch: nothing materialized yet
+        else:
             existing = batch.limit(0)
         fresh = incremental_fact_insert(existing, batch, dedup_cols)
         writer = fresh.write.mode("append")

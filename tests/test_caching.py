@@ -1,0 +1,67 @@
+"""Cache lifecycle: operator-internal persists are scope-owned and fully
+released after a ``cache_scope()`` block — no storage leaks across a
+long-lived session (VERDICT r2 'What's wrong' #2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_warehousing_assignment_spark.caching import (
+    cache_scope,
+    cached_rdd_count,
+    pin,
+)
+from data_warehousing_assignment_spark.operators import ivf
+from data_warehousing_assignment_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+)
+from tests.conftest import SF_SMALL
+
+
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+
+def test_pin_without_scope_is_plain_persist(spark):
+    base = cached_rdd_count(spark)
+    df = pin(spark.range(10))
+    df.count()
+    assert cached_rdd_count(spark) == base + 1
+    df.unpersist(blocking=True)
+    assert cached_rdd_count(spark) == base
+
+
+def test_lsh_pipeline_releases_all_caches(spark):
+    base = cached_rdd_count(spark)
+    d = docs(spark)
+    with cache_scope():
+        cands = minhash_lsh_candidates(d, "doc_id", "text")
+        pairs = ngram_jaccard_pairs(d, cands, "doc_id", "text")
+        n = pairs.count()
+        assert cached_rdd_count(spark) > base  # persists were live in-scope
+    assert n >= 0
+    assert cached_rdd_count(spark) == base  # ...and all released after
+
+
+def test_ivf_releases_cells_cache(spark):
+    base = cached_rdd_count(spark)
+    corpus = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").limit(100)
+    queries = corpus.filter(F.col("vec_id") % 20 == 0)
+    with cache_scope():
+        topk = ivf.ivf_cosine_topk(corpus, queries, k=3, n_clusters=4, n_probe=2)
+        assert topk.count() > 0
+    assert cached_rdd_count(spark) == base
+
+
+def test_nested_scopes_release_lifo(spark):
+    base = cached_rdd_count(spark)
+    with cache_scope():
+        outer = pin(spark.range(5))
+        outer.count()
+        with cache_scope():
+            inner = pin(spark.range(7))
+            inner.count()
+            assert cached_rdd_count(spark) == base + 2
+        assert cached_rdd_count(spark) == base + 1  # inner released early
+    assert cached_rdd_count(spark) == base

@@ -59,3 +59,40 @@ def test_recall_beats_chance_and_grows_with_probes(spark):
     r2, r8 = recall(2), recall(8)
     assert r8 >= r2  # more probes → no worse
     assert r8 >= 0.4, f"recall@8probes {r8:.2f}"
+
+
+def test_checkpointed_lloyd_matches_plain(spark):
+    corpus = emb(spark).limit(300)
+    plain_c, _ = ivf.build_ivf_index(corpus, n_clusters=6, n_iters=3)
+    ck_c, _ = ivf.build_ivf_index(
+        corpus, n_clusters=6, n_iters=3, checkpoint_every=1
+    )
+    canon = lambda df: sorted(
+        (r.cluster, tuple(r.centroid)) for r in df.collect()
+    )
+    assert canon(ck_c) == canon(plain_c)
+
+
+def test_saved_index_reuse_skips_kmeans(spark, tmp_path):
+    corpus = emb(spark).limit(200)
+    queries = corpus.filter(F.col("vec_id") % 40 == 0)
+    built = ivf.build_ivf_index(corpus, n_clusters=4)
+    ivf.save_ivf_index(*built, str(tmp_path / "idx"))
+    index = ivf.load_ivf_index(spark, str(tmp_path / "idx"))
+
+    fresh = ivf.ivf_cosine_topk(corpus, queries, k=3, n_clusters=4, n_probe=4)
+    reused = ivf.ivf_cosine_topk(
+        corpus, queries, k=3, n_probe=4, index=index
+    )
+    # the reuse plan must contain no Lloyd stages: posexplode + avg only
+    # occur in the k-means update step, absent when the index is loaded.
+    plan = reused._jdf.queryExecution().explainString(
+        reused._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "posexplode" not in plan.lower()
+    canon = lambda df: sorted(
+        (r.query_id, r.neighbor_id, r.rank) for r in df.collect()
+    )
+    assert canon(reused) == canon(fresh)
