@@ -120,13 +120,19 @@ def op_ext_dedup_dupcapture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "op-ext-minhash-sig",
-    oracle=f"WITH {_SIG_CTE} SELECT doc_id, sig FROM sigs",
+    # Arrays never cross the oracle boundary (the driver's pandas
+    # canonicalization can't sort/hash list cells — r3 `err`): the
+    # signature is surfaced as a '|'-joined string, array-native form
+    # stays the operator contract (tests/test_dedup.py).
+    oracle=f"""WITH {_SIG_CTE}
+    SELECT doc_id, array_to_string(sig, '|') AS sig FROM sigs""",
 )
 def op_ext_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=12): row-local array expressions, zero
     shuffle — the signature stage scales linearly with corpus bytes."""
     docs = t(spark, sf_dir, "documents")
-    return dd.minhash_signatures(docs, "doc_id", "text", _K)
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", _K)
+    return sigs.select("doc_id", F.concat_ws("|", "sig").alias("sig"))
 
 
 @query("op-ext-minhash-lsh", oracle=_CAND_SQL)
@@ -484,15 +490,20 @@ _DECODE_IDX = [8 * y + x for y in (0, 2, 4, 6) for x in (0, 2, 4, 6)]
 
 @query(
     "op-ext-mm-decode",
+    # The pixel array crosses the oracle boundary as '|'-joined integer
+    # byte values (r3: the driver's pandas canonicalization `err`s on
+    # list cells). pixel = byte/255.0 exactly, so round(pixel*255) is a
+    # lossless inverse — the value check stays exact, not a hash.
     oracle=f"""
     -- ASCII corpus (pinned in pytest): ord(substr) = payload byte value
     SELECT doc_id, 4 AS width, 4 AS height,
            CASE WHEN length(text) = 0
-                THEN [{', '.join(['0.0'] * 16)}]
-                ELSE list_transform([{', '.join(map(str, _DECODE_IDX))}],
-                       i -> CAST(ord(substr(text, (i % length(text)) + 1, 1))
-                                 AS DOUBLE) / 255.0)
-           END AS pixels
+                THEN '{'|'.join(['0'] * 16)}'
+                ELSE array_to_string(
+                       list_transform([{', '.join(map(str, _DECODE_IDX))}],
+                         i -> ord(substr(text, (i % length(text)) + 1, 1))),
+                       '|')
+           END AS pixel_bytes
     FROM documents
     """,
 )
@@ -505,7 +516,18 @@ def op_ext_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     just shape-checked."""
     docs = mm.with_media_columns(docs_t(spark, sf_dir))
     decoded = mm.decode(docs)
-    return mm.resize(decoded, 4, 4)
+    resized = mm.resize(decoded, 4, 4)
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        F.concat_ws(
+            "|",
+            F.transform(
+                "pixels", lambda v: F.round(v * 255).cast("int").cast("string")
+            ),
+        ).alias("pixel_bytes"),
+    )
 
 
 @query(
