@@ -5,9 +5,22 @@
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"q": sec, ...}, "sf": 0.1}
 
-Each query is forced end-to-end with a noop sink (full materialization of
-every column — ``count()`` alone would let Catalyst prune the plan), so
-the timings reflect scan + shuffle + compute, not just row counting.
+Methodology (round-4 change): one un-timed warm-up forces JIT, parquet
+footer caches and broadcast builds, then each query is forced
+``$SPARK_GRAFT_BENCH_ITERS`` (default 5) more times; ``queries`` reports
+the per-query MIN (the reproducible floor — sub-second single-shot
+timings at sf0.1 were swamped by 1.4× scheduler noise in r2/r3) and
+``queries_median`` the median, so a real regression is distinguishable
+from jitter. Each query is forced end-to-end with a noop sink (full
+materialization of every column — ``count()`` alone would let Catalyst
+prune the plan), so timings reflect scan + shuffle + compute.
+
+``python bench.py --sf1`` instead synthesizes a 10× dataset (sf≈1) under
+``.scratch/sf1`` — facts/documents/embeddings unioned 10× with offset
+keys and perturbed near-dup texts, dims kept dim-sized — and runs the
+scale-probe subset on it. This is the "does the plan survive a 10×
+step?" check: shapes that only look scale-safe at 600 k rows (widening
+shuffles, bucket blowups) show up here before they show up on a cluster.
 """
 
 from __future__ import annotations
@@ -18,6 +31,8 @@ import sys
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_ITERS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5")))
+SF1_DIR = "/root/repo/.scratch/sf1"
 
 # Headline set: one per workload family, weighted toward the shapes that
 # dominate at 100 TB (star joins, wide aggs, SCD2 merge, incremental fact
@@ -39,6 +54,73 @@ HEADLINE = [
     "op-ext-salted-join",       # skew-salted equi-join
 ]
 
+# 10×-step probe subset: the shuffle/join/agg shapes whose scaling is the
+# question. op-ext-ann-bruteforce is deliberately absent — it is the
+# documented O(Q·C) exact baseline (100× work at 10× data, by contract);
+# the IVF scale path stands in for the ANN family instead.
+SF1_HEADLINE = [
+    "op-join-inner-star",
+    "op-pipe-kpi-gross-monthly",
+    "op-ext-dedup-exact",
+    "op-ext-minhash-lsh",
+    "op-ext-simhash",
+    "op-ext-stream-session",
+    "op-ext-ann-ivf",
+]
+
+#: fact tables replicated in --sf1 synthesis; value = key columns offset
+#: per copy so keys stay unique (FK targets — custkey, suppkey, user_id —
+#: are NOT offset: dims stay dim-sized, each dim row fans out 10×).
+_SF1_KEYED = {
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+_SF1_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+_SF1_OFFSET = 10_000_000  # > any sf0.1 key, ×10 copies stays in int32
+
+
+def synthesize_sf1(spark, src: str = SF_DIR, dst: str = SF1_DIR, copies: int = 10) -> str:
+    """Materialize a 10× dataset from sf0.1 (idempotent: marker-gated).
+    Document copies get a per-copy text suffix so the corpus is near-dup
+    heavy rather than degenerate exact-dup (LSH buckets stress-test
+    realistically instead of collapsing to 10-cliques)."""
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(dst, "_SYNTH_OK")
+    if os.path.exists(marker):
+        return dst
+    # events.parquet is TIMESTAMP(NANOS): read the raw column as long so
+    # the copy round-trips losslessly (registry.t handles either layout).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for tab in _SF1_TABLES:
+        df = spark.read.parquet(f"{src}/{tab}.parquet")
+        if tab in _SF1_KEYED:
+            parts = []
+            for i in range(copies):
+                d = df
+                for kcol in _SF1_KEYED[tab]:
+                    d = d.withColumn(kcol, F.col(kcol) + F.lit(i * _SF1_OFFSET))
+                if tab == "documents" and i > 0:
+                    d = d.withColumn(
+                        "text", F.concat_ws(" ", F.col("text"), F.lit(f"c{i}"))
+                    )
+                parts.append(d)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        else:
+            out = df
+        out.write.mode("overwrite").parquet(f"{dst}/{tab}.parquet")
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return dst
+
 
 def force(df) -> int:
     """Materialize every column of every row. The noop sink runs the whole
@@ -51,48 +133,70 @@ def force(df) -> int:
         return df.count()
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def run_suite(spark, qs, names, sf_dir, sf, metric) -> dict:
+    mins: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    for name in names:
+        if name not in qs:
+            continue
+        try:
+            df = qs[name](spark, sf_dir)
+            force(df)  # warm-up: JIT, parquet footer cache, broadcast build
+            ts = []
+            for _ in range(N_ITERS):
+                t0 = time.perf_counter()
+                force(df)
+                ts.append(time.perf_counter() - t0)
+            mins[name] = round(min(ts), 3)
+            medians[name] = round(_median(ts), 3)
+        except Exception as exc:  # one broken query must not zero the bench
+            print(f"# bench skip {name}: {exc!r}", file=sys.stderr)
+    return {
+        "metric": metric,
+        "value": round(sum(mins.values()), 3),
+        "unit": "sec",
+        "queries": mins,
+        "queries_median": medians,
+        "iters": N_ITERS,
+        "sf": sf,
+    }
+
+
 def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
     from data_warehousing_assignment_spark.session import get_spark
 
+    sf1_mode = "--sf1" in sys.argv[1:]
     spark = get_spark("bench")
     qs = entrymod.queries()
 
-    sf = None
-    try:
-        # ".../sf0.1" -> 0.1 (best effort; sf stays None on nonstandard dirs)
-        tail = os.path.basename(SF_DIR.rstrip("/"))
-        if tail.startswith("sf"):
-            sf = float(tail[2:])
-    except ValueError:
-        sf = None
-
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in qs:
-            continue
-        try:
-            df = qs[name](spark, SF_DIR)
-            force(df)  # warm-up: JIT, parquet footer cache, broadcast build
-            t0 = time.perf_counter()
-            force(df)
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # one broken query must not zero the bench
-            print(f"# bench skip {name}: {exc!r}", file=sys.stderr)
-
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite wall seconds (noop-sink, warm)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    if sf1_mode:
+        sf_dir = synthesize_sf1(spark)
+        report = run_suite(
+            spark, qs, SF1_HEADLINE, sf_dir, 1.0,
+            "scale-probe suite wall seconds (10x synthesized, noop-sink, min of warm runs)",
         )
-    )
+    else:
+        sf = None
+        try:
+            # ".../sf0.1" -> 0.1 (best effort; None on nonstandard dirs)
+            tail = os.path.basename(SF_DIR.rstrip("/"))
+            if tail.startswith("sf"):
+                sf = float(tail[2:])
+        except ValueError:
+            sf = None
+        report = run_suite(
+            spark, qs, HEADLINE, SF_DIR, sf,
+            "headline-suite wall seconds (noop-sink, min of warm runs)",
+        )
+    print(json.dumps(report))
     return 0
 
 

@@ -28,6 +28,7 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_warehousing_assignment_spark.caching import release_unscoped
 from data_warehousing_assignment_spark.session import apply_runtime_confs
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -121,6 +122,14 @@ def query(name: str, oracle: str | None = None) -> Callable:
                 f"(existing: {QUERIES[name].__name__}, new: {fn.__name__})"
             )
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Sequential harnesses (driver gate, bench, check_local) have
+            # fully materialized the previous query by the time they build
+            # the next one: drain its operator-internal pins here so
+            # persisted scratch frames are bounded to ONE query's worth.
+            # Safe even if a caller builds several queries before
+            # collecting — pinned frames are deterministic and recompute
+            # identically (see caching.py).
+            release_unscoped()
             apply_runtime_confs(spark)
             return fn(spark, sf_dir)
 

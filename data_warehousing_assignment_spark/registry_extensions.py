@@ -102,8 +102,11 @@ _CAND_SQL = f"""
 )
 def op_ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via normalized content hash; survivor = min(doc_id).
-    One shuffle on the 32-char hash — never on document bodies."""
-    return dd.exact_dedup(docs_t(spark, sf_dir), "text", "doc_id")
+    One shuffle on the 32-char hash — never on document bodies. No
+    scale_out here: md5+groupBy is shuffle-bound, and widening first
+    shuffles the bodies themselves (benchmarked 4.5× slower at sf0.1);
+    at cluster scale the scan is already wide."""
+    return dd.exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 @query(

@@ -10,6 +10,7 @@ from data_warehousing_assignment_spark.caching import (
     cache_scope,
     cached_rdd_count,
     pin,
+    release_unscoped,
 )
 from data_warehousing_assignment_spark.operators import ivf
 from data_warehousing_assignment_spark.operators.dedup import (
@@ -29,6 +30,43 @@ def test_pin_without_scope_is_plain_persist(spark):
     df.count()
     assert cached_rdd_count(spark) == base + 1
     df.unpersist(blocking=True)
+    assert cached_rdd_count(spark) == base
+    release_unscoped()  # drop the pool's reference to the dead pin
+
+
+def test_release_unscoped_drains_pool(spark):
+    base = cached_rdd_count(spark)
+    pin(spark.range(11)).count()
+    pin(spark.range(13)).count()
+    assert cached_rdd_count(spark) == base + 2
+    assert release_unscoped(blocking=True) == 2
+    assert cached_rdd_count(spark) == base
+    assert release_unscoped(blocking=True) == 0  # idempotent
+
+
+def test_scopes_are_thread_isolated(spark):
+    """A pin() in a worker thread during the main thread's cache_scope
+    must NOT be registered into (nor torn down by) that scope — Spark
+    drivers run jobs from multiple threads (foreachBatch callbacks,
+    parallel submission)."""
+    import threading
+
+    base = cached_rdd_count(spark)
+    worker_df = []
+
+    def worker():
+        df = pin(spark.range(17))
+        df.count()
+        worker_df.append(df)
+
+    with cache_scope() as held:
+        t = threading.Thread(target=worker)
+        t.start()
+        t.join()
+        assert held == []  # worker's pin did not leak into our scope
+    # scope exit must not have unpersisted the worker's frame
+    assert cached_rdd_count(spark) == base + 1
+    assert release_unscoped(blocking=True) == 1
     assert cached_rdd_count(spark) == base
 
 
