@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from data_warehousing_assignment_spark.registry import query, t
 from data_warehousing_assignment_spark.sources.readers import read_csv
+from data_warehousing_assignment_spark.sources.xlsx import read_excel, write_xlsx
 from data_warehousing_assignment_spark.sources.writers import create_view, write_table
 
 _SCRATCH = "/root/repo/.scratch"
@@ -36,15 +37,19 @@ def _scratch(op: str) -> str:
 
 @query("op-scan-excel", oracle="SELECT * FROM region")
 def op_scan_excel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Excel-scan capability surrogate (ref ``A2_hr_etl.py:14``
-    ``pd.read_excel``): OSS Spark has no xlsx source, so the equivalent
-    header-driven schema-on-read scan is CSV with a declared schema —
-    here a write→scan round-trip of `region` so the scan is real.
-    Explicit schema = no inference pass, the only sane choice at scale."""
-    path = _scratch("op-scan-excel")
+    """Excel scan (ref ``A2_hr_etl.py:14`` ``pd.read_excel``), the REAL
+    thing: `region` is written to an actual .xlsx (zip-of-XML, shared
+    strings) and read back through the stdlib SpreadsheetML parser
+    (sources/xlsx.py) with the declared schema — the oracle fails if any
+    cell is misplaced or mistyped. Driver-side by design: xlsx is a
+    small-file seed format; at scale it lands into parquet once
+    (collect() here is the 5-row region dim, never a fact)."""
+    path = os.path.join(_scratch("op-scan-excel"), "region.xlsx")
     src = t(spark, sf_dir, "region")
-    src.write.mode("overwrite").option("header", True).csv(path)
-    return read_csv(spark, path, schema=src.schema, header=True)
+    header = src.columns
+    rows = [[row[c] for c in header] for row in src.collect()]
+    write_xlsx(path, header, rows)
+    return read_excel(spark, path, schema=src.schema)
 
 
 @query("op-scan-csv-seed", oracle="SELECT * FROM nation")

@@ -35,14 +35,29 @@ def start_incremental_fact_sink(
     callers trigger/await as needed."""
     spark = stream.sparkSession
 
+    def _has_committed_data(fs, jvm_path) -> bool:
+        # A directory can exist with NOTHING committed (a first write that
+        # died after mkdir, or stray _temporary/metadata files). Probing
+        # for actual part-files distinguishes that from real data: if none
+        # exist, nothing was committed, so an empty existing side cannot
+        # double-load — while treating it as readable would poison every
+        # retry with the same schema-inference error forever.
+        it = fs.listFiles(jvm_path, True)  # recursive — partitioned layouts
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if name.startswith("part-"):
+                return True
+        return False
+
     def load_batch(batch: DataFrame, batch_id: int) -> None:
-        # Probe existence explicitly: only "nothing materialized yet" may
-        # fall back to an empty existing side. A transient read failure
-        # must ABORT the batch — treating it as first-batch would skip the
-        # anti-join dedup and silently double-load on retry.
+        # Probe existence explicitly: only "nothing committed yet" may
+        # fall back to an empty existing side. A transient read failure on
+        # REAL data must still ABORT the batch — treating it as
+        # first-batch would skip the anti-join dedup and silently
+        # double-load on retry.
         jvm_path = spark._jvm.org.apache.hadoop.fs.Path(fact_path)  # type: ignore[union-attr]
         fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
-        if fs.exists(jvm_path):
+        if fs.exists(jvm_path) and _has_committed_data(fs, jvm_path):
             existing = spark.read.parquet(fact_path).select(*batch.columns)
         else:
             existing = batch.limit(0)

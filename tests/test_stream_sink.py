@@ -65,6 +65,21 @@ def test_overlapping_batches_land_exactly_once(spark, staged, tmp_path):
     assert got.select("event_id").distinct().count() == ev.count()
 
 
+def test_existing_but_empty_fact_dir_is_first_batch(spark, staged, tmp_path):
+    """A fact_path directory that EXISTS but has no committed part-files
+    (a first write that died after mkdir) must behave as first-batch, not
+    permanently poison the stream with a schema-inference read error."""
+    d, ev = staged
+    fact = str(tmp_path / "fact3")
+    os.makedirs(fact)  # exists, zero committed data
+    with open(f"{fact}/_started", "w") as fh:  # stray non-data file too
+        fh.write("crashed mid-first-write")
+    run_sink(spark, d, fact, str(tmp_path / "ckpt_empty"))
+    got = spark.read.parquet(fact)
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
+
+
 def test_full_replay_is_noop(spark, staged, tmp_path):
     d, ev = staged
     fact = str(tmp_path / "fact2")
