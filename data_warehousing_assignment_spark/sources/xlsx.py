@@ -32,7 +32,7 @@ import xml.etree.ElementTree as ET
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _CELL_REF = re.compile(r"^([A-Z]+)(\d+)$")
@@ -166,7 +166,13 @@ def read_excel(
     str_rows = [
         [None if v is None else str(v) for v in row] for row in rows
     ]
-    df = spark.createDataFrame(str_rows, schema=header)
+    # Explicit all-string schema: every cell is str-or-None by
+    # construction, so inference would only ever fail (empty sheets,
+    # fully-blank columns raise "can not infer schema") — never help.
+    str_schema = StructType(
+        [StructField(name, StringType(), True) for name in header]
+    )
+    df = spark.createDataFrame(str_rows, schema=str_schema)
     if schema is not None:
         df = df.select(
             [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
@@ -203,8 +209,15 @@ _WB_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 
 
 def _xml_escape(s: str) -> str:
+    # Quote/apostrophe must be escaped too: sheet_name lands inside the
+    # name="..." attribute of workbook.xml, where a literal '"' would
+    # produce malformed XML.
     return (
-        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        s.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+        .replace("'", "&apos;")
     )
 
 

@@ -42,10 +42,21 @@ def start_incremental_fact_sink(
         # exist, nothing was committed, so an empty existing side cannot
         # double-load — while treating it as readable would poison every
         # retry with the same schema-inference error forever.
+        #
+        # Only VISIBLE part-files count: a crashed first attempt leaves
+        # part-* under _temporary/, which spark.read.parquet ignores (its
+        # InMemoryFileIndex pathFilter skips any '_'/'.'-prefixed path
+        # segment) — counting those would declare data committed while the
+        # reader finds no footers, poisoning every retry.
+        root = fs.makeQualified(jvm_path).toString().rstrip("/")
         it = fs.listFiles(jvm_path, True)  # recursive — partitioned layouts
         while it.hasNext():
-            name = it.next().getPath().getName()
-            if name.startswith("part-"):
+            fpath = it.next().getPath().toString()
+            rel = fpath[len(root):].lstrip("/") if fpath.startswith(root) else fpath
+            segments = rel.split("/")
+            if any(s.startswith(("_", ".")) for s in segments[:-1]):
+                continue  # inside a hidden dir (_temporary, .staging, ...)
+            if segments[-1].startswith("part-"):
                 return True
         return False
 

@@ -89,3 +89,27 @@ def test_full_replay_is_noop(spark, staged, tmp_path):
     # dedup (not the checkpoint) must keep the fact unchanged
     run_sink(spark, d, fact, str(tmp_path / "ckpt_b"))
     assert spark.read.parquet(fact).count() == n1 == ev.count()
+
+
+def test_orphaned_temporary_partfiles_are_not_committed_data(
+    spark, staged, tmp_path
+):
+    """A first write that crashes mid-task leaves part-* files under
+    _temporary/ — paths spark.read.parquet ignores. The committed-data
+    probe must ignore them too, or every retry fails schema inference
+    against a directory with no visible footers."""
+    d, ev = staged
+    fact = str(tmp_path / "fact4")
+    # fabricate the crash debris: a real-looking part file, but only
+    # under _temporary/ (and one under a dot-dir for the '.' rule)
+    # real crash debris lives under _temporary/<job>/_temporary/<attempt>/
+    # (an UNcommitted task attempt — committed task_* dirs get moved into
+    # the root by the next successful job commit, so they aren't debris)
+    for hidden in ("_temporary/0/_temporary/attempt_000", ".staging"):
+        os.makedirs(f"{fact}/{hidden}")
+        with open(f"{fact}/{hidden}/part-00000-dead.snappy.parquet", "wb") as fh:
+            fh.write(b"not a parquet footer")
+    run_sink(spark, d, fact, str(tmp_path / "ckpt_tmp"))
+    got = spark.read.parquet(fact)
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()

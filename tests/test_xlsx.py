@@ -96,3 +96,31 @@ def test_reference_workbook_parity_with_csv_twin():
     for got, want in zip(rows, expect[1:]):
         got_s = ["" if v is None else str(v) for v in got]
         assert got_s == want
+
+
+def test_read_excel_empty_sheet_and_blank_column(spark, tmp_path):
+    """Explicit all-string schema: zero data rows and fully-blank columns
+    are well-defined (inference would raise 'can not infer schema')."""
+    empty = str(tmp_path / "empty.xlsx")
+    write_xlsx(empty, ["a", "b"], [])
+    df = read_excel(spark, empty)
+    assert df.columns == ["a", "b"]
+    assert df.count() == 0
+    assert all(f.dataType == StringType() for f in df.schema.fields)
+
+    blank = str(tmp_path / "blankcol.xlsx")
+    write_xlsx(blank, ["id", "hole"], [[1, None], [2, None]])
+    df2 = read_excel(spark, blank)
+    assert df2.count() == 2
+    assert [r["hole"] for r in df2.collect()] == [None, None]
+
+
+def test_sheet_name_with_quotes_round_trips(tmp_path):
+    """sheet_name lands in workbook.xml's name="..." attribute — quotes
+    must be escaped or the workbook XML is malformed."""
+    path = str(tmp_path / "quoted.xlsx")
+    name = 'Q3 "final" \'draft\' <&>'
+    write_xlsx(path, ["x"], [[1]], sheet_name=name)
+    header, rows = read_xlsx_rows(path, sheet=name)
+    assert header == ["x"]
+    assert rows == [[1]]
