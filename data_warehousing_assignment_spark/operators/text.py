@@ -172,3 +172,43 @@ def doc_fingerprint(col: Column | str, n: int = 3) -> Column:
     and near-identical documents collide; row-local, no shuffle."""
     sh = word_shingles(tokens(col), n)
     return F.array_min(F.transform(sh, F.md5))
+
+
+# -- deterministic hash bucketing (splits / sampling) -----------------------
+
+
+def hash_bucket(col: Column | str, salt: str = "") -> Column:
+    """Deterministic bucket 0-255 from the first two hex nibbles of
+    ``md5(salt || value)`` — the content-addressed randomness every
+    train/val/test split and downsample below shares. md5-on-string is
+    bit-identical across Spark, DuckDB, and Postgres (the same
+    cross-engine rule as the dedup hashes, operators/dedup.py), unlike
+    engine-native hash()/rand(). Row-local, zero shuffle; membership of
+    a row is a pure function of its key, so splits are STABLE across
+    reruns, engines, cluster sizes, and data re-partitioning — the
+    property a training pipeline needs so that test data never leaks
+    into train between runs."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    hexpos = lambda i: F.instr(
+        F.lit("0123456789abcdef"), F.substring(h, i, 1)
+    ) - F.lit(1)
+    return hexpos(1) * 16 + hexpos(2)
+
+
+def hash_split(
+    col: Column | str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split:",
+) -> Column:
+    """'train' / 'val' / 'test' label from :func:`hash_bucket` — e.g.
+    80/10/10 becomes bucket thresholds 204 / 230 out of 256."""
+    b = hash_bucket(col, salt)
+    t_hi = 256 * train_pct // 100
+    v_hi = 256 * (train_pct + val_pct) // 100
+    return (
+        F.when(b < t_hi, F.lit("train"))
+        .when(b < v_hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )

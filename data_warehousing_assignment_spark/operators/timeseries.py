@@ -1,0 +1,116 @@
+"""Time-series operators: point-in-interval (range) join and
+hypertable-style cascaded rollups (extension surface, SURVEY.md §7.5 —
+no reference counterpart; the reference's only temporal logic is the
+dim_time spine and month buckets in KPIs.sql).
+
+Scale design:
+
+* Range join — Spark has no native band-join physical operator, and the
+  naive formulation (``points JOIN intervals ON s <= p AND p < e``) is
+  a BroadcastNestedLoopJoin: O(|points| · |intervals|) candidate work.
+  :func:`point_in_interval_join` rewrites it as BUCKET EXPANSION: each
+  interval explodes into the coarse time buckets it overlaps, each
+  point maps to its single bucket, and the join becomes a hash
+  EQUI-join on the bucket followed by the exact residual predicate.
+  Candidate work drops to O(Σ per-bucket |points|·|intervals|) and the
+  shuffle is keyed/parallel — the same trick Databricks' range-join
+  optimization applies, expressed in plain DataFrame ops. Fan-out is
+  bounded by interval_length / bucket_width, so pick the bucket near
+  the typical interval length.
+
+* Cascaded rollup — the TimescaleDB continuous-aggregate shape: the
+  finest rollup aggregates the raw stream ONCE; every coarser level
+  re-aggregates the previous level, touching ~1/width the rows instead
+  of rescanning raw data. COUNT and SUM re-aggregate exactly; sums run
+  as DECIMAL(18,2) so the regrouping is associative bit-for-bit (double
+  sums would drift with accumulation order — registry.py determinism
+  rules), cast back to DOUBLE only at the boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: str = "1 month",
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point p to every interval with ``start <= p < end``
+    (end-exclusive), via bucket expansion on ``bucket``-wide time
+    buckets. Returns points × matching interval rows (all columns of
+    both sides).
+
+    The residual filter keeps exactness; the extra bucket an interval
+    explodes into when it ends exactly on a bucket boundary is filtered
+    back out by ``p < end``."""
+    b_point = F.date_trunc(_trunc_unit(bucket), F.col(point_col))
+    p = points.withColumn("_bk", b_point)
+    iv = intervals.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                F.date_trunc(_trunc_unit(bucket), F.col(start_col)),
+                F.date_trunc(_trunc_unit(bucket), F.col(end_col)),
+                F.expr(f"interval {bucket}"),
+            )
+        ),
+    )
+    joined = p.join(iv, on="_bk", how=how).filter(
+        (F.col(start_col) <= F.col(point_col))
+        & (F.col(point_col) < F.col(end_col))
+    )
+    return joined.drop("_bk")
+
+
+def _trunc_unit(bucket: str) -> str:
+    """'1 month' -> 'month' — the date_trunc unit for a bucket spec."""
+    unit = bucket.split()[-1].rstrip("s")
+    if unit not in {"year", "month", "week", "day", "hour", "minute"}:
+        raise ValueError(f"unsupported bucket unit: {bucket!r}")
+    return unit
+
+
+def cascade_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Continuous-aggregate cascade hourly → 6-hourly → daily over an
+    event stream: returns ``(hourly, six_hourly, daily)``, each with
+    ``(bucket, key, n_events, total_value)`` where total_value stays
+    DECIMAL until the caller casts it.
+
+    Only the hourly level scans raw events; each coarser level
+    re-aggregates the finer one (COUNT→SUM, SUM→SUM — exact for
+    decimals). At 100 TB the raw scan happens once and the cascade cost
+    is proportional to the hourly cardinality, not the event count."""
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col(ts_col)).alias("bucket"),
+        F.col(key_col).alias("key"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("total_value"),
+    )
+
+    def _coarsen(finer: DataFrame, expr: Column) -> DataFrame:
+        return finer.groupBy(expr.alias("bucket"), "key").agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value").alias("total_value"),
+        )
+
+    # 6h bucket: floor the hour-of-day to a multiple of 6
+    six = _coarsen(
+        hourly,
+        F.date_trunc("day", F.col("bucket"))
+        + F.make_interval(hours=(F.hour("bucket") - F.hour("bucket") % 6)),
+    )
+    daily = _coarsen(six, F.date_trunc("day", F.col("bucket")))
+    return hourly, six, daily

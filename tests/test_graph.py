@@ -1,0 +1,55 @@
+"""Connected-components tests: hand-built graphs with known components,
+chain convergence (diameter > 1 iteration), determinism, and the
+cluster-summary rollup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_warehousing_assignment_spark.operators import graph as gr
+
+
+def _cc(spark, node_ids, edge_pairs):
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id bigint")
+    edges = spark.createDataFrame(
+        edge_pairs or [(None, None)], "src bigint, dst bigint"
+    )
+    if not edge_pairs:
+        edges = edges.filter(F.col("src").isNotNull())
+    out = gr.connected_components(nodes, edges)
+    return {r.id: r.component for r in out.collect()}
+
+
+def test_two_components_and_singleton(spark):
+    # {1,2,3} triangle, {10,11} pair, {99} isolated
+    got = _cc(spark, [1, 2, 3, 10, 11, 99], [(1, 2), (2, 3), (1, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_chain_propagates_beyond_one_hop(spark):
+    # path 5-4-3-2-1: min label must travel the full diameter
+    got = _cc(spark, [1, 2, 3, 4, 5], [(5, 4), (4, 3), (3, 2), (2, 1)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_no_edges_all_singletons(spark):
+    got = _cc(spark, [7, 8, 9], [])
+    assert got == {7: 7, 8: 8, 9: 9}
+
+
+def test_edge_direction_irrelevant(spark):
+    # labels flow against edge orientation too (symmetrized internally)
+    assert _cc(spark, [1, 2], [(2, 1)]) == _cc(spark, [1, 2], [(1, 2)])
+
+
+def test_component_summary_sizes(spark):
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 99]], "id bigint")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src bigint, dst bigint"
+    )
+    comp = gr.connected_components(nodes, edges)
+    sizes = {
+        r.component: r.group_size
+        for r in gr.component_summary(comp).collect()
+    }
+    assert sizes == {1: 3, 10: 2, 99: 1}

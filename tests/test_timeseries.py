@@ -1,0 +1,83 @@
+"""Range-join and rollup-cascade tests: bucket expansion must agree
+with the naive inequality join (including intervals spanning multiple
+buckets and end-exclusive boundaries), and every cascade level must
+re-aggregate to the same totals as a direct aggregation of raw events."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_warehousing_assignment_spark.operators import timeseries as tsr
+
+D = dt.date
+TS = dt.datetime
+
+
+def test_point_in_interval_matches_naive(spark):
+    points = spark.createDataFrame(
+        [(D(2024, 1, 15),), (D(2024, 2, 1),), (D(2024, 3, 10),)], "p date"
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, D(2024, 1, 10), D(2024, 1, 20)),   # hits Jan 15 only
+            (2, D(2024, 1, 1), D(2024, 4, 1)),     # spans 3 buckets, hits all
+            (3, D(2024, 1, 20), D(2024, 2, 1)),    # end-exclusive: misses Feb 1
+            (4, D(2024, 2, 1), D(2024, 2, 2)),     # hits Feb 1 exactly at start
+        ],
+        "iv_id int, s date, e date",
+    )
+    got = {
+        (r.iv_id, r.p)
+        for r in tsr.point_in_interval_join(
+            points, intervals, "p", "s", "e", bucket="1 month"
+        ).collect()
+    }
+    naive = {
+        (r.iv_id, r.p)
+        for r in points.crossJoin(intervals)
+        .filter((F.col("s") <= F.col("p")) & (F.col("p") < F.col("e")))
+        .collect()
+    }
+    assert got == naive
+    assert (2, D(2024, 3, 10)) in got       # multi-bucket interval found
+    assert (3, D(2024, 2, 1)) not in got    # end-exclusive enforced
+    assert (4, D(2024, 2, 1)) in got        # start-inclusive enforced
+
+
+def test_cascade_levels_reaggregate_exactly(spark):
+    rows = [
+        (TS(2024, 1, 1, h, m), "a" if h % 2 else "b", float(h * 10 + m))
+        for h in range(24)
+        for m in (0, 30)
+    ] + [(TS(2024, 1, 2, 5, 0), "a", 7.25)]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    hourly, six, daily = tsr.cascade_rollup(ev)
+
+    def totals(df):
+        r = df.agg(
+            F.sum("n_events").alias("n"), F.sum("total_value").alias("v")
+        ).collect()[0]
+        return r.n, float(r.v)
+
+    direct_n = ev.count()
+    direct_v = float(
+        ev.agg(F.sum(F.col("value").cast("decimal(18,2)"))).collect()[0][0]
+    )
+    for level in (hourly, six, daily):
+        assert totals(level) == (direct_n, direct_v)
+
+    assert hourly.count() == 24 + 1          # one key per hour + 1 stray
+    assert six.count() == 4 * 2 + 1          # four 6h buckets × 2 keys + stray
+    assert daily.count() == 2 + 1            # day1 × 2 keys + day2
+
+
+def test_six_hour_buckets_floor_correctly(spark):
+    ev = spark.createDataFrame(
+        [(TS(2024, 1, 1, h), "k", 1.0) for h in (0, 5, 6, 11, 12, 23)],
+        "ts timestamp, event_type string, value double",
+    )
+    _, six, _ = tsr.cascade_rollup(ev)
+    got = {(r.bucket.hour, r.n_events) for r in six.collect()}
+    assert got == {(0, 2), (6, 2), (12, 1), (18, 1)}
