@@ -149,6 +149,7 @@ def lsh_cosine_topk(
     k: int = 5,
     n_planes: int = 6,
     multi_probe: bool = True,
+    probe_all: bool = False,
 ) -> DataFrame:
     """Approximate top-k: probe the query's own hyperplane bucket, plus
     (multi_probe) every bucket at Hamming distance 1 — the standard
@@ -163,7 +164,16 @@ def lsh_cosine_topk(
         quantize(vec_col).alias("qv"),
         hyperplane_signs(vec_col, n_planes).alias("bucket"),
     )
-    if multi_probe:
+    if probe_all:
+        # every bucket probed ⇒ every corpus row scored exactly once
+        # (each row lives in exactly one sign bucket) ⇒ provably equal to
+        # brute_force_cosine_topk — the exactness anchor for the bucket
+        # machinery, used by op-ext-ann-lsh-fullprobe's oracle check.
+        probes = F.array(
+            *[F.lit(b).cast("int") for b in range(1 << n_planes)]
+        )
+        q = qbase.select("query_id", "qv", F.explode(probes).alias("bucket"))
+    elif multi_probe:
         probes = F.array(
             F.col("bucket"),
             *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
@@ -191,6 +201,35 @@ def lsh_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def exact_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """ALL-PAIRS exact near-duplicate detection — the correctness anchor
+    for :func:`embedding_near_dup_pairs` (which buckets by hyperplane
+    signs and can miss pairs split across buckets). Deliberately O(n²):
+    run it on small corpora or subsamples to calibrate the LSH recall;
+    the bucketed variant is the scale path. One side is broadcast, so
+    the plan is a BroadcastNestedLoopJoin with the a<b predicate — no
+    shuffle, but candidate work is quadratic by definition."""
+    c = scale_out(corpus).select(
+        F.col(id_col).alias("doc_a"), quantize(vec_col).alias("va")
+    )
+    c2 = corpus.select(
+        F.col(id_col).alias("doc_b"), quantize(vec_col).alias("vb")
+    )
+    dot = int_dot(F.col("va"), F.col("vb")).cast("double")
+    na = F.sqrt(int_dot(F.col("va"), F.col("va")).cast("double"))
+    nb = F.sqrt(int_dot(F.col("vb"), F.col("vb")).cast("double"))
+    return (
+        c.join(F.broadcast(c2), F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", (dot / (na * nb)).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )
 
 

@@ -22,7 +22,7 @@ Upgrade path: with Delta/Iceberg present this becomes a single
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Marker substituted for NULL attributes inside the row hash so that
@@ -111,4 +111,25 @@ def assert_scd2_invariants(dim: DataFrame, key: str) -> dict[str, int]:
     bad_range = dim.filter(
         F.col("valid_to").isNotNull() & (F.col("valid_from") > F.col("valid_to"))
     ).count()
-    return {"multi_current_keys": multi_current, "bad_valid_ranges": bad_range}
+    # Contiguity: within a key's history ordered by valid_from, every
+    # non-last version must close exactly where the next one opens
+    # (valid_to = next valid_from, never NULL mid-chain) — the
+    # cross-batch shape of the reference's expire-then-insert
+    # (A3_load_dim_emp.sql:42-62).
+    w = Window.partitionBy(key).orderBy("valid_from")
+    broken_chain = (
+        dim.withColumn("_next_from", F.lead("valid_from").over(w))
+        .filter(
+            F.col("_next_from").isNotNull()
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("valid_to") != F.col("_next_from"))
+            )
+        )
+        .count()
+    )
+    return {
+        "multi_current_keys": multi_current,
+        "bad_valid_ranges": bad_range,
+        "broken_chains": broken_chain,
+    }

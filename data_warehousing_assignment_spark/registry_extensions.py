@@ -380,11 +380,64 @@ def op_ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_cosine_topk(emb, queries, k=5)
 
 
+@query("op-ext-ann-lsh-fullprobe", oracle=_ANN_ORACLE)
+def op_ext_ann_lsh_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH with every one of the 2^n_planes buckets probed:
+    each corpus row lives in exactly one sign bucket, so probing all of
+    them scores every (query, neighbor) pair exactly once — provably
+    identical to op-ext-ann-bruteforce, hence the shared oracle. This is
+    the external exactness anchor for the sign-bucket machinery;
+    op-ext-ann-lsh is the same code at the approximate (self+Hamming-1
+    probes) operating point."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return sim.lsh_cosine_topk(emb, queries, k=5, probe_all=True)
+
+
 @query("op-ext-embed-neardup")  # rows-only: see tests/test_similarity.py
 def op_ext_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within hyperplane buckets
     (threshold 0.5 on this synthetic data)."""
     return sim.embedding_near_dup_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.5
+    )
+
+
+_NEARDUP_EXACT_ORACLE = f"""
+    WITH e AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+    idx AS (SELECT unnest(range(1, 65)) AS i),
+    norms AS (
+      SELECT vec_id, CAST(SUM(v[idx.i] * v[idx.i]) AS BIGINT) AS nrm
+      FROM e, idx GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             CAST(SUM(a.v[idx.i] * b.v[idx.i]) AS BIGINT) AS dot
+      FROM e a, e b, idx
+      WHERE a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+             AS cosine
+    FROM dots d
+    JOIN norms na ON d.doc_a = na.vec_id
+    JOIN norms nb ON d.doc_b = nb.vec_id
+    WHERE CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+          >= 0.5
+"""
+
+
+@query("op-ext-embed-neardup-exact", oracle=_NEARDUP_EXACT_ORACLE)
+def op_ext_embed_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-PAIRS exact near-dup at the same threshold — the correctness
+    anchor that calibrates op-ext-embed-neardup's bucketed recall.
+    Quantized int64 scoring keeps the cosine bit-identical across
+    engines. O(n²) by definition: exactness anchor / subsample tool, not
+    the scale path (that's the LSH-bucketed variant)."""
+    return sim.exact_near_dup_pairs(
         t(spark, sf_dir, "embeddings"), threshold=0.5
     )
 
@@ -656,6 +709,19 @@ def op_ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iv.ivf_cosine_topk(corpus, queries, k=5, n_clusters=16, n_probe=4)
 
 
+@query("op-ext-ann-ivf-fullprobe", oracle=_ANN_ORACLE)
+def op_ext_ann_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with n_probe = n_clusters: every cell probed ⇒ every
+    (query, neighbor) pair scored exactly once through the index path —
+    provably identical to op-ext-ann-bruteforce (tests/test_ivf.py pins
+    the equivalence), so it shares the brute-force oracle. This is the
+    external exactness anchor for the IVF machinery; op-ext-ann-ivf is
+    the same code at the approximate (n_probe=4) operating point."""
+    corpus = t(spark, sf_dir, "embeddings")
+    queries = corpus.filter(F.col("vec_id") % 100 == 0)
+    return iv.ivf_cosine_topk(corpus, queries, k=5, n_clusters=16, n_probe=16)
+
+
 @query(
     "op-ext-token-bpe",
     oracle=r"""
@@ -848,4 +914,393 @@ def op_ext_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.sum(dec("o_totalprice")).cast("double"))
+    )
+
+
+# --------------------------------------------------------------------------
+# round 5: dedup clustering, range join, rollup cascade, splits, text mining
+# --------------------------------------------------------------------------
+
+from data_warehousing_assignment_spark.operators import graph as gr  # noqa: E402
+from data_warehousing_assignment_spark.operators import timeseries as tsr  # noqa: E402
+
+#: Jaccard threshold above which a verified candidate pair becomes a
+#: cluster edge. 0.5 keeps real near-dups connected while the random
+#: LSH collisions (low-Jaccard candidates) stay singletons.
+_EDGE_THRESH = 0.5
+
+# DuckDB twin of the full pair pipeline (sigs → bands → candidates →
+# Jaccard-verified edges), symmetrized for reachability. Shared by the
+# two clustering oracles below; must sit under a WITH RECURSIVE header.
+_EDGE_CTES = f"""{_SIG_CTE}, {_BANDS_CTE},
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+      WHERE a.doc_id < b.doc_id
+    ),
+    sh AS (SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM documents),
+    jac AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cands c
+      JOIN sh x ON c.doc_a = x.doc_id
+      JOIN sh y ON c.doc_b = y.doc_id
+      WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+              / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))
+                     AS DOUBLE) >= {_EDGE_THRESH}
+    ),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM jac
+              UNION ALL
+              SELECT doc_b AS a, doc_a AS b FROM jac),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+             FROM reach GROUP BY node)
+"""
+
+
+def _cluster_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    cands = dd.minhash_lsh_candidates(docs, "doc_id", "text", _K, _BANDS)
+    return dd.ngram_jaccard_pairs(
+        docs, cands, "doc_id", "text", threshold=_EDGE_THRESH
+    ).select("doc_a", "doc_b")
+
+
+@query(
+    "op-ext-dedup-clusters",
+    oracle=f"WITH RECURSIVE {_EDGE_CTES} SELECT doc_id, cluster_id FROM comp",
+)
+def op_ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER labels: connected components over the
+    Jaccard-verified LSH pair graph (min-label propagation,
+    operators/graph.py) — every doc labeled with the min doc_id of its
+    duplicate group; singletons label themselves. The oracle replays
+    reachability as a recursive CTE, which works because the fixpoint
+    (min reachable id) is iteration-order-independent."""
+    docs = t(spark, sf_dir, "documents")
+    return gr.connected_components(
+        docs.select("doc_id"),
+        _cluster_edges(spark, sf_dir),
+        id_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+    ).withColumnRenamed("component", "cluster_id")
+
+
+@query(
+    "op-ext-dedup-survivors",
+    oracle=f"""WITH RECURSIVE {_EDGE_CTES}
+    SELECT cluster_id, COUNT(*) AS group_size FROM comp GROUP BY cluster_id
+    """,
+)
+def op_ext_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster rollup: one row per duplicate group, keyed by its
+    surviving representative (= the component label = min doc_id).
+    Dedup-by-cluster = keep rows where doc_id == cluster_id; this query
+    surfaces the group sizes that decision is based on."""
+    docs = t(spark, sf_dir, "documents")
+    comp = gr.connected_components(
+        docs.select("doc_id"),
+        _cluster_edges(spark, sf_dir),
+        id_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+    )
+    return gr.component_summary(comp, "doc_id").withColumnRenamed(
+        "component", "cluster_id"
+    )
+
+
+@query(
+    "op-ext-range-join",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+                                         DATE '2001-12-01',
+                                         INTERVAL 1 MONTH)) AS DATE) AS d
+    ),
+    iv AS (
+      SELECT CAST(l_shipdate AS DATE) AS s,
+             CAST(l_shipdate AS DATE)
+               + CAST(3 + (l_orderkey * 7 + l_linenumber) % 25 AS INT) AS e,
+             l_quantity
+      FROM lineitem
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS as_of_date, COUNT(*) AS n_in_transit,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS qty_in_transit
+    FROM pts JOIN iv ON iv.s <= pts.d AND pts.d < iv.e
+    GROUP BY d
+    """,
+)
+def op_ext_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval RANGE JOIN via bucket expansion
+    (operators/timeseries.py): lineitems in transit on each month-start
+    date, transit window = shipdate + deterministic 3-27 days. The
+    oracle states the naive inequality join; the Spark plan is the
+    bucket-expanded EQUI-join + residual filter — O(per-bucket work),
+    not O(|points|·|intervals|) BroadcastNestedLoopJoin."""
+    li = t(spark, sf_dir, "lineitem")
+    ship = F.col("l_shipdate").cast("date")
+    days = (F.lit(3) + (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 25).cast(
+        "int"
+    )
+    iv = li.select(
+        ship.alias("s"), F.date_add(ship, days).alias("e"), "l_quantity"
+    )
+    pts = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(to_date('1995-01-01'), to_date('2001-12-01'),"
+                " interval 1 month)"
+            )
+        ).alias("d")
+    )
+    return (
+        tsr.point_in_interval_join(pts, iv, "d", "s", "e", bucket="1 month")
+        .groupBy(F.date_format("d", "yyyy-MM-dd").alias("as_of_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_in_transit"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty_in_transit"),
+        )
+    )
+
+
+@query(
+    "op-ext-rollup-cascade",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def op_ext_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade hourly → 6h → daily
+    (operators/timeseries.py): raw events are scanned ONCE (hourly);
+    each coarser level re-aggregates the finer one over ~1/6 the rows.
+    DECIMAL sums make the re-aggregation exact, so the daily output is
+    bit-identical to the oracle's direct daily aggregation — the
+    external proof that the cascade loses nothing."""
+    _, _, daily = tsr.cascade_rollup(t(spark, sf_dir, "events"))
+    return daily.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        F.col("key").alias("event_type"),
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+# DuckDB twin of text.hash_bucket (strpos-on-hex-alphabet nibbles, the
+# same portable trick as the SimHash oracle).
+def _bucket_sql(key: str, salt: str) -> str:
+    h = f"md5('{salt}' || CAST({key} AS VARCHAR))"
+    nib = (
+        "(strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
+    )
+    return (
+        f"({nib.format(h=h, i=1)} * 16 + {nib.format(h=h, i=2)})"
+    )
+
+
+@query(
+    "op-ext-hash-split",
+    oracle=f"""
+    SELECT doc_id, CAST({_bucket_sql('doc_id', 'split:')} AS BIGINT) AS bucket,
+           CASE WHEN {_bucket_sql('doc_id', 'split:')} < 204 THEN 'train'
+                WHEN {_bucket_sql('doc_id', 'split:')} < 230 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def op_ext_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split keyed on
+    md5(doc_id) (text.hash_split): membership is a pure function of the
+    key — stable across reruns, engines, partitionings and cluster
+    sizes, so test rows can never leak into train between runs.
+    Row-local, zero shuffle."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        tx.hash_bucket("doc_id", "split:").cast("bigint").alias("bucket"),
+        tx.hash_split("doc_id").alias("split"),
+    )
+
+
+@query(
+    "op-ext-sample-stratified",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST({_bucket_sql('doc_id', 'strat:')} AS BIGINT) AS bucket
+    FROM documents
+    WHERE {_bucket_sql('doc_id', 'strat:')}
+          < CASE WHEN lang = 'en' THEN 192 ELSE 64 END
+    """,
+)
+def op_ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic STRATIFIED downsample: per-language keep-rates
+    (75% en, 25% otherwise) applied via the same content-addressed
+    hash bucket — reproducible sampling, no rand(), no seed plumbing;
+    a different salt decorrelates it from the train/val/test split."""
+    b = tx.hash_bucket("doc_id", "strat:")
+    rate = F.when(F.col("lang") == "en", F.lit(192)).otherwise(F.lit(64))
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", b.cast("bigint").alias("bucket"))
+        .filter(F.col("bucket") < rate)
+    )
+
+
+@query(
+    "op-ext-heavy-hitters",
+    oracle=f"""
+    WITH tk AS (
+      SELECT t.tok FROM (SELECT {_TOKS} AS tk FROM documents) d,
+                        unnest(d.tk) AS t(tok)
+    ),
+    counts AS (SELECT tok, COUNT(*) AS n FROM tk GROUP BY tok)
+    SELECT tok, n,
+           CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rnk
+    FROM counts ORDER BY n DESC, tok LIMIT 20
+    """,
+)
+def op_ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 tokens: explode → map-side-combined count →
+    distributed top-k (orderBy+limit plans as TakeOrderedAndProject —
+    per-partition heaps, only 20 rows cross to the driver stage; never
+    a single-partition global sort). Total tiebreak (count desc, token
+    asc) keeps the cut deterministic."""
+    counts = (
+        docs_t(spark, sf_dir)
+        .select(F.explode(tx.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    return counts.select(
+        "tok", "n", F.row_number().over(w).cast("bigint").alias("rnk")
+    )
+
+
+@query(
+    "op-ext-tfidf",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, t.tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, {_TOKS} AS tk FROM documents) d,
+           unnest(d.tk) AS t(tok)
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, tok, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, tok) AS rnk
+    FROM scored)
+    SELECT doc_id, tok, tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def op_ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. tf and df are integer-exact
+    both engines; idf = ln((N+1)/(df+1)) is one libm call on identical
+    doubles, rounded to 6 dp before ranking so a last-ulp difference
+    cannot flip the order; ties broken by token. The df side is
+    vocab-sized → broadcast join onto tf; N is a broadcast 1-row
+    relation (never a driver collect)."""
+    from pyspark.sql import Window
+
+    docs = docs_t(spark, sf_dir)
+    tf = (
+        docs.select("doc_id", F.explode(tx.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    from data_warehousing_assignment_spark.caching import pin
+
+    tf = pin(tf)  # feeds both the df aggregation and the score join
+    df_counts = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_counts), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+@query(
+    "op-ext-pii-redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS body
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(body, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(body, '{_PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(body, '{_EMAIL_RE}', '<EMAIL>',
+                                             'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_hash
+    FROM aug
+    """,
+)
+def op_ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub for training corpora: email + phone patterns replaced
+    with typed placeholders, match counts surfaced for audit. Inputs
+    are augmented with a deterministic synthetic email/phone per doc so
+    the redaction provably FIRES (the raw corpus contains none).
+    Row-local regexp ops, zero shuffle; hash-at-the-boundary keeps the
+    redacted body out of the result surface."""
+    body = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(body, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs_t(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_count(body, F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(body, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.md5(redacted).alias("redacted_hash"),
     )

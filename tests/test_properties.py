@@ -71,23 +71,32 @@ batch = st.lists(
 
 
 @SPARK_SETTINGS
-@given(batch, batch)
-def test_scd2_invariants_hold_for_any_history(spark, b1, b2):
-    """After any two-batch history: ≤1 current row per key, ordered
-    validity ranges, and re-merging batch 2 is a no-op."""
+@given(batch, batch, batch)
+def test_scd2_invariants_hold_for_any_history(spark, b1, b2, b3):
+    """After any THREE-batch history with overlapping changes: ≤1 current
+    row per key, ordered validity ranges, contiguous chains (each
+    expired version closes exactly where its successor opens — the
+    reference's cross-day expire-then-insert shape,
+    A3_load_dim_emp.sql:42-62), and re-merging the last batch at a later
+    date is a no-op."""
     mk = lambda rows: spark.createDataFrame(rows, "k string, x string, y string")
     empty = spark.createDataFrame(
         [],
         "k string, x string, y string, row_hash string, "
         "valid_from date, valid_to date, is_current boolean",
     )
-    d1 = merge_scd2(empty, mk(b1), "k", ["x", "y"], "2024-01-01")
-    d2 = merge_scd2(d1, mk(b2), "k", ["x", "y"], "2024-02-01")
-    inv = assert_scd2_invariants(d2, "k")
-    assert inv == {"multi_current_keys": 0, "bad_valid_ranges": 0}
-    d3 = merge_scd2(d2, mk(b2), "k", ["x", "y"], "2024-03-01")
+    d = empty
+    for i, b in enumerate((b1, b2, b3)):
+        d = merge_scd2(d, mk(b), "k", ["x", "y"], f"2024-0{i + 1}-01")
+    inv = assert_scd2_invariants(d, "k")
+    assert inv == {
+        "multi_current_keys": 0,
+        "bad_valid_ranges": 0,
+        "broken_chains": 0,
+    }
+    d4 = merge_scd2(d, mk(b3), "k", ["x", "y"], "2024-04-01")
     canon = lambda df: sorted(map(tuple, df.collect()), key=repr)
-    assert canon(d3) == canon(d2)
+    assert canon(d4) == canon(d)
 
 
 measures = st.lists(

@@ -43,7 +43,7 @@ def test_initial_load_all_current(spark):
     assert all(r.is_current and r.valid_to is None for r in rows)
     assert all(r.valid_from == dt.date(2024, 1, 1) for r in rows)
     inv = assert_scd2_invariants(dim, KEY)
-    assert inv == {"multi_current_keys": 0, "bad_valid_ranges": 0}
+    assert inv == {"multi_current_keys": 0, "bad_valid_ranges": 0, "broken_chains": 0}
 
 
 def test_changed_row_expires_and_inserts(spark):
@@ -58,7 +58,7 @@ def test_changed_row_expires_and_inserts(spark):
     e2 = dim2.filter(F.col(KEY) == "E2").collect()
     assert len(e2) == 1 and e2[0].is_current
     inv = assert_scd2_invariants(dim2, KEY)
-    assert inv == {"multi_current_keys": 0, "bad_valid_ranges": 0}
+    assert inv == {"multi_current_keys": 0, "bad_valid_ranges": 0, "broken_chains": 0}
 
 
 def test_rerun_same_batch_is_idempotent(spark):

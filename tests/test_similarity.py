@@ -74,3 +74,35 @@ def test_embedding_near_dup_pairs_symmetric_free(spark):
     for r in out:
         assert r.doc_a < r.doc_b
         assert r.cosine >= 0.9
+
+
+def test_lsh_probe_all_equals_brute_force(spark):
+    """probe_all=True covers every sign bucket ⇒ identical output to the
+    brute-force baseline (the equivalence op-ext-ann-lsh-fullprobe's
+    shared oracle relies on)."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = sim.brute_force_cosine_topk(emb, queries, k=5)
+    full = sim.lsh_cosine_topk(emb, queries, k=5, probe_all=True)
+    canon = lambda df: sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.score) for r in df.collect()
+    )
+    assert canon(full) == canon(exact)
+
+
+def test_exact_near_dup_superset_of_bucketed(spark):
+    """The all-pairs anchor finds every pair the bucketed LSH variant
+    finds (LSH may only MISS pairs, never invent them), and every pair
+    clears the threshold."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in sim.exact_near_dup_pairs(emb, threshold=0.5).collect()
+    }
+    bucketed = {
+        (r.doc_a, r.doc_b)
+        for r in sim.embedding_near_dup_pairs(emb, threshold=0.5).collect()
+    }
+    assert bucketed <= exact
+    for a, b in exact:
+        assert a < b

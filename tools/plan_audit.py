@@ -33,6 +33,15 @@ ALLOWED = {
     "op-ext-ann-ivf": {"cartesian"},
     # new-members numbering after the anti-join: dim-sized by construction
     "op-pipe-dim-upsert": {"cartesian", "single-partition window"},
+    # same k-means centroid-assign cartesian as op-ext-ann-ivf, full probe
+    "op-ext-ann-ivf-fullprobe": {"cartesian"},
+    # ALL-PAIRS by definition: the exactness anchor that calibrates the
+    # LSH-bucketed near-dup path (similarity.exact_near_dup_pairs)
+    "op-ext-embed-neardup-exact": {"cartesian"},
+    # 1-row corpus-count broadcast (N for idf): degenerate cross join +
+    # single-partition agg on one row; the ranking window itself is
+    # doc_id-partitioned with WindowGroupLimit pushdown
+    "op-ext-tfidf": {"cartesian", "single-partition window"},
 }
 
 
