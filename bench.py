@@ -66,6 +66,9 @@ SF1_HEADLINE = [
     "op-ext-simhash",
     "op-ext-stream-session",
     "op-ext-ann-ivf",
+    "op-ext-dedup-clusters",    # iterative CC: does convergence hold at 10×?
+    "op-ext-range-join",        # bucket-expansion join vs interval fan-out
+    "op-ext-decontaminate",     # gram explode + broadcast semi-join
 ]
 
 #: fact tables replicated in --sf1 synthesis; value = key columns offset

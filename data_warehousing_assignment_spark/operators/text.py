@@ -9,7 +9,7 @@ documents table regardless of cluster size. No Python UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -211,4 +211,45 @@ def hash_split(
         F.when(b < t_hi, F.lit("train"))
         .when(b < v_hi, F.lit("val"))
         .otherwise(F.lit("test"))
+    )
+
+
+# -- benchmark decontamination ----------------------------------------------
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Test-set decontamination: corpus documents sharing at least one
+    word n-gram with ANY benchmark document, with the count of distinct
+    overlapping n-grams — the standard guard against benchmark leakage
+    into training data (n=8..13 in published pipelines).
+
+    Scale shape: shingles are md5-hashed BEFORE the join so only 32-char
+    keys shuffle, never text; the benchmark side is deduplicated and
+    broadcast (eval suites are tiny next to a training corpus — if one
+    ever isn't, drop the hint and Catalyst falls back to a shuffle
+    hash join on the same key). Corpus-side grams are deduplicated
+    per doc first, so n_hits counts distinct shared grams. Returns
+    ``(id_col, n_hits)``, contaminated docs only.
+    """
+
+    def grams(df: DataFrame):
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.array_distinct(word_shingles(tokens(text_col), n))
+            ).alias("g"),
+        ).select("_id", F.md5("g").alias("gh"))
+
+    bench = grams(benchmark).select("gh").distinct()
+    return (
+        grams(corpus)
+        .join(F.broadcast(bench), "gh")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_hits"))
     )

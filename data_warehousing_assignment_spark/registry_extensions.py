@@ -1304,3 +1304,73 @@ def op_ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(body, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
         F.md5(redacted).alias("redacted_hash"),
     )
+
+
+def _shingles_sql(n: int) -> str:
+    """DuckDB word-n-gram twin of text.word_shingles for arbitrary n,
+    over a column ``tk`` (pre-split token list), incl. the <n-token
+    full-text fallback."""
+    terms = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(tk) >= {n} THEN "
+        f"list_transform(range(1, len(tk) - {n} + 2), i -> {terms}) "
+        "ELSE [array_to_string(tk, ' ')] END"
+    )
+
+
+@query(
+    "op-ext-decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS tk FROM documents),
+    sh AS (SELECT doc_id, source, {_shingles_sql(8)} AS s FROM t),
+    ex AS (SELECT DISTINCT doc_id, source, u.x AS g
+           FROM sh, unnest(sh.s) u(x)),
+    bench AS (SELECT DISTINCT g FROM ex WHERE source = 'src0')
+    SELECT e.doc_id, COUNT(*) AS n_hits
+    FROM ex e JOIN bench b ON e.g = b.g
+    WHERE e.source != 'src0' GROUP BY e.doc_id
+    """,
+)
+def op_ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (text.contamination_hits): flag
+    training docs sharing any 8-word-gram with the held-out benchmark
+    slice (source='src0' stands in for an eval suite). md5-hashed grams
+    shuffle 32 chars, benchmark side broadcast — the leakage guard every
+    training pipeline runs before a data release."""
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return tx.contamination_hits(
+        dd.scale_out(corpus), bench, "doc_id", "text", n=8
+    )
+
+
+@query(
+    "op-ext-length-quantiles",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50,
+           round(quantile_cont(n_chars, 0.9), 6) AS p90,
+           round(quantile_cont(n_chars, 0.99), 6) AS p99
+    FROM documents GROUP BY lang
+    """,
+)
+def op_ext_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length quantiles (corpus profiling). EXACT
+    linear-interpolated percentiles — Spark `percentile` and DuckDB
+    `quantile_cont` share the (n-1)·p definition, rounded to 6 dp.
+    Grouped exact percentile shuffles each stratum's values to its
+    reducer — fine while strata fit an executor (they do: languages);
+    at unbounded cardinality switch to approx_percentile (t-digest,
+    map-side combinable), which this oracle deliberately pins the exact
+    reference for."""
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99"),
+        )
+    )

@@ -87,7 +87,12 @@ def test_scd2_invariants_hold_for_any_history(spark, b1, b2, b3):
     )
     d = empty
     for i, b in enumerate((b1, b2, b3)):
+        # truncate lineage between batches: each merge is 4 unioned join
+        # branches over the prior dim, so an unbroken 3-deep chain makes
+        # Catalyst re-optimize an exponentially growing plan on every
+        # action (the real pipeline persists the dim per batch anyway)
         d = merge_scd2(d, mk(b), "k", ["x", "y"], f"2024-0{i + 1}-01")
+        d = d.localCheckpoint(eager=False)
     inv = assert_scd2_invariants(d, "k")
     assert inv == {
         "multi_current_keys": 0,

@@ -66,3 +66,52 @@ def test_rolling_fingerprint_collides_on_shared_prefix(spark):
     }
     assert out[3] <= out[2]
     assert py_rolling(TEXTS[2][1]) == out[2]
+
+
+def test_contamination_hits_exact_counts(spark):
+    from data_warehousing_assignment_spark.operators.text import (
+        contamination_hits,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")],
+        "doc_id bigint, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares the 3-grams "alpha beta gamma" AND "beta gamma delta"
+            (1, "zz alpha beta gamma delta yy"),
+            # shares exactly one 3-gram
+            (2, "alpha beta gamma zz"),
+            # no overlap
+            (3, "one two three four"),
+            # duplicate occurrences of a shared gram count once
+            (4, "alpha beta gamma xx alpha beta gamma"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: r.n_hits
+        for r in contamination_hits(corpus, bench, n=3).collect()
+    }
+    assert got == {1: 2, 2: 1, 4: 1}
+
+
+def test_contamination_short_doc_full_text_fallback(spark):
+    from data_warehousing_assignment_spark.operators.text import (
+        contamination_hits,
+    )
+
+    # a <n-token benchmark doc contributes its full text as one gram;
+    # an identical short corpus doc must therefore hit it
+    bench = spark.createDataFrame(
+        [(9, "tiny doc")], "doc_id bigint, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "other text")], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: r.n_hits
+        for r in contamination_hits(corpus, bench, n=8).collect()
+    }
+    assert got == {1: 1}
