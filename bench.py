@@ -149,12 +149,19 @@ def run_suite(spark, qs, names, sf_dir, sf, metric) -> dict:
         if name not in qs:
             continue
         try:
+            # Iterative driver-loop ops (connected components) do their
+            # distributed work EAGERLY during query construction and
+            # return a checkpointed result — timing only force(df) would
+            # measure a no-op. Rebuild those inside the timed region;
+            # lazy queries keep the build-once timing (comparable with
+            # earlier rounds, and plan construction isn't the metric).
+            eager = name in ("op-ext-dedup-clusters", "op-ext-dedup-survivors")
             df = qs[name](spark, sf_dir)
             force(df)  # warm-up: JIT, parquet footer cache, broadcast build
             ts = []
             for _ in range(N_ITERS):
                 t0 = time.perf_counter()
-                force(df)
+                force(qs[name](spark, sf_dir) if eager else df)
                 ts.append(time.perf_counter() - t0)
             mins[name] = round(min(ts), 3)
             medians[name] = round(_median(ts), 3)

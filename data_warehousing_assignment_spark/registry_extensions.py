@@ -921,7 +921,6 @@ def op_ext_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round 5: dedup clustering, range join, rollup cascade, splits, text mining
 # --------------------------------------------------------------------------
 
-from data_warehousing_assignment_spark.operators import graph as gr  # noqa: E402
 from data_warehousing_assignment_spark.operators import timeseries as tsr  # noqa: E402
 
 #: Jaccard threshold above which a verified candidate pair becomes a
@@ -962,33 +961,23 @@ _EDGE_CTES = f"""{_SIG_CTE}, {_BANDS_CTE},
 """
 
 
-def _cluster_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    cands = dd.minhash_lsh_candidates(docs, "doc_id", "text", _K, _BANDS)
-    return dd.ngram_jaccard_pairs(
-        docs, cands, "doc_id", "text", threshold=_EDGE_THRESH
-    ).select("doc_a", "doc_b")
-
-
 @query(
     "op-ext-dedup-clusters",
     oracle=f"WITH RECURSIVE {_EDGE_CTES} SELECT doc_id, cluster_id FROM comp",
 )
 def op_ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTER labels: connected components over the
-    Jaccard-verified LSH pair graph (min-label propagation,
-    operators/graph.py) — every doc labeled with the min doc_id of its
-    duplicate group; singletons label themselves. The oracle replays
-    reachability as a recursive CTE, which works because the fixpoint
-    (min reachable id) is iteration-order-independent."""
-    docs = t(spark, sf_dir, "documents")
-    return gr.connected_components(
-        docs.select("doc_id"),
-        _cluster_edges(spark, sf_dir),
-        id_col="doc_id",
-        src_col="doc_a",
-        dst_col="doc_b",
-    ).withColumnRenamed("component", "cluster_id")
+    """Near-dup CLUSTER labels (dedup.near_dup_clusters): exact-dedup
+    collapse → MinHash-LSH → Jaccard verify → connected components
+    (min-label propagation, operators/graph.py) on the representatives
+    → labels fanned back out; every doc labeled with the min doc_id of
+    its duplicate group, singletons label themselves. The oracle
+    replays reachability over the RAW pair graph as a recursive CTE —
+    valid because quotienting by exact-dup groups preserves components
+    and the min-reachable-id fixpoint is iteration-order-independent."""
+    return dd.near_dup_clusters(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        _K, _BANDS, _EDGE_THRESH,
+    )
 
 
 @query(
@@ -1002,16 +991,12 @@ def op_ext_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving representative (= the component label = min doc_id).
     Dedup-by-cluster = keep rows where doc_id == cluster_id; this query
     surfaces the group sizes that decision is based on."""
-    docs = t(spark, sf_dir, "documents")
-    comp = gr.connected_components(
-        docs.select("doc_id"),
-        _cluster_edges(spark, sf_dir),
-        id_col="doc_id",
-        src_col="doc_a",
-        dst_col="doc_b",
+    comp = dd.near_dup_clusters(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        _K, _BANDS, _EDGE_THRESH,
     )
-    return gr.component_summary(comp, "doc_id").withColumnRenamed(
-        "component", "cluster_id"
+    return comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("group_size")
     )
 
 

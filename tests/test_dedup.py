@@ -94,3 +94,36 @@ def test_simhash_near_dups_have_small_hamming_distance(spark):
     ham = lambda a, b: bin(a ^ b).count("1")
     assert ham(fps[0], fps[3]) == 0  # identical token multiset
     assert ham(fps[0], fps[1]) < ham(fps[0], fps[2])
+
+def test_near_dup_clusters_equals_raw_graph_cc(spark):
+    """The exact-collapse fast path must be invisible in the result:
+    clustering through representatives equals connected components over
+    the raw (per-document) LSH+Jaccard pair graph."""
+    from data_warehousing_assignment_spark.operators import graph as gr
+
+    # extra exact copies so the collapse path actually collapses
+    rows = DOCS + [
+        (4, "the quick brown fox jumps over the lazy dog"),  # copy of 0
+        (5, "completely different text about spark engines and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    fast = {
+        (r.doc_id, r.cluster_id)
+        for r in dd.near_dup_clusters(df, "doc_id", "text", 12, 4, 0.5).collect()
+    }
+
+    cands = dd.minhash_lsh_candidates(df, "doc_id", "text", 12, 4)
+    edges = dd.ngram_jaccard_pairs(
+        df, cands, "doc_id", "text", threshold=0.5
+    ).select("doc_a", "doc_b")
+    raw = {
+        (r.doc_id, r.component)
+        for r in gr.connected_components(
+            df.select("doc_id"), edges, id_col="doc_id",
+            src_col="doc_a", dst_col="doc_b",
+        ).collect()
+    }
+    assert fast == raw
+    # sanity on shape: 0/1/3/4 one near-dup cluster labeled 0; 2/5 labeled 2
+    assert fast == {(0, 0), (1, 0), (3, 0), (4, 0), (2, 2), (5, 2)}
