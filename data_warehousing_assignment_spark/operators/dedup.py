@@ -312,3 +312,67 @@ def near_dup_clusters(
     return mapping.join(
         comp.withColumnRenamed(id_col, "_rep"), "_rep"
     ).select(id_col, F.col("component").alias("cluster_id"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = SIMHASH_BITS,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """All document pairs whose SimHash fingerprints differ in at most
+    ``max_hamming`` bits — EXACTLY, but without an all-pairs join.
+
+    Banding argument (pigeonhole): split the ``bits``-bit fingerprint
+    into ``bands`` contiguous bands. Two fingerprints within Hamming
+    distance d < bands must agree on at least one whole band (d flipped
+    bits can touch at most d bands), so a hash self-join on
+    (band_index, band_value) has recall 1.0 for d <= bands-1; the
+    residual ``bit_count(xor) <= d`` filter restores precision. Cost is
+    O(Σ band-bucket²) — duplicate-density-bounded like MinHash-LSH,
+    never O(n²) over the corpus.
+
+    Returns ``(doc_a, doc_b, hamming)`` with doc_a < doc_b."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"exact recall needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    if bits % bands:
+        raise ValueError(f"bands must divide bits ({bits} % {bands})")
+    width = bits // bands
+    fp = pin(simhash(df, id_col, text_col, bits))
+
+    band_vals = F.array(*[
+        F.shiftright(F.col("simhash"), b * width)
+        .bitwiseAND(F.lit((1 << width) - 1))
+        for b in range(bands)
+    ])
+    keyed = fp.select(
+        F.col(id_col), F.posexplode(band_vals).alias("_band", "_val")
+    )
+    cand = (
+        keyed.alias("x")
+        .join(
+            keyed.alias("y"),
+            (F.col("x._band") == F.col("y._band"))
+            & (F.col("x._val") == F.col("y._val"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("doc_a"),
+            F.col(f"y.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = fp.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("_ha"))
+    b = fp.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("_hb"))
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("bigint")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -29,7 +29,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -114,3 +114,64 @@ def cascade_rollup(
     )
     daily = _coarsen(six, F.date_trunc("day", F.col("bucket")))
     return hourly, six, daily
+
+
+def gapfill_hourly(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_us_col: str = "ts_us",
+    value_col: str = "value",
+) -> DataFrame:
+    """Dense per-user hourly series with gap filling — the TimescaleDB
+    ``time_bucket_gapfill`` + ``locf`` shape, as pure DataFrame ops.
+
+    Input needs an exact integer-microsecond epoch column (``ts_us``);
+    hours are integer-division buckets so both engines agree exactly.
+    Per user, every hour between that user's first and last event gets a
+    row: observed hours carry their exact-decimal value sum and count;
+    missing hours get count 0, sum 0.0, and ``value_locf`` carries the
+    last observed hourly sum forward (0.0 before the first observation,
+    unreachable by construction since the spine starts at an observed
+    hour).
+
+    Scale: one agg shuffle keyed (user, hour), a per-user min/max agg,
+    spine explode proportional to the OUTPUT size, an equi-join back,
+    and one window pass partitioned by user — nothing denser than the
+    output. Fan-out is bounded by each user's own time span; a 100 TB
+    corpus with bounded per-user history keeps every partition small."""
+    # integer division keeps the bucket exact (double division would
+    # round before the cast truncates)
+    hour = F.expr(f"{ts_us_col} div 3600000000").cast("bigint")
+    hourly = events.groupBy(
+        F.col(user_col), hour.alias("hour_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("hour_value"),
+    )
+    spine = (
+        hourly.groupBy(user_col)
+        .agg(F.min("hour_id").alias("_lo"), F.max("hour_id").alias("_hi"))
+        .select(
+            user_col,
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("hour_id"),
+        )
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("hour_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, [user_col, "hour_id"], "left")
+        .select(
+            user_col,
+            "hour_id",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce("hour_value", F.lit(0.0)).alias("hour_value"),
+            F.coalesce(
+                F.last("hour_value", ignorenulls=True).over(w), F.lit(0.0)
+            ).alias("value_locf"),
+        )
+    )

@@ -1359,3 +1359,219 @@ def op_ext_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# round 5: simhash near-dup pairs, corpus vocab, BM25, hourly gap-fill
+# --------------------------------------------------------------------------
+
+_SIMHASH_FP_CTE = _simhash_oracle()
+
+
+@query(
+    "op-ext-simhash-neardup",
+    oracle=f"""
+    WITH fp AS ({_SIMHASH_FP_CTE}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+    """,
+)
+def op_ext_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate PAIRS (Hamming <= 3) via banded bucket
+    self-join (dedup.simhash_neardup_pairs): 4 bands of 12 bits over the
+    48-bit fingerprint; pigeonhole makes band-collision recall EXACT for
+    distance < bands, the xor-popcount residual restores precision. The
+    oracle is the literal all-pairs definition — affordable at sf0.01,
+    while the Spark plan stays O(Σ band-bucket²), never corpus²."""
+    return dd.simhash_neardup_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        bands=4, max_hamming=3,
+    )
+
+
+@query(
+    "op-ext-vocab-topk",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, t.tok
+      FROM (SELECT doc_id, {_TOKS} AS tk FROM documents) d,
+           unnest(d.tk) AS t(tok)
+    ),
+    v AS (
+      SELECT tok, COUNT(*) AS n_occurrences,
+             COUNT(DISTINCT doc_id) AS n_docs
+      FROM tf GROUP BY tok
+    ),
+    r AS (
+      SELECT tok, n_occurrences, n_docs,
+             row_number() OVER (ORDER BY n_occurrences DESC, tok) AS rnk
+      FROM v)
+    SELECT tok, n_occurrences, n_docs, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 50
+    """,
+)
+def op_ext_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: top-50 tokens by total occurrences
+    (ties by token) with document frequency — the vocab-build /
+    stopword-discovery pass of a training pipeline. One explode + one
+    map-side-combined agg keyed by token; the global rank runs on the
+    already-aggregated VOCAB (not the corpus), which fits one reducer
+    at any corpus size that has a language-shaped vocabulary."""
+    from pyspark.sql import Window
+
+    tf = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tx.tokens("text")).alias("tok")
+    )
+    v = dd.scale_out(tf).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("tok"))
+    return (
+        v.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 50)
+    )
+
+
+@query(
+    "op-ext-bm25",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, t.tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, {_TOKS} AS tk FROM documents) d,
+           unnest(d.tk) AS t(tok)
+      GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl FROM documents),
+    stats AS (
+      SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             COUNT(*) AS n_docs
+      FROM dl
+    ),
+    idf AS (
+      SELECT tok, ln(1.0 + (s.n_docs - COUNT(*) + 0.5) / (COUNT(*) + 0.5))
+                  AS idf
+      FROM tf CROSS JOIN stats s
+      GROUP BY tok, s.n_docs
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round(idf.idf * (tf.tf * 2.5)
+                   / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)),
+                   6) AS bm25
+      FROM tf
+      JOIN idf USING (tok)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+    ),
+    ranked AS (
+      SELECT doc_id, tok, bm25,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY bm25 DESC, tok) AS rnk
+      FROM scored)
+    SELECT doc_id, tok, bm25, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def op_ext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 BM25 (k1=1.5, b=0.75) terms per document — TF-IDF's
+    production successor with doc-length normalization. Determinism:
+    tf/df/dl/N are integer-exact both engines; avgdl is exact-int-sum /
+    count (one IEEE divide); the score is the SAME left-associative
+    double expression in both engines, rounded to 6 dp before ranking;
+    ties by token. Plan: tf agg feeds both the doc-frequency agg
+    (vocab-sized → broadcast back) and the score join; dl and the 1-row
+    corpus stats broadcast — one corpus-sized shuffle total."""
+    from pyspark.sql import Window
+
+    from data_warehousing_assignment_spark.caching import pin
+
+    docs = docs_t(spark, sf_dir)
+    tf = pin(
+        docs.select("doc_id", F.explode(tx.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = docs.select("doc_id", F.size(tx.tokens("text")).cast("bigint").alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "tok",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("idf") * (F.col("tf") * 2.5)
+                / (
+                    F.col("tf")
+                    + 1.5 * (F.lit(1.0) - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("bm25"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "op-ext-gapfill",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id, value
+      FROM events WHERE user_id < 10
+    ),
+    hourly AS (
+      SELECT user_id, hour_id, COUNT(*) AS n_ev,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hv
+      FROM ev GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi)) AS hour_id
+      FROM (SELECT user_id, MIN(hour_id) AS lo, MAX(hour_id) AS hi
+            FROM hourly GROUP BY 1)
+    )
+    SELECT s.user_id, s.hour_id,
+           CAST(COALESCE(h.n_ev, 0) AS BIGINT) AS n_events,
+           COALESCE(h.hv, 0.0) AS hour_value,
+           COALESCE(last_value(h.hv IGNORE NULLS)
+                      OVER (PARTITION BY s.user_id ORDER BY s.hour_id
+                            ROWS UNBOUNDED PRECEDING),
+                    0.0) AS value_locf
+    FROM spine s LEFT JOIN hourly h
+      ON s.user_id = h.user_id AND s.hour_id = h.hour_id
+    """,
+)
+def op_ext_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user hourly series with LOCF gap filling
+    (timeseries.gapfill_hourly) — the time_bucket_gapfill + locf shape
+    over the events stream, users 0-9 (bounds the spine for the gate;
+    the operator itself is unbounded). Hour buckets are exact integer
+    µs division on both engines; sums are decimal-exact."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 10).withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    return tsr.gapfill_hourly(ev)

@@ -127,3 +127,38 @@ def test_near_dup_clusters_equals_raw_graph_cc(spark):
     assert fast == raw
     # sanity on shape: 0/1/3/4 one near-dup cluster labeled 0; 2/5 labeled 2
     assert fast == {(0, 0), (1, 0), (3, 0), (4, 0), (2, 2), (5, 2)}
+
+
+def test_simhash_neardup_pairs_equals_all_pairs(spark):
+    """Banded bucket join must reproduce the all-pairs Hamming result
+    exactly (pigeonhole recall for max_hamming < bands)."""
+    rows = [(i, t) for i, (_, t) in enumerate(DOCS)] + [
+        (4, "the quick brown fox jumps over the lazy dog today"),
+        (5, "spark engines and shuffles make completely different text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    banded = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dd.simhash_neardup_pairs(
+            df, "doc_id", "text", bands=4, max_hamming=3
+        ).collect()
+    }
+
+    fps = {r.doc_id: r.simhash for r in dd.simhash(df, "doc_id", "text").collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    naive = {
+        (a, b, ham(fps[a], fps[b]))
+        for a in fps for b in fps
+        if a < b and ham(fps[a], fps[b]) <= 3
+    }
+    assert banded == naive
+    assert (0, 3, 0) in banded  # exact dup mod case/ws → distance 0
+
+
+def test_simhash_neardup_rejects_lossy_banding(spark):
+    df = docs_df(spark)
+    import pytest
+
+    with pytest.raises(ValueError):
+        dd.simhash_neardup_pairs(df, "doc_id", "text", bands=4, max_hamming=4)

@@ -81,3 +81,27 @@ def test_six_hour_buckets_floor_correctly(spark):
     _, six, _ = tsr.cascade_rollup(ev)
     got = {(r.bucket.hour, r.n_events) for r in six.collect()}
     assert got == {(0, 2), (6, 2), (12, 1), (18, 1)}
+
+
+def test_gapfill_hourly_spine_and_locf(spark):
+    H = 3_600_000_000  # one hour in µs
+    rows = [
+        # user 1: events in hours 10, 13 (gap at 11, 12)
+        (1, 10 * H + 5, 2.0),
+        (1, 10 * H + 99, 3.0),
+        (1, 13 * H, 7.5),
+        # user 2: single hour — spine is one row
+        (2, 20 * H + 1, 1.25),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts_us long, value double")
+    out = {
+        (r.user_id, r.hour_id): (r.n_events, r.hour_value, r.value_locf)
+        for r in tsr.gapfill_hourly(ev).collect()
+    }
+    assert out == {
+        (1, 10): (2, 5.0, 5.0),
+        (1, 11): (0, 0.0, 5.0),   # gap: count 0, locf carries hour-10 sum
+        (1, 12): (0, 0.0, 5.0),
+        (1, 13): (1, 7.5, 7.5),
+        (2, 20): (1, 1.25, 1.25),
+    }
