@@ -1,0 +1,138 @@
+"""Window/statistics analytics operators (extension surface, SURVEY.md
+§7.5 — no reference counterpart; the reference's only window use is the
+row_number dedup in A3_load_dim_emp.sql).
+
+Everything here is a declarative DataFrame composition — window specs,
+exact-integer statistics, bucket assignment — so Catalyst plans the
+shuffle-minimal physical form and whole-stage codegen keeps it JVM-side.
+
+Cross-engine determinism (registry.py rules): window sums run on exact
+DECIMAL or int64; every interpolated/divided value is ONE final IEEE op
+over exact integers, identical in Spark and DuckDB; every window order
+carries a unique tiebreaker.
+
+Scale notes:
+
+* Sessionization — a lag + running-sum window partitioned by the entity
+  key: one shuffle on ``user_id``, then both window passes and the
+  session aggregate reuse that partitioning (no second exchange).
+  State per task is one partition's rows, never global.
+* Moving average / cumulative sum — windows ordered by time partitioned
+  by a series key. The window input is the POST-AGGREGATE daily/monthly
+  frame (thousands of rows per series even at 100 TB of raw fact), so
+  the per-partition sort is trivially cheap; never run these directly
+  over the raw fact table.
+* Exact moments (variance / correlation) — single map-side-combinable
+  aggregate over int64/decimal power sums; the final moment is computed
+  from the exact sums in one expression. This is the scalable exact
+  form: no second pass, no double-accumulation nondeterminism.
+* ntile / top-k per group — row_number/ntile windows shuffle once on
+  the partition key; top-k filters rn <= k immediately after, so only
+  k rows per group survive the stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_us_col: str = "ts_us",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based batch sessionization: a new session starts when the
+    inter-event gap exceeds ``gap_minutes``. Returns the input plus
+    ``session_seq`` (1-based per-user session index).
+
+    Classic lag → boundary-flag → running-sum formulation; both windows
+    share one (user) partitioning so it costs a single shuffle. The
+    event-time order carries ``tiebreak_col`` so equal timestamps are
+    deterministic (registry.py determinism rules)."""
+    w = Window.partitionBy(user_col).orderBy(ts_us_col, tiebreak_col)
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev = F.lag(ts_us_col).over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col(ts_us_col) - prev > gap_us), F.lit(1)
+    ).otherwise(F.lit(0))
+    running = Window.partitionBy(user_col).orderBy(ts_us_col, tiebreak_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn("_is_new", is_new).withColumn(
+        "session_seq", F.sum("_is_new").over(running).cast("bigint")
+    ).drop("_is_new")
+
+
+def top_k_per_group(
+    df: DataFrame, group_cols: list[str], order_cols: list[Column], k: int
+) -> DataFrame:
+    """Top-k rows per group via row_number ≤ k. ``order_cols`` must end
+    in a unique tiebreaker. Adds ``rnk`` (1-based)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return df.withColumn("rnk", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rnk") <= k
+    )
+
+
+def exact_var_samp(n: Column, s: Column, ss: Column) -> Column:
+    """Sample variance from exact power sums (count, Σx, Σx²) — the sums
+    must be exact integer/decimal types. One double division at the end:
+    var = (n·Σx² − (Σx)²) / (n·(n−1)), bit-identical cross-engine."""
+    num = (n.cast("decimal(38,0)") * ss - s.cast("decimal(38,0)") * s)
+    den = n.cast("decimal(38,0)") * (n - F.lit(1))
+    return num.cast("double") / den.cast("double")
+
+
+def exact_corr(
+    n: Column, sx: Column, sy: Column, sxx: Column, syy: Column, sxy: Column
+) -> Column:
+    """Pearson correlation from exact power sums: every term is computed
+    in DECIMAL(38,0) (no int64 overflow at 100 TB row counts), then
+    exactly three IEEE ops (two sqrt, one divide) — deterministic in any
+    engine that evaluates the same expression."""
+    d = lambda c: c.cast("decimal(38,0)")
+    cov = (d(n) * sxy - d(sx) * sy).cast("double")
+    vx = F.sqrt((d(n) * sxx - d(sx) * sx).cast("double"))
+    vy = F.sqrt((d(n) * syy - d(sy) * sy).cast("double"))
+    return cov / (vx * vy)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    tokens_col: Column,
+    budget: int = 512,
+    part_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in a stable
+    order and cut training sequences every ``budget`` tokens (documents
+    may span a boundary). Emits per-doc packing coordinates:
+    ``n_tokens``, running ``cum_tokens``, the 0-based ``chunk_start`` /
+    ``chunk_end`` sequence ids, and ``spans`` (# sequences touched).
+
+    Packing is per-``part_col`` (shard): a global concatenation order
+    would serialize the cumulative sum through one partition; per-shard
+    packing is how the real pipelines do it (pack within a shard, shard
+    count scales with the cluster). All math is int64 — deterministic
+    everywhere."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tk = tokens_col.cast("bigint")
+    out = docs.withColumn("n_tokens", tk).filter(F.col("n_tokens") > 0)
+    cum = F.sum("n_tokens").over(w)
+    return (
+        out.withColumn("cum_tokens", cum)
+        # integer `div`, never double division: double loses exactness
+        # past 2^53 cumulative tokens — real at 100 TB corpus scale
+        .withColumn(
+            "chunk_start", F.expr(f"(cum_tokens - n_tokens) div {budget}")
+        )
+        .withColumn("chunk_end", F.expr(f"(cum_tokens - 1) div {budget}"))
+        .withColumn("spans", F.col("chunk_end") - F.col("chunk_start") + 1)
+    )

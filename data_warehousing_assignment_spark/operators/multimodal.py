@@ -240,3 +240,73 @@ def sample_frames(df: DataFrame, every_n: int = 2, id_col: str = "doc_id") -> Da
             )
 
     return df.select(id_col, "payload", "meta").mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+AUDIO_ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("total_sq", LongType()),
+        StructField("peak_frame_sq", LongType()),
+    ]
+)
+
+
+def audio_frame_energy(
+    df: DataFrame,
+    frame_len: int = 256,
+    id_col: str = "doc_id",
+    real_codec: bool = False,
+) -> DataFrame:
+    """Audio feature extraction STUB: treat the payload body as 8-bit
+    PCM (sample = byte − 128), frame it into ``frame_len``-sample
+    windows (last window may be partial) and emit per-item energy
+    features — sample count, frame count, total squared energy, and the
+    peak per-frame squared energy. The framing/windowing shape is
+    exactly what a real librosa/ffmpeg front-end produces; all energy
+    math is integer, so the oracle check is exact, not approximate.
+
+    ``real_codec=True`` is the documented integration point for a real
+    PCM decoder and raises ``NotImplementedError`` (no audio libs in
+    this environment)."""
+    if real_codec:
+        raise NotImplementedError(
+            "real audio codecs unavailable here; plug soundfile/ffmpeg into "
+            "the batch loop below — the mapInPandas contract is unchanged"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, ns, nf, tot, peak = [], [], [], [], []
+            for i, b in zip(pdf[id_col], pdf["payload"]):
+                body = bytes(b)[len(_MAGIC):]
+                ids.append(int(i))
+                if not body:
+                    ns.append(0); nf.append(0); tot.append(0); peak.append(0)
+                    continue
+                # int64 immediately: (byte-128)² sums must never wrap
+                s = np.frombuffer(body, dtype=np.uint8).astype(np.int64) - 128
+                sq = s * s
+                n = len(s)
+                frames = [
+                    int(sq[f : f + frame_len].sum())
+                    for f in range(0, n, frame_len)
+                ]
+                ns.append(n)
+                nf.append(len(frames))
+                tot.append(int(sq.sum()))
+                peak.append(max(frames))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_samples": ns,
+                    "n_frames": nf,
+                    "total_sq": tot,
+                    "peak_frame_sq": peak,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, AUDIO_ENERGY_SCHEMA)

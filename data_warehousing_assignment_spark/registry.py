@@ -227,6 +227,7 @@ def import_all_registries() -> None:
         "registry_core",
         "registry_pipelines",
         "registry_extensions",
+        "registry_analytics",
         "registry_io",
     ):
         importlib.import_module(f"data_warehousing_assignment_spark.{mod}")

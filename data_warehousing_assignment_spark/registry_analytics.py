@@ -1,0 +1,628 @@
+"""Analytics registry: window-function and exact-statistics operators
+(sessionization, moving aggregates, rank/ntile, exact moments,
+histograms, winsorized stats) plus the sequence-packing / sharding /
+repetition-filter stages a training-data pipeline runs after cleaning.
+
+No reference counterpart (the reference's only window op is the
+row_number dedup in ``A3_load_dim_emp.sql:42-62``, covered by
+op-win-rownumber-key); this is the SURVEY.md §7.5 extension surface.
+
+Every query here follows the registry.py determinism rules: decimal or
+int64 exact sums, one final IEEE op per surfaced double, unique window
+tiebreakers, dates as strings at the boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_warehousing_assignment_spark.operators import analytics as an
+from data_warehousing_assignment_spark.operators import text as tx
+from data_warehousing_assignment_spark.registry import (
+    dec,
+    o_dsum,
+    query,
+    sum_cents,
+    t,
+)
+
+# Shared fragments ---------------------------------------------------------
+
+#: exact integer cents of a 2-dp money double (row-local, both engines)
+_CENTS = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+def _price_cents() -> F.Column:
+    return (dec("l_extendedprice") * 100).cast("bigint")
+
+
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+# --------------------------------------------------------------------------
+# sessionization / event-time windows
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-sessionize",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us, value
+      FROM events WHERE user_id < 25
+    ),
+    lagd AS (
+      SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                  AS prev
+      FROM ev
+    ),
+    marked AS (
+      SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM lagd
+    ),
+    sess AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, CAST(sid AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS duration_s,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def op_ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization of the event stream (30-min inactivity gap),
+    aggregated per session. lag + running-sum windows and the session
+    aggregate all share ONE user_id shuffle (analytics.sessionize);
+    user_id < 25 bounds the gate's output, the operator is unbounded."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 25)
+        .withColumn("ts_us", F.expr("ts_ns div 1000"))
+    )
+    sess = an.sessionize(ev, gap_minutes=30)
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("(max(ts_us) - min(ts_us)) div 1000000")
+        .cast("bigint")
+        .alias("duration_s"),
+        F.sum(dec("value")).cast("double").alias("session_value"),
+    )
+
+
+@query(
+    "op-ext-event-gaps",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us
+      FROM events WHERE user_id < 25
+    ),
+    gaps AS (
+      SELECT user_id,
+             us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+               AS gap_us
+      FROM ev
+    )
+    SELECT user_id, COUNT(gap_us) AS n_gaps,
+           CAST(MIN(gap_us) // 1000000 AS BIGINT) AS min_gap_s,
+           CAST(MAX(gap_us) // 1000000 AS BIGINT) AS max_gap_s,
+           CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(gap_us) * 1000000 AS DOUBLE)
+             AS avg_gap_s
+    FROM gaps GROUP BY user_id
+    """,
+)
+def op_ext_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event-gap profile via lag(): integer-µs gaps, so
+    min/max/avg are exact (one IEEE division for the average). The lag
+    window and the aggregate share one user_id shuffle."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 25)
+        .withColumn("ts_us", F.expr("ts_ns div 1000"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = ev.withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w))
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.expr("min(gap_us) div 1000000").cast("bigint").alias("min_gap_s"),
+        F.expr("max(gap_us) div 1000000").cast("bigint").alias("max_gap_s"),
+        (
+            F.sum("gap_us").cast("double")
+            / (F.count("gap_us") * 1_000_000).cast("double")
+        ).alias("avg_gap_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# moving / cumulative window aggregates
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-moving-avg",
+    oracle=f"""
+    WITH daily AS (
+      SELECT l_returnflag, strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS p
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag, ship_day,
+           CAST(p AS DOUBLE) / 100.0 AS day_revenue,
+           CAST(SUM(p) OVER w AS DOUBLE)
+             / CAST(100 * COUNT(*) OVER w AS DOUBLE) AS ma7
+    FROM daily
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY ship_day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def op_ext_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily revenue per return flag. The window
+    runs over the POST-AGGREGATE daily frame (~2.5k rows per flag at any
+    raw scale — the only scalable place for a time-ordered window); the
+    moving sum is exact integer cents, one division at the end."""
+    li = t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+    ).agg(sum_cents("l_extendedprice").alias("_p"))
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("ship_day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "l_returnflag",
+        "ship_day",
+        (F.col("_p").cast("double") / 100.0).alias("day_revenue"),
+        (
+            F.sum("_p").over(w).cast("double")
+            / (F.count(F.lit(1)).over(w) * 100).cast("double")
+        ).alias("ma7"),
+    )
+
+
+@query(
+    "op-ext-cumsum",
+    oracle="""
+    WITH monthly AS (
+      SELECT l_returnflag, strftime(l_shipdate, '%Y-%m') AS ship_month,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS p
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag, ship_month,
+           CAST(p AS DOUBLE) / 100.0 AS month_revenue,
+           CAST(SUM(p) OVER (PARTITION BY l_returnflag ORDER BY ship_month
+                             ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0
+             AS running_revenue
+    FROM monthly
+    """,
+)
+def op_ext_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) monthly revenue per return flag — the
+    running-total window over the post-aggregate monthly frame; exact
+    integer-cents prefix sums surfaced as doubles."""
+    li = t(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_returnflag",
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+    ).agg(sum_cents("l_extendedprice").alias("_p"))
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("ship_month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "l_returnflag",
+        "ship_month",
+        (F.col("_p").cast("double") / 100.0).alias("month_revenue"),
+        (F.sum("_p").over(w).cast("double") / 100.0).alias("running_revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# rank / ntile
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-topk-per-group",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n_name, s.s_suppkey, s_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS p
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT n_name, s_name, CAST(p AS DOUBLE) / 100.0 AS revenue,
+           rnk
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY n_name
+                         ORDER BY p DESC, s_suppkey) AS BIGINT) AS rnk
+          FROM rev)
+    WHERE rnk <= 3
+    """,
+)
+def op_ext_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 suppliers by lineitem revenue within each nation: broadcast
+    the two dims into the fact scan, one partial-aggregated shuffle on
+    (nation, supplier), then row_number ≤ 3 so only k rows per group
+    leave the window stage (analytics.top_k_per_group)."""
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name", "s_suppkey", "s_name")
+        .agg(sum_cents("l_extendedprice").alias("_p"))
+    )
+    top = an.top_k_per_group(
+        rev, ["n_name"], [F.desc("_p"), F.asc("s_suppkey")], k=3
+    )
+    return top.select(
+        "n_name",
+        "s_name",
+        (F.col("_p").cast("double") / 100.0).alias("revenue"),
+        "rnk",
+    )
+
+
+@query(
+    "op-ext-ntile",
+    oracle="""
+    WITH q AS (
+      SELECT c_custkey, c_acctbal,
+             ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer
+    )
+    SELECT CAST(quartile AS BIGINT) AS quartile,
+           COUNT(*) AS n_customers,
+           MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM q GROUP BY 1
+    """,
+)
+def op_ext_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance quartiles via ntile(4) (unique tiebreaker key so
+    equal balances land deterministically), summarized per quartile.
+    The global ntile sort is over the customer dim — small relative to
+    facts; for fact-scale quantile bucketing use the histogram /
+    percentile operators instead."""
+    cust = t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    q = cust.withColumn("quartile", F.ntile(4).over(w).cast("bigint"))
+    return q.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
+    )
+
+
+@query(
+    "op-ext-argmax",
+    oracle=f"""
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           l_extendedprice AS top_price
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                  ORDER BY {_CENTS} DESC, l_orderkey, l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def op_ext_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax per group — WHICH lineitem carries each flag's maximum
+    price (row_number over exact cents with full-key tiebreak, rn = 1).
+    Plans as a per-partition top-1 before the final per-group pick —
+    never a global sort of the fact."""
+    li = t(spark, sf_dir, "lineitem").withColumn("_pc", _price_cents())
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("_pc"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").alias("top_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# exact statistics
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-moments",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(CAST(l_quantity AS BIGINT)) AS sx,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+               AS sxx
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n AS n_rows,
+           CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE) AS var_qty,
+           sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                     - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+                / CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE))
+             AS std_qty
+    FROM s
+    """,
+)
+def op_ext_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sample variance / stddev of quantity per flag from integer
+    power sums (analytics.exact_var_samp) — engine-native STDDEV over
+    doubles is accumulation-order-dependent and can't cross the oracle
+    boundary; power sums are map-side combinable and exact at any
+    scale."""
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "_q", F.col("l_quantity").cast("bigint")
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_q").alias("sx"),
+        F.sum(F.col("_q") * F.col("_q")).alias("sxx"),
+    )
+    var = an.exact_var_samp(F.col("n"), F.col("sx"), F.col("sxx"))
+    return s.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("std_qty"),
+    )
+
+
+@query(
+    "op-ext-corr",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(CAST(l_quantity AS BIGINT)) AS sx,
+             SUM({_CENTS}) AS sy,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+               AS sxx,
+             SUM(CAST({_CENTS} AS DECIMAL(38,0)) * {_CENTS}) AS syy,
+             SUM(CAST(l_quantity AS BIGINT) * {_CENTS}) AS sxy
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n AS n_rows,
+           CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+           / (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                        - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE))
+              * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy
+                          - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)))
+             AS corr_qty_price
+    FROM s
+    """,
+)
+def op_ext_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation of quantity vs price per flag from
+    DECIMAL(38,0) power sums (analytics.exact_corr): Σy² overflows
+    int64 at fact scale, so the squared-cents sum accumulates in
+    128-bit decimal; the final value is three IEEE ops over exact
+    sums — deterministic cross-engine, one map-side-combined pass."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .withColumn("_q", F.col("l_quantity").cast("bigint"))
+        .withColumn("_pc", _price_cents())
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_q").alias("sx"),
+        F.sum("_pc").alias("sy"),
+        F.sum(F.col("_q") * F.col("_q")).alias("sxx"),
+        F.sum(F.col("_pc").cast("decimal(38,0)") * F.col("_pc")).alias("syy"),
+        F.sum(F.col("_q") * F.col("_pc")).alias("sxy"),
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        an.exact_corr(
+            F.col("n"), F.col("sx"), F.col("sy"),
+            F.col("sxx"), F.col("syy"), F.col("sxy"),
+        ).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "op-ext-histogram",
+    oracle=f"""
+    SELECT CAST(least({_CENTS} // 1100000, 9) AS BIGINT) AS bin,
+           COUNT(*) AS n_items,
+           {o_dsum('l_extendedprice')} AS bin_revenue
+    FROM lineitem GROUP BY 1
+    """,
+)
+def op_ext_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width price histogram (10 × $11,000 bins, top bin open):
+    bin id is exact integer division on cents — a pure map-side
+    expression, so the histogram is ONE combinable aggregate however
+    wide the fact table is."""
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "bin", F.least(F.expr(f"({_CENTS}) div 1100000"), F.lit(9)).cast("bigint")
+    )
+    return li.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("bin_revenue"),
+    )
+
+
+@query(
+    "op-ext-winsorize",
+    oracle=f"""
+    WITH pc AS (SELECT l_returnflag, {_CENTS} AS c, l_extendedprice
+                FROM lineitem),
+    bounds AS (
+      SELECT l_returnflag,
+             CAST(ceil(quantile_cont(c, 0.05)) AS BIGINT) AS lo_c,
+             CAST(floor(quantile_cont(c, 0.95)) AS BIGINT) AS hi_c
+      FROM pc GROUP BY 1
+    )
+    SELECT p.l_returnflag, b.lo_c, b.hi_c,
+           COUNT(*) FILTER (WHERE c < lo_c) AS n_low,
+           COUNT(*) FILTER (WHERE c > hi_c) AS n_high,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  FILTER (WHERE c >= lo_c AND c <= hi_c) AS DOUBLE)
+             AS inlier_revenue
+    FROM pc p JOIN bounds b ON p.l_returnflag = b.l_returnflag
+    GROUP BY 1, 2, 3
+    """,
+)
+def op_ext_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-group stats: p05/p95 price bounds (exact
+    percentile over integer cents, quantized to whole cents so the
+    threshold comparison is integer-exact), then outlier counts and the
+    inlier revenue sum. Two passes over the fact; the bounds frame is
+    groups-sized and broadcast back — the standard scalable shape for
+    quantile clipping."""
+    pc = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", _price_cents().alias("c"), "l_extendedprice"
+    )
+    bounds = pc.groupBy("l_returnflag").agg(
+        F.ceil(F.expr("percentile(c, 0.05)")).cast("bigint").alias("lo_c"),
+        F.floor(F.expr("percentile(c, 0.95)")).cast("bigint").alias("hi_c"),
+    )
+    j = pc.join(F.broadcast(bounds), "l_returnflag")
+    mid = (F.col("c") >= F.col("lo_c")) & (F.col("c") <= F.col("hi_c"))
+    return j.groupBy("l_returnflag", "lo_c", "hi_c").agg(
+        F.count(F.when(F.col("c") < F.col("lo_c"), 1)).alias("n_low"),
+        F.count(F.when(F.col("c") > F.col("hi_c"), 1)).alias("n_high"),
+        F.sum(F.when(mid, dec("l_extendedprice")))
+        .cast("double")
+        .alias("inlier_revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data packing / sharding / repetition filtering
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-seq-pack",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      -- SUM(BIGINT) OVER returns HUGEINT, which pandas would surface as
+      -- float: cast back to BIGINT (and everything derived from it)
+      SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS cum_tokens
+      FROM tok WHERE n_tokens > 0
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens,
+           CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS chunk_start,
+           CAST((cum_tokens - 1) // 512 AS BIGINT) AS chunk_end,
+           CAST((cum_tokens - 1) // 512
+                - (cum_tokens - n_tokens) // 512 + 1 AS BIGINT) AS spans
+    FROM cum
+    """,
+)
+def op_ext_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing coordinates: concatenate docs per
+    source shard in doc_id order, cut a training sequence every 512
+    tokens, report each doc's chunk span (analytics.pack_sequences).
+    Per-shard windows keep the prefix sum parallel — the shard count,
+    not the corpus size, bounds the sequential work."""
+    docs = t(spark, sf_dir, "documents")
+    packed = an.pack_sequences(
+        docs, tx.token_count("text"), budget=512,
+        part_col="source", order_col="doc_id",
+    )
+    return packed.select(
+        "doc_id", "source", "n_tokens", "cum_tokens",
+        "chunk_start", "chunk_end", "spans",
+    )
+
+
+@query(
+    "op-ext-repetition",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct,
+           1.0 - CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                   / CAST(len({_TOKS}) AS DOUBLE) AS rep_ratio,
+           (1.0 - CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                    / CAST(len({_TOKS}) AS DOUBLE)) > 0.2 AS flagged
+    FROM documents
+    """,
+)
+def op_ext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: duplicate-token fraction per doc
+    (1 − distinct/total), flag above 20%. Row-local array ops, zero
+    shuffle; the ratio is one IEEE division of exact ints."""
+    toks = tx.tokens("text")
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+    )
+    ratio = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col(
+        "n_tokens"
+    ).cast("double")
+    return docs.select(
+        "doc_id", "n_tokens", "n_distinct",
+        ratio.alias("rep_ratio"), (ratio > 0.2).alias("flagged"),
+    )
+
+
+def _shard_bucket_sql() -> str:
+    h = "md5('shard:' || CAST(doc_id AS VARCHAR))"
+    nib = "(strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
+    return f"({nib.format(h=h, i=1)} * 16 + {nib.format(h=h, i=2)})"
+
+
+@query(
+    "op-ext-shard-assign",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             CAST({_shard_bucket_sql()} % 8 AS BIGINT) AS shard,
+             md5('ord:' || CAST(doc_id AS VARCHAR)) AS ord_key
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY ord_key, doc_id) AS BIGINT) AS pos
+    FROM sh
+    """,
+)
+def op_ext_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: content-addressed shard
+    (md5 bucket % 8) + a hash-ordered position within the shard — a
+    stable global permutation with no rand()/seed plumbing, reproducible
+    across engines, reruns, and cluster sizes. row_number runs per
+    shard, so the sort is per-shard parallel, never global."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (tx.hash_bucket("doc_id", "shard:") % 8).cast("bigint").alias("shard"),
+        F.md5(F.concat(F.lit("ord:"), F.col("doc_id").cast("string"))).alias(
+            "_ord"
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy("_ord", "doc_id")
+    return docs.select(
+        "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos")
+    )

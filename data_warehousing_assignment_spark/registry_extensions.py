@@ -622,6 +622,44 @@ def op_ext_mm_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "op-ext-mm-audio-energy",
+    # Fake 8-bit PCM: sample = byte − 128 over the ASCII text body
+    # (magic excluded), 64-sample frames. Pure integer energy math, so
+    # the oracle replays it exactly with list ops — no tolerance.
+    oracle="""
+    WITH samp AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text) + 1),
+                            i -> (ord(substr(text, i, 1)) - 128)
+                                 * (ord(substr(text, i, 1)) - 128)) AS sq,
+             length(text) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST((n + 63) // 64 AS BIGINT) AS n_frames,
+           CAST(coalesce(list_sum(sq), 0) AS BIGINT) AS total_sq,
+           CAST(CASE WHEN n = 0 THEN 0 ELSE
+             list_max(list_transform(range(0, (n + 63) // 64),
+               f -> coalesce(list_sum(list_slice(sq, f * 64 + 1,
+                                                 f * 64 + 64)), 0)))
+           END AS BIGINT) AS peak_frame_sq
+    FROM samp
+    """,
+)
+def op_ext_mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed audio decode + frame-energy extraction (real codec =
+    NotImplementedError integration point): payload bytes → centered
+    8-bit PCM → 64-sample frame windows → total / peak squared energy,
+    through the same Arrow-batched mapInPandas contract a real
+    librosa/ffmpeg front-end would use. Integer-exact, value-verified."""
+    docs = mm.with_media_columns(docs_t(spark, sf_dir))
+    return mm.audio_frame_energy(docs, frame_len=64).select(
+        "doc_id", "n_samples", "n_frames", "total_sq", "peak_frame_sq"
+    )
+
+
 from data_warehousing_assignment_spark.streaming import stateful as st  # noqa: E402
 
 

@@ -1,0 +1,143 @@
+"""Window/statistics analytics operators: sessionization invariants,
+sequence-packing coverage, top-k bounds, and exact-moment math vs
+numpy's reference implementation."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from data_warehousing_assignment_spark.operators import analytics as an
+from data_warehousing_assignment_spark.operators import text as tx
+from tests.conftest import SF_SMALL
+
+GAP_MIN = 30
+GAP_US = GAP_MIN * 60 * 1_000_000
+
+
+def _events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts_us", F.expr("ts_ns div 1000"))
+    )
+
+
+def test_sessionize_gap_semantics(spark):
+    """Within a session every inter-event gap ≤ GAP; across consecutive
+    sessions the boundary gap > GAP. Verified per user over all rows."""
+    sess = an.sessionize(_events(spark), gap_minutes=GAP_MIN)
+    rows = (
+        sess.select("user_id", "ts_us", "event_id", "session_seq")
+        .orderBy("user_id", "ts_us", "event_id")
+        .collect()
+    )
+    prev = {}
+    for r in rows:
+        if r.user_id in prev:
+            p = prev[r.user_id]
+            gap = r.ts_us - p.ts_us
+            if r.session_seq == p.session_seq:
+                assert gap <= GAP_US
+            else:
+                assert r.session_seq == p.session_seq + 1
+                assert gap > GAP_US
+        else:
+            assert r.session_seq == 1
+        prev[r.user_id] = r
+
+
+def test_pack_sequences_covers_every_token_once(spark):
+    """Per shard: cum_tokens of the last doc equals the total token
+    count, chunks are contiguous from 0, and every doc's span matches
+    its chunk window."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    packed = an.pack_sequences(
+        docs, tx.token_count("text"), budget=128,
+        part_col="source", order_col="doc_id",
+    ).select("source", "doc_id", "n_tokens", "cum_tokens",
+             "chunk_start", "chunk_end", "spans")
+    by_src = {}
+    for r in packed.orderBy("source", "doc_id").collect():
+        by_src.setdefault(r.source, []).append(r)
+    assert by_src
+    for src, rows in by_src.items():
+        run = 0
+        for r in rows:
+            run += r.n_tokens
+            assert r.cum_tokens == run
+            assert r.chunk_start == (r.cum_tokens - r.n_tokens) // 128
+            assert r.chunk_end == (r.cum_tokens - 1) // 128
+            assert r.spans == r.chunk_end - r.chunk_start + 1 >= 1
+        # chunk ids are a contiguous 0-based range per shard
+        assert rows[0].chunk_start == 0
+        assert rows[-1].chunk_end == (run - 1) // 128
+
+
+def test_top_k_per_group_bounds(spark):
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    top = an.top_k_per_group(
+        li, ["l_returnflag"],
+        [F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        k=5,
+    )
+    counts = {r.l_returnflag: r["count"]
+              for r in top.groupBy("l_returnflag").count().collect()}
+    assert counts and all(c <= 5 for c in counts.values())
+    # the per-group max really is rank 1
+    mx = {r.l_returnflag: r.mx for r in li.groupBy("l_returnflag")
+          .agg(F.max("l_extendedprice").alias("mx")).collect()}
+    for r in top.filter(F.col("rnk") == 1).collect():
+        assert r.l_extendedprice == mx[r.l_returnflag]
+
+
+def test_exact_moments_match_numpy(spark):
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").withColumn(
+        "_q", F.col("l_quantity").cast("bigint")
+    )
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_q").alias("sx"),
+        F.sum(F.col("_q") * F.col("_q")).alias("sxx"),
+    ).select(
+        an.exact_var_samp(F.col("n"), F.col("sx"), F.col("sxx")).alias("v")
+    )
+    got = s.collect()[0].v
+    q = np.array(
+        [r._q for r in li.select("_q").collect()], dtype=np.float64
+    )
+    assert math.isclose(got, float(np.var(q, ddof=1)), rel_tol=1e-12)
+
+
+def test_exact_corr_matches_numpy(spark):
+    li = (
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .withColumn("_q", F.col("l_quantity").cast("bigint"))
+        .withColumn(
+            "_pc",
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+                "bigint"
+            ),
+        )
+    )
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_q").alias("sx"),
+        F.sum("_pc").alias("sy"),
+        F.sum(F.col("_q") * F.col("_q")).alias("sxx"),
+        F.sum(F.col("_pc").cast("decimal(38,0)") * F.col("_pc")).alias("syy"),
+        F.sum(F.col("_q") * F.col("_pc")).alias("sxy"),
+    ).select(
+        an.exact_corr(
+            F.col("n"), F.col("sx"), F.col("sy"),
+            F.col("sxx"), F.col("syy"), F.col("sxy"),
+        ).alias("c")
+    )
+    got = s.collect()[0].c
+    rows = li.select("_q", "_pc").collect()
+    q = np.array([r._q for r in rows], dtype=np.float64)
+    p = np.array([r._pc for r in rows], dtype=np.float64)
+    assert math.isclose(got, float(np.corrcoef(q, p)[0, 1]), rel_tol=1e-9)

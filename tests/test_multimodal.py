@@ -102,3 +102,36 @@ def test_corpus_is_ascii_for_framesample_oracle(spark):
         F.length(F.col("text")) != F.octet_length(F.col("text"))
     ).count()
     assert non_ascii == 0
+
+
+def test_audio_frame_energy_math(spark):
+    """Hand-computed energies for the fake 8-bit PCM decode: sample =
+    byte − 128, 4-sample frames, integer sums."""
+    df = spark.createDataFrame(TEXTS, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in mm.audio_frame_energy(
+            mm.with_media_columns(df), frame_len=4
+        ).collect()
+    }
+    for doc_id, text in TEXTS:
+        body = text.encode()
+        sq = [(b - 128) ** 2 for b in body]
+        r = out[doc_id]
+        assert r.n_samples == len(body)
+        assert r.total_sq == sum(sq)
+        if body:
+            frames = [sum(sq[i : i + 4]) for i in range(0, len(sq), 4)]
+            assert r.n_frames == len(frames)
+            assert r.peak_frame_sq == max(frames)
+        else:
+            assert (r.n_frames, r.peak_frame_sq) == (0, 0)
+
+
+def test_audio_real_codec_is_documented_stub(spark):
+    df = spark.createDataFrame(TEXTS, "doc_id long, text string")
+    try:
+        mm.audio_frame_energy(mm.with_media_columns(df), real_codec=True)
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass

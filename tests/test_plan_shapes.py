@@ -78,12 +78,15 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     )
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
-        "overwrite"
-    ).saveAsTable("b_orders")
-    lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
-        "overwrite"
-    ).saveAsTable("b_lineitem")
+    # external tables under tmp_path: a managed table's warehouse dir can
+    # survive a crashed run while the in-memory catalog forgets it, and
+    # the orphaned location then fails every later saveAsTable.
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+        "path", str(tmp_path / "b_orders")
+    ).mode("overwrite").saveAsTable("b_orders")
+    lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+        "path", str(tmp_path / "b_lineitem")
+    ).mode("overwrite").saveAsTable("b_lineitem")
     joined = spark.table("b_lineitem").join(
         spark.table("b_orders"),
         F.col("l_orderkey") == F.col("o_orderkey"),
