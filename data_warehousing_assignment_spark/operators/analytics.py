@@ -136,3 +136,31 @@ def pack_sequences(
         .withColumn("chunk_end", F.expr(f"(cum_tokens - 1) div {budget}"))
         .withColumn("spans", F.col("chunk_end") - F.col("chunk_start") + 1)
     )
+
+
+def chunk_totals(
+    packed: DataFrame, budget: int = 512, part_col: str = "source"
+) -> DataFrame:
+    """Materialize the per-sequence view of :func:`pack_sequences`: each
+    doc explodes over the chunk range it spans, contributing the integer
+    token overlap ``min(cum, (c+1)·B) − max(cum−tk, c·B)`` to chunk c.
+    Output per (shard, chunk): token total (== budget for every chunk
+    except a shard's last — the packing invariant), docs touching, docs
+    starting.
+
+    Explode fan-out is bounded by doc_tokens/budget + 1; the aggregate
+    shuffles on (shard, chunk) — both scale linearly."""
+    chunks = packed.withColumn(
+        "chunk", F.explode(F.sequence("chunk_start", "chunk_end"))
+    )
+    lo = F.greatest(
+        F.col("cum_tokens") - F.col("n_tokens"), F.col("chunk") * budget
+    )
+    hi = F.least(F.col("cum_tokens"), (F.col("chunk") + 1) * budget)
+    return chunks.groupBy(part_col, "chunk").agg(
+        F.sum(hi - lo).alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("chunk_start") == F.col("chunk"), 1).otherwise(0)
+        ).alias("n_docs_starting"),
+    )

@@ -626,3 +626,153 @@ def op_ext_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos")
     )
+
+
+@query(
+    "op-ext-chunk-digest",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS cum_tokens
+      FROM tok WHERE n_tokens > 0
+    ),
+    spans AS (
+      SELECT *, CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS chunk_start,
+                CAST((cum_tokens - 1) // 512 AS BIGINT) AS chunk_end
+      FROM cum
+    ),
+    expl AS (
+      SELECT source, cum_tokens, n_tokens, chunk_start,
+             unnest(generate_series(chunk_start, chunk_end)) AS chunk
+      FROM spans
+    )
+    SELECT source, chunk,
+           CAST(SUM(least(cum_tokens, (chunk + 1) * 512)
+                    - greatest(cum_tokens - n_tokens, chunk * 512))
+                AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN chunk_start = chunk THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_starting
+    FROM expl GROUP BY source, chunk
+    """,
+)
+def op_ext_chunk_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-sequence digest of the packed corpus: explode each
+    doc over the chunks it spans, sum the integer token overlaps
+    (analytics.chunk_totals). Every non-final chunk per shard totals
+    exactly 512 tokens — the packing invariant, value-checked by the
+    oracle."""
+    docs = t(spark, sf_dir, "documents")
+    packed = an.pack_sequences(
+        docs, tx.token_count("text"), budget=512,
+        part_col="source", order_col="doc_id",
+    )
+    return an.chunk_totals(packed, budget=512).select(
+        "source", "chunk", "n_tokens", "n_docs", "n_docs_starting"
+    )
+
+
+@query(
+    "op-ext-unpivot",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, 'quantity' AS measure, qty AS total FROM s
+    UNION ALL
+    SELECT l_returnflag, 'extendedprice', price FROM s
+    UNION ALL
+    SELECT l_returnflag, 'discount', disc FROM s
+    """,
+)
+def op_ext_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt) of per-flag measure totals via stack():
+    the inverse of op-ext-pivot. Melting AFTER aggregation keeps the
+    long table groups×measures-sized; stack is a row-local Expand,
+    zero extra shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("price"),
+        F.sum(dec("l_discount")).cast("double").alias("disc"),
+    )
+    return s.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'quantity', qty, 'extendedprice', price, "
+            "'discount', disc) AS (measure, total)"
+        ),
+    )
+
+
+@query(
+    "op-ext-grouping-sets",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def op_ext_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the generalized form behind op-ext-rollup/cube:
+    per-status totals, per-priority totals, and the grand total in ONE
+    Expand + single aggregate pass (never three scans). NULL group keys
+    surface as 'ALL' so the label is engine-neutral."""
+    orders = t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "op-ext-stream-join-outer",
+    oracle="""
+    SELECT v.event_id AS view_id, v.user_id,
+           CAST(p.event_id AS BIGINT) AS purchase_id,
+           p.value AS purchase_value,
+           CAST(epoch(date_trunc('second', p.ts))
+                - epoch(date_trunc('second', v.ts)) AS BIGINT) AS delay_sec
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     -- µs comparison: Spark truncates the ns timestamp to µs
+     AND epoch_us(p.ts) >= epoch_us(v.ts)
+     AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000
+    """,
+)
+def op_ext_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join (view → conversion outcome
+    incl. non-converting views as NULL rows): the watermark-bounded
+    outer join a funnel pipeline runs live; registered on the static
+    frames where the oracle is exact (sj.view_conversion_outcomes —
+    stream mode covered in tests/test_stream_join.py)."""
+    from data_warehousing_assignment_spark.streaming import joins as sj
+
+    ev = t(spark, sf_dir, "events")
+    return sj.view_conversion_outcomes(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )

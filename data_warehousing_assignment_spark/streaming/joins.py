@@ -63,3 +63,50 @@ def view_purchase_conversions(
             .alias("delay_sec"),
         )
     )
+
+
+def view_conversion_outcomes(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "15 minutes",
+) -> DataFrame:
+    """LEFT-OUTER interval join: every view, with its converting
+    purchase(s) or NULLs when none arrived within the horizon — the
+    funnel-outcome variant of :func:`view_purchase_conversions`.
+
+    Streaming semantics: Spark emits the NULL-padded row only once the
+    view's watermark passes view_ts + horizon (it must be sure no
+    matching purchase can still arrive), so outer results trail the
+    watermark — the same builder runs batch, where the oracle checks it
+    exactly."""
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("value").alias("purchase_value"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if v.isStreaming:
+        v = v.withWatermark("view_ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return v.join(p, on=cond, how="left").select(
+        "view_id",
+        "user_id",
+        F.col("purchase_id").cast("bigint").alias("purchase_id"),
+        "purchase_value",
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts"))
+        .cast("bigint")
+        .alias("delay_sec"),
+    )

@@ -141,3 +141,34 @@ def test_exact_corr_matches_numpy(spark):
     q = np.array([r._q for r in rows], dtype=np.float64)
     p = np.array([r._pc for r in rows], dtype=np.float64)
     assert math.isclose(got, float(np.corrcoef(q, p)[0, 1]), rel_tol=1e-9)
+
+
+def test_chunk_totals_packing_invariant(spark):
+    """Every chunk except each shard's last holds exactly `budget`
+    tokens, and chunk token totals sum to the shard's token count."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    packed = an.pack_sequences(
+        docs, tx.token_count("text"), budget=128,
+        part_col="source", order_col="doc_id",
+    )
+    chunks = an.chunk_totals(packed, budget=128)
+    rows = chunks.orderBy("source", "chunk").collect()
+    last_chunk = {}
+    for r in rows:
+        last_chunk[r.source] = max(last_chunk.get(r.source, -1), r.chunk)
+    for r in rows:
+        if r.chunk < last_chunk[r.source]:
+            assert r.n_tokens == 128, (r.source, r.chunk, r.n_tokens)
+        else:
+            assert 1 <= r.n_tokens <= 128
+    # chunk totals partition the shard token mass exactly
+    per_shard = {}
+    for r in rows:
+        per_shard[r.source] = per_shard.get(r.source, 0) + r.n_tokens
+    expect = {
+        r.source: r.tot
+        for r in packed.groupBy("source")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .collect()
+    }
+    assert per_shard == expect

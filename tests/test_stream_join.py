@@ -60,3 +60,56 @@ def test_interval_bounds_respected(spark, events_dir):
     ).collect()
     for r in out:
         assert 0 <= r.delay_sec <= 3600
+
+
+def test_outer_join_batch_covers_every_view(spark, events_dir):
+    from data_warehousing_assignment_spark.streaming.joins import (
+        view_conversion_outcomes,
+    )
+
+    static = spark.read.parquet(events_dir)
+    views = static.filter(F.col("event_type") == "view")
+    purch = static.filter(F.col("event_type") == "purchase")
+    out = view_conversion_outcomes(views, purch)
+    # every view appears; non-converting views carry NULL purchase cols
+    assert out.select("view_id").distinct().count() == views.count()
+    matched = out.filter(F.col("purchase_id").isNotNull())
+    inner = view_purchase_conversions(views, purch)
+    assert matched.count() == inner.count()
+    assert out.filter(F.col("purchase_id").isNull()).count() > 0
+
+
+def test_outer_join_streams_matched_rows(spark, events_dir):
+    """Streaming left-outer interval join: append-mode accepted, and the
+    matched rows it emits equal the batch inner join. NULL-padded rows
+    trail the final watermark (a finite availableNow run never advances
+    past the last event), so only the matched subset is asserted."""
+    from data_warehousing_assignment_spark.streaming.joins import (
+        view_conversion_outcomes,
+    )
+
+    static = spark.read.parquet(events_dir)
+    stream = spark.readStream.schema(static.schema).parquet(events_dir)
+    out = view_conversion_outcomes(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "purchase"),
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssjoin_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("ssjoin_outer")
+    batch_inner = view_purchase_conversions(
+        static.filter(F.col("event_type") == "view"),
+        static.filter(F.col("event_type") == "purchase"),
+    )
+    assert canon(got.filter(F.col("purchase_id").isNotNull()).select(
+        "view_id", "purchase_id", "user_id", "purchase_value", "delay_sec"
+    )) == canon(batch_inner.select(
+        "view_id", "purchase_id", "user_id", "purchase_value", "delay_sec"
+    ))

@@ -42,6 +42,13 @@ ALLOWED = {
     # single-partition agg on one row; the ranking window itself is
     # doc_id-partitioned with WindowGroupLimit pushdown
     "op-ext-tfidf": {"cartesian", "single-partition window"},
+    # same 1-row corpus-stats broadcast as op-ext-tfidf (N + avgdl for
+    # the idf/length normalization); the ranking window itself is
+    # doc_id-partitioned
+    "op-ext-bm25": {"cartesian", "single-partition window"},
+    # global ntile over the customer DIM (docstring: fact-scale quantile
+    # bucketing goes through histogram/percentile operators instead)
+    "op-ext-ntile": {"single-partition window"},
 }
 
 
