@@ -27,6 +27,7 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from data_warehousing_assignment_spark.caching import release_unscoped
 from data_warehousing_assignment_spark.session import apply_runtime_confs
@@ -145,15 +146,40 @@ def query(name: str, oracle: str | None = None) -> Callable:
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing the events timestamp (stored as
-    parquet TIMESTAMP(NANOS) which Spark has no native type for: read as
-    long, keep integer nanos in `ts_ns`, plus micro-truncated `ts`)."""
+    parquet TIMESTAMP(NANOS)).
+
+    Two Spark behaviors exist for nano-precision parquet timestamps:
+
+    * older 4.x honors ``spark.sql.legacy.parquet.nanosAsLong`` and surfaces
+      the raw int64 nanos — exact, ``ts`` derived by integer division;
+    * 4.1+ ignores that conf and reads the column as ``TIMESTAMP_NTZ``
+      truncated to Spark's native µs precision (the same truncation DuckDB
+      applies when its ``DESCRIBE`` shows plain ``TIMESTAMP``), so ``ts_ns``
+      is reconstructed from the µs value.
+
+    Either way callers see the same surface: ``ts_ns`` (bigint, µs-exact),
+    ``ts`` (µs TIMESTAMP, UTC session) — and every oracle compares at µs or
+    coarser granularity, so both engines agree bit-for-bit.
+    """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return (
-            df.withColumnRenamed("ts", "ts_ns")
-            # integer div keeps this exact; double division would wobble at µs
-            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            return (
+                df.withColumnRenamed("ts", "ts_ns")
+                # integer div keeps this exact; double division wobbles at µs
+                .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+            )
+        # TIMESTAMP_NTZ path: cast is value-preserving (session tz = UTC).
+        ts = F.col("ts").cast("timestamp")
+        return df.select(
+            "event_id",
+            (F.unix_micros(ts) * 1000).alias("ts_ns"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+            ts.alias("ts"),
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -228,6 +254,7 @@ def import_all_registries() -> None:
         "registry_pipelines",
         "registry_extensions",
         "registry_analytics",
+        "registry_relational",
         "registry_io",
     ):
         importlib.import_module(f"data_warehousing_assignment_spark.{mod}")

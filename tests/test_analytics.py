@@ -18,11 +18,10 @@ GAP_US = GAP_MIN * 60 * 1_000_000
 
 
 def _events(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.read.parquet(f"{SF_SMALL}/events.parquet")
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts_us", F.expr("ts_ns div 1000"))
+    from data_warehousing_assignment_spark.registry import t
+
+    return t(spark, SF_SMALL, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
     )
 
 
