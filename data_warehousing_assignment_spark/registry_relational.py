@@ -1,0 +1,618 @@
+"""Relational-surface extensions: the ANSI-SQL operators the reference
+never uses (SURVEY.md §2.3/§2.4/§2.7 "not present" notes) plus the
+product-analytics queries (cohorts, funnels, outliers, fuzzy matching)
+a warehouse user expects once those operators exist.
+
+No reference counterpart — the reference's SQL surface stops at
+inner/left joins, UNION-distinct and plain GROUP BY (`KPIs.sql`,
+`TL_combine.sql`); everything here is the §7.5 extension surface built
+on the same tables.
+
+Determinism rules follow registry.py: exact integer/decimal math inside
+the engines, at most one final IEEE op per surfaced double, unique
+tiebreakers on every window/top-k, dates as strings at the boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_warehousing_assignment_spark.registry import (
+    dec,
+    query,
+    sum_cents,
+    t,
+)
+
+#: exact integer cents of the 2-dp price (same fragment as registry_analytics)
+_CENTS = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+def _price_cents() -> F.Column:
+    return (dec("l_extendedprice") * 100).cast("bigint")
+
+
+# --------------------------------------------------------------------------
+# set operations beyond UNION-distinct
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-intersect",
+    oracle="""
+    SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def op_ext_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — customers active in both 1995 and 1996. Spark plans
+    intersect as a left-semi join over distinct sets: two pruned scans,
+    one key shuffle, no row explosion at any scale."""
+    o = t(spark, sf_dir, "orders")
+    k94 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    k95 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    return k94.intersect(k95)
+
+
+@query(
+    "op-ext-except",
+    oracle="""
+    SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def op_ext_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — customers who churned after 1995: active that
+    year, silent the next. Plans as a left-anti join on the key — the
+    same scale shape as op-pred-not-in."""
+    o = t(spark, sf_dir, "orders")
+    k94 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    k95 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    return k94.exceptAll(k95)
+
+
+# --------------------------------------------------------------------------
+# join types beyond inner/left
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-join-full-outer",
+    oracle="""
+    WITH r94 AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS p94
+      FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1
+    ),
+    r95 AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS p95
+      FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+    )
+    SELECT o_custkey,
+           CAST(coalesce(p94, 0) AS DOUBLE) / 100.0 AS rev_1995,
+           CAST(coalesce(p95, 0) AS DOUBLE) / 100.0 AS rev_1996,
+           p94 IS NOT NULL AND p95 IS NOT NULL AS in_both
+    FROM r94 FULL OUTER JOIN r95 USING (o_custkey)
+    """,
+)
+def op_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — year-over-year revenue per customer keeping
+    customers present in either year. Both sides are pre-aggregated
+    (customer-sized, not order-sized) before the join, so the full-outer
+    shuffle moves one row per customer-year at any scale; USING-style
+    join(key) coalesces the key in both engines."""
+    o = t(spark, sf_dir, "orders")
+
+    def rev(year: int, alias: str) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(sum_cents("o_totalprice").alias(alias))
+        )
+
+    j = rev(1995, "_p94").join(rev(1996, "_p95"), "o_custkey", "full_outer")
+    return j.select(
+        "o_custkey",
+        (F.coalesce(F.col("_p94"), F.lit(0)).cast("double") / 100.0).alias(
+            "rev_1995"
+        ),
+        (F.coalesce(F.col("_p95"), F.lit(0)).cast("double") / 100.0).alias(
+            "rev_1996"
+        ),
+        (F.col("_p94").isNotNull() & F.col("_p95").isNotNull()).alias(
+            "in_both"
+        ),
+    )
+
+
+@query(
+    "op-join-semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'O')
+    """,
+)
+def op_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit LEFT SEMI join — customers with at least one open order.
+    The semi join keeps only the probe side (no duplicate customer rows
+    however many orders match) and short-circuits per key — strictly
+    cheaper than inner-join-then-distinct."""
+    cust = t(spark, sf_dir, "customer")
+    open_orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    return cust.join(
+        open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+# --------------------------------------------------------------------------
+# exact order statistics / positional aggregates
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-median",
+    oracle=f"""
+    WITH pc AS (SELECT l_returnflag, {_CENTS} AS c FROM lineitem)
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           quantile_cont(c, 0.25) / 100.0 AS p25,
+           quantile_cont(c, 0.50) / 100.0 AS median_price,
+           quantile_cont(c, 0.75) / 100.0 AS p75
+    FROM pc GROUP BY 1
+    """,
+)
+def op_ext_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / quartiles of price per flag. Percentiles run over
+    integer cents so the linear interpolation lo + (hi-lo)·frac is the
+    same exact IEEE value in both engines (frac ∈ {.25,.5,.75} makes the
+    product exact for cent-scale ints); one division to dollars at the
+    end. Exact percentile is a per-group sort — the approx_percentile
+    sketch is the 100 TB path, anchored by this exact twin."""
+    pc = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", _price_cents().alias("c")
+    )
+    return pc.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.expr("percentile(c, 0.25)") / 100.0).alias("p25"),
+        (F.expr("percentile(c, 0.50)") / 100.0).alias("median_price"),
+        (F.expr("percentile(c, 0.75)") / 100.0).alias("p75"),
+    )
+
+
+@query(
+    "op-ext-mode",
+    oracle="""
+    WITH cnt AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag, qty AS mode_qty, n AS mode_count
+    FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                      ORDER BY n DESC, qty) AS rn
+          FROM cnt)
+    WHERE rn = 1
+    """,
+)
+def op_ext_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group with a deterministic lowest-value
+    tiebreak (engine-native mode() breaks ties arbitrarily — unusable
+    across engines). Count-then-top1: the heavy groupBy is map-side
+    combinable; the window sees one row per distinct value."""
+    li = t(spark, sf_dir, "lineitem")
+    cnt = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("qty")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("n"), F.asc("qty"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("qty").alias("mode_qty"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+@query(
+    "op-ext-minmax-by",
+    oracle="""
+    WITH keyed AS (
+      SELECT n_name, s_name,
+             CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * 1000000
+               + s_suppkey AS k
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    )
+    SELECT n_name, COUNT(*) AS n_suppliers,
+           arg_max(s_name, k) AS richest_supplier,
+           arg_min(s_name, k) AS poorest_supplier
+    FROM keyed GROUP BY 1
+    """,
+)
+def op_ext_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (argmax as an AGGREGATE, not a window): richest
+    and poorest supplier per nation in one combinable pass — no sort, no
+    window state. Ties are broken by folding the unique suppkey into the
+    ordering key (cents · 10⁶ + key), since engine-native max_by tie
+    behavior is unspecified."""
+    sup = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    keyed = sup.join(
+        F.broadcast(nat), sup.s_nationkey == nat.n_nationkey
+    ).select(
+        "n_name",
+        "s_name",
+        (
+            (dec("s_acctbal") * 100).cast("bigint") * 1000000
+            + F.col("s_suppkey")
+        ).alias("k"),
+    )
+    return keyed.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.expr("max_by(s_name, k)").alias("richest_supplier"),
+        F.expr("min_by(s_name, k)").alias("poorest_supplier"),
+    )
+
+
+@query(
+    "op-ext-percent-rank",
+    oracle="""
+    WITH pc AS (
+      SELECT c_custkey,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM customer
+    )
+    SELECT c_custkey,
+           percent_rank() OVER (ORDER BY c) AS pr,
+           cume_dist() OVER (ORDER BY c) AS cd
+    FROM pc
+    """,
+)
+def op_ext_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist over account balance: both are exact
+    rational functions of tie-aware ranks ((rank−1)/(n−1), #≤/n) — the
+    one IEEE division lands identically in both engines. Ranked on
+    integer cents so ties group identically. A global ORDER BY window is
+    inherently single-ordering; run it on dimension-sized frames (here:
+    customers), never raw facts."""
+    pc = t(spark, sf_dir, "customer").select(
+        "c_custkey", (dec("c_acctbal") * 100).cast("bigint").alias("c")
+    )
+    w = Window.orderBy("c")
+    return pc.select(
+        "c_custkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@query(
+    "op-ext-lead-lag",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(date_diff('day',
+                lag(o_orderdate) OVER w, o_orderdate) AS BIGINT)
+             AS days_since_prev,
+           CAST(date_diff('day',
+                o_orderdate, lead(o_orderdate) OVER w) AS BIGINT)
+             AS days_to_next
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def op_ext_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag — per-customer order timeline with day gaps to the
+    previous and next order (NULL at the edges). Both offsets share ONE
+    customer-partitioned sort; integer day arithmetic end to end."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("bigint")
+        .alias("days_since_prev"),
+        F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate"))
+        .cast("bigint")
+        .alias("days_to_next"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text n-grams / JSON / fuzzy matching
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-bigrams",
+    oracle=f"""
+    WITH toks AS (SELECT {_TOKS} AS l FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(l)),
+                                   i -> l[i] || ' ' || l[i + 1])) AS bigram
+      FROM toks
+    ),
+    cnt AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1)
+    SELECT bigram, n,
+           CAST(row_number() OVER (ORDER BY n DESC, bigram) AS BIGINT) AS rnk
+    FROM cnt
+    QUALIFY rnk <= 40
+    """,
+)
+def op_ext_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-40 word bigrams: row-local n-gram construction
+    (transform over an index sequence — no self-join, no posexplode
+    pairing), one explode, one map-side-combined count, then a top-k
+    window over the distinct-bigram frame with (count, bigram) tiebreak.
+    The explode fan-out is |tokens| per doc — linear, never quadratic."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    docs = t(spark, sf_dir, "documents").select(toks.alias("l"))
+    bigrams = docs.select(
+        F.explode(
+            F.when(
+                F.size("l") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(l) - 1), "
+                    "i -> concat(element_at(l, i), ' ', "
+                    "element_at(l, i + 1)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    cnt = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 40)
+        .select("bigram", "n", "rnk")
+    )
+
+
+@query(
+    "op-ext-json-extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(k) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY 1
+    """,
+)
+def op_ext_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull ``$.k`` out of the JSON props
+    column and profile it per event type. get_json_object is a row-local
+    JVM expression — the scan stays one combinable aggregate pass; at
+    100 TB the same shape applies (or pre-parse once with from_json into
+    a struct column when many keys are read repeatedly)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@query(
+    "op-ext-fuzzy-join",
+    oracle="""
+    SELECT c1.c_custkey AS custkey_a, c2.c_custkey AS custkey_b,
+           CAST(levenshtein(c1.c_name, c2.c_name) AS BIGINT) AS dist
+    FROM customer c1
+    JOIN customer c2
+      ON c1.c_nationkey = c2.c_nationkey
+     AND c1.c_custkey < c2.c_custkey
+     AND levenshtein(c1.c_name, c2.c_name) <= 1
+    """,
+)
+def op_ext_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join: near-identical customer names (edit
+    distance ≤ 1) within a nation block. The equi-key (nationkey) rides
+    the hash join; levenshtein runs only inside blocks — O(Σ block²)
+    like the LSH band join, never all-pairs. Real entity resolution
+    swaps the block key for a cheap canopy (prefix, soundex, minhash
+    band) — the plan shape is this one."""
+    c1 = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ka"),
+        F.col("c_nationkey").alias("na"),
+        F.col("c_name").alias("name_a"),
+    )
+    c2 = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("kb"),
+        F.col("c_nationkey").alias("nb"),
+        F.col("c_name").alias("name_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        c1.join(
+            c2,
+            (F.col("na") == F.col("nb"))
+            & (F.col("ka") < F.col("kb"))
+            & (dist <= 1),
+        )
+        .select(
+            F.col("ka").alias("custkey_a"),
+            F.col("kb").alias("custkey_b"),
+            dist.cast("bigint").alias("dist"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# product analytics: cohorts, funnels, outliers
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-cohort-retention",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    first AS (SELECT user_id, MIN(d) AS d0 FROM ev GROUP BY 1)
+    SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_day,
+           CAST((e.d - f.d0) // 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM ev e JOIN first f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def op_ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users cohorted by first-activity day,
+    counted distinct in each subsequent week offset. The first-touch
+    frame is user-sized; re-joining it to events is a key-partitioned
+    equi-join (broadcast when the user dim fits); integer day/week
+    arithmetic keeps the triangle exact."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    j = ev.join(first, "user_id")
+    return j.groupBy(
+        F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"),
+        (F.datediff("d", "d0") / 7)
+        .cast("bigint")
+        .alias("week_offset"),
+    ).agg(F.count_distinct("user_id").alias("n_users"))
+
+
+@query(
+    "op-ext-funnel",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+             MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE s IS NOT NULL) AS BIGINT)
+             AS n_signup,
+           CAST(COUNT(*) FILTER (WHERE s IS NOT NULL AND v > s) AS BIGINT)
+             AS n_viewed,
+           CAST(COUNT(*) FILTER (WHERE s IS NOT NULL AND v > s AND c > v)
+                AS BIGINT) AS n_clicked,
+           CAST(COUNT(*) FILTER (WHERE s IS NOT NULL AND v > s AND c > v
+                                   AND p > c) AS BIGINT) AS n_purchased
+    FROM stages
+    """,
+)
+def op_ext_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → view → click → purchase: one
+    conditional-min aggregation per user (map-side combinable, single
+    shuffle), then stage predicates on first-touch µs timestamps. NULL
+    comparisons fail the predicate in both engines, so missing stages
+    drop out identically."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "us", F.expr("ts_ns div 1000")
+    )
+
+    def first(et: str):
+        return F.min(F.when(F.col("event_type") == et, F.col("us")))
+
+    stages = ev.groupBy("user_id").agg(
+        first("signup").alias("s"),
+        first("view").alias("v"),
+        first("click").alias("c"),
+        first("purchase").alias("p"),
+    )
+    s_ok = F.col("s").isNotNull()
+    v_ok = s_ok & (F.col("v") > F.col("s"))
+    c_ok = v_ok & (F.col("c") > F.col("v"))
+    p_ok = c_ok & (F.col("p") > F.col("c"))
+    return stages.agg(
+        F.count(F.when(s_ok, 1)).alias("n_signup"),
+        F.count(F.when(v_ok, 1)).alias("n_viewed"),
+        F.count(F.when(c_ok, 1)).alias("n_clicked"),
+        F.count(F.when(p_ok, 1)).alias("n_purchased"),
+    )
+
+
+@query(
+    "op-ext-zscore-outliers",
+    oracle=f"""
+    WITH pc AS (SELECT l_returnflag, {_CENTS} AS c, l_extendedprice
+                FROM lineitem),
+    s AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(c) AS sx,
+             SUM(CAST(c AS DECIMAL(38,0)) * c) AS sxx
+      FROM pc GROUP BY 1
+    ),
+    b AS (
+      SELECT l_returnflag, n,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                       - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+                  / CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE))
+               AS std
+      FROM s
+    )
+    SELECT p.l_returnflag, b.n AS n_rows,
+           CAST(COUNT(*) FILTER (
+             WHERE abs(CAST(c AS DOUBLE) - mean) > 3.0 * std) AS BIGINT)
+             AS n_outliers,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (
+             WHERE abs(CAST(c AS DOUBLE) - mean) > 3.0 * std) AS DOUBLE)
+             AS outlier_revenue
+    FROM pc p JOIN b ON p.l_returnflag = b.l_returnflag
+    GROUP BY 1, 2
+    """,
+)
+def op_ext_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3σ outlier screen per group: exact integer power sums → per-group
+    mean/std (groups-sized frame, broadcast back) → second pass counts
+    and sums the outliers. Both engines derive mean/std from the SAME
+    exact sums, so the |x−µ| > 3σ cut lands on identical doubles — the
+    standard two-pass shape for anomaly screens at fact scale."""
+    pc = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", _price_cents().alias("c"), "l_extendedprice"
+    )
+    s = pc.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sx"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("sxx"),
+    )
+    from data_warehousing_assignment_spark.operators import analytics as an
+
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    mean = sx.cast("double") / n.cast("double")
+    var = an.exact_var_samp(n, sx, sxx)
+    b = s.select("l_returnflag", n.alias("n"), mean.alias("mean"),
+                 F.sqrt(var).alias("std"))
+    j = pc.join(F.broadcast(b), "l_returnflag")
+    is_out = F.abs(F.col("c").cast("double") - F.col("mean")) > 3.0 * F.col(
+        "std"
+    )
+    return j.groupBy("l_returnflag", F.col("n").alias("n_rows")).agg(
+        F.count(F.when(is_out, 1)).alias("n_outliers"),
+        F.sum(F.when(is_out, dec("l_extendedprice")))
+        .cast("double")
+        .alias("outlier_revenue"),
+    )
