@@ -49,6 +49,9 @@ ALLOWED = {
     # global ntile over the customer DIM (docstring: fact-scale quantile
     # bucketing goes through histogram/percentile operators instead)
     "op-ext-ntile": {"single-partition window"},
+    # global percent_rank/cume_dist over the customer DIM (docstring:
+    # inherently single-ordering; never run on raw facts)
+    "op-ext-percent-rank": {"single-partition window"},
 }
 
 
