@@ -164,3 +164,43 @@ def chunk_totals(
             F.when(F.col("chunk_start") == F.col("chunk"), 1).otherwise(0)
         ).alias("n_docs_starting"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Exponentially-weighted moving average per series:
+    ``y_i = α·x_i + (1−α)·y_{i−1}``, seeded with ``y_0 = x_0``.
+
+    The recursion is inherently sequential WITHIN a series, so the
+    scalable decomposition is: parallel across series, sequential
+    inside each — ``applyInPandas`` with the series key as the group.
+    Run it on POST-AGGREGATE frames (daily/hourly rollups) where each
+    series is calendar-bounded; at 100 TB the number of series, not the
+    raw fact count, sets the parallelism (same contract as the
+    gap-fill / sessionize operators).
+
+    Output: part_col, order_col, value_col, ``ewma`` (double).
+    """
+    import pandas as pd
+
+    schema = df.select(part_col, order_col, value_col).schema.add(
+        "ewma", "double"
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        pdf["ewma"] = (
+            pdf[value_col].astype("float64").ewm(alpha=alpha, adjust=False).mean()
+        )
+        return pdf[[part_col, order_col, value_col, "ewma"]]
+
+    return (
+        df.select(part_col, order_col, value_col)
+        .groupBy(part_col)
+        .applyInPandas(smooth, schema)
+    )

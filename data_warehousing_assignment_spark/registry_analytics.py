@@ -776,3 +776,43 @@ def op_ext_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view"),
         ev.filter(F.col("event_type") == "purchase"),
     )
+
+
+@query("op-ext-ewma")
+def op_ext_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA-smoothed daily revenue per return flag (α=0.3, seeded at the
+    first day). Rows-only by design: the recursion's float chain is
+    accumulation-exact only within one engine — semantics are pinned in
+    tests/test_analytics.py against the literal recurrence. Sequential
+    per series, parallel across series (analytics.ewma)."""
+    li = t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+    ).agg(
+        (sum_cents("l_extendedprice").cast("double") / 100.0).alias(
+            "day_revenue"
+        )
+    )
+    return an.ewma(daily, "l_returnflag", "ship_day", "day_revenue", alpha=0.3)
+
+
+@query("op-ext-approx-quantile")
+def op_ext_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) of price per flag —
+    the mergeable one-pass quantile path for 100 TB facts, where the
+    exact per-group sort behind op-ext-median stops being affordable.
+    Rows-only by design (sketch output is spec-approximate); the error
+    bound vs the exact twin is pinned in tests/test_analytics.py."""
+    pc = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", _price_cents().alias("c")
+    )
+    return pc.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.expr("approx_percentile(c, 0.5, 10000)").cast("double") / 100.0
+        ).alias("approx_median_price"),
+        (
+            F.expr("approx_percentile(c, 0.95, 10000)").cast("double") / 100.0
+        ).alias("approx_p95_price"),
+    )

@@ -171,3 +171,56 @@ def test_chunk_totals_packing_invariant(spark):
         .collect()
     }
     assert per_shard == expect
+
+
+def test_ewma_matches_literal_recurrence(spark):
+    """applyInPandas EWMA equals the hand-rolled y_i = a*x_i + (1-a)*y_{i-1}
+    recurrence per series (seeded y_0 = x_0)."""
+    rows = [
+        ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 10.0), ("a", 4, 40.0),
+        ("b", 1, 5.0), ("b", 2, 5.0), ("b", 3, 8.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, i long, x double")
+    out = {
+        (r.k, r.i): r.ewma
+        for r in an.ewma(df, "k", "i", "x", alpha=0.3).collect()
+    }
+    for k in ("a", "b"):
+        series = sorted((i, x) for kk, i, x in rows if kk == k)
+        y = None
+        for i, x in series:
+            y = x if y is None else 0.3 * x + 0.7 * y
+            assert math.isclose(out[(k, i)], y, rel_tol=1e-12), (k, i)
+
+
+def test_approx_quantile_within_bound(spark):
+    """approx_percentile(accuracy=10000) lands within the GK rank
+    guarantee of the exact percentile (rank error <= n/accuracy; assert
+    the loose value-side corollary: within the exact p45..p55 band)."""
+    from data_warehousing_assignment_spark.registry import all_queries
+
+    qs = all_queries()
+    approx = {
+        r.l_returnflag: r.approx_median_price
+        for r in qs["op-ext-approx-quantile"](spark, SF_SMALL).collect()
+    }
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    cents = li.select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    band = {
+        r.l_returnflag: (r.lo, r.hi)
+        for r in cents.groupBy("l_returnflag")
+        .agg(
+            (F.expr("percentile(c, 0.45)") / 100.0).alias("lo"),
+            (F.expr("percentile(c, 0.55)") / 100.0).alias("hi"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(band)
+    for flag, v in approx.items():
+        lo, hi = band[flag]
+        assert lo <= v <= hi, (flag, v, lo, hi)
