@@ -616,3 +616,31 @@ def op_ext_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("outlier_revenue"),
     )
+
+
+@query(
+    "op-ext-stream-enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, e.value, n.n_name
+    FROM events e
+    LEFT JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    """,
+)
+def op_ext_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment (joins.enrich_with_dim): the
+    state-free streaming join — each micro-batch left-joins the
+    broadcast static dim, no watermark, no join state. Registered on
+    static frames where the oracle is exact; stream mode ≡ batch is
+    proven in tests/test_stream_join.py."""
+    from data_warehousing_assignment_spark.streaming import joins as sj
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    nat = t(spark, sf_dir, "nation")
+    return sj.enrich_with_dim(
+        ev,
+        nat.select("n_nationkey", "n_name"),
+        F.col("user_id") % 25 == F.col("n_nationkey"),
+        ["n_name"],
+    )

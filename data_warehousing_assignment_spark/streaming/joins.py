@@ -110,3 +110,20 @@ def view_conversion_outcomes(
         .cast("bigint")
         .alias("delay_sec"),
     )
+
+
+def enrich_with_dim(
+    stream: DataFrame, dim: DataFrame, cond, dim_cols: list[str]
+) -> DataFrame:
+    """Stream-static join: enrich a live stream with a slowly-changing
+    static dimension (the state-FREE streaming join — Spark re-reads the
+    static side per micro-batch, so no watermark and no join state).
+
+    The dim side is explicitly broadcast: at 100 TB of stream the dim is
+    still dim-sized, and a broadcast hash join keeps every micro-batch
+    shuffle-free on the stream side. Batch/stream agnostic like the
+    other builders — the identical plan on static frames is what the
+    oracle checks."""
+    return stream.join(F.broadcast(dim), on=cond, how="left").select(
+        *stream.columns, *dim_cols
+    )

@@ -113,3 +113,41 @@ def test_outer_join_streams_matched_rows(spark, events_dir):
     )) == canon(batch_inner.select(
         "view_id", "purchase_id", "user_id", "purchase_value", "delay_sec"
     ))
+
+
+def test_stream_static_enrich_equals_batch(spark, events_dir):
+    """Stream-static dim join: streamed enrichment ≡ the same join on
+    static frames (and needs no watermark — state-free by design)."""
+    from data_warehousing_assignment_spark.streaming.joins import (
+        enrich_with_dim,
+    )
+
+    nation = spark.read.parquet(f"{SF_SMALL}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    static = spark.read.parquet(events_dir).select(
+        "event_id", "user_id", "value"
+    )
+    cond = F.col("user_id") % 25 == F.col("n_nationkey")
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(events_dir).schema
+        )
+        .parquet(events_dir)
+        .select("event_id", "user_id", "value")
+    )
+    out = enrich_with_dim(stream, nation, cond, ["n_name"])
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssenrich")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = enrich_with_dim(static, nation, cond, ["n_name"])
+    assert canon(spark.table("ssenrich")) == canon(batch)
+    assert batch.count() > 0
