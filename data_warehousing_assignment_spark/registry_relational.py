@@ -644,3 +644,103 @@ def op_ext_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id") % 25 == F.col("n_nationkey"),
         ["n_name"],
     )
+
+
+@query(
+    "op-union-all",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def op_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (duplicate-preserving — the reference only ever uses
+    dedup'ing UNION, op-union-distinct): orders matching either filter,
+    with the overlap appearing twice. unionByName with no distinct =
+    zero-shuffle concatenation of the two pruned scans."""
+    o = t(spark, sf_dir, "orders")
+    open_o = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_custkey"
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_custkey"
+    )
+    return open_o.unionByName(urgent)
+
+
+@query(
+    "op-ext-string-agg",
+    oracle="""
+    SELECT r_name,
+           COUNT(*) AS n_nations,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+)
+def op_ext_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg/group_concat): nation names
+    per region, sorted then joined — collect_list is order-nondeterministic
+    under parallel merge, so the ORDER BY inside the aggregate (Spark:
+    array_sort before array_join) is what makes the result well-defined
+    at any partitioning. Keep it to group-bounded domains — the string
+    is O(group size)."""
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region")
+    j = nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    return j.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+            "nations"
+        ),
+    )
+
+
+@query(
+    "op-ext-rolling-dau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    contrib AS (
+      SELECT user_id, d + CAST(i AS INTEGER) AS wd
+      FROM ud, unnest(generate_series(0, 6)) AS t(i)
+    )
+    SELECT strftime(day.d, '%Y-%m-%d') AS day,
+           (SELECT COUNT(DISTINCT user_id) FROM ud WHERE ud.d = day.d)
+             AS dau,
+           (SELECT COUNT(DISTINCT user_id) FROM contrib c
+             WHERE c.wd = day.d) AS wau_trailing7
+    FROM days AS day
+    """,
+)
+def op_ext_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily + trailing-7-day distinct active users. Rolling COUNT
+    DISTINCT is not window-mergeable from daily distincts, so the scale
+    shape is: dedup to user-days (the only fact-sized shuffle), fan each
+    user-day out to the ≤7 trailing windows it feeds, then one distinct
+    count per window day — linear in user-days, never a per-day rescan."""
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    dau = ud.groupBy("d").agg(F.count_distinct("user_id").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("wd"),
+    )
+    wau = contrib.groupBy(F.col("wd").alias("d")).agg(
+        F.count_distinct("user_id").alias("wau_trailing7")
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau_trailing7",
+        )
+    )
