@@ -129,3 +129,22 @@ def test_partitioned_fact_write_prunes_on_read(spark, tmp_path):
     # correctness of the pruned read
     expected = orders.filter(F.col("order_month") == "1996-01").count()
     assert pruned.count() == expected
+
+
+def test_fuzzy_join_rides_equi_key_not_nested_loop(spark, qs):
+    """The blocked levenshtein join must plan as a hash/merge join on the
+    nation block key with the edit-distance as a residual predicate —
+    never a nested-loop over all customer pairs."""
+    plan = plan_of(qs["op-ext-fuzzy-join"](spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+    assert "levenshtein" in plan  # residual predicate attached to the join
+
+
+def test_stream_enrich_broadcasts_dim(spark, qs):
+    """Stream-static enrichment keeps the (large) stream side shuffle-free:
+    the dim is broadcast, and the stream side has no Exchange."""
+    plan = plan_of(qs["op-ext-stream-enrich"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
