@@ -744,3 +744,132 @@ def op_ext_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wau_trailing7",
         )
     )
+
+
+@query(
+    "op-ext-range-frame",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day_no,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, order_date,
+           CAST(SUM(pc) OVER (PARTITION BY o_custkey ORDER BY day_no
+                              RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100.0 AS trailing90_revenue,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day_no
+                          RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)
+             AS trailing90_orders
+    FROM o
+    """,
+)
+def op_ext_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (value-based frame, not row-based — §2.5
+    lists no frame specs in the reference): each order's trailing-90-day
+    revenue and order count for its customer. The frame is defined on
+    integer epoch days, so the boundary arithmetic is exact in both
+    engines and ties (same-day orders) fall in or out identically —
+    date-typed RANGE frames with interval bounds are engine-specific;
+    integer day numbers are the portable form. One customer-partitioned
+    sort serves both window aggregates."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff("o_orderdate", F.lit("1970-01-01")).alias("day_no"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        (dec("o_totalprice") * 100).cast("bigint").alias("pc"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_no")
+        .rangeBetween(-89, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "order_date",
+        (F.sum("pc").over(w).cast("double") / 100.0).alias(
+            "trailing90_revenue"
+        ),
+        F.count(F.lit(1)).over(w).alias("trailing90_orders"),
+    )
+
+
+@query(
+    "op-ext-first-last",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS od,
+             o_totalprice
+      FROM orders
+    )
+    SELECT DISTINCT o_custkey,
+           first_value(o_totalprice) OVER w AS first_order_price,
+           last_value(o_totalprice) OVER w AS latest_order_price,
+           nth_value(o_totalprice, 2) OVER w AS second_order_price
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def op_ext_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over each customer's order
+    history (earliest, latest, and second order price). The frame is
+    pinned to the FULL partition — last_value over the default frame is
+    the current row, the classic window trap — and the ordering carries
+    the unique orderkey tiebreak so all three picks are deterministic."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+        "o_totalprice",
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("od", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_order_price"),
+        F.last("o_totalprice").over(w).alias("latest_order_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_order_price"),
+    ).distinct()
+
+
+@query(
+    "op-ext-regex-extract-all",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+             AS n_numbers,
+           CAST(len(list_distinct(regexp_extract_all(text, '[0-9]+')))
+                AS BIGINT) AS n_distinct_numbers,
+           -- array_to_string([]) is NULL in DuckDB but '' in Spark
+           coalesce(array_to_string(list_sort(list_distinct(
+             regexp_extract_all(text, '[0-9]+'))), '|'), '') AS numbers
+    FROM documents
+    """,
+)
+def op_ext_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all — pull every digit run out of each document
+    (the PII/artifact-mining primitive behind the redaction op): total
+    and distinct counts plus the sorted distinct set, stringified at the
+    boundary per the array rule. Row-local, zero shuffle; the regex
+    stays in the safe cross-engine subset (character classes only)."""
+    nums = F.expr(r"regexp_extract_all(text, '[0-9]+', 0)")
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(nums).cast("bigint").alias("n_numbers"),
+        F.size(F.array_distinct(nums)).cast("bigint").alias(
+            "n_distinct_numbers"
+        ),
+        F.array_join(F.array_sort(F.array_distinct(nums)), "|").alias(
+            "numbers"
+        ),
+    )
