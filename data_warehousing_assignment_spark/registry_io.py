@@ -194,3 +194,31 @@ def op_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sup.join(
         li, sup["s_suppkey"] == li["l_suppkey"], "left_anti"
     ).select("s_suppkey", "s_name")
+
+
+@query(
+    "op-scan-jsonl",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def op_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan (the interchange format most raw training corpora
+    arrive in): documents round-trip through .jsonl and read back with
+    the DECLARED schema — string escaping (quotes, newlines, unicode)
+    must survive byte-for-byte or the text-hash oracle fails. Schema is
+    declared, never inferred: at 100 TB a schema-inference pass is a
+    full extra scan, and silent type drift breaks downstream casts."""
+    path = _scratch("op-scan-jsonl")
+    src = t(spark, sf_dir, "documents")
+    src.write.mode("overwrite").json(path)
+    return spark.read.schema(src.schema).json(path).select(*src.columns)
+
+
+@query("op-scan-orc", oracle="SELECT * FROM supplier")
+def op_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan — the other columnar warehouse format (Hive ecosystems);
+    same predicate-pushdown/column-pruning contract as parquet. Supplier
+    round-trips through ORC and reads back bit-identical."""
+    path = _scratch("op-scan-orc")
+    src = t(spark, sf_dir, "supplier")
+    src.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
