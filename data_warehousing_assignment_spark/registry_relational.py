@@ -873,3 +873,48 @@ def op_ext_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             "numbers"
         ),
     )
+
+
+@query(
+    "op-ext-cdc-apply",
+    oracle="""
+    WITH cdc AS (
+      SELECT user_id, event_id, epoch_us(ts) AS seq, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ),
+    latest AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                  ORDER BY seq DESC, event_id DESC) AS rn
+      FROM cdc
+    )
+    SELECT user_id, event_id AS last_event_id, seq AS last_seq, value
+    FROM latest WHERE rn = 1 AND op = 'U'
+    """,
+)
+def op_ext_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply — materialize the final state of a change stream:
+    latest change per key wins (sequence + unique change-id tiebreak),
+    delete tombstones drop the key (events stand in as the change log;
+    'error' = delete). The standard Debezium→warehouse compaction: ONE
+    key shuffle, and the rn=1 window plans with WindowGroupLimit so only
+    each key's top row survives the partial sort — never a full history
+    sort. Incremental form = same operator over (base ∪ new batch)."""
+    from data_warehousing_assignment_spark.operators import analytics as an
+
+    cdc = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns div 1000").alias("seq"),
+        "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    latest = an.top_k_per_group(
+        cdc, ["user_id"], [F.desc("seq"), F.desc("event_id")], k=1
+    )
+    return latest.filter(F.col("op") == "U").select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("seq").alias("last_seq"),
+        "value",
+    )
