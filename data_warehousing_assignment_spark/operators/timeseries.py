@@ -175,3 +175,54 @@ def gapfill_hourly(
             ).alias("value_locf"),
         )
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Interval × interval OVERLAP join on integer-µs bounds (closed
+    intervals: ``l_start ≤ r_end AND r_start ≤ l_end``) via bucket
+    expansion on BOTH sides — the generalization of
+    :func:`point_in_interval_join` where neither side is a point.
+
+    Each interval explodes into the ``bucket_us``-wide buckets it
+    covers, the join runs as a hash EQUI-join on the bucket id, the
+    exact predicate filters residually, and duplicate pairs (intervals
+    sharing several buckets) collapse with one distinct. Work is
+    O(Σ per-bucket |L|·|R|) instead of all-pairs; fan-out per interval
+    is bounded by duration / bucket width, so pick the bucket near the
+    typical interval length. Column names of the two inputs must be
+    disjoint; all columns of both survive."""
+    lb = left.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                F.expr(f"{l_start} div {bucket_us}"),
+                F.expr(f"{l_end} div {bucket_us}"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                F.expr(f"{r_start} div {bucket_us}"),
+                F.expr(f"{r_end} div {bucket_us}"),
+            )
+        ),
+    )
+    overlap = (F.col(l_start) <= F.col(r_end)) & (
+        F.col(r_start) <= F.col(l_end)
+    )
+    return (
+        lb.join(rb, on="_bk")
+        .filter(overlap)
+        .drop("_bk")
+        .distinct()
+    )

@@ -918,3 +918,87 @@ def op_ext_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq").alias("last_seq"),
         "value",
     )
+
+
+@query(
+    "op-ext-interval-overlap",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us
+      FROM events WHERE user_id < 25
+    ),
+    lagd AS (
+      SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                  AS prev
+      FROM ev
+    ),
+    marked AS (
+      SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM lagd
+    ),
+    sess0 AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    sessions AS (
+      SELECT user_id, CAST(sid AS BIGINT) AS session_seq,
+             MIN(us) AS s_start, MAX(us) AS s_end
+      FROM sess0 GROUP BY user_id, sid
+    ),
+    incidents AS (
+      SELECT event_id AS incident_id,
+             epoch_us(ts) - 300000000 AS i_start,
+             epoch_us(ts) + 300000000 AS i_end
+      FROM events WHERE event_type = 'error' AND user_id >= 200
+    )
+    SELECT s.user_id, s.session_seq, i.incident_id,
+           CAST((least(s.s_end, i.i_end) - greatest(s.s_start, i.i_start))
+                // 1000000 AS BIGINT) AS overlap_s
+    FROM sessions s JOIN incidents i
+      ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+    """,
+)
+def op_ext_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join: user sessions (30-min gap
+    sessionization) against global incident windows (error events of an
+    unrelated user population, ±5 min) — "which sessions ran during an
+    incident", the correlation every ops/analytics pipeline needs. The
+    oracle states the naive inequality join; the Spark plan is hour-
+    bucket expansion on BOTH sides + hash equi-join + residual predicate
+    + pair-distinct (timeseries.interval_overlap_join) — O(per-bucket
+    work), never all-pairs. Population filters bound the gate's output;
+    the operator itself is unbounded."""
+    from data_warehousing_assignment_spark.operators import analytics as an
+    from data_warehousing_assignment_spark.operators import timeseries as ts
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    sessions = (
+        an.sessionize(ev.filter(F.col("user_id") < 25), gap_minutes=30)
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts_us").alias("s_start"), F.max("ts_us").alias("s_end"))
+    )
+    incidents = (
+        ev.filter((F.col("event_type") == "error") & (F.col("user_id") >= 200))
+        .select(
+            F.col("event_id").alias("incident_id"),
+            (F.col("ts_us") - 300_000_000).alias("i_start"),
+            (F.col("ts_us") + 300_000_000).alias("i_end"),
+        )
+    )
+    j = ts.interval_overlap_join(
+        sessions, incidents, "s_start", "s_end", "i_start", "i_end"
+    )
+    return j.select(
+        "user_id",
+        "session_seq",
+        "incident_id",
+        F.expr(
+            "(least(s_end, i_end) - greatest(s_start, i_start)) div 1000000"
+        )
+        .cast("bigint")
+        .alias("overlap_s"),
+    )
