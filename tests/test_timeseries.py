@@ -105,3 +105,36 @@ def test_gapfill_hourly_spine_and_locf(spark):
         (1, 13): (1, 7.5, 7.5),
         (2, 20): (1, 1.25, 1.25),
     }
+
+
+def test_interval_overlap_join_exact_vs_nested_loop(spark):
+    """Bucketed interval-overlap join ≡ the naive all-pairs predicate on
+    crafted intervals covering: containment, partial overlap, exact
+    single-point touch, bucket-boundary ends, and disjoint pairs."""
+    B = 1_000_000  # 1s buckets for the test
+    left = [
+        (1, 0, 5 * B),            # spans buckets 0-5
+        (2, 2 * B, 2 * B + 10),   # tiny, inside bucket 2
+        (3, 10 * B, 12 * B),      # ends exactly on a bucket boundary
+    ]
+    right = [
+        (100, 4 * B, 6 * B),      # partial overlap with 1
+        (101, B, 3 * B),          # contains 2, overlaps 1
+        (102, 12 * B, 13 * B),    # touches 3 at a single point (closed)
+        (103, 20 * B, 21 * B),    # disjoint from everything
+    ]
+    ldf = spark.createDataFrame(left, "lid int, s_start long, s_end long")
+    rdf = spark.createDataFrame(right, "rid int, i_start long, i_end long")
+    got = sorted(
+        (r.lid, r.rid)
+        for r in tsr.interval_overlap_join(
+            ldf, rdf, "s_start", "s_end", "i_start", "i_end", bucket_us=B
+        ).collect()
+    )
+    naive = sorted(
+        (l[0], r[0])
+        for l in left
+        for r in right
+        if l[1] <= r[2] and r[1] <= l[2]
+    )
+    assert got == naive == [(1, 100), (1, 101), (2, 101), (3, 102)]
