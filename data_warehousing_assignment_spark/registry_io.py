@@ -222,3 +222,36 @@ def op_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = t(spark, sf_dir, "supplier")
     src.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+@query(
+    "op-scan-merge-schema",
+    oracle="""
+    SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS batch_no
+    FROM nation WHERE n_regionkey = 0
+    UNION ALL
+    SELECT n_nationkey, n_name, CAST(1 AS BIGINT) AS batch_no
+    FROM nation WHERE n_regionkey <> 0
+    """,
+)
+def op_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: two parquet batches with DRIFTED schemas
+    (batch 2 adds a column) land in one dataset; ``mergeSchema=true``
+    unifies them, with the missing column NULL for old files — the
+    ingest reality at 100 TB, where upstream producers add fields
+    mid-stream. Merge-on-read is a footer-level union, not a rewrite;
+    pin the unified schema explicitly once drift stabilizes (schema
+    inference over millions of footers is its own scan)."""
+    path = _scratch("op-scan-merge-schema")
+    nat = t(spark, sf_dir, "nation")
+    nat.filter(F.col("n_regionkey") == 0).select(
+        "n_nationkey", "n_name"
+    ).write.mode("append").parquet(path)
+    nat.filter(F.col("n_regionkey") != 0).select(
+        "n_nationkey", "n_name", F.lit(1).cast("bigint").alias("batch_no")
+    ).write.mode("append").parquet(path)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .select("n_nationkey", "n_name", "batch_no")
+    )
