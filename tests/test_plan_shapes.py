@@ -148,3 +148,19 @@ def test_stream_enrich_broadcasts_dim(spark, qs):
     plan = plan_of(qs["op-ext-stream-enrich"](spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_cdc_apply_uses_window_group_limit(spark, qs):
+    """CDC compaction's rn=1 filter must push into the window as a
+    per-partition top-1 (WindowGroupLimit) — at fact scale the full
+    history is never sorted, only each key's running top row."""
+    plan = plan_of(qs["op-ext-cdc-apply"](spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan
+
+
+def test_interval_overlap_is_bucketed_not_nested_loop(spark, qs):
+    """The interval-overlap join must ride the bucket equi-key with the
+    overlap predicate residual — never an all-pairs nested loop."""
+    plan = plan_of(qs["op-ext-interval-overlap"](spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
