@@ -1002,3 +1002,86 @@ def op_ext_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("overlap_s"),
     )
+
+
+@query(
+    "op-ext-weighted-avg",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(SUM({_CENTS} * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS BIGINT)) * 100 AS DOUBLE)
+             AS wavg_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+def op_ext_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per flag: Σ(price·qty)/Σ(qty)
+    over exact integer cents — plain AVG over a weighted expansion would
+    be wrong (and float-accumulated); ratio-of-exact-sums is the
+    map-side-combinable form with ONE IEEE division at the end."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        _price_cents().alias("pc"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.sum("q").alias("total_qty"),
+        (
+            F.sum(F.col("pc") * F.col("q")).cast("double")
+            / (F.sum("q") * 100).cast("double")
+        ).alias("wavg_price"),
+    )
+
+
+@query(
+    "op-ext-asof-tolerance",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts_us,
+           CASE WHEN l.ts_us - r.ts_us <= 3600000000
+                THEN r.value END AS value_recent,
+           CASE WHEN l.ts_us - r.ts_us <= 3600000000
+                THEN (l.ts_us - r.ts_us) // 1000000 END AS staleness_s
+    FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+          WHERE event_type = 'view') l
+    ASOF LEFT JOIN
+         (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+          WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+    """,
+)
+def op_ext_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness tolerance (merge_asof
+    tolerance= / ASOF JOIN + staleness guard): the carried value is
+    nulled when the latest match is older than 1 h — feature-store
+    semantics where stale features must read as missing, not as the
+    last value forever. Same single-shuffle window formulation as
+    op-ext-asof-join, carrying the match timestamp alongside the value
+    so the guard is a row-local filter."""
+    from data_warehousing_assignment_spark.operators import asof as ao
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts_us", "value")
+        .withColumn("r_ts", F.col("ts_us"))
+    )
+    j = ao.asof_join(views, purchases, "ts_us", ["user_id"], ["value", "r_ts"])
+    within = (F.col("ts_us") - F.col("r_ts_asof")) <= 3_600_000_000
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.when(within, F.col("value_asof")).alias("value_recent"),
+        F.when(
+            within,
+            F.expr("(ts_us - r_ts_asof) div 1000000"),
+        )
+        .cast("bigint")
+        .alias("staleness_s"),
+    )

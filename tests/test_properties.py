@@ -127,3 +127,40 @@ def test_group_mean_impute_total_and_preserves_present_values(spark, rows):
     for v in present_in:
         assert v in out_vals
         out_vals.remove(v)
+
+
+intervals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50_000_000),  # start µs
+        st.integers(min_value=0, max_value=10_000_000),  # duration µs
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(left=intervals, right=intervals)
+@SPARK_SETTINGS
+def test_interval_overlap_join_matches_naive(spark, left, right):
+    """Bucketed interval-overlap join ≡ all-pairs predicate for
+    arbitrary interval sets (spans crossing many buckets, zero-length
+    points, boundary-exact ends, empty sides)."""
+    from data_warehousing_assignment_spark.operators import timeseries as tsr
+
+    lrows = [(i, s, s + d) for i, (s, d) in enumerate(left)]
+    rrows = [(i, s, s + d) for i, (s, d) in enumerate(right)]
+    ldf = spark.createDataFrame(lrows, "lid int, ls long, le long")
+    rdf = spark.createDataFrame(rrows, "rid int, rs long, re long")
+    got = sorted(
+        (r.lid, r.rid)
+        for r in tsr.interval_overlap_join(
+            ldf, rdf, "ls", "le", "rs", "re", bucket_us=1_000_000
+        ).collect()
+    )
+    naive = sorted(
+        (l[0], r[0])
+        for l in lrows
+        for r in rrows
+        if l[1] <= r[2] and r[1] <= l[2]
+    )
+    assert got == naive
