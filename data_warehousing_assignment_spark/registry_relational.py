@@ -1085,3 +1085,47 @@ def op_ext_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("staleness_s"),
     )
+
+
+@query(
+    "op-ext-copurchase",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    cnt AS (
+      SELECT part_a, part_b, COUNT(*) AS n_orders
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_orders,
+           CAST(row_number() OVER (ORDER BY n_orders DESC, part_a, part_b)
+                AS BIGINT) AS rnk
+    FROM cnt
+    QUALIFY rnk <= 30
+    """,
+)
+def op_ext_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought in the same order,
+    top-30 by support. The self-join is keyed on the ORDER — fan-out per
+    order is lines-per-order², a data constant (~7² for TPC-H-shaped
+    carts), so candidate volume is linear in orders at any scale; the
+    a<b guard halves it and canonicalizes the pair. One combinable count
+    then a top-k window over the distinct-pair frame."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = a.join(b, "ok").filter(F.col("part_a") < F.col("part_b"))
+    cnt = pairs.groupBy("part_a", "part_b").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    w = Window.orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 30)
+    )

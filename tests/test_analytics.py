@@ -224,3 +224,30 @@ def test_approx_quantile_within_bound(spark):
     for flag, v in approx.items():
         lo, hi = band[flag]
         assert lo <= v <= hi, (flag, v, lo, hi)
+
+
+def test_cdc_apply_idempotent_under_replay(spark):
+    """Replaying the full change stream (union of the log with itself —
+    at-least-once delivery) must not change the compacted state."""
+    from data_warehousing_assignment_spark.registry import all_queries, t
+
+    qs = all_queries()
+    once = qs["op-ext-cdc-apply"](spark, SF_SMALL)
+    ev = t(spark, SF_SMALL, "events")
+    cdc = ev.select(
+        "user_id", "event_id",
+        F.expr("ts_ns div 1000").alias("seq"), "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    replayed = cdc.unionByName(cdc)
+    latest = an.top_k_per_group(
+        replayed, ["user_id"], [F.desc("seq"), F.desc("event_id")], k=1
+    )
+    twice = latest.filter(F.col("op") == "U").select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("seq").alias("last_seq"),
+        "value",
+    )
+    canon = lambda df: sorted(map(tuple, df.collect()))
+    assert canon(once) == canon(twice)
