@@ -1129,3 +1129,80 @@ def op_ext_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 30)
     )
+
+
+@query(
+    "op-ext-share-of-total",
+    oracle="""
+    WITH nrev AS (
+      SELECT n_name,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS pc
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    )
+    SELECT n_name,
+           CAST(pc AS DOUBLE) / 100.0 AS revenue,
+           CAST(pc AS DOUBLE) / CAST(SUM(pc) OVER () AS DOUBLE) AS share
+    FROM nrev
+    """,
+)
+def op_ext_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio-to-report): each nation's share of global
+    order revenue via an unpartitioned window sum OVER the post-
+    aggregate frame — the global window touches 25 rows, never the fact
+    table (the only safe place for a partitionless window). Shares are
+    one IEEE division of exact cent sums."""
+    o = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    nrev = (
+        o.join(cust, o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(sum_cents("o_totalprice").alias("pc"))
+    )
+    w = Window.partitionBy()
+    return nrev.select(
+        "n_name",
+        (F.col("pc").cast("double") / 100.0).alias("revenue"),
+        (
+            F.col("pc").cast("double") / F.sum("pc").over(w).cast("double")
+        ).alias("share"),
+    )
+
+
+@query(
+    "op-ext-transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id)
+               AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS n_transitions
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def op_ext_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (first-order Markov counts over each
+    user's event sequence): lead() over one user-partitioned sort, then
+    a combinable pair count — the sequence-mining primitive behind
+    next-action models and funnel-drop diagnostics."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

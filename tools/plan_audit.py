@@ -52,6 +52,9 @@ ALLOWED = {
     # global percent_rank/cume_dist over the customer DIM (docstring:
     # inherently single-ordering; never run on raw facts)
     "op-ext-percent-rank": {"single-partition window"},
+    # ratio-to-report: the unpartitioned window sum runs over the
+    # 25-row post-aggregate nation frame, never the fact (docstring)
+    "op-ext-share-of-total": {"single-partition window"},
 }
 
 
