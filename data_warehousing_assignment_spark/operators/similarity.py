@@ -264,3 +264,37 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+def label_centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label centroid (class prototype / k-means-style mean vector)
+    over an array<float> column: posexplode to (label, dim, val), one
+    map-side-combinable (label, dim) sum/count aggregate, then
+    reassemble the array with sort_array(collect_list(struct(dim, mean)))
+    — the scalable decomposition: the shuffle carries |labels|·|dims|
+    partial sums, never whole vectors, and no vector ever needs to fit
+    anywhere twice. Output: label, n_vecs, centroid (array<double>).
+
+    Cross-engine note: float accumulation order makes centroids
+    engine-exact only to ~1e-6 relative — consumers surface norms or
+    rounded digests, not raw arrays (registry scalar-boundary rule)."""
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"),
+    )
+    sums = exploded.groupBy("label", "dim").agg(
+        F.sum(F.col("val").cast("double")).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    means = sums.select(
+        "label", "dim", (F.col("s") / F.col("c")).alias("m"), "c"
+    )
+    return means.groupBy("label").agg(
+        F.max("c").alias("n_vecs"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "m"))),
+            lambda kv: kv["m"],
+        ).alias("centroid"),
+    )

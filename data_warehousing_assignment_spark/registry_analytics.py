@@ -816,3 +816,31 @@ def op_ext_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("approx_percentile(c, 0.95, 10000)").cast("double") / 100.0
         ).alias("approx_p95_price"),
     )
+
+
+@query("op-ext-label-centroids")
+def op_ext_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (class prototypes) — the reduction
+    behind semantic class balancing, IVF coarse quantizers, and
+    prototype classifiers (similarity.label_centroids). Rows-only by
+    design: float accumulation order keeps raw centroids within but not
+    across engines; values are pinned against numpy in
+    tests/test_similarity.py, and the surfaced columns obey the scalar
+    boundary (count, dim, L2 norm)."""
+    from data_warehousing_assignment_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    cent = label_centroids(emb, "label", "embedding")
+    norm = F.sqrt(
+        F.aggregate(
+            "centroid", F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    return cent.select(
+        "label",
+        "n_vecs",
+        F.size("centroid").alias("n_dims"),
+        norm.alias("centroid_l2"),
+    )

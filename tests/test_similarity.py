@@ -106,3 +106,28 @@ def test_exact_near_dup_superset_of_bucketed(spark):
     assert bucketed <= exact
     for a, b in exact:
         assert a < b
+
+
+def test_label_centroids_match_numpy(spark):
+    """Distributed per-label centroid ≡ numpy mean of the same vectors
+    (to float-accumulation tolerance), dims in order."""
+    import numpy as np
+
+    from data_warehousing_assignment_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    got = {
+        r.label: (r.n_vecs, list(r.centroid))
+        for r in label_centroids(emb, "label", "embedding").collect()
+    }
+    by_label = {}
+    for r in emb.select("label", "embedding").collect():
+        by_label.setdefault(r.label, []).append(r.embedding)
+    assert set(got) == set(by_label)
+    for lbl, vecs in by_label.items():
+        n, cent = got[lbl]
+        assert n == len(vecs)
+        ref = np.asarray(vecs, dtype=np.float64).mean(axis=0)
+        assert np.allclose(np.asarray(cent), ref, rtol=1e-9, atol=1e-12)
