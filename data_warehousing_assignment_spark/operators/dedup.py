@@ -376,3 +376,75 @@ def simhash_neardup_pairs(
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def set_similarity_join_prefix(
+    docs: DataFrame,
+    id_col: str,
+    set_col: str,
+    threshold: float,
+) -> DataFrame:
+    """EXACT set-similarity self-join (Jaccard ≥ threshold) with
+    PPJoin-style prefix filtering — the exact counterpart to the
+    MinHash-LSH approximate path.
+
+    Tokens get a global rarity rank (document frequency ascending, then
+    token — vocab-sized frame, broadcast); each set is re-sorted
+    rarest-first and only its PREFIX of length |s| − ⌈t·|s|⌉ + 1 is
+    exploded into the candidate join: two sets with Jaccard ≥ t must
+    share at least one prefix token under any common global order (the
+    pigeonhole behind prefix filtering), so candidates are complete.
+    The equi-join runs on the prefix token — O(Σ per-token prefix²),
+    concentrated on RARE tokens by construction (rarest-first ordering
+    makes hot frequent tokens fall outside prefixes) — then the exact
+    Jaccard verifies on the full sets. Output: id_a, id_b, jaccard.
+    """
+    d = docs.select(
+        F.col(id_col).alias("_id"), F.col(set_col).alias("_s")
+    ).withColumn("_sz", F.size("_s"))
+    toks = d.select("_id", F.explode("_s").alias("_tok"))
+    vocab = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.orderBy(F.asc("_df"), F.asc("_tok"))
+    ranked_vocab = vocab.withColumn("_rk", F.row_number().over(w))
+    ranked = toks.join(F.broadcast(ranked_vocab.select("_tok", "_rk")), "_tok")
+    sorted_sets = ranked.groupBy("_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("_rk", "_tok"))),
+            lambda kv: kv["_tok"],
+        ).alias("_sorted")
+    )
+    # prefix length = sz - ceil(t*sz) + 1  (0-based: pos < that)
+    pre = sorted_sets.select(
+        "_id",
+        F.size("_sorted").alias("_sz"),
+        F.posexplode("_sorted").alias("_pos", "_tok"),
+    ).filter(
+        F.col("_pos")
+        < F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+    )
+    a = pre.select(F.col("_id").alias("_ida"), "_tok")
+    b = pre.select(F.col("_id").alias("_idb"), "_tok")
+    cand = (
+        a.join(b, "_tok")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select("_ida", "_idb")
+        .distinct()
+    )
+    sa = d.select(F.col("_id").alias("_ida"), F.col("_s").alias("_sa"),
+                  F.col("_sz").alias("_sza"))
+    sb = d.select(F.col("_id").alias("_idb"), F.col("_s").alias("_sb"),
+                  F.col("_sz").alias("_szb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    jac = inter.cast("double") / (
+        F.col("_sza") + F.col("_szb") - inter
+    ).cast("double")
+    return (
+        cand.join(sa, "_ida")
+        .join(sb, "_idb")
+        .select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1613,3 +1613,43 @@ def op_ext_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us", F.expr("ts_ns div 1000")
     )
     return tsr.gapfill_hourly(ev)
+
+
+@query(
+    "op-ext-setjoin-prefix",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(lower(trim(text)), '\\s+'))
+               AS s
+      FROM documents WHERE doc_id < 250
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                    AS DOUBLE) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                 AS DOUBLE) >= 0.8
+    """,
+)
+def op_ext_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard set-similarity self-join (t=0.8) via PPJoin-style
+    prefix filtering (dedup.set_similarity_join_prefix): sets re-sorted
+    rarest-token-first, only the |s|−⌈t|s|⌉+1 prefix enters the
+    candidate equi-join, exact verify on the full sets. The oracle
+    states the naive all-pairs join — completeness of the prefix filter
+    is exactly what the hash-match proves. Complements minhash-LSH
+    (approximate, probabilistic recall) with the exact algorithm; the
+    doc_id bound sizes the gate output, the operator is unbounded."""
+    from data_warehousing_assignment_spark.operators.dedup import (
+        set_similarity_join_prefix,
+    )
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select("doc_id", F.array_distinct(tx.tokens("text")).alias("s"))
+    )
+    return set_similarity_join_prefix(docs, "doc_id", "s", threshold=0.8)
