@@ -404,12 +404,12 @@ def set_similarity_join_prefix(
     ).withColumn("_sz", F.size("_s"))
     toks = d.select("_id", F.explode("_s").alias("_tok"))
     vocab = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
-    w = Window.orderBy(F.asc("_df"), F.asc("_tok"))
-    ranked_vocab = vocab.withColumn("_rk", F.row_number().over(w))
-    ranked = toks.join(F.broadcast(ranked_vocab.select("_tok", "_rk")), "_tok")
+    # the global order only needs to be CONSISTENT: sort by (df, token)
+    # directly — no dense rank, so no global-window pass over the vocab
+    ranked = toks.join(F.broadcast(vocab), "_tok")
     sorted_sets = ranked.groupBy("_id").agg(
         F.transform(
-            F.sort_array(F.collect_list(F.struct("_rk", "_tok"))),
+            F.sort_array(F.collect_list(F.struct("_df", "_tok"))),
             lambda kv: kv["_tok"],
         ).alias("_sorted")
     )
