@@ -413,14 +413,21 @@ def set_similarity_join_prefix(
             lambda kv: kv["_tok"],
         ).alias("_sorted")
     )
-    # prefix length = sz - ceil(t*sz) + 1  (0-based: pos < that)
+    # prefix length = sz - ceil(t*sz) + 1  (0-based: pos < that).
+    # The epsilon guards IEEE drift: products like 0.55*100 evaluate to
+    # 55.000000000000007, whose bare ceil (56) would shorten the prefix by
+    # one token and silently drop pairs sitting exactly AT the threshold.
+    # Under-ceiling by < 1e-9 can only LENGTHEN a prefix (more candidates,
+    # never fewer), so completeness is preserved for every threshold.
     pre = sorted_sets.select(
         "_id",
         F.size("_sorted").alias("_sz"),
         F.posexplode("_sorted").alias("_pos", "_tok"),
     ).filter(
         F.col("_pos")
-        < F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+        < F.col("_sz")
+        - F.ceil(F.lit(threshold) * F.col("_sz") - F.lit(1e-9))
+        + 1
     )
     a = pre.select(F.col("_id").alias("_ida"), "_tok")
     b = pre.select(F.col("_id").alias("_idb"), "_tok")

@@ -162,3 +162,83 @@ def test_simhash_neardup_rejects_lossy_banding(spark):
 
     with pytest.raises(ValueError):
         dd.simhash_neardup_pairs(df, "doc_id", "text", bands=4, max_hamming=4)
+
+
+def _naive_jaccard_pairs(sets: dict[int, set], threshold: float):
+    ids = sorted(sets)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            jac = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if jac >= threshold:
+                out.add((a, b, round(jac, 9)))
+    return out
+
+
+def _prefix_join_pairs(spark, sets: dict[int, set], threshold: float):
+    df = spark.createDataFrame(
+        [(i, sorted(s)) for i, s in sets.items()],
+        "doc_id int, s array<string>",
+    )
+    return {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dd.set_similarity_join_prefix(
+            df, "doc_id", "s", threshold
+        ).collect()
+    }
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "threshold,sz", [(0.55, 100), (0.56, 25)]
+)
+def test_prefix_join_exact_at_threshold_despite_float_drift(
+    spark, threshold, sz
+):
+    """Adversarial completeness: products like 0.55*100 evaluate in IEEE
+    to 55.000000000000007, so a bare ceil() shortens the prefix by one
+    token. This corpus places the ONLY prefix-shared token of an
+    exactly-at-threshold pair at that final prefix position — the pair
+    vanishes from the output iff the ceil drifts (ADVICE r6)."""
+    import math
+
+    need = math.ceil(threshold * sz - 1e-9)  # exact ceil, e.g. 55
+    p = sz - need + 1  # correct prefix length of A
+    n_single = p - 1  # singletons sorting before the boundary token
+    n_shared = sz - p  # high-df tokens sorting after it
+    inter = n_shared + 1
+    # |B| chosen so Jaccard(A,B) == threshold exactly (rational identity)
+    sz_b = inter * (1 + 1 / threshold) - sz
+    assert abs(sz_b - round(sz_b)) < 1e-9, "construction requires integer |B|"
+    sz_b = round(sz_b)
+
+    singles = {f"a{i:03d}" for i in range(n_single)}
+    shared = {f"s{i:03d}" for i in range(n_shared)}
+    a_set = singles | {"x"} | shared
+    b_set = {"x"} | shared
+    assert len(a_set) == sz and len(b_set) == sz_b
+    sets = {0: a_set, 1: b_set, 2: set(shared)}  # 2 = df-filler for shared
+
+    naive = _naive_jaccard_pairs(sets, threshold)
+    fast = _prefix_join_pairs(spark, sets, threshold)
+    assert (0, 1, round(threshold, 9)) in naive  # the boundary pair exists
+    assert fast == naive
+
+
+def test_prefix_join_matches_naive_across_thresholds(spark):
+    """Property sweep: random token sets, awkward thresholds — the prefix
+    join must reproduce the naive all-pairs result verbatim."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"t{i:02d}" for i in range(40)]
+    sets = {
+        i: set(rng.sample(vocab, rng.randint(3, 20))) for i in range(30)
+    }
+    for threshold in (0.5, 0.55, 0.6, 0.7, 0.8):
+        assert _prefix_join_pairs(spark, sets, threshold) == _naive_jaccard_pairs(
+            sets, threshold
+        ), f"mismatch at t={threshold}"
