@@ -279,7 +279,17 @@ def label_centroids(
 
     Cross-engine note: float accumulation order makes centroids
     engine-exact only to ~1e-6 relative — consumers surface norms or
-    rounded digests, not raw arrays (registry scalar-boundary rule)."""
+    rounded digests, not raw arrays (registry scalar-boundary rule);
+    :func:`label_centroid_digest` is the fully engine-exact twin.
+
+    ``n_vecs`` counts rows on the UN-exploded frame: with ragged vectors
+    or NULL elements the per-(label, dim) counts diverge from the row
+    count, so deriving n_vecs from them (the pre-r7 ``F.max(c)``) would
+    silently disagree with the per-dim means, which average only the
+    dims/values actually present (ADVICE r6)."""
+    counts = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
     exploded = df.select(
         F.col(label_col).alias("label"),
         F.posexplode(F.col(vec_col)).alias("dim", "val"),
@@ -289,12 +299,66 @@ def label_centroids(
         F.count(F.lit(1)).alias("c"),
     )
     means = sums.select(
-        "label", "dim", (F.col("s") / F.col("c")).alias("m"), "c"
+        "label", "dim", (F.col("s") / F.col("c")).alias("m")
     )
-    return means.groupBy("label").agg(
-        F.max("c").alias("n_vecs"),
+    cents = means.groupBy("label").agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("dim", "m"))),
             lambda kv: kv["m"],
         ).alias("centroid"),
+    )
+    # counts is |labels| rows — broadcast; no extra shuffle of the sums.
+    return cents.join(F.broadcast(counts), "label").select(
+        "label", "n_vecs", "centroid"
+    )
+
+
+def label_centroid_digest(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Engine-exact per-label centroid summary: quantize each element to
+    int64 micro-units (floor(x·10⁶) — exact everywhere), sum per
+    (label, dim) in exact integer arithmetic, then surface per label:
+
+    * ``n_vecs`` — row count of the un-exploded frame,
+    * ``n_dims`` — number of dims that produced a partial sum,
+    * ``centroid_l2`` — L2 norm of the quantized MEAN vector:
+      sqrt(Σ sum_q²) / (n_vecs·10⁶). Σ sum_q² runs in decimal(38,0)
+      (exact up to ~10³⁸ — at sf100 the per-dim sums are ~10¹¹, squares
+      ~10²², ×4096 dims ≪ the cap), so only the final
+      cast→sqrt→divide touches IEEE — identical operand order →
+      identical bits in any engine,
+    * ``centroid_digest`` — md5 over the dim-ordered int sums: a
+      hash-exact witness of the full centroid, no float rounding
+      anywhere.
+
+    Same shuffle shape as :func:`label_centroids`: the exchange carries
+    |labels|·|dims| int64 partial sums, never vectors."""
+    counts = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(quantize(vec_col)).alias("dim", "qv"),
+    )
+    sums = exploded.groupBy("label", "dim").agg(F.sum("qv").alias("sum_q"))
+    sq = F.col("sum_q").cast("decimal(38,0)")
+    per_label = sums.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+        F.sum(sq * sq).alias("_ss"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "sum_q"))),
+                    lambda kv: kv["sum_q"].cast("string"),
+                ),
+            )
+        ).alias("centroid_digest"),
+    )
+    l2 = F.sqrt(F.col("_ss").cast("double")) / (
+        F.col("n_vecs").cast("double") * F.lit(QUANT)
+    )
+    return per_label.join(F.broadcast(counts), "label").select(
+        "label", "n_vecs", "n_dims", l2.alias("centroid_l2"), "centroid_digest"
     )

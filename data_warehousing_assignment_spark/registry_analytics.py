@@ -818,29 +818,45 @@ def op_ext_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("op-ext-label-centroids")
+@query(
+    "op-ext-label-centroids",
+    oracle="""
+    WITH q AS (
+      SELECT label,
+             list_transform(embedding, x ->
+               CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS e
+      FROM embeddings
+    ), idx AS (SELECT unnest(range(1, 65)) AS i),
+    sums AS (
+      SELECT q.label, idx.i - 1 AS dim, CAST(SUM(q.e[idx.i]) AS BIGINT) AS sum_q
+      FROM q, idx GROUP BY 1, 2
+    ), n AS (
+      SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label
+    )
+    SELECT s.label,
+           CAST(n.n_vecs AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) AS BIGINT) AS n_dims,
+           sqrt(CAST(SUM(CAST(s.sum_q AS HUGEINT) * s.sum_q) AS DOUBLE))
+             / (CAST(n.n_vecs AS DOUBLE) * 1000000.0) AS centroid_l2,
+           md5(string_agg(CAST(s.sum_q AS VARCHAR), '|' ORDER BY s.dim))
+             AS centroid_digest
+    FROM sums s JOIN n ON s.label = n.label
+    GROUP BY s.label, n.n_vecs
+    """,
+)
 def op_ext_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (class prototypes) — the reduction
     behind semantic class balancing, IVF coarse quantizers, and
-    prototype classifiers (similarity.label_centroids). Rows-only by
-    design: float accumulation order keeps raw centroids within but not
-    across engines; values are pinned against numpy in
-    tests/test_similarity.py, and the surfaced columns obey the scalar
-    boundary (count, dim, L2 norm)."""
+    prototype classifiers. Surfaced via the engine-exact quantized twin
+    (similarity.label_centroid_digest): per-(label, dim) int64 micro-unit
+    sums, an md5 digest over the dim-ordered sums, and the L2 norm of the
+    quantized mean — all exact integer arithmetic until one final
+    cast→sqrt→divide, so DuckDB hash-matches bit-for-bit (was rows-only
+    pre-r7). The float-mean operator (similarity.label_centroids) stays
+    numpy-pinned in tests/test_similarity.py."""
     from data_warehousing_assignment_spark.operators.similarity import (
-        label_centroids,
+        label_centroid_digest,
     )
 
     emb = t(spark, sf_dir, "embeddings")
-    cent = label_centroids(emb, "label", "embedding")
-    norm = F.sqrt(
-        F.aggregate(
-            "centroid", F.lit(0.0), lambda acc, x: acc + x * x
-        )
-    )
-    return cent.select(
-        "label",
-        "n_vecs",
-        F.size("centroid").alias("n_dims"),
-        norm.alias("centroid_l2"),
-    )
+    return label_centroid_digest(emb, "label", "embedding")

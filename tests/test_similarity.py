@@ -131,3 +131,56 @@ def test_label_centroids_match_numpy(spark):
         assert n == len(vecs)
         ref = np.asarray(vecs, dtype=np.float64).mean(axis=0)
         assert np.allclose(np.asarray(cent), ref, rtol=1e-9, atol=1e-12)
+
+
+def test_label_centroid_digest_matches_python(spark):
+    """Engine-exact twin: int64 micro-unit sums, digest, and quantized-mean
+    L2 reproduce a pure-Python computation bit-for-bit."""
+    import hashlib
+    import math
+
+    from data_warehousing_assignment_spark.operators.similarity import (
+        label_centroid_digest,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    got = {
+        r.label: (r.n_vecs, r.n_dims, r.centroid_l2, r.centroid_digest)
+        for r in label_centroid_digest(emb, "label", "embedding").collect()
+    }
+    by_label = {}
+    for r in emb.select("label", "embedding").collect():
+        by_label.setdefault(r.label, []).append(
+            [math.floor(float(x) * 1_000_000.0) for x in r.embedding]
+        )
+    assert set(got) == set(by_label)
+    for lbl, qvecs in by_label.items():
+        n_vecs, n_dims, l2, digest = got[lbl]
+        assert n_vecs == len(qvecs)
+        assert n_dims == len(qvecs[0])
+        sums = [sum(col) for col in zip(*qvecs)]
+        assert digest == hashlib.md5("|".join(map(str, sums)).encode()).hexdigest()
+        want_l2 = math.sqrt(float(sum(s * s for s in sums))) / (
+            float(len(qvecs)) * 1_000_000.0
+        )
+        assert l2 == want_l2  # exact: one cast->sqrt->divide chain
+
+
+def test_label_centroids_n_vecs_counts_rows_not_dims(spark):
+    """Ragged vectors: n_vecs must be the row count, not the max per-dim
+    count (ADVICE r6 — the two diverge when dims are missing)."""
+    from data_warehousing_assignment_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [3.0]), ("b", [5.0, 7.0])],
+        "label string, embedding array<float>",
+    )
+    got = {
+        r.label: (r.n_vecs, list(r.centroid))
+        for r in label_centroids(df, "label", "embedding").collect()
+    }
+    assert got["a"][0] == 2 and got["b"][0] == 1
+    assert got["a"][1] == [2.0, 2.0]  # dim1 mean over the 1 present value
+    assert got["b"][1] == [5.0, 7.0]
