@@ -192,13 +192,18 @@ def interval_overlap_join(
     :func:`point_in_interval_join` where neither side is a point.
 
     Each interval explodes into the ``bucket_us``-wide buckets it
-    covers, the join runs as a hash EQUI-join on the bucket id, the
-    exact predicate filters residually, and duplicate pairs (intervals
-    sharing several buckets) collapse with one distinct. Work is
-    O(Σ per-bucket |L|·|R|) instead of all-pairs; fan-out per interval
-    is bounded by duration / bucket width, so pick the bucket near the
-    typical interval length. Column names of the two inputs must be
-    disjoint; all columns of both survive."""
+    covers, the join runs as a hash EQUI-join on the bucket id, and the
+    exact predicate filters residually. A pair of overlapping intervals
+    shares every bucket in [max(starts), min(ends)] div bucket — so each
+    pair is emitted ONLY at its first shared bucket
+    (``_bk == greatest(l_start, r_start) div bucket_us``): exactly-once
+    without any distinct, which both saves the dedup shuffle and
+    preserves input multiplicity (a pre-r7 ``.distinct()`` over all
+    columns silently collapsed genuinely duplicate input rows — ADVICE
+    r6). Work is O(Σ per-bucket |L|·|R|) instead of all-pairs; fan-out
+    per interval is bounded by duration / bucket width, so pick the
+    bucket near the typical interval length. Column names of the two
+    inputs must be disjoint; all columns of both survive."""
     lb = left.withColumn(
         "_bk",
         F.explode(
@@ -220,9 +225,7 @@ def interval_overlap_join(
     overlap = (F.col(l_start) <= F.col(r_end)) & (
         F.col(r_start) <= F.col(l_end)
     )
-    return (
-        lb.join(rb, on="_bk")
-        .filter(overlap)
-        .drop("_bk")
-        .distinct()
+    first_shared = F.col("_bk") == F.expr(
+        f"greatest({l_start}, {r_start}) div {bucket_us}"
     )
+    return lb.join(rb, on="_bk").filter(overlap & first_shared).drop("_bk")

@@ -967,7 +967,8 @@ def op_ext_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     incident", the correlation every ops/analytics pipeline needs. The
     oracle states the naive inequality join; the Spark plan is hour-
     bucket expansion on BOTH sides + hash equi-join + residual predicate
-    + pair-distinct (timeseries.interval_overlap_join) — O(per-bucket
+    + first-shared-bucket emission (timeseries.interval_overlap_join,
+    exactly-once without a distinct) — O(per-bucket
     work), never all-pairs. Population filters bound the gate's output;
     the operator itself is unbounded."""
     from data_warehousing_assignment_spark.operators import analytics as an

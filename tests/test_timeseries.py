@@ -138,3 +138,20 @@ def test_interval_overlap_join_exact_vs_nested_loop(spark):
         if l[1] <= r[2] and r[1] <= l[2]
     )
     assert got == naive == [(1, 100), (1, 101), (2, 101), (3, 102)]
+
+
+def test_interval_overlap_join_preserves_duplicate_input_rows(spark):
+    """Join multiplicity: duplicate input rows each produce their own
+    output pair (the pre-r7 all-column distinct collapsed them)."""
+    B = 1_000_000
+    ldf = spark.createDataFrame(
+        [(1, 0, 5 * B), (1, 0, 5 * B)], "lid int, ls long, le long"
+    )
+    rdf = spark.createDataFrame([(9, B, 2 * B)], "rid int, rs long, re long")
+    got = [
+        (r.lid, r.rid)
+        for r in tsr.interval_overlap_join(
+            ldf, rdf, "ls", "le", "rs", "re", bucket_us=B
+        ).collect()
+    ]
+    assert sorted(got) == [(1, 9), (1, 9)]
