@@ -1455,9 +1455,11 @@ def op_ext_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary profile: top-50 tokens by total occurrences
     (ties by token) with document frequency — the vocab-build /
     stopword-discovery pass of a training pipeline. One explode + one
-    map-side-combined agg keyed by token; the global rank runs on the
-    already-aggregated VOCAB (not the corpus), which fits one reducer
-    at any corpus size that has a language-shaped vocabulary."""
+    map-side-combined agg keyed by token; the top-50 cut runs as
+    orderBy+limit over the already-aggregated VOCAB —
+    TakeOrderedAndProject per-partition heaps, so no reducer ever holds
+    the whole vocabulary — and only the 50 survivors see the ranking
+    window (r7; was a global row_number window over the vocab)."""
     from pyspark.sql import Window
 
     tf = t(spark, sf_dir, "documents").select(
@@ -1467,11 +1469,9 @@ def op_ext_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_occurrences"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+    top = v.orderBy(F.desc("n_occurrences"), F.asc("tok")).limit(50)
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("tok"))
-    return (
-        v.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= 50)
-    )
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))
 
 
 @query(

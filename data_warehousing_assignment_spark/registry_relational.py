@@ -357,8 +357,10 @@ def op_ext_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_ext_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus top-40 word bigrams: row-local n-gram construction
     (transform over an index sequence — no self-join, no posexplode
-    pairing), one explode, one map-side-combined count, then a top-k
-    window over the distinct-bigram frame with (count, bigram) tiebreak.
+    pairing), one explode, one map-side-combined count, then the top-40
+    cut as orderBy+limit (TakeOrderedAndProject — per-partition heaps,
+    never a global sort of the distinct-bigram frame) with (count,
+    bigram) tiebreak; only the 40 survivors see the ranking window.
     The explode fan-out is |tokens| per doc — linear, never quadratic."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     docs = t(spark, sf_dir, "documents").select(toks.alias("l"))
@@ -375,11 +377,10 @@ def op_ext_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bigram")
     )
     cnt = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    top = cnt.orderBy(F.desc("n"), F.asc("bigram")).limit(40)
     w = Window.orderBy(F.desc("n"), F.asc("bigram"))
-    return (
-        cnt.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= 40)
-        .select("bigram", "n", "rnk")
+    return top.select(
+        "bigram", "n", F.row_number().over(w).cast("bigint").alias("rnk")
     )
 
 
@@ -1112,8 +1113,12 @@ def op_ext_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-30 by support. The self-join is keyed on the ORDER — fan-out per
     order is lines-per-order², a data constant (~7² for TPC-H-shaped
     carts), so candidate volume is linear in orders at any scale; the
-    a<b guard halves it and canonicalizes the pair. One combinable count
-    then a top-k window over the distinct-pair frame."""
+    a<b guard halves it and canonicalizes the pair. One combinable count,
+    then the top-30 cut runs as orderBy+limit — TakeOrderedAndProject:
+    per-partition heaps forward ≤30 rows each, no global sort of the
+    distinct-pair frame — and only the 30 surviving rows see the ranking
+    window (r7; was a global row_number window over the full pair
+    frame)."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
@@ -1125,11 +1130,11 @@ def op_ext_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = pairs.groupBy("part_a", "part_b").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+    top = cnt.orderBy(
+        F.desc("n_orders"), F.asc("part_a"), F.asc("part_b")
+    ).limit(30)
     w = Window.orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
-    return (
-        cnt.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= 30)
-    )
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))
 
 
 @query(

@@ -164,3 +164,21 @@ def test_interval_overlap_is_bucketed_not_nested_loop(spark, qs):
     plan = plan_of(qs["op-ext-interval-overlap"](spark, SF_SMALL))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "op-ext-copurchase",
+        "op-ext-bigrams",
+        "op-ext-vocab-topk",
+        "op-ext-heavy-hitters",
+    ],
+)
+def test_global_topk_plans_as_take_ordered(spark, qs, qname):
+    """Global top-k cuts must plan as TakeOrderedAndProject (per-partition
+    heaps, k rows forwarded per partition) — never a row_number window
+    over the full aggregated frame. The ranking window that assigns rnk
+    afterwards may only ever see the ≤k-row survivor frame."""
+    plan = plan_of(qs[qname](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
