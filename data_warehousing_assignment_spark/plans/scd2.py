@@ -98,6 +98,43 @@ def merge_scd2(
     )
 
 
+def expire_deleted(
+    current: DataFrame, deleted_keys: DataFrame, key: str, as_of: str
+) -> DataFrame:
+    """Close the open SCD2 row of every tombstoned key — the delete half
+    of a CDC→SCD2 composition (Debezium op='d' has no analogue in the
+    reference's snapshot-driven loads, which only ever see upserts; ref
+    ``A3_load_dim_emp.sql:42-62`` expires strictly on attribute change).
+
+    ``deleted_keys`` carries one column ``key``. A tombstoned key's open
+    row gets ``valid_to = as_of, is_current = false``; history rows and
+    untouched keys pass through bit-identical. A later re-insert of the
+    key (via :func:`merge_scd2`) starts a fresh version — the validity
+    gap between the closure and the re-insert is the real deletion
+    window, which is why the contiguity invariant only applies to
+    never-deleted keys.
+
+    One equi-join on the natural key against the (typically tiny)
+    tombstone set — same single-shuffle shape as the merge itself.
+    """
+    marks = (
+        deleted_keys.select(key).distinct().withColumn("_del", F.lit(True))
+    )
+    hit = F.col("_del").isNotNull() & F.col("is_current")
+    return (
+        current.join(marks, on=key, how="left")
+        .withColumn(
+            "valid_to",
+            F.when(hit, F.to_date(F.lit(as_of))).otherwise(F.col("valid_to")),
+        )
+        .withColumn(
+            "is_current",
+            F.when(hit, F.lit(False)).otherwise(F.col("is_current")),
+        )
+        .drop("_del")
+    )
+
+
 def assert_scd2_invariants(dim: DataFrame, key: str) -> dict[str, int]:
     """Sanity counters for tests: violations of '≤1 current row per key'
     and 'valid_from ≤ valid_to'. Returns counts (0 = healthy)."""

@@ -53,3 +53,18 @@ def test_component_summary_sizes(spark):
         for r in gr.component_summary(comp).collect()
     }
     assert sizes == {1: 3, 10: 2, 99: 1}
+
+
+def test_long_chain_converges_in_log_rounds(spark):
+    """Pointer doubling: a 200-node path must fully label within 12
+    rounds (propagated distance grows ~2^r per round; plain one-hop
+    propagation would need ~200 rounds and produce wrong labels under
+    this max_iter)."""
+    n = 200
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint"
+    )
+    out = gr.connected_components(nodes, edges, max_iter=12)
+    got = {r.id: r.component for r in out.collect()}
+    assert got == {i: 0 for i in range(n)}

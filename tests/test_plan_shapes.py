@@ -182,3 +182,73 @@ def test_global_topk_plans_as_take_ordered(spark, qs, qname):
     afterwards may only ever see the ≤k-row survivor frame."""
     plan = plan_of(qs[qname](spark, SF_SMALL))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_incremental_fact_prune_hits_partition_filters(spark, tmp_path):
+    """The full incremental-load composition at 100 TB: the fact lives on
+    disk partitioned by date, and incremental_fact_insert's date-window
+    prune on the EXISTING side must surface as PartitionFilters on that
+    scan — metadata-only partition elimination (SURVEY §4's design
+    claim), not a post-scan data filter. Likewise watermark_filter's
+    re-read of the fact must scan only the still-relevant partitions."""
+    from data_warehousing_assignment_spark.plans import facts as fc
+    from data_warehousing_assignment_spark.sources.writers import write_table
+
+    path = str(tmp_path / "fact_by_day")
+    fact = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        # one month of history → ~31 date partitions (write speed; the
+        # pruning mechanics are partition-count-independent)
+        .filter(F.col("o_orderdate").between("1996-01-01", "1996-01-31"))
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("load_date"),
+        )
+    )
+    write_table(fact, path, partition_by=["load_date"])
+    existing = spark.read.parquet(path).select(
+        "o_orderkey", "o_totalprice", "load_date"
+    )
+
+    # batch = two days' worth of rows, half already present (dup) + one new
+    batch_days = ["1996-01-02", "1996-01-03"]
+    batch = existing.filter(F.col("load_date").isin(batch_days)).unionByName(
+        spark.createDataFrame(
+            [(999_999_001, 1.0, "1996-01-03")],
+            "o_orderkey long, o_totalprice double, load_date string",
+        )
+    )
+    out = fc.incremental_fact_insert(
+        existing,
+        batch,
+        dedup_cols=["o_orderkey", "load_date"],
+        date_col="load_date",
+    )
+    plan = plan_of(out)
+    # the existing-side scan is pruned via partition METADATA: one scan's
+    # PartitionFilters (not DataFilters/PushedFilters) must carry the
+    # batch's [min, max] date window
+    windows = [
+        l.split("PartitionFilters: [")[1].split("]")[0]
+        for l in plan.splitlines()
+        if "FileScan" in l and "PartitionFilters: [" in l
+    ]
+    assert any(
+        "load_date" in pf and ">=" in pf and "<=" in pf for pf in windows
+    ), f"no partition-window-pruned fact scan; PartitionFilters seen: {windows}"
+    # and the composition is correct: only the genuinely-new row appends
+    got = [(r.o_orderkey, r.load_date) for r in out.collect()]
+    assert got == [(999_999_001, "1996-01-03")]
+
+    # dbt-style watermark: re-read of the partitioned fact + strict >
+    # filter also prunes by partition, not by data filter
+    wm_new = fc.watermark_filter(
+        spark.createDataFrame(
+            [(1, 1.0, "1998-12-31"), (2, 2.0, "1990-01-01")],
+            "o_orderkey long, o_totalprice double, load_date string",
+        ),
+        existing,
+        "load_date",
+    )
+    assert [r.o_orderkey for r in wm_new.collect()] == [1]

@@ -164,3 +164,82 @@ def test_interval_overlap_join_matches_naive(spark, left, right):
         if l[1] <= r[2] and r[1] <= l[2]
     )
     assert got == naive
+
+
+cdc_batches = st.lists(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["K1", "K2", "K3"]),          # key
+            st.integers(min_value=0, max_value=9),        # seq within batch
+            st.sampled_from(["a", "b", None]),            # attr value
+            st.sampled_from(["U", "U", "D"]),             # op (U-weighted)
+        ),
+        min_size=0,
+        max_size=5,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(batches=cdc_batches)
+@SPARK_SETTINGS
+def test_cdc_scd2_composition_invariants_and_final_state(spark, batches):
+    """CDC compaction -> merge_scd2 + expire_deleted over arbitrary
+    multi-batch change streams (updates, deletes, re-inserts, NULL
+    attrs, empty batches): ≤1 current row per key and ordered validity
+    ranges always hold, and the open state equals a pure-Python replay
+    of the stream."""
+    from data_warehousing_assignment_spark.operators.analytics import (
+        top_k_per_group,
+    )
+    from data_warehousing_assignment_spark.plans.scd2 import (
+        expire_deleted,
+        merge_scd2,
+    )
+
+    dim = spark.createDataFrame(
+        [],
+        "k string, v string, row_hash string, valid_from date, "
+        "valid_to date, is_current boolean",
+    )
+    # Python oracle replay (global change_id disambiguates equal seqs,
+    # mirroring the unique-change-id tiebreak of a real CDC log)
+    state: dict[str, str | None] = {}
+    cid = 0
+    for bi, rows in enumerate(batches):
+        stamped = []
+        for (k, seq, v, op) in rows:
+            stamped.append((k, seq, cid, v, op))
+            cid += 1
+        latest: dict[str, tuple] = {}
+        for (k, seq, c, v, op) in stamped:
+            cur = latest.get(k)
+            if cur is None or (seq, c) > (cur[0], cur[1]):
+                latest[k] = (seq, c, v, op)
+        for k, (_, _, v, op) in latest.items():
+            if op == "D":
+                state.pop(k, None)
+            else:
+                state[k] = v
+
+        cdc = spark.createDataFrame(
+            stamped, "k string, seq long, cid long, v string, op string"
+        )
+        compact = top_k_per_group(
+            cdc, ["k"], [F.desc("seq"), F.desc("cid")], k=1
+        )
+        as_of = f"2024-01-{bi + 1:02d}"
+        dim = merge_scd2(
+            dim, compact.filter(F.col("op") == "U").select("k", "v"),
+            "k", ["v"], as_of,
+        )
+        dim = expire_deleted(
+            dim, compact.filter(F.col("op") == "D").select("k"), "k", as_of
+        ).localCheckpoint(eager=False)  # per-batch dim materialization
+        inv = assert_scd2_invariants(dim, "k")
+        assert inv["multi_current_keys"] == 0
+        assert inv["bad_valid_ranges"] == 0
+
+    got = {r.k: r.v for r in dim.collect() if r.is_current}
+    assert got == state

@@ -93,3 +93,102 @@ def test_row_hash_concat_ws_null_distinction(spark):
     ).select(scd2_row_hash(["x", "y"]).alias("h"))
     h1, h2 = [r.h for r in df.collect()]
     assert h1 != h2
+
+
+# --- multi-batch CDC -> SCD2 composition (the Debezium->warehouse chain) ---
+
+
+def _apply_cdc_batch(spark, dim, batch_rows, as_of):
+    """One micro-batch: CDC-compact (latest change per key wins, change_id
+    tiebreak) -> split upserts/tombstones -> merge_scd2 + expire_deleted."""
+    from data_warehousing_assignment_spark.operators.analytics import (
+        top_k_per_group,
+    )
+    from data_warehousing_assignment_spark.plans.scd2 import expire_deleted
+
+    cdc = spark.createDataFrame(
+        batch_rows, "emp_id string, seq long, change_id long, name string, "
+        "dept string, op string"
+    )
+    latest = top_k_per_group(
+        cdc, ["emp_id"], [F.desc("seq"), F.desc("change_id")], k=1
+    )
+    ups = latest.filter(F.col("op") == "U").select("emp_id", "name", "dept")
+    dels = latest.filter(F.col("op") == "D").select("emp_id")
+    dim = merge_scd2(dim, ups, KEY, ATTRS, as_of)
+    # a real pipeline overwrites the dim table per batch; checkpointing
+    # models that materialization boundary (and keeps lineage bounded)
+    return expire_deleted(dim, dels, KEY, as_of).localCheckpoint(eager=False)
+
+
+def _replay(batches):
+    """Pure-Python oracle: final open state of the change stream."""
+    state = {}
+    for rows in batches:
+        latest = {}
+        for (k, seq, cid, name, dept, op) in rows:
+            cur = latest.get(k)
+            if cur is None or (seq, cid) > (cur[0], cur[1]):
+                latest[k] = (seq, cid, name, dept, op)
+        for k, (_, _, name, dept, op) in latest.items():
+            if op == "D":
+                state.pop(k, None)
+            else:
+                state[k] = (name, dept)
+    return state
+
+
+def test_cdc_to_scd2_three_batches_with_tombstones(spark):
+    """Deterministic 3-batch chain exercising: in-batch compaction,
+    update, delete, re-insert after delete, and delete of a never-seen
+    key. Invariants hold throughout; final open state == Python replay;
+    never-deleted keys keep contiguous version chains."""
+    from data_warehousing_assignment_spark.plans.scd2 import expire_deleted  # noqa: F401
+
+    batches = [
+        # b1: E1 twice in-batch (compaction keeps seq 2), E2, E3
+        [("E1", 1, 1, "Ann", "IT", "U"), ("E1", 2, 2, "Ann", "OPS", "U"),
+         ("E2", 1, 3, "Bob", "HR", "U"), ("E3", 1, 4, "Cyd", "ML", "U")],
+        # b2: E1 dept change, E2 tombstone, E9 delete-of-unknown-key
+        [("E1", 3, 5, "Ann", "FIN", "U"), ("E2", 3, 6, None, None, "D"),
+         ("E9", 3, 7, None, None, "D")],
+        # b3: E2 re-insert after its deletion, E3 unchanged re-send
+        [("E2", 5, 8, "Bob", "SEC", "U"), ("E3", 5, 9, "Cyd", "ML", "U")],
+    ]
+    dates = ["2024-01-01", "2024-02-01", "2024-03-01"]
+    dim = mk_dim(spark, [])
+    for rows, as_of in zip(batches, dates):
+        dim = _apply_cdc_batch(spark, dim, rows, as_of)
+        inv = assert_scd2_invariants(
+            # chain contiguity is only promised for never-deleted keys:
+            # a tombstone's validity gap is real (see expire_deleted)
+            dim.filter(~F.col(KEY).isin("E2", "E9")), KEY
+        )
+        assert inv == {
+            "multi_current_keys": 0, "bad_valid_ranges": 0, "broken_chains": 0
+        }, f"invariants broken after batch dated {as_of}"
+        # current-uniqueness + range sanity hold for tombstoned keys too
+        inv_all = assert_scd2_invariants(dim, KEY)
+        assert inv_all["multi_current_keys"] == 0
+        assert inv_all["bad_valid_ranges"] == 0
+
+    rows = dim.collect()
+    open_state = {
+        r.emp_id: (r.name, r.dept) for r in rows if r.is_current
+    }
+    assert open_state == _replay(batches)
+    # E1's full version chain: OPS (b1) -> FIN (b2), contiguous
+    e1 = sorted(
+        ((r.valid_from, r.valid_to, r.dept) for r in rows if r.emp_id == "E1")
+    )
+    assert [d for _, _, d in e1] == ["OPS", "FIN"]
+    assert e1[0][1] == e1[1][0]  # expire date == next valid_from
+    # E2: closed first version (deleted), then a fresh open version
+    e2 = sorted(
+        ((r.valid_from, r.valid_to, r.is_current) for r in rows
+         if r.emp_id == "E2")
+    )
+    assert len(e2) == 2 and not e2[0][2] and e2[1][2]
+    assert e2[0][1] is not None  # tombstone closed it
+    # the unknown-key delete (E9) must not create any row
+    assert not [r for r in rows if r.emp_id == "E9"]
