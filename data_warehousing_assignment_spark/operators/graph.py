@@ -93,18 +93,19 @@ def connected_components(
             ).alias("component"),
             (F.col("_nmin") < F.col("component")).alias("_prop_changed"),
         )
-        if i >= 2:
+        if i >= 3:
             # Pointer doubling: label(v) <- label(label(v)). Every label
             # IS a node id (init + mins over node ids) and every node
             # appears in `propagated` exactly once, so the inner join is
             # total. Labels are monotonically non-increasing, hence
             # label(label(v)) ≤ label(v) — F.least is belt-and-braces,
-            # not a semantic change. Engaged only from round 3: dense
-            # near-dup blobs (diameter ≤ ~3) have converged by then and
-            # never pay the extra |V|-row join, while a still-unconverged
-            # graph is diameter-bound and from here doubling covers
-            # ~2^(r-1) hops by round r — O(log d) total rounds either
-            # way (sf1 probe: unconditional doubling cost +2.3 s on the
+            # not a semantic change. Engaged only from round 4: dense
+            # near-dup blobs (diameter ≤ ~3) converge — including the
+            # zero-change confirmation round — before it ever runs and
+            # pay zero extra joins, while a still-unconverged graph is
+            # diameter-bound and from here doubling covers ~2^(r-2)
+            # hops by round r — O(log d) total rounds either way (sf1
+            # probe: unconditional doubling cost +2.3 s on the
             # blob-shaped dedup graph for zero round savings).
             parent = propagated.select(
                 F.col("_node").alias("_p"), F.col("component").alias("_pcomp")
