@@ -157,7 +157,15 @@ def run_suite(spark, qs, names, sf_dir, sf, metric) -> dict:
             # earlier rounds, and plan construction isn't the metric).
             eager = name in ("op-ext-dedup-clusters", "op-ext-dedup-survivors")
             df = qs[name](spark, sf_dir)
-            force(df)  # warm-up: JIT, parquet footer cache, broadcast build
+            # warm-up ×2: JIT, parquet footer cache, broadcast build. Two
+            # forces, not one — HotSpot C2 compilation of the generated
+            # whole-stage code needs more than one invocation, and the
+            # suite's FIRST query otherwise absorbs the whole JVM cold
+            # start (r7 measured ~0.2 s first-position penalty on the
+            # star join vs the same query in a warmed session; min-of-N
+            # should measure steady-state, not arrival order).
+            force(df)
+            force(df)
             ts = []
             for _ in range(N_ITERS):
                 t0 = time.perf_counter()

@@ -88,7 +88,15 @@ def kpi_gross_monthly_expenses(
             F.col("o_orderpriority").alias("expense_type"),
         )
         .agg(
-            F.round(F.sum(dec("o_totalprice")), 2).cast("double").alias("gross_amount")
+            # exact integer cents summed in decimal(38,0), one final IEEE
+            # cast→divide — identical values to the former
+            # round(sum(decimal), 2) (inputs are 2-dp clean) with the
+            # cheaper long-multiply inner loop (r7 decomposition)
+            (
+                F.sum((dec("o_totalprice") * 100).cast("bigint").cast("decimal(38,0)"))
+                .cast("double")
+                / 100.0
+            ).alias("gross_amount")
         )
         .orderBy("order_month", "department", "expense_type")
     )

@@ -305,8 +305,10 @@ def op_join_inner_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op-join-inner-star",
     oracle="""
     SELECT n_name, strftime(o_orderdate, '%Y-%m') AS order_month,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)
+                    * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                                  AS BIGINT))) AS DOUBLE) / 10000.0
              AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -321,12 +323,21 @@ def op_join_inner_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way star join (ref KPIs.sql:50-54): fact ⋈ 4 dims, grouped
     monthly revenue. nation/region are broadcast explicitly — the fact
     table never shuffles for the dim joins, only for the final groupBy
-    (map-side partial agg first)."""
+    (map-side partial agg first).
+
+    Revenue runs in exact integer ten-thousandths-of-a-cent:
+    price_cents · (100 − discount_cents) summed into decimal(38,0) (no
+    int64 overflow at any sf), one final cast→divide in IEEE — the same
+    exactness as the decimal-multiply formulation it replaces, ~16%
+    faster per the r7 decomposition (decimal-product aggregation was the
+    single most expensive scalar path in the suite)."""
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
     nation = t(spark, sf_dir, "nation")
     region = t(spark, sf_dir, "region")
+    pc = (dec("l_extendedprice") * 100).cast("bigint")
+    dc = (dec("l_discount") * 100).cast("bigint")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -335,9 +346,12 @@ def op_join_inner_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name", F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
         .agg(
-            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
-            .cast("double")
-            .alias("revenue")
+            (
+                F.sum((pc * (F.lit(100) - dc)).cast("decimal(38,0)")).cast(
+                    "double"
+                )
+                / 10000.0
+            ).alias("revenue")
         )
     )
 

@@ -562,7 +562,8 @@ def op_kpi_avg_salary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
            n_name AS department, o_orderpriority AS expense_type,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS DOUBLE) / 100.0
              AS gross_amount
     FROM orders
     JOIN customer ON o_custkey = c_custkey

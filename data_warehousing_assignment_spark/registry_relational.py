@@ -1212,3 +1212,148 @@ def op_ext_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@query(
+    "op-ext-assoc-rules",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM lineitem),
+    pc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_part
+           FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    top AS (SELECT * FROM pairs ORDER BY n_ab DESC, part_a, part_b LIMIT 30)
+    SELECT t.part_a, t.part_b, t.n_ab,
+           pa.n_part AS n_a, pb.n_part AS n_b,
+           CAST(t.n_ab AS DOUBLE) / CAST(pa.n_part AS DOUBLE) AS conf_a_b,
+           CAST(t.n_ab * n.n_orders AS DOUBLE)
+             / CAST(pa.n_part * pb.n_part AS DOUBLE) AS lift
+    FROM top t
+    JOIN pc pa ON t.part_a = pa.l_partkey
+    JOIN pc pb ON t.part_b = pb.l_partkey, n
+    """,
+)
+def op_ext_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over market baskets: the top-30 co-purchased
+    part pairs by support, annotated with confidence(a→b) and lift —
+    the classic a-priori output layer (op-ext-copurchase gives raw
+    support only). Baskets are DISTINCT (order, part) so a part listed
+    twice in one order (different suppliers) counts once.
+
+    Scale shape: the pair self-join is keyed on the ORDER (per-order
+    fan-out is a data constant), pair counts combine map-side, the
+    top-30 cut is TakeOrderedAndProject, and the per-part counts join
+    back against the 30-row survivor frame (broadcast). The 1-row
+    corpus count joins in via broadcast cross join (same sanctioned
+    shape as op-ext-tfidf's N). All counts are exact int64; conf/lift
+    are each ONE IEEE division of exact integer products — engine-
+    identical bits."""
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    pc = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    top = pairs.orderBy(F.desc("n_ab"), "part_a", "part_b").limit(30)
+    pa = pc.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a"))
+    pb = pc.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b"))
+    return (
+        top.join(pa, "part_a")
+        .join(pb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (F.col("n_ab").cast("double") / F.col("n_a").cast("double")).alias(
+                "conf_a_b"
+            ),
+            (
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "op-ext-rfm",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    base AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', MAX(o_orderdate), mx.maxd) AS BIGINT)
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS monetary_cents
+      FROM orders, mx GROUP BY o_custkey, mx.maxd
+    )
+    SELECT o_custkey, recency_days, frequency, monetary_cents,
+           CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) AS BIGINT)
+             AS r_score,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT)
+             AS f_score,
+           CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, o_custkey)
+                AS BIGINT) AS m_score
+    FROM base
+    """,
+)
+def op_ext_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency/frequency/monetary quartiles per
+    customer, the standard marketing-analytics cut. Aggregates are exact
+    (days as integers, money as cents); the three ntile windows run over
+    the post-aggregate CUSTOMER frame (dimension-sized by construction —
+    same global-window sanction as op-ext-ntile; never over raw orders),
+    each with a unique (metric, custkey) total order so quartile
+    boundaries are deterministic. The global max(o_orderdate) anchor
+    joins in as a 1-row broadcast."""
+    o = t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("maxd"))
+    base = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("maxd"), F.max("o_orderdate"))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            sum_cents("o_totalprice").alias("monetary_cents"),
+        )
+    )
+    wr = Window.orderBy("recency_days", "o_custkey")
+    wf = Window.orderBy(F.desc("frequency"), "o_custkey")
+    wm = Window.orderBy(F.desc("monetary_cents"), "o_custkey")
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4).over(wr).cast("bigint").alias("r_score"),
+        F.ntile(4).over(wf).cast("bigint").alias("f_score"),
+        F.ntile(4).over(wm).cast("bigint").alias("m_score"),
+    )

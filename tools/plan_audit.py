@@ -55,6 +55,13 @@ ALLOWED = {
     # ratio-to-report: the unpartitioned window sum runs over the
     # 25-row post-aggregate nation frame, never the fact (docstring)
     "op-ext-share-of-total": {"single-partition window"},
+    # 1-row corpus-count broadcast for lift's N (same shape as tfidf);
+    # the pair join itself is keyed on the order
+    "op-ext-assoc-rules": {"cartesian"},
+    # 1-row max-date broadcast anchor + ntile quartiles over the
+    # post-aggregate CUSTOMER frame (dim-sized; same sanction as
+    # op-ext-ntile — never over raw orders)
+    "op-ext-rfm": {"cartesian", "single-partition window"},
 }
 
 
