@@ -20,7 +20,7 @@ test_stream_sink.py, test_stream_dedup.py, test_stream_join.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_warehousing_assignment_spark.registry import dec, query, t
@@ -1035,6 +1035,62 @@ def op_ext_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("group_size")
+    )
+
+
+@query(
+    "op-ext-dedup-best-survivor",
+    oracle=f"""WITH RECURSIVE {_EDGE_CTES},
+    scored AS (
+      SELECT c.cluster_id, c.doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM comp c JOIN documents USING (doc_id)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY cluster_id
+                  ORDER BY n_tokens DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS group_size
+      FROM scored
+    )
+    SELECT cluster_id, doc_id AS survivor_id,
+           CAST(group_size AS BIGINT) AS group_size,
+           n_tokens AS survivor_tokens
+    FROM ranked WHERE rn = 1
+    """,
+)
+def op_ext_dedup_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-policy survivor selection: per near-dup cluster keep the
+    HIGHEST-QUALITY member (here: most tokens, doc_id tiebreak) instead
+    of the min-id representative — the policy real training pipelines
+    want, where the longest/cleanest copy survives and its boilerplate
+    near-dups drop. Composition: near_dup_clusters → token-count join →
+    per-cluster argmax (top_k_per_group k=1, WindowGroupLimit — each
+    cluster's running top row only, never a per-cluster sort
+    materialization)."""
+    from data_warehousing_assignment_spark.operators.analytics import (
+        top_k_per_group,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    comp = dd.near_dup_clusters(docs, "doc_id", "text", _K, _BANDS, _EDGE_THRESH)
+    scored = comp.join(
+        docs.select(
+            "doc_id", F.size(tx.tokens("text")).cast("bigint").alias("n_tokens")
+        ),
+        "doc_id",
+    )
+    sized = scored.withColumn(
+        "group_size",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("bigint"),
+    )
+    best = top_k_per_group(
+        sized, ["cluster_id"], [F.desc("n_tokens"), F.asc("doc_id")], k=1
+    )
+    return best.select(
+        "cluster_id",
+        F.col("doc_id").alias("survivor_id"),
+        "group_size",
+        F.col("n_tokens").alias("survivor_tokens"),
     )
 
 

@@ -1357,3 +1357,77 @@ def op_ext_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(wf).cast("bigint").alias("f_score"),
         F.ntile(4).over(wm).cast("bigint").alias("m_score"),
     )
+
+
+@query(
+    "op-ext-ngram-lm",
+    oracle=f"""
+    WITH toks AS (SELECT {_TOKS} AS l FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(l)),
+                                   i -> l[i] || ' ' || l[i + 1])) AS bigram
+      FROM toks
+    ),
+    p AS (SELECT split_part(bigram, ' ', 1) AS w1,
+                 split_part(bigram, ' ', 2) AS w2 FROM bg),
+    cnt AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM p GROUP BY 1, 2),
+    lft AS (SELECT w1, CAST(SUM(n_ab) AS BIGINT) AS n_left FROM cnt
+            GROUP BY 1),
+    cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_cont FROM cnt
+             GROUP BY 1),
+    top AS (SELECT * FROM cnt ORDER BY n_ab DESC, w1, w2 LIMIT 30)
+    SELECT t.w1, t.w2, t.n_ab, l.n_left, c.n_cont,
+           CAST(t.n_ab AS DOUBLE) / CAST(l.n_left AS DOUBLE) AS p_ml
+    FROM top t
+    JOIN lft l ON t.w1 = l.w1
+    JOIN cont c ON t.w2 = c.w2
+    """,
+)
+def op_ext_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model statistics — the count table a KenLM-style
+    estimator ingests: for the corpus's top-30 bigrams (support,
+    (w1, w2) tiebreak) surface n(w1w2), the left-context total n(w1·),
+    the continuation count N1+(·w2) (distinct left contexts — the
+    Kneser-Ney continuation ingredient), and the ML conditional
+    P(w2|w1) as ONE IEEE division of exact counts.
+
+    Scale shape: bigrams build row-locally (transform over an index
+    sequence), one explode + one map-side-combined (w1, w2) count; the
+    three derived frames (left totals, continuation counts, top-30 cut
+    via TakeOrderedAndProject) all aggregate the BIGRAM VOCAB, not the
+    corpus, and join back against the 30-row survivor frame."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    docs = t(spark, sf_dir, "documents").select(toks.alias("l"))
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                F.size("l") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(l) - 1), "
+                    "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    ).select(
+        F.expr("split_part(bigram, ' ', 1)").alias("w1"),
+        F.expr("split_part(bigram, ' ', 2)").alias("w2"),
+    )
+    cnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    lft = cnt.groupBy("w1").agg(F.sum("n_ab").alias("n_left"))
+    cont = cnt.groupBy("w2").agg(F.count(F.lit(1)).alias("n_cont"))
+    top = cnt.orderBy(F.desc("n_ab"), "w1", "w2").limit(30)
+    return (
+        top.join(lft, "w1")
+        .join(cont, "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            "n_left",
+            "n_cont",
+            (F.col("n_ab").cast("double") / F.col("n_left").cast("double")).alias(
+                "p_ml"
+            ),
+        )
+    )
