@@ -70,7 +70,14 @@ def _load_driver_verified() -> dict[str, int]:
         if not isinstance(data, dict):
             continue
         for name, row in data.items():
-            if not isinstance(row, dict) or row.get("err"):
+            if not isinstance(row, dict):
+                continue
+            # "no_oracle" is the driver's label for a COMPLETED rows-only
+            # check, not a failure — treating it as an error kept the
+            # rows-only ops permanently "never verified" and they hogged
+            # an early window slot every single round (r4 and r5 both
+            # re-sampled the same five).
+            if row.get("err") and row.get("err") != "no_oracle":
                 continue
             if any(
                 row.get(k) is False
