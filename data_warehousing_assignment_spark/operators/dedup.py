@@ -455,3 +455,76 @@ def set_similarity_join_prefix(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def containment_join(
+    docs: DataFrame,
+    id_col: str,
+    set_col: str,
+    threshold: float,
+) -> DataFrame:
+    """EXACT directed containment self-join: pairs (a, b), a ≠ b, with
+    C(a→b) = |a ∩ b| / |a| ≥ threshold — the subset-duplicate detector
+    (a quote or article fully wrapped in another document) that the
+    symmetric Jaccard joins structurally miss: containment of a small
+    set in a huge one has near-zero Jaccard.
+
+    Asymmetric prefix filter: tokens get the same rarity-first global
+    order as :func:`set_similarity_join_prefix`; a qualifying pair must
+    share a token from A's prefix of length |a| − ⌈t·|a|⌉ + 1 (the
+    pigeonhole over the CONTAINED side only), but — unlike the Jaccard
+    case — B contributes its FULL token set, because containment puts no
+    lower bound on B's overlap fraction. Candidate volume is
+    Σ_token prefix_count(tok)·df(tok), concentrated on rare tokens by
+    the rarity-first ordering (hot tokens fall outside prefixes).
+    Exact verification on the full sets; one final IEEE division.
+    Empty sets are excluded (containment undefined). Output:
+    id_a (contained), id_b (container), containment.
+    """
+    d = docs.select(
+        F.col(id_col).alias("_id"), F.col(set_col).alias("_s")
+    ).withColumn("_sz", F.size("_s"))
+    toks = d.select("_id", F.explode("_s").alias("_tok"))
+    vocab = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = toks.join(F.broadcast(vocab), "_tok")
+    sorted_sets = ranked.groupBy("_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("_df", "_tok"))),
+            lambda kv: kv["_tok"],
+        ).alias("_sorted")
+    )
+    # same epsilon guard as set_similarity_join_prefix (IEEE ceil drift)
+    pre = sorted_sets.select(
+        "_id",
+        F.size("_sorted").alias("_sz"),
+        F.posexplode("_sorted").alias("_pos", "_tok"),
+    ).filter(
+        F.col("_pos")
+        < F.col("_sz")
+        - F.ceil(F.lit(threshold) * F.col("_sz") - F.lit(1e-9))
+        + 1
+    )
+    a = pre.select(F.col("_id").alias("_ida"), "_tok")
+    b = toks.select(F.col("_id").alias("_idb"), "_tok")
+    cand = (
+        a.join(b, "_tok")
+        .filter(F.col("_ida") != F.col("_idb"))
+        .select("_ida", "_idb")
+        .distinct()
+    )
+    sa = d.select(F.col("_id").alias("_ida"), F.col("_s").alias("_sa"),
+                  F.col("_sz").alias("_sza"))
+    sb = d.select(F.col("_id").alias("_idb"), F.col("_s").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    cont = inter.cast("double") / F.col("_sza").cast("double")
+    return (
+        cand.join(sa, "_ida")
+        .join(sb, "_idb")
+        .filter(F.col("_sza") > 0)
+        .select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            cont.alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -1709,3 +1709,43 @@ def op_ext_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.array_distinct(tx.tokens("text")).alias("s"))
     )
     return set_similarity_join_prefix(docs, "doc_id", "s", threshold=0.8)
+
+
+@query(
+    "op-ext-containment-join",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(lower(trim(text)), '\\s+'))
+               AS s
+      FROM documents WHERE doc_id < 250
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / CAST(len(a.s) AS DOUBLE) AS containment
+    FROM d a JOIN d b ON a.doc_id <> b.doc_id
+    WHERE len(a.s) > 0
+      AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / CAST(len(a.s) AS DOUBLE) >= 0.9
+    """,
+)
+def op_ext_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT directed containment self-join (C(a→b) = |a∩b|/|a| ≥ 0.9,
+    dedup.containment_join) — the subset-duplicate detector the
+    symmetric Jaccard joins structurally miss (a short doc quoted inside
+    a long one has near-zero Jaccard but containment 1.0). Asymmetric
+    prefix filter: only the contained side's rarity-first prefix enters
+    the candidate join, the container side indexes all tokens. The
+    oracle states the naive all-pairs predicate — the hash match proves
+    candidate completeness. Same doc_id gate bound as setjoin-prefix;
+    the operator itself is unbounded."""
+    from data_warehousing_assignment_spark.operators.dedup import (
+        containment_join,
+    )
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select("doc_id", F.array_distinct(tx.tokens("text")).alias("s"))
+    )
+    return containment_join(docs, "doc_id", "s", threshold=0.9)

@@ -242,3 +242,58 @@ def test_prefix_join_matches_naive_across_thresholds(spark):
         assert _prefix_join_pairs(spark, sets, threshold) == _naive_jaccard_pairs(
             sets, threshold
         ), f"mismatch at t={threshold}"
+
+
+def test_containment_join_matches_naive(spark):
+    """Asymmetric prefix filter completeness: directed containment pairs
+    must equal the naive all-pairs predicate — including pure subset
+    docs (containment 1.0, low Jaccard) and exact-threshold pairs."""
+    sets = {
+        0: {"a", "b", "c", "d", "e", "f", "g", "h", "i", "j"},
+        1: {"a", "b", "c"},                         # subset of 0 (C=1.0)
+        2: {"a", "b", "c", "x"},                    # C(2->0)=0.75
+        3: {"q", "r"},                              # disjoint
+        4: {"a", "b", "c", "d", "e", "f", "g", "h", "i", "x"},  # C=0.9 exact
+    }
+    for threshold in (0.9, 0.75, 0.5):
+        naive = set()
+        for i, si in sets.items():
+            for j, sj in sets.items():
+                if i != j and si and len(si & sj) / len(si) >= threshold:
+                    naive.add((i, j, round(len(si & sj) / len(si), 9)))
+        df = spark.createDataFrame(
+            [(i, sorted(s)) for i, s in sets.items()],
+            "doc_id int, s array<string>",
+        )
+        got = {
+            (r.id_a, r.id_b, round(r.containment, 9))
+            for r in dd.containment_join(df, "doc_id", "s", threshold).collect()
+        }
+        assert got == naive, f"mismatch at t={threshold}"
+    assert (4, 0, 0.9) in naive  # the exact-threshold pair was exercised
+
+
+def test_containment_join_random_vs_naive(spark):
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"t{i:02d}" for i in range(30)]
+    sets = {i: set(rng.sample(vocab, rng.randint(1, 15))) for i in range(25)}
+    # plant guaranteed subset relations
+    sets[25] = set(list(sets[0])[:3]) if len(sets[0]) >= 3 else {"t00"}
+    sets[26] = sets[1] | {"zz"}
+    for threshold in (0.6, 0.9):
+        naive = set()
+        for i, si in sets.items():
+            for j, sj in sets.items():
+                if i != j and si and len(si & sj) / len(si) >= threshold:
+                    naive.add((i, j))
+        df = spark.createDataFrame(
+            [(i, sorted(s)) for i, s in sets.items()],
+            "doc_id int, s array<string>",
+        )
+        got = {
+            (r.id_a, r.id_b)
+            for r in dd.containment_join(df, "doc_id", "s", threshold).collect()
+        }
+        assert got == naive, f"mismatch at t={threshold}"
