@@ -1749,3 +1749,59 @@ def op_ext_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.array_distinct(tx.tokens("text")).alias("s"))
     )
     return containment_join(docs, "doc_id", "s", threshold=0.9)
+
+
+def _cur_bucket_sql() -> str:
+    h = "md5('cur:' || CAST(d.doc_id AS VARCHAR))"
+    nib = "(strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
+    return f"({nib.format(h=h, i=1)} * 16 + {nib.format(h=h, i=2)})"
+
+
+@query(
+    "op-ext-curation-funnel",
+    oracle=f"""WITH RECURSIVE {_EDGE_CTES},
+    f AS (
+      SELECT d.source,
+             len({_TOKS}) >= 5 AS q,
+             d.doc_id = c.cluster_id AS surv,
+             ({_cur_bucket_sql()} % 10) < 8 AS samp
+      FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(SUM(CASE WHEN q AND surv THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_survivors,
+           CAST(SUM(CASE WHEN q AND surv AND samp THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sampled
+    FROM f GROUP BY source
+    """,
+)
+def op_ext_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel — the per-source keep/drop accounting a
+    training-data pipeline reports after each gate: raw corpus → quality
+    filter (≥5 tokens) → near-dup survivor (doc is its cluster's min-id
+    representative, dedup.near_dup_clusters) → deterministic 80%
+    content-addressed sample (md5 bucket — stable across engines, reruns
+    and cluster sizes, text.hash_bucket). Cumulative counts surface the
+    funnel per source in ONE conditional aggregation over the
+    cluster-labeled corpus: the dedup pipeline runs once, the gates are
+    row-local flags, and the only post-join shuffle carries
+    |sources| × 4 counters."""
+    docs = t(spark, sf_dir, "documents")
+    comp = dd.near_dup_clusters(docs, "doc_id", "text", _K, _BANDS, _EDGE_THRESH)
+    q = F.size(tx.tokens("text")) >= 5
+    surv = F.col("doc_id") == F.col("cluster_id")
+    samp = (tx.hash_bucket("doc_id", "cur:") % 10) < 8
+    cnt_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")
+    return (
+        docs.join(comp, "doc_id")
+        .select("source", q.alias("q"), surv.alias("surv"), samp.alias("samp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            cnt_if(F.col("q")).alias("n_quality"),
+            cnt_if(F.col("q") & F.col("surv")).alias("n_survivors"),
+            cnt_if(F.col("q") & F.col("surv") & F.col("samp")).alias("n_sampled"),
+        )
+    )
