@@ -204,3 +204,54 @@ def ewma(
         .groupBy(part_col)
         .applyInPandas(smooth, schema)
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Pareto frontier (2-D skyline, maximize both axes) per group.
+
+    A point is ON the frontier iff no other point in its group weakly
+    dominates it: ``x' ≥ x AND y' ≥ y`` with at least one strict.
+    Duplicate (x, y) points neither dominate each other nor leave the
+    frontier together — they are collapsed to one output row with a
+    multiplicity count.
+
+    Scale design — the naive formulation is an O(n²) NOT-EXISTS self
+    join; this one is two WINDOW functions over one (group, x) sort:
+
+    * ``max(y) over x' > x``  (RANGE frame ``[x+1, ∞)``) — a point is
+      dominated by a strictly-richer-x point iff that max ≥ its y;
+    * ``max(y) over x' = x``  (RANGE frame ``[current, current]`` =
+      the x-value PEER group) — dominated within its x-slice iff a
+      strictly larger y exists there.
+
+    Both frames hang off the SAME window spec — partition by group,
+    order by x — so Spark plans one Window node over ONE exchange+sort
+    of the distinct-point frame: the skyline survives any scale the
+    group sort survives, with no quadratic candidate step anywhere.
+    Requires integer-ish x (RANGE offset 1 = "strictly greater" only
+    when x values are integers).
+
+    Output: ``(*group_cols, x_col, y_col, n_points)`` — frontier points
+    only.
+    """
+    pts = df.groupBy(*group_cols, x_col, y_col).agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(x_col)
+    w_gt = w.rangeBetween(1, Window.unboundedFollowing)
+    w_eq = w.rangeBetween(Window.currentRow, Window.currentRow)
+    dominated = (
+        F.coalesce(
+            F.max(y_col).over(w_gt) >= F.col(y_col), F.lit(False)
+        )
+    ) | (F.max(y_col).over(w_eq) > F.col(y_col))
+    return (
+        pts.withColumn("_dom", dominated)
+        .filter(~F.col("_dom"))
+        .drop("_dom")
+    )

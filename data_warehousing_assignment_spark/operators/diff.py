@@ -1,0 +1,75 @@
+"""Snapshot diff — classify row-level drift between two versions of a
+table (extension surface, SURVEY.md §7.5; the reference's closest
+behavior is the SCD2 expire-vs-insert split, ref
+``03_load_into_fact_and_dim_tables/A3_load_dim_emp.sql:42-62``, which is
+exactly a one-sided snapshot diff applied to a dimension).
+
+The operator a warehouse team runs after every backfill: "what changed
+between yesterday's snapshot and today's?" — rows added, rows removed,
+rows whose tracked attributes drifted.
+
+Scale design: ONE full-outer equi-join on the key (a single shuffle;
+zero if both snapshots are bucketed/partitioned on the key — the normal
+layout for snapshot tables), with change classification as row-local
+expressions. Nothing is collected; output is typically a tiny fraction
+of either input (only non-unchanged rows are emitted), so the join
+dominates and scales exactly like any keyed fact join.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Diff two snapshots on ``keys``.
+
+    Returns one row per key present in either side:
+    ``(*keys, change_type, old_<c>/new_<c> for each compare col)`` where
+    ``change_type`` ∈ {'added', 'removed', 'changed'} (plus 'unchanged'
+    when ``include_unchanged``). Attribute comparison is null-safe
+    (``IS DISTINCT FROM`` semantics — NULL→value and value→NULL both
+    count as changes, NULL→NULL does not).
+
+    Precondition: ``keys`` must be unique per side (snapshots are keyed
+    tables); duplicate keys would make the full-outer join fan out.
+    """
+    o = old.select(
+        *keys,
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *keys,
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, on=keys, how="full_outer")
+
+    any_drift = reduce(
+        lambda a, b: a | b,
+        [
+            ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+            for c in compare_cols
+        ],
+        F.lit(False),
+    )
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(any_drift, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.withColumn("change_type", change).drop("_in_old", "_in_new")
+    if not include_unchanged:
+        out = out.filter(F.col("change_type") != "unchanged")
+    return out

@@ -132,6 +132,77 @@ def connected_components(
     return labels.withColumnRenamed("_node", id_col)
 
 
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic fixed-ITERATION, fixed-POINT PageRank.
+
+    Classic float PageRank is unreproducible across engines (double
+    summation order changes the low bits, and low bits flip ranks), so
+    every value here is an int64: ranks start at ``scale``, a node's
+    per-edge contribution is ``rank div outdeg`` (floor division — exact
+    everywhere), and the update is
+
+        rank' = ((100 - d)·scale) div 100  +  (d · Σ contribs) div 100
+
+    i.e. the standard damped update with probability expressed in
+    integer percent. The result is a well-defined deterministic variant
+    of PageRank (floor-rounded at each step, error < iters·outdeg in
+    scale units — irrelevant at scale=1e9), which is what lets a DuckDB
+    CTE chain reproduce it bit-for-bit.
+
+    Scale design: each iteration is ONE shuffle — join ranks to edges on
+    src (rank rows are two int64s), partial-sum contributions map-side,
+    aggregate on dst. The edge list is pinned so iterations don't replay
+    its upstream plan; the driver loop runs a FIXED ``iters`` with no
+    action per round (pure plan composition, unlike the convergence-
+    probed CC loop above). int64 headroom: Σ contribs ≤ |V|·scale, so
+    85·Σ needs |V|·scale < 9.2e18/100 — at scale=1e9 that is ~10^8
+    nodes; beyond that drop scale one decade per 10× nodes.
+
+    ``edges`` must already be directed the way probability should flow
+    (symmetrize for undirected graphs). Every node must appear as a src
+    at least once (true for symmetrized graphs); dangling-node mass
+    redistribution is deliberately out of scope for this variant.
+    Returns ``(node, rank_i)``.
+    """
+    e = pin(
+        edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    )
+    outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    nodes = e.select(F.col("_src").alias("node")).distinct().unionByName(
+        e.select(F.col("_dst").alias("node")).distinct()
+    ).distinct()
+    base = (100 - damping_pct) * scale // 100
+    ranks = nodes.withColumn("rank_i", F.lit(scale).cast("bigint"))
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks, e["_src"] == ranks["node"])
+            .join(outdeg, on="_src")
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr("rank_i div _deg").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_csum"))
+        )
+        ranks = nodes.join(contribs, on="node", how="left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({damping_pct} * coalesce(_csum, 0L)) div 100"
+                )
+            ).cast("bigint").alias("rank_i"),
+        )
+    return ranks
+
+
 def component_summary(components: DataFrame, id_col: str = "id") -> DataFrame:
     """Per-cluster rollup of :func:`connected_components` output:
     ``(component, group_size)`` — the component label IS the surviving

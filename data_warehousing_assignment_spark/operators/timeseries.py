@@ -177,6 +177,64 @@ def gapfill_hourly(
     )
 
 
+def time_weighted_avg(
+    df: DataFrame,
+    by_col: str,
+    ts_us_col: str,
+    value_cents_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Time-weighted average per ``by_col`` over an irregular series —
+    the TimescaleDB ``time_weight('LOCF', ...)`` shape: each observation
+    holds (LOCF) until the next one, so the average weights every value
+    by how LONG it was current, not how often it was sampled.
+
+    TWA = Σ value_i · (t_{i+1} − t_i)  /  (t_last − t_first)
+
+    Exactness contract (registry.py rules): values enter as integer
+    cents and timestamps as integer µs; each segment's value·duration
+    product and the numerator sum accumulate in DECIMAL(38,0) — exact,
+    order-independent — and the only IEEE ops are the two final
+    divisions, identical in any engine. Groups with a single observation
+    (zero span) are dropped: their TWA is undefined under LOCF.
+
+    Scale: one window + one aggregation over the SAME (by, ts) shuffle
+    key — Spark plans a single exchange; at 100 TB this is exactly a
+    sessionization-shaped pass.
+    """
+    w = Window.partitionBy(by_col).orderBy(ts_us_col, tiebreak_col)
+    seg = df.select(
+        by_col,
+        F.col(ts_us_col).alias("_us"),
+        F.col(value_cents_col).alias("_vc"),
+        F.lead(ts_us_col).over(w).alias("_next_us"),
+    )
+    return (
+        seg.groupBy(by_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(
+                (
+                    F.col("_vc").cast("decimal(38,0)")
+                    * (F.col("_next_us") - F.col("_us"))
+                )
+            ).alias("_num"),
+            (F.max("_us") - F.min("_us")).alias("_span_us"),
+        )
+        .filter(F.col("_span_us") > 0)
+        .select(
+            by_col,
+            "n_obs",
+            F.expr("_span_us div 1000000").alias("span_s"),
+            (
+                F.col("_num").cast("double")
+                / F.col("_span_us").cast("double")
+                / F.lit(100.0)
+            ).alias("twa_value"),
+        )
+    )
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,

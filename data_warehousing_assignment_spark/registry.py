@@ -261,6 +261,7 @@ def import_all_registries() -> None:
         "registry_pipelines",
         "registry_extensions",
         "registry_analytics",
+        "registry_advanced",
         "registry_relational",
         "registry_io",
     ):

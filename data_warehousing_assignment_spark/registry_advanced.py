@@ -1,0 +1,891 @@
+"""Advanced-analytics registry: iterative graph ranking, snapshot
+drift-diff, Pareto skyline, time-weighted averages, inequality (Gini)
+profiling, lakehouse compaction planning, kNN label voting, and robust
+(MAD) outlier screening.
+
+No reference counterpart (the reference stops at SQL views + pandas
+cleaning, ref ``04_SQL_queries_for_KPI/KPIs.sql``); this is SURVEY.md
+§7.5 extension surface — the operations a warehouse/training-data team
+reaches for next, each expressed Spark-first and held to the
+registry.py cross-engine determinism rules (exact int64/decimal sums;
+every surfaced double is a bounded number of IEEE ops over exact
+integers; unique window tiebreakers everywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_warehousing_assignment_spark.operators import analytics as an
+from data_warehousing_assignment_spark.operators import diff as dff
+from data_warehousing_assignment_spark.operators import graph as gr
+from data_warehousing_assignment_spark.operators import similarity as sim
+from data_warehousing_assignment_spark.operators import timeseries as ts
+from data_warehousing_assignment_spark.registry import dec, query, t
+
+#: exact integer cents of a 2-dp money double (row-local, both engines)
+_CENTS = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# iterative graph ranking
+# --------------------------------------------------------------------------
+
+_PAGERANK_ORACLE = """
+    WITH cs AS (
+      SELECT DISTINCT 'C' || CAST(o.o_custkey AS VARCHAR) AS c,
+                      'S' || CAST(l.l_suppkey AS VARCHAR) AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM cs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM cs
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+    c1 AS (SELECT e.dst AS node, SUM(r.r // d.d) AS csum
+           FROM edges e JOIN r0 r ON e.src = r.node
+                        JOIN deg d ON e.src = d.src GROUP BY 1),
+    r1 AS (SELECT n.node,
+                  CAST(150000000 + (85 * COALESCE(c1.csum, 0)) // 100
+                       AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c1 ON n.node = c1.node),
+    c2 AS (SELECT e.dst AS node, SUM(r.r // d.d) AS csum
+           FROM edges e JOIN r1 r ON e.src = r.node
+                        JOIN deg d ON e.src = d.src GROUP BY 1),
+    r2 AS (SELECT n.node,
+                  CAST(150000000 + (85 * COALESCE(c2.csum, 0)) // 100
+                       AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c2 ON n.node = c2.node),
+    c3 AS (SELECT e.dst AS node, SUM(r.r // d.d) AS csum
+           FROM edges e JOIN r2 r ON e.src = r.node
+                        JOIN deg d ON e.src = d.src GROUP BY 1),
+    r3 AS (SELECT n.node,
+                  CAST(150000000 + (85 * COALESCE(c3.csum, 0)) // 100
+                       AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c3 ON n.node = c3.node)
+    SELECT node, r AS rank_i FROM r3
+"""
+
+
+@query("op-ext-pagerank", oracle=_PAGERANK_ORACLE)
+def op_ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (3 iterations, d=0.85) over the symmetrized
+    customer↔supplier trade graph — "which counterparties matter most".
+    Float PageRank can't cross an engine boundary (summation-order low
+    bits flip ranks), so ranks are int64 fixed-point with floor-divided
+    contributions (graph.pagerank_fixed_point): bit-identical in any
+    engine, one shuffle per iteration, rank rows are two int64s."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = cs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(cs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    return gr.pagerank_fixed_point(edges, iters=3, damping_pct=85)
+
+
+# --------------------------------------------------------------------------
+# snapshot drift diff
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-snapshot-diff",
+    oracle="""
+    WITH o96 AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS rev
+      FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+    ),
+    o97 AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS rev
+      FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1
+    )
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS c_custkey,
+           CASE WHEN a.o_custkey IS NULL THEN 'added'
+                WHEN b.o_custkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           a.rev AS old_rev_cents,
+           b.rev AS new_rev_cents,
+           COALESCE(b.rev, 0) - COALESCE(a.rev, 0) AS delta_cents
+    FROM o96 a FULL OUTER JOIN o97 b ON a.o_custkey = b.o_custkey
+    WHERE a.o_custkey IS NULL OR b.o_custkey IS NULL OR a.rev <> b.rev
+    """,
+)
+def op_ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift diff (diff.snapshot_diff): per-customer revenue in
+    1996 vs 1997 classified added / removed / changed with an exact
+    cents delta — the "what moved between these two snapshot versions"
+    audit every warehouse backfill needs. ONE full-outer equi-join on
+    the key; classification is row-local; unchanged rows never leave
+    the join."""
+    orders = t(spark, sf_dir, "orders")
+
+    def year_rev(year: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .groupBy(F.col("o_custkey").alias("c_custkey"))
+            .agg(
+                (F.sum(dec("o_totalprice")) * 100)
+                .cast("bigint")
+                .alias("rev_cents")
+            )
+        )
+
+    d = dff.snapshot_diff(
+        year_rev(1996), year_rev(1997), ["c_custkey"], ["rev_cents"]
+    )
+    return d.select(
+        "c_custkey",
+        "change_type",
+        F.col("old_rev_cents"),
+        F.col("new_rev_cents"),
+        (
+            F.coalesce("new_rev_cents", F.lit(0))
+            - F.coalesce("old_rev_cents", F.lit(0))
+        ).alias("delta_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pareto skyline
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-skyline",
+    oracle=f"""
+    WITH pts AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+             {_CENTS} AS price_cents, COUNT(*) AS n_points
+      FROM lineitem GROUP BY 1, 2, 3
+    ),
+    flagged AS (
+      SELECT *,
+        COALESCE(MAX(price_cents) OVER (
+            PARTITION BY l_returnflag ORDER BY qty
+            RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+          >= price_cents, FALSE)
+        OR (MAX(price_cents) OVER (
+            PARTITION BY l_returnflag ORDER BY qty
+            RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+          > price_cents) AS dom
+      FROM pts
+    )
+    SELECT l_returnflag, qty, price_cents, n_points
+    FROM flagged WHERE NOT dom
+    """,
+)
+def op_ext_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier per return flag: lineitems not weakly dominated
+    in (quantity, price) — the multi-objective "best tradeoff" screen.
+    analytics.skyline_2d replaces the naive O(n²) NOT-EXISTS with two
+    window maxima sharing ONE (group, qty) sort: max-y over the
+    strictly-greater-x RANGE frame + max-y within the x-slice — the
+    oracle states the same window form, pytest pins it against the
+    quadratic definition."""
+    pts = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        (dec("l_extendedprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    return an.skyline_2d(pts, ["l_returnflag"], "qty", "price_cents")
+
+
+# --------------------------------------------------------------------------
+# time-weighted average
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-time-weighted-avg",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, us, vc,
+             lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+               AS next_us
+      FROM ev
+    ),
+    agg AS (
+      SELECT user_id, COUNT(*) AS n_obs,
+             SUM(CAST(vc AS DECIMAL(38,0)) * (next_us - us)) AS num,
+             MAX(us) - MIN(us) AS span_us
+      FROM seg GROUP BY 1
+    )
+    SELECT user_id, n_obs,
+           CAST(span_us // 1000000 AS BIGINT) AS span_s,
+           CAST(num AS DOUBLE) / CAST(span_us AS DOUBLE) / 100.0 AS twa_value
+    FROM agg WHERE span_us > 0
+    """,
+)
+def op_ext_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per user (LOCF weighting — the
+    TimescaleDB ``time_weight`` shape): each observation counts for how
+    LONG it held, not how often the sensor fired — the correct average
+    for irregularly-sampled series. Exact decimal numerator, two final
+    IEEE divides (timeseries.time_weighted_avg); one shuffle total."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns div 1000").alias("_us"),
+        (dec("value") * 100).cast("bigint").alias("_vc"),
+    )
+    return ts.time_weighted_avg(ev, "user_id", "_us", "_vc", "event_id")
+
+
+# --------------------------------------------------------------------------
+# inequality profiling (Gini)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-gini",
+    oracle="""
+    WITH cust AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT c_nationkey, x,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY x, o_custkey) AS rk
+      FROM cust
+    ),
+    agg AS (
+      SELECT c_nationkey, COUNT(*) AS n_customers,
+             SUM(CAST(x AS DECIMAL(38,0))) AS s,
+             SUM(CAST(rk AS DECIMAL(38,0)) * x) AS a
+      FROM ranked GROUP BY 1
+    )
+    SELECT n.n_name AS nation, g.n_customers,
+           CAST(g.s AS DOUBLE) / 100.0 AS total_spend,
+           CAST(2 * g.a AS DOUBLE) / CAST(g.n_customers * g.s AS DOUBLE)
+             - CAST(g.n_customers + 1 AS DOUBLE)
+               / CAST(g.n_customers AS DOUBLE) AS gini
+    FROM agg g JOIN nation n ON g.c_nationkey = n.n_nationkey
+    """,
+)
+def op_ext_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer spend — the skew profile
+    that tells a pipeline whether a key distribution needs salting
+    before it needs a bigger cluster. Exact form: G = 2·Σi·xᵢ/(n·Σx) −
+    (n+1)/n over cents with row_number ranks (unique tiebreaker), so
+    every input to the two final IEEE divides is an exact integer.
+    Ranking shuffles once on nation (25 partitions of customer-dim
+    size); the rollup reuses the same key."""
+    cust = (
+        t(spark, sf_dir, "orders")
+        .join(
+            t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg((F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("x"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("x", "o_custkey")
+    ranked = cust.withColumn("rk", F.row_number().over(w))
+    agg = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("rk").cast("decimal(38,0)") * F.col("x")).alias("a"),
+    )
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return agg.join(
+        F.broadcast(nation), agg["c_nationkey"] == nation["n_nationkey"]
+    ).select(
+        F.col("n_name").alias("nation"),
+        "n_customers",
+        (F.col("s").cast("double") / 100.0).alias("total_spend"),
+        (
+            (F.col("a") * 2).cast("double")
+            / (F.col("n_customers").cast("decimal(38,0)") * F.col("s")).cast(
+                "double"
+            )
+            - (F.col("n_customers") + 1).cast("double")
+            / F.col("n_customers").cast("double")
+        ).alias("gini"),
+    )
+
+
+# --------------------------------------------------------------------------
+# lakehouse compaction planning
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-compaction-plan",
+    oracle="""
+    WITH f AS (
+      SELECT source, doc_id, n_chars,
+             COALESCE(SUM(n_chars) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prior
+      FROM documents
+    )
+    SELECT source, CAST(prior // 4000 AS BIGINT) AS group_id,
+           COUNT(*) AS n_files, CAST(SUM(n_chars) AS BIGINT) AS group_chars,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM f GROUP BY 1, 2
+    """,
+)
+def op_ext_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (the Iceberg/Delta ``OPTIMIZE``
+    bin-pack step): files ordered by id within each table partition,
+    grouped by cumulative-size bucketing — group = floor(exclusive
+    running size / target) — so every output group lands at
+    target-size + at most one file, in ONE window pass. Documents stand
+    in as the file manifest (n_chars = bytes, target 4000). At 100 TB
+    the manifest is millions of rows, not the data itself — this plan
+    costs one partition-keyed sort however big the lake is."""
+    f = t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.coalesce(
+            F.sum("n_chars").over(
+                Window.partitionBy("source")
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("prior"),
+    )
+    return (
+        f.withColumn("group_id", F.expr("prior div 4000"))
+        .groupBy("source", "group_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_chars").alias("group_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# kNN label voting
+# --------------------------------------------------------------------------
+
+_KNN_QUANT = (
+    "list_transform(embedding, x -> "
+    "CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+)
+
+_KNN_ORACLE = f"""
+    WITH qv AS (
+      SELECT vec_id AS query_id, {_KNN_QUANT} AS e
+      FROM embeddings WHERE vec_id % 100 = 0
+    ), cv AS (
+      SELECT vec_id AS neighbor_id, {_KNN_QUANT} AS e FROM embeddings
+    ), idx AS (SELECT unnest(range(1, 65)) AS i),
+    dots AS (
+      SELECT q.query_id, c.neighbor_id,
+             CAST(SUM(q.e[idx.i] * c.e[idx.i]) AS BIGINT) AS dot
+      FROM qv q, cv c, idx
+      WHERE q.query_id <> c.neighbor_id
+      GROUP BY 1, 2
+    ), norms AS (
+      SELECT vec_id, CAST(SUM(p) AS BIGINT) AS nrm FROM (
+        SELECT vec_id, e[idx.i] * e[idx.i] AS p
+        FROM (SELECT vec_id, {_KNN_QUANT} AS e FROM embeddings), idx)
+      GROUP BY 1
+    ), scored AS (
+      SELECT d.query_id, d.neighbor_id,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.nrm AS DOUBLE)) * sqrt(CAST(nc.nrm AS DOUBLE)))
+               AS score
+      FROM dots d
+      JOIN norms nq ON d.query_id = nq.vec_id
+      JOIN norms nc ON d.neighbor_id = nc.vec_id
+    ), top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= 5
+    ), votes AS (
+      SELECT t.query_id, e.label, COUNT(*) AS n
+      FROM top t JOIN embeddings e ON t.neighbor_id = e.vec_id
+      GROUP BY 1, 2
+    ), pred AS (
+      SELECT query_id, label AS pred_label, CAST(n AS BIGINT) AS n_votes
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY n DESC, label) AS rn
+            FROM votes)
+      WHERE rn = 1
+    )
+    SELECT p.query_id, p.pred_label, p.n_votes,
+           e.label AS true_label,
+           (p.pred_label = e.label) AS is_correct
+    FROM pred p JOIN embeddings e ON p.query_id = e.vec_id
+"""
+
+
+@query("op-ext-knn-classify", oracle=_KNN_ORACLE)
+def op_ext_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification by majority vote (k=5, ties → smallest
+    label): predict each held-out query vector's label from its
+    nearest neighbors — the standard embedding-quality probe run over
+    every new encoder. Rides the exact quantized-int64 cosine top-k
+    (similarity.brute_force_cosine_topk, same machinery as
+    op-ext-ann-bruteforce — the IVF/LSH variants are the drop-in scale
+    path); the vote is a k-row-per-query count + WindowGroupLimit."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    topk = sim.brute_force_cosine_topk(emb, queries, k=5)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        topk.join(labels, topk["neighbor_id"] == labels["vec_id"])
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n"), F.asc("label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("pred_label"),
+            F.col("n").alias("n_votes"),
+        )
+    )
+    truth = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(F.broadcast(truth), on="query_id").withColumn(
+        "is_correct", F.col("pred_label") == F.col("true_label")
+    )
+
+
+# --------------------------------------------------------------------------
+# robust (MAD) outlier screening
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-mad-outliers",
+    oracle=f"""
+    WITH pc AS (SELECT l_returnflag, 2 * {_CENTS} AS c2 FROM lineitem),
+    med AS (SELECT l_returnflag, quantile_cont(c2, 0.5) AS m2
+            FROM pc GROUP BY 1),
+    dev AS (SELECT p.l_returnflag, 2 * abs(p.c2 - m.m2) AS dev4
+            FROM pc p JOIN med m USING (l_returnflag)),
+    mad AS (SELECT l_returnflag, quantile_cont(dev4, 0.5) AS mad4
+            FROM dev GROUP BY 1)
+    SELECT d.l_returnflag, COUNT(*) AS n_rows,
+           MIN(m.mad4) / 400.0 AS mad_dollars,
+           CAST(SUM(CASE WHEN d.dev4 > 4.4478 * m.mad4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (l_returnflag)
+    GROUP BY 1
+    """,
+)
+def op_ext_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per flag: |x − median| > 3·1.4826·MAD —
+    the median-absolute-deviation rule that, unlike the 3σ z-score
+    (op-ext-zscore-outliers), is not itself dragged by the outliers it
+    hunts. Exactness trick: prices enter as DOUBLED cents so every
+    median interpolation midpoint is integer-valued, and deviations are
+    doubled again before the MAD percentile — no non-representable
+    value ever crosses the engine boundary; the threshold compare is
+    one IEEE multiply. Exact percentiles sort per group — the
+    approx_percentile sketch (op-ext-approx-quantile) is the 100 TB
+    path, anchored by this exact twin."""
+    pc = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        ((dec("l_extendedprice") * 100).cast("bigint") * 2).alias("c2"),
+    )
+    med = pc.groupBy("l_returnflag").agg(
+        F.expr("percentile(c2, 0.5)").alias("m2")
+    )
+    dev = pc.join(F.broadcast(med), on="l_returnflag").select(
+        "l_returnflag", (F.abs(F.col("c2") - F.col("m2")) * 2).alias("dev4")
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.expr("percentile(dev4, 0.5)").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), on="l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.min("mad4") / 400.0).alias("mad_dollars"),
+            F.sum(
+                F.when(F.col("dev4") > F.lit(4.4478) * F.col("mad4"), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# incremental ingest dedup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-dedup-incremental",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+      FROM documents
+    ),
+    batch AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+    corpus AS (SELECT DISTINCT h FROM d WHERE doc_id % 5 <> 0),
+    firsts AS (SELECT h, MIN(doc_id) AS first_id FROM batch GROUP BY 1)
+    SELECT b.doc_id,
+           CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+                WHEN b.doc_id > f.first_id THEN 'dup_in_batch'
+                ELSE 'unique' END AS status
+    FROM batch b
+    LEFT JOIN corpus c ON b.h = c.h
+    JOIN firsts f ON b.h = f.h
+    """,
+)
+def op_ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the DAILY form of corpus dedup: a new
+    crawl batch (doc_id % 5 = 0 stands in for "today") is classified
+    against the standing corpus WITHOUT re-deduping the corpus itself:
+    'dup_of_corpus' (hash already ingested), 'dup_in_batch' (first
+    same-hash batch doc wins), or 'unique'. Everything shuffles on the
+    32-char hash, never bodies; the corpus side reduces to DISTINCT
+    hashes before the join — at 100 TB that is the hash index a real
+    ingest keeps materialized, so per-batch cost is O(batch + matching
+    hash partitions), not O(corpus)."""
+    from data_warehousing_assignment_spark.operators import dedup as dd  # noqa: F401
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("h"),
+    )
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .select("h")
+        .distinct()
+        .withColumn("_in_corpus", F.lit(True))
+    )
+    firsts = batch.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    return (
+        batch.join(corpus, on="h", how="left")
+        .join(firsts, on="h")
+        .select(
+            "doc_id",
+            F.when(F.col("_in_corpus").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("doc_id") > F.col("first_id"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# zone-map manifest stats (data skipping)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-zonemap",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS part_month,
+           COUNT(*) AS n_rows,
+           MIN(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS min_cents,
+           MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS max_cents,
+           (MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             < 40000000) AS skippable_under_400k
+    FROM orders GROUP BY 1
+    """,
+)
+def op_ext_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map manifest for the orders fact partitioned by month —
+    exactly the per-file min/max stats Parquet footers and
+    Iceberg/Delta manifests store, plus the skip decision they enable:
+    a predicate ``o_totalprice > 400k`` can skip every partition whose
+    max is below the bound WITHOUT reading it. ONE map-side-combined
+    aggregate builds the whole manifest; at 100 TB this is the
+    data-skipping index that turns full scans into partition reads."""
+    o = t(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("part_month"),
+        (dec("o_totalprice") * 100).cast("bigint").alias("_pc"),
+    )
+    return o.groupBy("part_month").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("_pc").alias("min_cents"),
+        F.max("_pc").alias("max_cents"),
+        (F.max("_pc") < 40000000).alias("skippable_under_400k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit screen
+# --------------------------------------------------------------------------
+
+#: log10(1 + 1/d) literals, identical text in both engines so the doubles
+#: are bit-identical (never evaluate log10 cross-engine)
+_BENFORD = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829992",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+_BENFORD_CASE_SQL = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {v}" for d, v in _BENFORD.items())
+    + " END"
+)
+
+
+@query(
+    "op-ext-benford",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (SELECT digit, COUNT(*) AS n_orders FROM digits GROUP BY 1)
+    SELECT digit, n_orders,
+           CAST(n_orders AS DOUBLE)
+             / CAST(SUM(n_orders) OVER () AS DOUBLE) AS share,
+           CAST({_BENFORD_CASE_SQL} AS DOUBLE) AS benford_share
+    FROM counts
+    """,
+)
+def op_ext_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over order totals — the forensic DQ
+    check for fabricated or truncated monetary data: observed
+    first-digit shares next to the Benford expectation log10(1+1/d).
+    The digit is exact (floor → int64 → leading char, no float log);
+    shares are one IEEE division of exact counts; the expectation is a
+    shared LITERAL per digit, never a cross-engine log10. One map-side
+    aggregate + a 9-row global window."""
+    digits = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("bigint")
+            .alias("digit")
+        )
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    w = Window.partitionBy()
+    return counts.select(
+        "digit",
+        "n_orders",
+        (
+            F.col("n_orders").cast("double")
+            / F.sum("n_orders").over(w).cast("double")
+        ).alias("share"),
+        F.expr(f"CAST({_BENFORD_CASE_SQL} AS DOUBLE)")
+        .alias("benford_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A/B-test z-score
+# --------------------------------------------------------------------------
+
+_Z_EXPR = (
+    "(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+    " - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+    " / sqrt(NULLIF("
+    "   (CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+    "   * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+    "   * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)), 0.0))"
+)
+
+
+@query(
+    "op-ext-abtest-ztest",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS signup_us
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) > s.signup_us
+        AND epoch_us(e.ts) <= s.signup_us + 86400000000
+      GROUP BY 1
+    ),
+    u AS (
+      SELECT s.user_id, s.user_id % 2 AS variant,
+             CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS converted
+      FROM s LEFT JOIN p ON s.user_id = p.user_id
+    ),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT)
+          AS conv_a,
+        CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT)
+          AS conv_b
+      FROM u
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+           CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+           {_Z_EXPR} AS z_score
+    FROM agg
+    """,
+)
+def op_ext_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between the even/odd user-id variants on
+    the windowed-funnel conversion (purchase within 24 h of first
+    signup — the metric op-ext-funnel-windowed materializes) — the
+    experimentation readout every product pipeline ships. All inputs
+    to the closed form are exact integer counts; the z statistic is
+    ONE shared expression tree of IEEE ops (_Z_EXPR — identical text
+    in both engines, denominator NULLIF-guarded so a degenerate
+    all-convert split yields NULL, not an engine-specific inf). The
+    funnel stages are keyed MIN aggregates on user_id; the final frame
+    is one row."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_ns div 1000").alias("us")
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("signup_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, on="user_id")
+        .filter(
+            (F.col("us") > F.col("signup_us"))
+            & (F.col("us") <= F.col("signup_us") + 86400000000)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("_conv", F.lit(1))
+    )
+    u = s.join(p, on="user_id", how="left").select(
+        "user_id",
+        (F.col("user_id") % 2).alias("variant"),
+        F.coalesce("_conv", F.lit(0)).alias("converted"),
+    )
+    agg = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.expr("CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)").alias("rate_a"),
+        F.expr("CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)").alias("rate_b"),
+        F.expr(_Z_EXPR).alias("z_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# windowed conversion funnel
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-funnel-windowed",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS signup_us
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS purchase_us
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) > s.signup_us
+        AND epoch_us(e.ts) <= s.signup_us + 86400000000
+      GROUP BY 1
+    )
+    SELECT s.user_id, s.signup_us, p.purchase_us,
+           (p.user_id IS NOT NULL) AS converted_24h,
+           CAST((p.purchase_us - s.signup_us) // 1000000 AS BIGINT)
+             AS delay_s
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    """,
+)
+def op_ext_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed conversion funnel: first signup → first purchase WITHIN
+    24 h — the attribution-window form of op-ext-funnel (unbounded
+    funnels overcount; real experiments bound the window). Both stages
+    are map-side MIN aggregates on user_id and the join reuses that
+    key: one shuffle end-to-end, per-user state is two int64s at any
+    corpus size."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_ns div 1000").alias("us")
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("signup_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, on="user_id")
+        .filter(
+            (F.col("us") > F.col("signup_us"))
+            & (F.col("us") <= F.col("signup_us") + 86400000000)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("purchase_us"))
+    )
+    return s.join(p, on="user_id", how="left").select(
+        "user_id",
+        "signup_us",
+        "purchase_us",
+        F.col("purchase_us").isNotNull().alias("converted_24h"),
+        F.expr("(purchase_us - signup_us) div 1000000").alias("delay_s"),
+    )

@@ -1,0 +1,402 @@
+"""Semantics pins for the registry_advanced operators: skyline vs the
+quadratic definition, fixed-point PageRank invariants, snapshot-diff
+classification, time-weighted average by hand, Gini closed forms, MAD
+vs numpy, kNN voting, and compaction-group reconstruction."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_warehousing_assignment_spark.operators.analytics import skyline_2d
+from data_warehousing_assignment_spark.operators.diff import snapshot_diff
+from data_warehousing_assignment_spark.operators.graph import (
+    pagerank_fixed_point,
+)
+from data_warehousing_assignment_spark.operators.timeseries import (
+    time_weighted_avg,
+)
+
+# ---------------------------------------------------------------- skyline
+
+
+def _naive_skyline(points):
+    """Quadratic weak-dominance reference: keep (x, y) iff no other
+    point has x' >= x and y' >= y with one strict."""
+    dedup = sorted(set(points))
+    out = []
+    for x, y in dedup:
+        dominated = any(
+            (a >= x and b >= y and (a > x or b > y)) for a, b in dedup
+        )
+        if not dominated:
+            out.append((x, y, points.count((x, y))))
+    return sorted(out)
+
+
+def test_skyline_matches_quadratic_definition(spark):
+    rng = random.Random(7)
+    pts = [(rng.randint(0, 12), rng.randint(0, 1000)) for _ in range(300)]
+    # force duplicate points and a tied-x frontier slice
+    pts += [(12, 1000), (12, 1000), (0, 1000), (12, 0)]
+    df = spark.createDataFrame(
+        [Row(g="a", x=x, y=y) for x, y in pts]
+    )
+    got = sorted(
+        (r.x, r.y, r.n_points)
+        for r in skyline_2d(df, ["g"], "x", "y").collect()
+    )
+    assert got == _naive_skyline(pts)
+
+
+def test_skyline_groups_are_independent(spark):
+    df = spark.createDataFrame(
+        [
+            Row(g="a", x=1, y=10),
+            Row(g="a", x=2, y=5),
+            Row(g="b", x=1, y=1),  # frontier of b even though a beats it
+        ]
+    )
+    got = {
+        (r.g, r.x, r.y) for r in skyline_2d(df, ["g"], "x", "y").collect()
+    }
+    assert got == {("a", 1, 10), ("a", 2, 5), ("b", 1, 1)}
+
+
+# --------------------------------------------------------------- pagerank
+
+
+def _simulate_pagerank(edges, iters=3, d=85, scale=10**9):
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    deg = {n: sum(1 for s, _ in edges if s == n) for n in nodes}
+    r = {n: scale for n in nodes}
+    base = (100 - d) * scale // 100
+    for _ in range(iters):
+        contrib = {n: 0 for n in nodes}
+        for s, t in edges:
+            contrib[t] += r[s] // deg[s]
+        r = {n: base + (d * contrib[n]) // 100 for n in nodes}
+    return r
+
+
+def test_pagerank_matches_reference_simulation(spark):
+    # K1,2 star symmetrized: hub h, leaves a/b — plus a 2-cycle c<->d
+    edges = [
+        ("h", "a"), ("a", "h"), ("h", "b"), ("b", "h"),
+        ("c", "d"), ("d", "c"),
+    ]
+    df = spark.createDataFrame([Row(src=s, dst=t) for s, t in edges])
+    got = {
+        r.node: r.rank_i for r in pagerank_fixed_point(df, iters=3).collect()
+    }
+    assert got == _simulate_pagerank(edges)
+    # the hub of the star outranks its leaves
+    assert got["h"] > got["a"] == got["b"]
+
+
+def test_pagerank_is_deterministic_across_runs(spark):
+    rng = random.Random(3)
+    edges = list(
+        {(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(200)}
+    )
+    edges = [(s, t) for s, t in edges if s != t]
+    sym = edges + [(t, s) for s, t in edges]
+    df = spark.createDataFrame(
+        [Row(src=f"n{s}", dst=f"n{t}") for s, t in sym]
+    )
+    a = sorted((r.node, r.rank_i) for r in pagerank_fixed_point(df).collect())
+    b = sorted((r.node, r.rank_i) for r in pagerank_fixed_point(df).collect())
+    assert a == b
+    assert a == sorted(
+        _simulate_pagerank(
+            [(f"n{s}", f"n{t}") for s, t in sym]
+        ).items()
+    )
+
+
+# ----------------------------------------------------------- snapshot diff
+
+
+def test_snapshot_diff_classification(spark):
+    old = spark.createDataFrame(
+        [
+            Row(k=1, v=10, w="x"),
+            Row(k=2, v=20, w="y"),
+            Row(k=3, v=30, w=None),
+            Row(k=4, v=40, w="z"),
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(k=1, v=10, w="x"),      # unchanged
+            Row(k=2, v=21, w="y"),      # changed (v)
+            Row(k=3, v=30, w="now"),    # changed (NULL -> value)
+            Row(k=5, v=50, w="new"),    # added
+        ]
+    )  # k=4 removed
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, ["k"], ["v", "w"]).collect()
+    }
+    assert got == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+
+    with_unchanged = snapshot_diff(
+        old, new, ["k"], ["v", "w"], include_unchanged=True
+    )
+    assert with_unchanged.count() == 5
+    assert (
+        with_unchanged.filter(F.col("change_type") == "unchanged")
+        .select("k").first().k == 1
+    )
+
+
+# -------------------------------------------------------------------- TWA
+
+
+def test_time_weighted_avg_hand_case(spark):
+    # value 100 cents holds for 3s, then 300 cents for 1s: TWA = 1.50
+    df = spark.createDataFrame(
+        [
+            Row(u=1, us=0, vc=100, i=0),
+            Row(u=1, us=3_000_000, vc=300, i=1),
+            Row(u=1, us=4_000_000, vc=999, i=2),  # last obs: weight 0
+            Row(u=2, us=0, vc=500, i=3),  # single obs -> dropped
+        ]
+    )
+    rows = time_weighted_avg(df, "u", "us", "vc", "i").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.u, r.n_obs, r.span_s) == (1, 3, 4)
+    assert r.twa_value == pytest.approx((100 * 3 + 300 * 1) / 4 / 100.0)
+
+
+# --------------------------------------------------------------- registry
+
+
+def _q(name):
+    from data_warehousing_assignment_spark.registry import all_queries
+
+    return all_queries()[name]
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_gini_closed_form_small(spark):
+    # Gini of registered op must match a numpy Lorenz computation.
+    rows = _q("op-ext-gini")(spark, SF).collect()
+    import duckdb
+
+    per_cust = duckdb.sql(
+        f"""
+        SELECT c.c_nationkey, o.o_custkey,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS x
+        FROM '{SF}/orders.parquet' o
+        JOIN '{SF}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    by_nation = {}
+    for nk, _, x in per_cust:
+        by_nation.setdefault(nk, []).append(x)
+    nation_names = dict(
+        duckdb.sql(
+            f"SELECT n_nationkey, n_name FROM '{SF}/nation.parquet'"
+        ).fetchall()
+    )
+    for r in rows:
+        xs = np.sort(
+            np.array(
+                by_nation[
+                    next(
+                        k for k, v in nation_names.items() if v == r.nation
+                    )
+                ],
+                dtype=np.float64,
+            )
+        )
+        n = len(xs)
+        expected = (
+            2 * np.sum(np.arange(1, n + 1) * xs) / (n * xs.sum())
+            - (n + 1) / n
+        )
+        assert r.gini == pytest.approx(float(expected), rel=1e-12)
+        assert -0.01 <= r.gini <= 1.0
+
+
+def test_mad_outliers_vs_numpy(spark):
+    rows = _q("op-ext-mad-outliers")(spark, SF).collect()
+    import duckdb
+
+    data = duckdb.sql(
+        f"""
+        SELECT l_returnflag,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        FROM '{SF}/lineitem.parquet'
+        """
+    ).fetchall()
+    by_flag = {}
+    for fl, c in data:
+        by_flag.setdefault(fl, []).append(c)
+    for r in rows:
+        xs = np.array(by_flag[r.l_returnflag], dtype=np.float64)
+        med = np.median(xs)
+        mad = np.median(np.abs(xs - med))
+        assert r.mad_dollars == pytest.approx(mad / 100.0)
+        expected_outliers = int(np.sum(np.abs(xs - med) > 4.4478 / 4 * 4 * mad))
+        assert r.n_outliers == expected_outliers
+        assert r.n_rows == len(xs)
+
+
+def test_knn_classify_votes_and_truth(spark):
+    rows = _q("op-ext-knn-classify")(spark, SF).collect()
+    assert rows, "query set must not be empty"
+    for r in rows:
+        assert 1 <= r.n_votes <= 5
+        assert r.is_correct == (r.pred_label == r.true_label)
+
+
+def test_compaction_plan_reconstruction(spark):
+    rows = _q("op-ext-compaction-plan")(spark, SF).collect()
+    import duckdb
+
+    files = duckdb.sql(
+        f"SELECT source, doc_id, n_chars FROM '{SF}/documents.parquet' "
+        "ORDER BY source, doc_id"
+    ).fetchall()
+    expect = {}
+    running = {}
+    for src, doc, sz in files:
+        prior = running.get(src, 0)
+        gid = prior // 4000
+        key = (src, gid)
+        agg = expect.setdefault(key, [0, 0, doc, doc])
+        agg[0] += 1
+        agg[1] += sz
+        agg[3] = doc
+        running[src] = prior + sz
+    got = {
+        (r.source, r.group_id): [
+            r.n_files, r.group_chars, r.first_doc, r.last_doc
+        ]
+        for r in rows
+    }
+    assert got == expect
+    # groups are contiguous id ranges per source: no overlaps
+    by_src = {}
+    for (src, gid), (_, _, lo, hi) in sorted(got.items()):
+        assert lo <= hi
+        if src in by_src:
+            assert lo > by_src[src]
+        by_src[src] = hi
+
+
+# ------------------------------------------------------------- batch 2 ops
+
+
+def test_dedup_incremental_statuses(spark):
+    rows = _q("op-ext-dedup-incremental")(spark, SF).collect()
+    import duckdb
+    import hashlib
+    import re as _re
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    h = {
+        d: hashlib.md5(
+            _re.sub(r"\s+", " ", t.strip().lower()).encode()
+        ).hexdigest()
+        for d, t in docs
+    }
+    corpus = {h[d] for d in h if d % 5 != 0}
+    batch = sorted(d for d in h if d % 5 == 0)
+    firsts = {}
+    expect = {}
+    for d in batch:
+        if h[d] in corpus:
+            expect[d] = "dup_of_corpus"
+        elif h[d] in firsts:
+            expect[d] = "dup_in_batch"
+        else:
+            firsts[h[d]] = d
+            expect[d] = "unique"
+    assert {r.doc_id: r.status for r in rows} == expect
+
+
+def test_zonemap_skip_flag_consistent(spark):
+    rows = _q("op-ext-zonemap")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.min_cents <= r.max_cents
+        assert r.skippable_under_400k == (r.max_cents < 40000000)
+        assert r.n_rows > 0
+
+
+def test_benford_shares_partition_unity(spark):
+    rows = _q("op-ext-benford")(spark, SF).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert sum(r.share for r in rows) == pytest.approx(1.0)
+    # Benford expectation column carries the exact literals
+    assert sum(r.benford_share for r in rows) == pytest.approx(1.0)
+    # monotone decreasing expectation by digit
+    by_digit = sorted(rows, key=lambda r: r.digit)
+    for a, b in zip(by_digit, by_digit[1:]):
+        assert a.benford_share > b.benford_share
+
+
+def test_abtest_ztest_closed_form(spark):
+    r = _q("op-ext-abtest-ztest")(spark, SF).collect()[0]
+    import duckdb
+
+    truth = duckdb.sql(
+        f"""
+        WITH s AS (
+          SELECT user_id, MIN(epoch_us(ts)) AS su
+          FROM '{SF}/events.parquet'
+          WHERE event_type = 'signup' GROUP BY 1
+        ),
+        p AS (
+          SELECT e.user_id FROM '{SF}/events.parquet' e
+          JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'purchase'
+            AND epoch_us(e.ts) > s.su
+            AND epoch_us(e.ts) <= s.su + 86400000000
+          GROUP BY 1
+        )
+        SELECT s.user_id % 2 AS v,
+               CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS c
+        FROM s LEFT JOIN p ON s.user_id = p.user_id
+        """
+    ).fetchall()
+    n_a = sum(1 for v, _ in truth if v == 0)
+    n_b = sum(1 for v, _ in truth if v == 1)
+    conv_a = sum(c for v, c in truth if v == 0)
+    conv_b = sum(c for v, c in truth if v == 1)
+    assert (r.n_a, r.n_b, r.conv_a, r.conv_b) == (n_a, n_b, conv_a, conv_b)
+    p = (conv_a + conv_b) / (n_a + n_b)
+    z = (conv_a / n_a - conv_b / n_b) / (
+        (p * (1 - p) * (1 / n_a + 1 / n_b)) ** 0.5
+    )
+    assert r.z_score == pytest.approx(z, rel=1e-12)
+    assert r.rate_a == pytest.approx(conv_a / n_a)
+
+
+def test_funnel_windowed_bounds(spark):
+    rows = _q("op-ext-funnel-windowed")(spark, SF).collect()
+    assert rows
+    n_conv = 0
+    for r in rows:
+        assert r.converted_24h == (r.purchase_us is not None)
+        if r.purchase_us is not None:
+            n_conv += 1
+            assert 0 < r.purchase_us - r.signup_us <= 86_400_000_000
+            assert r.delay_s == (r.purchase_us - r.signup_us) // 1_000_000
+        else:
+            assert r.delay_s is None
+    assert 0 < n_conv < len(rows)  # window actually binds on this data

@@ -29,6 +29,8 @@ ALLOWED = {
     # distinct-dates mini time-dim surrogate keys: dim-sized by construction
     "op-pipe-snapshot": {"cartesian", "single-partition window"},
     "op-ext-ann-bruteforce": {"cartesian"},  # scored vs broadcast query set
+    # rides the same brute-force broadcast-query cartesian as ann-bruteforce
+    "op-ext-knn-classify": {"cartesian"},
     # k-means assign: corpus × broadcast n_clusters centroids (k tiny)
     "op-ext-ann-ivf": {"cartesian"},
     # new-members numbering after the anti-join: dim-sized by construction
@@ -55,6 +57,8 @@ ALLOWED = {
     # ratio-to-report: the unpartitioned window sum runs over the
     # 25-row post-aggregate nation frame, never the fact (docstring)
     "op-ext-share-of-total": {"single-partition window"},
+    # 9-row post-aggregate digit frame; same shape as share-of-total
+    "op-ext-benford": {"single-partition window"},
     # 1-row corpus-count broadcast for lift's N (same shape as tfidf);
     # the pair join itself is keyed on the order
     "op-ext-assoc-rules": {"cartesian"},
