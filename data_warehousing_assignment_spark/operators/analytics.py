@@ -221,20 +221,25 @@ def skyline_2d(
     multiplicity count.
 
     Scale design — the naive formulation is an O(n²) NOT-EXISTS self
-    join; this one is two WINDOW functions over one (group, x) sort:
+    join; the textbook window form (max(y) over the ``[x+1, ∞)`` RANGE
+    frame) is no better in Spark, whose
+    UnboundedFollowingWindowFunctionFrame RECOMPUTES the aggregate for
+    every row — O(partition²), measured as a hang on a 200 k-point
+    partition. This decomposition is all-incremental:
 
-    * ``max(y) over x' > x``  (RANGE frame ``[x+1, ∞)``) — a point is
-      dominated by a strictly-richer-x point iff that max ≥ its y;
-    * ``max(y) over x' = x``  (RANGE frame ``[current, current]`` =
-      the x-value PEER group) — dominated within its x-slice iff a
-      strictly larger y exists there.
+    1. collapse to one row per (group, x): ``y_slice = max(y)`` — only
+       the top-y point of an x-slice can be on the frontier (any lower
+       y in the slice is weakly dominated by it);
+    2. over the slice frame ORDERED BY x DESC, running
+       ``max(y_slice) OVER (rows unbounded preceding .. 1 preceding)``
+       = best y among strictly-greater x — an O(n) incremental frame;
+    3. a slice survives iff ``y_slice > that running max``; join back
+       to the distinct-point frame to recover the multiplicity count.
 
-    Both frames hang off the SAME window spec — partition by group,
-    order by x — so Spark plans one Window node over ONE exchange+sort
-    of the distinct-point frame: the skyline survives any scale the
-    group sort survives, with no quadratic candidate step anywhere.
-    Requires integer-ish x (RANGE offset 1 = "strictly greater" only
-    when x values are integers).
+    Both aggregation steps and the window share the (group-, x-)keyed
+    shuffle; the window partition is |distinct x| rows per group — at
+    100 TB the slice frame is the cardinality of the x domain, not the
+    fact table.
 
     Output: ``(*group_cols, x_col, y_col, n_points)`` — frontier points
     only.
@@ -242,16 +247,20 @@ def skyline_2d(
     pts = df.groupBy(*group_cols, x_col, y_col).agg(
         F.count(F.lit(1)).alias("n_points")
     )
-    w = Window.partitionBy(*group_cols).orderBy(x_col)
-    w_gt = w.rangeBetween(1, Window.unboundedFollowing)
-    w_eq = w.rangeBetween(Window.currentRow, Window.currentRow)
-    dominated = (
-        F.coalesce(
-            F.max(y_col).over(w_gt) >= F.col(y_col), F.lit(False)
-        )
-    ) | (F.max(y_col).over(w_eq) > F.col(y_col))
-    return (
-        pts.withColumn("_dom", dominated)
-        .filter(~F.col("_dom"))
-        .drop("_dom")
+    slices = pts.groupBy(*group_cols, x_col).agg(
+        F.max(y_col).alias("_y_slice")
     )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(x_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        slices.withColumn("_best_gt", F.max("_y_slice").over(w))
+        .filter(
+            F.col("_best_gt").isNull()
+            | (F.col("_y_slice") > F.col("_best_gt"))
+        )
+        .select(*group_cols, x_col, F.col("_y_slice").alias(y_col))
+    )
+    return frontier.join(pts, on=[*group_cols, x_col, y_col])

@@ -193,10 +193,12 @@ def op_ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_ext_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto frontier per return flag: lineitems not weakly dominated
     in (quantity, price) — the multi-objective "best tradeoff" screen.
-    analytics.skyline_2d replaces the naive O(n²) NOT-EXISTS with two
-    window maxima sharing ONE (group, qty) sort: max-y over the
-    strictly-greater-x RANGE frame + max-y within the x-slice — the
-    oracle states the same window form, pytest pins it against the
+    analytics.skyline_2d replaces the naive O(n²) NOT-EXISTS with a
+    per-qty slice max + an O(n) running max over the DESC slice frame
+    (Spark's unbounded-FOLLOWING frame recomputes per row — O(n²),
+    measured as a hang at 600 k points — so the textbook RANGE-frame
+    form is deliberately avoided engine-side). The oracle states that
+    textbook window form as the independent check; pytest pins the
     quadratic definition."""
     pts = t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
