@@ -891,3 +891,354 @@ def op_ext_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_us").isNotNull().alias("converted_24h"),
         F.expr("(purchase_us - signup_us) div 1000000").alias("delay_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# LSH quality metrics (precision / recall vs exact ground truth)
+# --------------------------------------------------------------------------
+
+from data_warehousing_assignment_spark.operators import dedup as dd  # noqa: E402
+from data_warehousing_assignment_spark.registry_extensions import (  # noqa: E402
+    _CAND_SQL,
+    _SHINGLES,
+)
+
+
+@query(
+    "op-ext-lsh-eval",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, list_distinct({_SHINGLES}) AS s
+                FROM documents),
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                   AS DOUBLE) >= 0.5
+    ),
+    cand AS ({_CAND_SQL}),
+    j AS (
+      SELECT COALESCE(t.doc_a, c.doc_a) AS doc_a,
+             CASE WHEN t.doc_a IS NULL THEN 0 ELSE 1 END AS in_t,
+             CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS in_c
+      FROM truth t FULL OUTER JOIN cand c
+        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    )
+    SELECT CAST(SUM(in_c) AS BIGINT) AS n_candidates,
+           CAST(SUM(in_t) AS BIGINT) AS n_truth,
+           CAST(SUM(in_t * in_c) AS BIGINT) AS n_hits,
+           CAST(SUM(in_t * in_c) AS DOUBLE)
+             / CAST(NULLIF(SUM(in_c), 0) AS DOUBLE) AS precision,
+           CAST(SUM(in_t * in_c) AS DOUBLE)
+             / CAST(NULLIF(SUM(in_t), 0) AS DOUBLE) AS recall
+    FROM j
+    """,
+)
+def op_ext_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality metrics for the MinHash-LSH pipeline:
+    precision / recall of the banded candidates (k=12, 4×3) against
+    EXACT shingle-Jaccard ≥ 0.5 ground truth — the measurement every
+    approximate-dedup rollout needs before trusting its operating
+    point. Ground truth comes from the PPJoin prefix-filter exact join
+    (dedup.set_similarity_join_prefix — never all-pairs engine-side;
+    the oracle brute-forces the same definition independently); the
+    comparison is ONE full-outer join on the pair key + a single
+    aggregate, and both ratios are one IEEE division of exact
+    counts."""
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(
+            dd.word_shingles(dd.tokens("text"), 3)
+        ).alias("s"),
+    )
+    truth = dd.set_similarity_join_prefix(sh, "doc_id", "s", 0.5).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    cand = dd.minhash_lsh_candidates(docs, "doc_id", "text", 12, 4)
+    j = (
+        truth.withColumn("_t", F.lit(1))
+        .join(
+            cand.withColumn("_c", F.lit(1)),
+            on=["doc_a", "doc_b"],
+            how="full_outer",
+        )
+        .select(
+            F.coalesce("_t", F.lit(0)).alias("in_t"),
+            F.coalesce("_c", F.lit(0)).alias("in_c"),
+        )
+    )
+    return j.agg(
+        F.sum("in_c").cast("bigint").alias("n_candidates"),
+        F.sum("in_t").cast("bigint").alias("n_truth"),
+        F.sum(F.col("in_t") * F.col("in_c")).cast("bigint").alias("n_hits"),
+        (
+            F.sum(F.col("in_t") * F.col("in_c")).cast("double")
+            / F.nullif(F.sum("in_c"), F.lit(0)).cast("double")
+        ).alias("precision"),
+        (
+            F.sum(F.col("in_t") * F.col("in_c")).cast("double")
+            / F.nullif(F.sum("in_t"), F.lit(0)).cast("double")
+        ).alias("recall"),
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data mixture schedule
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-mixture-schedule",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang,
+             CASE WHEN lang = 'en' THEN 3 ELSE 1 END AS weight,
+             md5('mix:' || CAST(doc_id AS VARCHAR)) AS shuf
+      FROM documents
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY shuf, doc_id) AS rn_in_source
+      FROM w
+    )
+    SELECT doc_id, lang, CAST(weight AS BIGINT) AS weight,
+           CAST(rn_in_source AS BIGINT) AS rn_in_source,
+           CAST((rn_in_source * 1000) // weight AS BIGINT) AS sched_pos
+    FROM r
+    """,
+)
+def op_ext_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture schedule — the deterministic interleave a
+    training pipeline uses to mix sources at fixed rates (3:1
+    en-upweighting here): each source is shuffled by a content-addressed
+    hash (stable across reruns/engines — no rand()), ranked within
+    source, and assigned ``sched_pos = rn·1000 div weight`` so that
+    reading in sched_pos order consumes sources proportionally to their
+    weights at every prefix. NO global ranking window: the schedule key
+    is row-local after one per-source ranking shuffle, and consumers
+    sort by it lazily (a total sort only ever happens at sink time,
+    range-partitioned). The weighted-interleave property is pinned in
+    tests/test_advanced.py."""
+    w = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.when(F.col("lang") == "en", 3).otherwise(1).alias("weight"),
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))).alias(
+            "shuf"
+        ),
+    )
+    r = w.withColumn(
+        "rn_in_source",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy("shuf", "doc_id")
+        ),
+    )
+    return r.select(
+        "doc_id",
+        "lang",
+        F.col("weight").cast("bigint"),
+        F.col("rn_in_source").cast("bigint"),
+        F.expr("(rn_in_source * 1000) div weight")
+        .cast("bigint")
+        .alias("sched_pos"),
+    )
+
+
+# --------------------------------------------------------------------------
+# k-hop reachability (BFS frontier)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-khop",
+    oracle="""
+    WITH cs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    h0 AS (SELECT DISTINCT s_suppkey AS s FROM supplier
+           WHERE s_suppkey % 17 = 0),
+    h1 AS (SELECT DISTINCT cs.c FROM cs JOIN h0 ON cs.s = h0.s),
+    h2 AS (
+      SELECT DISTINCT cs.s FROM cs JOIN h1 ON cs.c = h1.c
+      WHERE cs.s NOT IN (SELECT s FROM h0)
+    )
+    SELECT 'S' || CAST(s AS VARCHAR) AS node, CAST(0 AS BIGINT) AS hops
+    FROM h0
+    UNION ALL
+    SELECT 'C' || CAST(c AS VARCHAR) AS node, CAST(1 AS BIGINT) AS hops
+    FROM h1
+    UNION ALL
+    SELECT 'S' || CAST(s AS VARCHAR) AS node, CAST(2 AS BIGINT) AS hops
+    FROM h2
+    """,
+)
+def op_ext_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop reachability (BFS, k=2) from a supplier seed set over the
+    customer↔supplier trade graph: "which counterparties are within two
+    hops of these suppliers" — the blast-radius / exposure query every
+    graph-shaped warehouse gets asked. Each hop is ONE distinct
+    equi-join of the current frontier against the edge list (frontier
+    rows are single keys); dedup against earlier hops is a key
+    anti-join. Fixed k = fixed plan depth — no driver loop, no action
+    per hop."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+    )
+    h0 = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 17 == 0)
+        .select(F.col("s_suppkey").alias("s"))
+        .distinct()
+    )
+    h1 = cs.join(h0, on="s").select("c").distinct()
+    h2 = (
+        cs.join(h1, on="c")
+        .select("s")
+        .distinct()
+        .join(h0, on="s", how="left_anti")
+    )
+    lab = lambda pfx, col: F.concat(F.lit(pfx), F.col(col).cast("string"))
+    return (
+        h0.select(lab("S", "s").alias("node"), F.lit(0).cast("bigint").alias("hops"))
+        .unionByName(
+            h1.select(
+                lab("C", "c").alias("node"),
+                F.lit(1).cast("bigint").alias("hops"),
+            )
+        )
+        .unionByName(
+            h2.select(
+                lab("S", "s").alias("node"),
+                F.lit(2).cast("bigint").alias("hops"),
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap confidence intervals
+# --------------------------------------------------------------------------
+
+_BOOT_B = 48
+#: Poisson(1) inverse-CDF thresholds on a 16-bit uniform: u16 < T[k] → k
+_POIS_T = [24109, 48218, 60273, 64291, 65296, 65497, 65530, 65535]
+
+
+def _u16_sql(h: str) -> str:
+    nib = "(strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
+    return (
+        "("
+        + " + ".join(
+            f"{nib.format(h=h, i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
+        )
+        + ")"
+    )
+
+
+def _pois_case(u16: str) -> str:
+    branches = " ".join(
+        f"WHEN {u16} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE {branches} ELSE 8 END"
+
+
+_BOOT_H = "md5('boot:' || CAST(b AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR))"
+
+
+@query(
+    "op-ext-bootstrap-ci",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_returnflag, l_orderkey, l_linenumber, {_CENTS} AS x
+      FROM lineitem
+    ),
+    rep AS (
+      SELECT li.*, b.b,
+             {_pois_case(_u16_sql(_BOOT_H))} AS w
+      FROM li, (SELECT unnest(range(0, {_BOOT_B})) AS b) b
+    ),
+    means AS (
+      SELECT l_returnflag, b,
+             CAST(SUM(CAST(w AS DECIMAL(38,0)) * x) AS DOUBLE)
+               / CAST(NULLIF(SUM(w), 0) AS DOUBLE) AS m
+      FROM rep GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT l_returnflag, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)
+               AS mean_cents
+      FROM li GROUP BY 1
+    )
+    SELECT b.l_returnflag, b.n_rows,
+           b.mean_cents / 100.0 AS mean_price,
+           quantile_cont(m.m, 0.025) / 100.0 AS ci_lo,
+           quantile_cont(m.m, 0.975) / 100.0 AS ci_hi
+    FROM base b JOIN means m ON b.l_returnflag = m.l_returnflag
+    GROUP BY 1, 2, 3
+    """,
+)
+def op_ext_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for mean price per flag — the
+    SCALABLE bootstrap (Chamandy et al., Google): instead of B
+    resamples-with-replacement (B full shuffles), every row draws a
+    deterministic Poisson(1) weight per replicate from a
+    content-addressed hash, so all {_BOOT_B} replicates accumulate in
+    ONE map-side-combined pass; the shuffle carries |groups|·B partial
+    sums. Replicate means divide exact decimal sums; the CI is a
+    percentile over B=48 replicate means (identical doubles in any
+    engine — the Poisson inverse-CDF is integer thresholds on a 16-bit
+    hash, never a cross-engine exp())."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        (dec("l_extendedprice") * 100).cast("bigint").alias("x"),
+    )
+    rep = li.withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
+    ).withColumn(
+        "w",
+        F.expr(
+            _pois_case(
+                "CAST(conv(substring("
+                + _BOOT_H.replace("AS VARCHAR", "AS STRING")
+                + ", 1, 4), 16, 10) AS INT)"
+            )
+        ),
+    )
+    means = rep.groupBy("l_returnflag", "b").agg(
+        (
+            F.sum(F.col("w").cast("decimal(38,0)") * F.col("x")).cast("double")
+            / F.nullif(F.sum("w"), F.lit(0)).cast("double")
+        ).alias("m")
+    )
+    base = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.sum(F.col("x").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_cents"),
+    )
+    return (
+        base.join(means, on="l_returnflag")
+        .groupBy("l_returnflag", "n_rows", "mean_cents")
+        .agg(
+            F.expr("percentile(m, 0.025) / 100.0").alias("ci_lo"),
+            F.expr("percentile(m, 0.975) / 100.0").alias("ci_hi"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            (F.col("mean_cents") / 100.0).alias("mean_price"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )

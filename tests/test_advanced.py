@@ -400,3 +400,112 @@ def test_funnel_windowed_bounds(spark):
         else:
             assert r.delay_s is None
     assert 0 < n_conv < len(rows)  # window actually binds on this data
+
+
+# ------------------------------------------------------------- batch 3 ops
+
+
+def test_lsh_eval_counts_vs_bruteforce(spark):
+    r = _q("op-ext-lsh-eval")(spark, SF).collect()[0]
+    assert 0 <= r.n_hits <= min(r.n_candidates, r.n_truth)
+    if r.n_candidates:
+        assert r.precision == pytest.approx(r.n_hits / r.n_candidates)
+    if r.n_truth:
+        assert r.recall == pytest.approx(r.n_hits / r.n_truth)
+    # independent brute-force ground truth (3-word shingles, t=0.5)
+    import duckdb
+    import re as _re
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+
+    def shingles(txt):
+        toks = _re.split(r"\s+", txt.strip().lower())
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    sh = {d: shingles(t) for d, t in docs}
+    ids = sorted(sh)
+    n_truth = sum(
+        1
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if len(sh[a] & sh[b]) / len(sh[a] | sh[b]) >= 0.5
+    )
+    assert r.n_truth == n_truth
+
+
+def test_mixture_schedule_interleave_property(spark):
+    rows = _q("op-ext-mixture-schedule")(spark, SF).collect()
+    # schedule order: every prefix consumes sources ~proportional to weight
+    ordered = sorted(rows, key=lambda r: (r.sched_pos, r.lang, r.rn_in_source))
+    n_en_total = sum(1 for r in rows if r.lang == "en")
+    prefix = ordered[:24]
+    n_en = sum(1 for r in prefix if r.lang == "en")
+    # en weight 3 vs 1 for the others: expect ~ 3/(3+k-1) of the prefix
+    langs = {r.lang for r in rows}
+    expected = 24 * 3 / (3 + (len(langs) - 1))
+    assert abs(n_en - expected) <= 6
+    assert n_en <= n_en_total
+    # rn_in_source is a dense 1..n_lang ranking
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.rn_in_source)
+    for lang, rns in by_lang.items():
+        assert sorted(rns) == list(range(1, len(rns) + 1))
+
+
+def test_khop_matches_python_bfs(spark):
+    rows = _q("op-ext-khop")(spark, SF).collect()
+    import duckdb
+
+    edges = duckdb.sql(
+        f"""
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM '{SF}/lineitem.parquet' l
+        JOIN '{SF}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+        """
+    ).fetchall()
+    seeds = {
+        s
+        for (s,) in duckdb.sql(
+            f"SELECT s_suppkey FROM '{SF}/supplier.parquet' "
+            "WHERE s_suppkey % 17 = 0"
+        ).fetchall()
+    }
+    h1 = {c for c, s in edges if s in seeds}
+    h2 = {s for c, s in edges if c in h1} - seeds
+    expect = (
+        {(f"S{s}", 0) for s in seeds}
+        | {(f"C{c}", 1) for c in h1}
+        | {(f"S{s}", 2) for s in h2}
+    )
+    assert {(r.node, r.hops) for r in rows} == expect
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    rows = _q("op-ext-bootstrap-ci")(spark, SF).collect()
+    import duckdb
+
+    truth = dict(
+        duckdb.sql(
+            f"""
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE) / COUNT(*) AS m
+            FROM '{SF}/lineitem.parquet' GROUP BY 1
+            """
+        ).fetchall()
+    )
+    assert len(rows) == 3
+    for r in rows:
+        assert r.mean_price == pytest.approx(truth[r.l_returnflag])
+        assert r.ci_lo < r.ci_hi
+        # a 95% bootstrap CI on thousands of rows must bracket the mean
+        assert r.ci_lo < r.mean_price < r.ci_hi
+        # and be reasonably tight (few % of the mean at n≈2000)
+        assert (r.ci_hi - r.ci_lo) / r.mean_price < 0.2
