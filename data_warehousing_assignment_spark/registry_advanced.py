@@ -1128,16 +1128,21 @@ def op_ext_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _BOOT_B = 48
-#: Poisson(1) inverse-CDF thresholds on a 16-bit uniform: u16 < T[k] → k
+_BOOT_G = 6  # hash groups: one md5 yields EIGHT 16-bit uniforms (128 bits)
+#: Poisson(1) inverse-CDF thresholds on a 16-bit uniform: u16 < T[k] -> k
 _POIS_T = [24109, 48218, 60273, 64291, 65296, 65497, 65530, 65535]
 
 
-def _u16_sql(h: str) -> str:
-    nib = "(strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
+def _u16_sql(h: str, off: str = "0") -> str:
+    """16-bit integer from 4 hex nibbles of ``h`` starting at 1-based
+    position ``1 + 4*off`` — shared Spark/DuckDB text (strpos nibble
+    lookup; no engine-specific hex-decode)."""
+    nib = "(strpos('0123456789abcdef', substring({h}, ({off}) * 4 + {i}, 1)) - 1)"
     return (
         "("
         + " + ".join(
-            f"{nib.format(h=h, i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
+            nib.format(h=h, off=off, i=i + 1) + f" * {16 ** (3 - i)}"
+            for i in range(4)
         )
         + ")"
     )
@@ -1150,7 +1155,10 @@ def _pois_case(u16: str) -> str:
     return f"CASE {branches} ELSE 8 END"
 
 
-_BOOT_H = "md5('boot:' || CAST(b AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR))"
+_BOOT_H = (
+    "md5('boot:' || CAST(g AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR)"
+    " || ':' || CAST(l_linenumber AS VARCHAR))"
+)
 
 
 @query(
@@ -1160,10 +1168,14 @@ _BOOT_H = "md5('boot:' || CAST(b AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHA
       SELECT l_returnflag, l_orderkey, l_linenumber, {_CENTS} AS x
       FROM lineitem
     ),
+    hashed AS (
+      SELECT li.*, g.g, {_BOOT_H} AS h
+      FROM li, (SELECT unnest(range(0, {_BOOT_G})) AS g) g
+    ),
     rep AS (
-      SELECT li.*, b.b,
-             {_pois_case(_u16_sql(_BOOT_H))} AS w
-      FROM li, (SELECT unnest(range(0, {_BOOT_B})) AS b) b
+      SELECT l_returnflag, x, g.g * 8 + j.j AS b,
+             {_pois_case(_u16_sql("h", "j.j"))} AS w
+      FROM hashed g, (SELECT unnest(range(0, 8)) AS j) j
     ),
     means AS (
       SELECT l_returnflag, b,
@@ -1186,33 +1198,39 @@ _BOOT_H = "md5('boot:' || CAST(b AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHA
     """,
 )
 def op_ext_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Poisson-bootstrap 95% CI for mean price per flag — the
-    SCALABLE bootstrap (Chamandy et al., Google): instead of B
-    resamples-with-replacement (B full shuffles), every row draws a
-    deterministic Poisson(1) weight per replicate from a
-    content-addressed hash, so all {_BOOT_B} replicates accumulate in
-    ONE map-side-combined pass; the shuffle carries |groups|·B partial
-    sums. Replicate means divide exact decimal sums; the CI is a
-    percentile over B=48 replicate means (identical doubles in any
-    engine — the Poisson inverse-CDF is integer thresholds on a 16-bit
-    hash, never a cross-engine exp())."""
+    """Poisson-bootstrap 95% CI for mean price per flag — the SCALABLE
+    bootstrap (Chamandy et al., "Estimating Uncertainty for Massive
+    Data Streams", Google 2012): instead of B resamples-with-replacement
+    (B full shuffles), every row draws a deterministic Poisson(1) weight
+    per replicate from a content-addressed hash, so all 48 replicates
+    accumulate in ONE map-side-combined pass and the shuffle carries
+    |groups|·B partial sums. One md5 serves EIGHT replicates (128 bits =
+    8 × 16-bit uniforms — 6 hashes/row, not 48; 32→6 s at sf0.1).
+    Replicate means divide exact decimal sums; the CI is a percentile
+    over the 48 replicate means (identical doubles in any engine — the
+    Poisson inverse-CDF is integer thresholds on the 16-bit hash
+    slices, never a cross-engine exp())."""
     li = t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         "l_orderkey",
         "l_linenumber",
         (dec("l_extendedprice") * 100).cast("bigint").alias("x"),
     )
-    rep = li.withColumn(
-        "b", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
-    ).withColumn(
-        "w",
+    spark_h = _BOOT_H.replace("AS VARCHAR", "AS STRING")
+    hashed = li.withColumn(
+        "g", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_G - 1)))
+    ).withColumn("h", F.expr(spark_h))
+    rep = hashed.withColumn(
+        "j", F.explode(F.sequence(F.lit(0), F.lit(7)))
+    ).select(
+        "l_returnflag",
+        "x",
+        (F.col("g") * 8 + F.col("j")).alias("b"),
         F.expr(
             _pois_case(
-                "CAST(conv(substring("
-                + _BOOT_H.replace("AS VARCHAR", "AS STRING")
-                + ", 1, 4), 16, 10) AS INT)"
+                "CAST(conv(substring(h, j * 4 + 1, 4), 16, 10) AS INT)"
             )
-        ),
+        ).alias("w"),
     )
     means = rep.groupBy("l_returnflag", "b").agg(
         (
