@@ -171,10 +171,13 @@ def pagerank_fixed_point(
     redistribution is deliberately out of scope for this variant.
     Returns ``(node, rank_i)``.
     """
-    e = pin(
-        edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    e0 = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
     )
-    outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    outdeg = e0.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    # degree is loop-invariant: stamp it onto the edge list ONCE so each
+    # iteration pays a single join instead of two (edges ⋈ ranks only).
+    e = pin(e0.join(outdeg, on="_src"))
     nodes = e.select(F.col("_src").alias("node")).distinct().unionByName(
         e.select(F.col("_dst").alias("node")).distinct()
     ).distinct()
@@ -183,7 +186,6 @@ def pagerank_fixed_point(
     for _ in range(iters):
         contribs = (
             e.join(ranks, e["_src"] == ranks["node"])
-            .join(outdeg, on="_src")
             .select(
                 F.col("_dst").alias("node"),
                 F.expr("rank_i div _deg").alias("_c"),

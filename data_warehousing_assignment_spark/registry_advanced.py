@@ -1260,3 +1260,135 @@ def op_ext_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# dataset profiling (the "dataset card" scan)
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@query(
+    "op-ext-profile",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_val,
+               CAST(MAX({c}) AS VARCHAR) AS max_val,
+               CAST(SUM(length(CAST({c} AS VARCHAR))) AS DOUBLE) / COUNT({c})
+                 AS avg_len
+        FROM documents
+        """
+        for c in _PROFILE_COLS
+    ),
+)
+def op_ext_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profile card — per-column row/null/exact-distinct counts,
+    native-typed min/max (cast to string AFTER the aggregate, so
+    numeric columns order numerically), and mean rendered length: the
+    table every catalog (DataHub / dbt-profiler / Deequ) materializes
+    before a dataset ships. ONE scan computes every metric for every
+    column (a single wide aggregate; Spark plans the multi-distinct via
+    expand), then a stack() unpivots the 1×N row to N column rows —
+    profile cost is one pass however wide the table is. The oracle
+    brute-forces the same metrics one column at a time."""
+    d = t(spark, sf_dir, "documents")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+            (
+                F.sum(F.length(F.col(c).cast("string"))).cast("double")
+                / F.count(c)
+            ).alias(f"{c}__avglen"),
+        ]
+    wide = d.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max,"
+        f" {c}__avglen"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val, avg_len)"
+    )
+
+
+# --------------------------------------------------------------------------
+# FK / join-key discovery
+# --------------------------------------------------------------------------
+
+#: (label, child table, child col, parent table, parent col) — three true
+#: FKs plus a deliberate negative control
+_FK_CANDIDATES = [
+    ("lineitem.l_orderkey->orders.o_orderkey",
+     "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey",
+     "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer.c_custkey",
+     "orders", "o_custkey", "customer", "c_custkey"),
+    # wrong-key control: joining orders to supplier on custkey=suppkey
+    # is a schema mistake — containment exposes it decisively (~0.07)
+    ("orders.o_custkey->supplier.s_suppkey",
+     "orders", "o_custkey", "supplier", "s_suppkey"),
+]
+
+
+@query(
+    "op-ext-fk-discovery",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{label}' AS candidate,
+               (SELECT COUNT(DISTINCT {cc}) FROM {ct}) AS n_child_keys,
+               (SELECT COUNT(DISTINCT {pc}) FROM {pt}) AS n_parent_keys,
+               (SELECT COUNT(*) FROM
+                  (SELECT DISTINCT {cc} FROM {ct}) c
+                  JOIN (SELECT DISTINCT {pc} FROM {pt}) p ON c.{cc} = p.{pc})
+                 AS n_contained,
+               CAST((SELECT COUNT(*) FROM
+                  (SELECT DISTINCT {cc} FROM {ct}) c
+                  JOIN (SELECT DISTINCT {pc} FROM {pt}) p ON c.{cc} = p.{pc})
+                 AS DOUBLE)
+                 / (SELECT COUNT(DISTINCT {cc}) FROM {ct}) AS containment
+        """
+        for label, ct, cc, pt, pc in _FK_CANDIDATES
+    ),
+)
+def op_ext_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK/join-key discovery by inclusion-dependency profiling: for each
+    candidate (child, parent) column pair, exact distinct counts and
+    the containment ratio |child ∩ parent| / |child| — 1.0 ⇒ a valid
+    foreign key, fractional ⇒ a wrong join key (the custkey→suppkey
+    control scores ~0.07). The schema-inference primitive behind automatic
+    star-schema detection. Per pair: distinct-reduce each side (shuffle
+    carries keys only) + one equi-join of the REDUCED key sets — never
+    row-level joins; candidate pairs are metadata-sized."""
+    out = None
+    for label, ct, cc, pt, pc in _FK_CANDIDATES:
+        child = t(spark, sf_dir, ct).select(F.col(cc).alias("k")).distinct()
+        parent = t(spark, sf_dir, pt).select(F.col(pc).alias("k")).distinct()
+        hit = child.join(parent, on="k", how="left_semi")
+        row = (
+            child.agg(F.count(F.lit(1)).alias("n_child_keys"))
+            .crossJoin(parent.agg(F.count(F.lit(1)).alias("n_parent_keys")))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_contained")))
+            .select(
+                F.lit(label).alias("candidate"),
+                "n_child_keys",
+                "n_parent_keys",
+                "n_contained",
+                (
+                    F.col("n_contained").cast("double")
+                    / F.col("n_child_keys")
+                ).alias("containment"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

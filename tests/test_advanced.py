@@ -509,3 +509,38 @@ def test_bootstrap_ci_brackets_mean(spark):
         assert r.ci_lo < r.mean_price < r.ci_hi
         # and be reasonably tight (few % of the mean at n≈2000)
         assert (r.ci_hi - r.ci_lo) / r.mean_price < 0.2
+
+
+def test_profile_matches_pandas(spark):
+    rows = {r.col_name: r for r in _q("op-ext-profile")(spark, SF).collect()}
+    import duckdb
+
+    df = duckdb.sql(f"SELECT * FROM '{SF}/documents.parquet'").df()
+    assert set(rows) == {"doc_id", "text", "lang", "source", "n_chars"}
+    for c, r in rows.items():
+        assert r.n_rows == len(df)
+        assert r.n_nulls == int(df[c].isna().sum())
+        assert r.n_distinct == df[c].nunique()
+        assert r.min_val == str(df[c].min())
+        assert r.max_val == str(df[c].max())
+        assert r.avg_len == pytest.approx(
+            df[c].astype(str).str.len().mean()
+        )
+
+
+def test_fk_discovery_flags_true_and_false_keys(spark):
+    rows = {
+        r.candidate: r
+        for r in _q("op-ext-fk-discovery")(spark, SF).collect()
+    }
+    assert len(rows) == 4
+    for name, r in rows.items():
+        if name.startswith("orders.o_custkey->supplier"):
+            # wrong-key control fails inclusion decisively
+            assert r.containment < 0.5
+            assert r.n_contained <= min(r.n_child_keys, r.n_parent_keys)
+        else:
+            assert r.containment == 1.0, name
+        assert r.containment == pytest.approx(
+            r.n_contained / r.n_child_keys
+        )

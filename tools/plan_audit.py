@@ -31,6 +31,8 @@ ALLOWED = {
     "op-ext-ann-bruteforce": {"cartesian"},  # scored vs broadcast query set
     # rides the same brute-force broadcast-query cartesian as ann-bruteforce
     "op-ext-knn-classify": {"cartesian"},
+    # 1-row count frames crossJoined into each candidate's metrics row
+    "op-ext-fk-discovery": {"cartesian"},
     # k-means assign: corpus × broadcast n_clusters centroids (k tiny)
     "op-ext-ann-ivf": {"cartesian"},
     # new-members numbering after the anti-join: dim-sized by construction
