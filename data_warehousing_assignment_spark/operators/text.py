@@ -253,3 +253,95 @@ def contamination_hits(
         .groupBy(F.col("_id").alias(id_col))
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    eow: str = "▁",
+) -> list[tuple[int, str, str, int]]:
+    """Learn a BPE merge table (Sennrich et al. 2016) from a corpus.
+
+    Returns ``[(merge_rank, left, right, pair_count), ...]`` — the
+    ordered merge rules a BPE tokenizer replays at encode time.
+
+    Scalable decomposition — the textbook trick, distributed:
+
+    * ONE corpus-sized pass builds the (word, frequency) VOCAB; every
+      later step works on the vocab, whose size is the language's word
+      inventory, not the corpus (at 100 TB the vocab is millions of
+      rows while the corpus is trillions).
+    * Each merge round: explode each word's current symbol array into
+      adjacent pairs weighted by word frequency → map-side-combined
+      count → the argmax pair comes back as ONE driver scalar (same
+      driver-loop contract as connected components); the merge is then
+      applied to the symbol arrays with a row-local left-to-right fold
+      (``F.aggregate``) — greedy non-overlapping, exactly the reference
+      algorithm's replacement order.
+    * ``localCheckpoint`` truncates the per-round lineage so round k
+      doesn't replay rounds 1..k-1.
+
+    Ties break on (count desc, left, right) — fully deterministic.
+    Words are char-split with an end-of-word marker so merges never
+    cross word boundaries.
+    """
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = words.select(
+        "n",
+        F.concat(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
+            ),
+            F.array(F.lit(eow)),
+        ).alias("syms"),
+    ).localCheckpoint(eager=False)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            vocab.select(
+                "n",
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, F.size("syms") - 1),
+                        F.slice("syms", 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(
+                            a.alias("l"), b.alias("r")
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = pairs.orderBy(
+            F.desc("cnt"), F.asc("l"), F.asc("r")
+        ).limit(1).collect()
+        if not top:
+            break
+        left, right, cnt = top[0].l, top[0].r, int(top[0].cnt)
+        merges.append((rank, left, right, cnt))
+        merged = F.lit(left + right)
+        vocab = vocab.select(
+            "n",
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(left))
+                    & (x == F.lit(right)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("syms"),
+        ).localCheckpoint(eager=False)
+    return merges

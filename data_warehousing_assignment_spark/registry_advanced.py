@@ -1392,3 +1392,31 @@ def op_ext_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --------------------------------------------------------------------------
+# BPE merge-table learning
+# --------------------------------------------------------------------------
+
+
+@query("op-ext-bpe-learn")  # iterative driver-argmax loop → rows-only;
+# exact semantics pinned against a pure-Python reference BPE in
+# tests/test_advanced.py (same pattern as the CC / EWMA iterative ops)
+def op_ext_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 8 BPE merges from the documents corpus (Sennrich
+    et al. 2016) — the tokenizer-training step of an LLM data pipeline.
+    text.learn_bpe_merges does ONE corpus pass to build the
+    (word, freq) vocab, then every merge round runs on the vocab alone
+    (pair explode → map-side-combined count → 1-row argmax scalar →
+    row-local left-to-right fold applying the merge) — at 100 TB the
+    rounds cost vocab-sized shuffles, never corpus passes. The merge
+    TABLE is driver-sized by definition (it ships inside the tokenizer
+    binary)."""
+    from data_warehousing_assignment_spark.operators import text as tx
+
+    merges = tx.learn_bpe_merges(
+        t(spark, sf_dir, "documents"), "text", n_merges=8
+    )
+    return spark.createDataFrame(
+        merges, "merge_rank: bigint, left: string, right: string, pair_count: bigint"
+    )

@@ -544,3 +544,51 @@ def test_fk_discovery_flags_true_and_false_keys(spark):
         assert r.containment == pytest.approx(
             r.n_contained / r.n_child_keys
         )
+
+
+def test_bpe_learn_matches_reference_algorithm(spark):
+    rows = _q("op-ext-bpe-learn")(spark, SF).collect()
+    import collections
+    import duckdb
+    import re as _re
+
+    texts = [
+        t
+        for (t,) in duckdb.sql(
+            f"SELECT text FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    ]
+    freq = collections.Counter(
+        w
+        for t in texts
+        for w in _re.split(r"\s+", t.strip().lower())
+        if w
+    )
+    vocab = {tuple(w) + ("▁",): n for w, n in freq.items()}
+    expect = []
+    for rank in range(1, 9):
+        pairs = collections.Counter()
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        (l, r), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expect.append((rank, l, r, cnt))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    got = [(r.merge_rank, r.left, r.right, r.pair_count) for r in rows]
+    assert got == expect
+    # merge counts are non-increasing is NOT guaranteed by BPE, but the
+    # first merge must be the corpus's most frequent symbol pair
+    assert got[0][3] == max(r[3] for r in got)
