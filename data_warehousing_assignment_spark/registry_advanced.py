@@ -1420,3 +1420,289 @@ def op_ext_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank: bigint, left: string, right: string, pair_count: bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# declarative constraint suite (Deequ-style)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-constraints",
+    oracle="""
+    SELECT 'orders.o_orderkey UNIQUE' AS constraint_name,
+           (SELECT COUNT(*) FROM orders) AS n_checked,
+           CAST((SELECT COALESCE(SUM(n - 1), 0) FROM
+              (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
+               HAVING COUNT(*) > 1)) AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'orders.o_custkey NOT NULL',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+    UNION ALL
+    SELECT 'lineitem.l_quantity IN [1,50]',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_quantity < 1 OR l_quantity > 50)
+    UNION ALL
+    SELECT 'lineitem.l_orderkey REFERENCES orders',
+           (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem),
+           (SELECT COUNT(*) FROM
+              (SELECT DISTINCT l_orderkey FROM lineitem) c
+            LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) p
+              ON c.l_orderkey = p.o_orderkey
+            WHERE p.o_orderkey IS NULL)
+    UNION ALL
+    SELECT 'orders.o_totalprice > 0',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+    """,
+)
+def op_ext_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (the Deequ/dbt-test
+    shape, generalizing the reference's per-repair DQ log,
+    ref ``A2_hr_etl.py:32-36``): key uniqueness, non-null, value-range,
+    referential integrity, and positivity — one report row per
+    constraint with checked/violation counts. Each check is a
+    map-side-combined aggregate (uniqueness = groupBy on the key,
+    RI = distinct-reduced anti-join); the report is metadata-sized
+    however big the fact is. The cross-joined 1-row count frames are
+    the sanctioned degenerate pattern (plan_audit ALLOWED)."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+
+    def report(name: str, checked: DataFrame, violations: DataFrame):
+        return (
+            checked.crossJoin(violations)
+            .select(
+                F.lit(name).alias("constraint_name"),
+                F.col("n_checked"),
+                F.col("n_violations"),
+            )
+        )
+
+    uniq = report(
+        "orders.o_orderkey UNIQUE",
+        orders.agg(F.count(F.lit(1)).alias("n_checked")),
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("n_violations")
+        ),
+    )
+    notnull = report(
+        "orders.o_custkey NOT NULL",
+        orders.agg(F.count(F.lit(1)).alias("n_checked")),
+        orders.agg(
+            F.count_if(F.col("o_custkey").isNull())
+            .cast("bigint")
+            .alias("n_violations")
+        ),
+    )
+    rng = report(
+        "lineitem.l_quantity IN [1,50]",
+        li.agg(F.count(F.lit(1)).alias("n_checked")),
+        li.agg(
+            F.count_if(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+            )
+            .cast("bigint")
+            .alias("n_violations")
+        ),
+    )
+    child = li.select(F.col("l_orderkey").alias("k")).distinct()
+    parent = orders.select(F.col("o_orderkey").alias("k")).distinct()
+    ri = report(
+        "lineitem.l_orderkey REFERENCES orders",
+        child.agg(F.count(F.lit(1)).alias("n_checked")),
+        child.join(parent, on="k", how="left_anti").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_violations")
+        ),
+    )
+    pos = report(
+        "orders.o_totalprice > 0",
+        orders.agg(F.count(F.lit(1)).alias("n_checked")),
+        orders.agg(
+            F.count_if(F.col("o_totalprice") <= 0)
+            .cast("bigint")
+            .alias("n_violations")
+        ),
+    )
+    return uniq.unionByName(notnull).unionByName(rng).unionByName(ri).unionByName(pos)
+
+
+# --------------------------------------------------------------------------
+# incremental view maintenance (partial-aggregate merge)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-ivm",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           CAST(SUM({_CENTS}) AS BIGINT) AS rev_cents
+    FROM lineitem WHERE l_shipdate < DATE '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def op_ext_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the materialized per-flag rollup
+    is kept current by MERGING the standing partial aggregates (rows
+    shipped before 1996) with the new delta's partials (1996) instead
+    of recomputing history — the Σ-combine at the heart of every
+    incremental pipeline (count and sum are self-combinable; avg is
+    maintained as sum+count). The oracle recomputes the post-merge view
+    from scratch: merged partials must equal the full recompute
+    EXACTLY, which integer cents guarantee at any scale. Each side is
+    one map-side-combined agg; the merge shuffles |groups| rows."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_shipdate",
+        (dec("l_extendedprice") * 100).cast("bigint").alias("_pc"),
+    )
+
+    def partials(pred) -> DataFrame:
+        return (
+            li.filter(pred)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("_pc").alias("rev_cents"),
+            )
+        )
+
+    base = partials(F.col("l_shipdate") < F.lit("1996-01-01"))
+    delta = partials(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    return (
+        base.unionByName(delta)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("rev_cents").cast("bigint").alias("rev_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# CUPED variance reduction
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-cuped",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS variant,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                            AND ts < TIMESTAMP '2024-01-16'
+                           THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                     AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                            AND ts >= TIMESTAMP '2024-01-16'
+                           THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                     AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+             SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+      FROM u
+    ),
+    th AS (
+      SELECT n, sx,
+             CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                  - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                    - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) AS theta
+      FROM g
+    ),
+    v AS (
+      SELECT variant, COUNT(*) AS n_users,
+             SUM(CAST(x AS DECIMAL(38,0))) AS vx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS vy
+      FROM u GROUP BY 1
+    )
+    SELECT CAST(v.variant AS BIGINT) AS variant, v.n_users,
+           CAST(v.vy AS DOUBLE) / v.n_users / 100.0 AS mean_y,
+           (CAST(v.vy AS DOUBLE) / v.n_users
+            - th.theta * (CAST(v.vx AS DOUBLE) / v.n_users
+                          - CAST(th.sx AS DOUBLE) / th.n)) / 100.0
+             AS mean_y_adj,
+           th.theta AS theta
+    FROM v, th
+    """,
+)
+def op_ext_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13) — the adjusted
+    experiment readout every mature A/B platform ships: each user's
+    post-period purchase value is shifted by θ·(pre-period value −
+    grand mean), with θ = cov(x,y)/var(x), shrinking variance without
+    biasing the treatment contrast. All moments come from exact
+    DECIMAL(38,0) power sums over integer cents (one map-side pass over
+    the per-user frame); θ and the adjusted means are a fixed handful
+    of IEEE ops — deterministic cross-engine. The 1-row θ frame joins
+    the 2-row variant frame (sanctioned degenerate cross join)."""
+    ev = t(spark, sf_dir, "events")
+    cents = (dec("value") * 100).cast("bigint")
+    split = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    u = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).agg(
+        F.sum(
+            F.when((F.col("event_type") == "purchase") & split, cents)
+            .otherwise(0)
+        ).cast("bigint").alias("x"),
+        F.sum(
+            F.when((F.col("event_type") == "purchase") & ~split, cents)
+            .otherwise(0)
+        ).cast("bigint").alias("y"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")
+    g = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d("x")).alias("sx"),
+        F.sum(d("y")).alias("sy"),
+        F.sum(d("x") * F.col("x")).alias("sxx"),
+        F.sum(d("x") * F.col("y")).alias("sxy"),
+    )
+    th = g.select(
+        "n",
+        "sx",
+        (
+            (d("n") * F.col("sxy") - d("sx") * F.col("sy")).cast("double")
+            / (d("n") * F.col("sxx") - d("sx") * F.col("sx")).cast("double")
+        ).alias("theta"),
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(d("x")).alias("vx"),
+        F.sum(d("y")).alias("vy"),
+    )
+    return v.crossJoin(F.broadcast(th)).select(
+        F.col("variant").cast("bigint"),
+        "n_users",
+        (F.col("vy").cast("double") / F.col("n_users") / 100.0).alias(
+            "mean_y"
+        ),
+        (
+            (
+                F.col("vy").cast("double") / F.col("n_users")
+                - F.col("theta")
+                * (
+                    F.col("vx").cast("double") / F.col("n_users")
+                    - F.col("sx").cast("double") / F.col("n")
+                )
+            )
+            / 100.0
+        ).alias("mean_y_adj"),
+        F.col("theta"),
+    )

@@ -592,3 +592,67 @@ def test_bpe_learn_matches_reference_algorithm(spark):
     # merge counts are non-increasing is NOT guaranteed by BPE, but the
     # first merge must be the corpus's most frequent symbol pair
     assert got[0][3] == max(r[3] for r in got)
+
+
+def test_constraints_all_pass_on_clean_data(spark):
+    rows = {
+        r.constraint_name: r
+        for r in _q("op-ext-constraints")(spark, SF).collect()
+    }
+    assert len(rows) == 5
+    import duckdb
+
+    n_orders = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF}/orders.parquet'"
+    ).fetchone()[0]
+    for name, r in rows.items():
+        assert r.n_violations == 0, name
+        if name.startswith("orders."):
+            assert r.n_checked == n_orders
+
+
+def test_ivm_merge_equals_full_recompute(spark):
+    rows = _q("op-ext-ivm")(spark, SF).collect()
+    import duckdb
+
+    truth = {
+        f: (n, c)
+        for f, n, c in duckdb.sql(
+            f"""
+            SELECT l_returnflag, COUNT(*),
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * 100 AS BIGINT)) AS BIGINT)
+            FROM '{SF}/lineitem.parquet'
+            WHERE l_shipdate < DATE '1997-01-01' GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert {r.l_returnflag: (r.n_rows, r.rev_cents) for r in rows} == truth
+
+
+def test_cuped_theta_is_ols_slope_and_reduces_variance(spark):
+    rows = _q("op-ext-cuped")(spark, SF).collect()
+    import duckdb
+
+    u = duckdb.sql(
+        f"""
+        SELECT user_id,
+               SUM(CASE WHEN event_type='purchase'
+                         AND ts < TIMESTAMP '2024-01-16'
+                        THEN CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)
+                        ELSE 0 END) AS x,
+               SUM(CASE WHEN event_type='purchase'
+                         AND ts >= TIMESTAMP '2024-01-16'
+                        THEN CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)
+                        ELSE 0 END) AS y
+        FROM '{SF}/events.parquet' GROUP BY 1
+        """
+    ).fetchall()
+    xs = np.array([float(x) for _, x, _ in u])
+    ys = np.array([float(y) for _, _, y in u])
+    theta = np.cov(xs, ys, bias=True)[0, 1] / np.var(xs)
+    for r in rows:
+        assert r.theta == pytest.approx(float(theta), rel=1e-9)
+    # CUPED must not increase variance of the adjusted metric
+    adj = ys - theta * (xs - xs.mean())
+    assert np.var(adj) <= np.var(ys) + 1e-9

@@ -33,6 +33,10 @@ ALLOWED = {
     "op-ext-knn-classify": {"cartesian"},
     # 1-row count frames crossJoined into each candidate's metrics row
     "op-ext-fk-discovery": {"cartesian"},
+    # per-constraint 1-row checked×violations frames
+    "op-ext-constraints": {"cartesian"},
+    # 1-row theta frame joined onto the 2-row variant frame
+    "op-ext-cuped": {"cartesian"},
     # k-means assign: corpus × broadcast n_clusters centroids (k tiny)
     "op-ext-ann-ivf": {"cartesian"},
     # new-members numbering after the anti-join: dim-sized by construction
