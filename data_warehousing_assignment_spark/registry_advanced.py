@@ -1706,3 +1706,156 @@ def op_ext_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_y_adj"),
         F.col("theta"),
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) clustering layout
+# --------------------------------------------------------------------------
+
+
+def _morton16(a: str, b: str, dialect: str) -> str:
+    """Bit-interleave two 16-bit ints into a 32-bit Morton key — the
+    Z-order curve behind Delta OPTIMIZE ZORDER / Iceberg sort orders.
+    Emitted as pure integer bit-ops in either dialect (Spark:
+    shiftleft/shiftright; DuckDB: << >>), exact everywhere."""
+    terms = []
+    for i in range(16):
+        if dialect == "spark":
+            terms.append(
+                f"shiftleft(shiftright({a}, {i}) & 1, {2 * i})"
+                f" + shiftleft(shiftright({b}, {i}) & 1, {2 * i + 1})"
+            )
+        else:
+            terms.append(
+                f"((({a} >> {i}) & 1) << {2 * i})"
+                f" + ((({b} >> {i}) & 1) << {2 * i + 1})"
+            )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _zorder_sql(dialect: str) -> str:
+    day = (
+        "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)"
+        if dialect == "spark"
+        else "CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)"
+    )
+    ck = "((o_custkey * 65535) // mck)"
+    dy = "((day_no * 65535) // mday)"
+    if dialect == "spark":
+        ck, dy = ck.replace("//", "div"), dy.replace("//", "div")
+    morton = _morton16(ck, dy, dialect)
+    return f"""
+    WITH raw AS (
+      SELECT o_custkey, {day} AS day_no FROM orders
+    ),
+    mx AS (
+      SELECT MAX(o_custkey) AS mck, MAX(day_no) AS mday FROM raw
+    ),
+    pts AS (
+      SELECT o_custkey, day_no, {morton} AS zkey
+      FROM raw, mx
+    ),
+    ks AS (
+      SELECT GREATEST(1, (MAX(zkey) + 1) // 64) AS kz,
+             GREATEST(1, (MAX(day_no) + 1) // 64) AS kd
+      FROM pts
+    ),
+    zoned AS (
+      SELECT 'zorder' AS layout, zkey // ks.kz AS file_id,
+             o_custkey, day_no
+      FROM pts, ks
+      UNION ALL
+      SELECT 'datesort' AS layout, day_no // ks.kd AS file_id,
+             o_custkey, day_no
+      FROM pts, ks
+    ),
+    files AS (
+      SELECT layout, file_id, COUNT(*) AS n_rows,
+             MIN(o_custkey) AS ck_lo, MAX(o_custkey) AS ck_hi,
+             MIN(day_no) AS d_lo, MAX(day_no) AS d_hi
+      FROM zoned GROUP BY 1, 2
+    )
+    SELECT layout, COUNT(*) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(SUM(ck_hi - ck_lo) AS DOUBLE) / COUNT(*) AS avg_ck_span,
+           CAST(SUM(d_hi - d_lo) AS DOUBLE) / COUNT(*) AS avg_day_span,
+           CAST(SUM(CASE WHEN ck_lo <= 42 AND 42 <= ck_hi
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_hit_ck42
+    FROM files GROUP BY 1
+    """.replace("//", "div" if dialect == "spark" else "//")
+
+
+@query("op-ext-zorder", oracle=_zorder_sql("duckdb"))
+def op_ext_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering layout audit — WHY multidimensional
+    clustering beats single-key sorting for data skipping (the Delta
+    ``OPTIMIZE ZORDER BY`` / Iceberg sort-order decision): orders are
+    binned into files under (a) a Morton-interleaved
+    (custkey, order-day) key and (b) a plain date sort, then each
+    layout's per-file min/max zone maps are rolled up. The date-sorted
+    layout leaves every file spanning ~the full custkey range (a
+    custkey point predicate hits EVERY file); the Z-ordered layout
+    bounds both dimensions, so the same predicate prunes to a handful —
+    ``files_hit_ck42`` shows the difference as a number. Both dimensions are first normalized to a shared 16-bit domain
+    (max-scaled — unequal bit widths would let one dimension's high
+    bits dominate the curve, which is why real ZORDER implementations
+    rank-normalize); the Morton key is then 32 integer bit-ops,
+    row-local; binning is value-based (zkey
+    ranges), (bin width adapts from a 1-row max-stats broadcast targeting ~64
+    files), so NO global ranking window exists anywhere — at 100 TB
+    this is exactly a clustered write's sort key + maxPartitionBytes
+    file cut."""
+    day = "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)"
+    morton = _morton16(
+        "((o_custkey * 65535) div mck)",
+        "((day_no * 65535) div mday)",
+        "spark",
+    )
+    raw = t(spark, sf_dir, "orders").selectExpr(
+        "o_custkey", f"{day} AS day_no"
+    )
+    mx = raw.selectExpr(
+        "MAX(o_custkey) AS mck", "MAX(day_no) AS mday"
+    )
+    pts = raw.crossJoin(F.broadcast(mx)).selectExpr(
+        "o_custkey", "day_no", f"{morton} AS zkey"
+    )
+    ks = pts.selectExpr(
+        "GREATEST(1L, (MAX(zkey) + 1) div 64) AS kz",
+        "GREATEST(1L, (MAX(day_no) + 1) div 64) AS kd",
+    )
+    pk = pts.crossJoin(F.broadcast(ks))
+    zoned = pk.selectExpr(
+        "'zorder' AS layout", "zkey div kz AS file_id",
+        "o_custkey", "day_no",
+    ).unionByName(
+        pk.selectExpr(
+            "'datesort' AS layout", "day_no div kd AS file_id",
+            "o_custkey", "day_no",
+        )
+    )
+    files = zoned.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_custkey").alias("ck_lo"),
+        F.max("o_custkey").alias("ck_hi"),
+        F.min("day_no").alias("d_lo"),
+        F.max("day_no").alias("d_hi"),
+    )
+    return files.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        (
+            F.sum(F.col("ck_hi") - F.col("ck_lo")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_ck_span"),
+        (
+            F.sum(F.col("d_hi") - F.col("d_lo")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_day_span"),
+        F.sum(
+            F.when(
+                (F.col("ck_lo") <= 42) & (F.lit(42) <= F.col("ck_hi")), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("files_hit_ck42"),
+    )

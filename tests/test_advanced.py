@@ -656,3 +656,16 @@ def test_cuped_theta_is_ols_slope_and_reduces_variance(spark):
     # CUPED must not increase variance of the adjusted metric
     adj = ys - theta * (xs - xs.mean())
     assert np.var(adj) <= np.var(ys) + 1e-9
+
+
+def test_zorder_layout_improves_custkey_pruning(spark):
+    rows = {r.layout: r for r in _q("op-ext-zorder")(spark, SF).collect()}
+    assert set(rows) == {"zorder", "datesort"}
+    z, d = rows["zorder"], rows["datesort"]
+    assert z.n_rows == d.n_rows  # both layouts hold every row exactly once
+    # the point of z-ordering: per-file custkey extent shrinks by a lot,
+    # so a custkey point predicate scans a FRACTION of the files
+    assert z.avg_ck_span < d.avg_ck_span * 0.5
+    assert z.files_hit_ck42 <= max(1, d.files_hit_ck42 // 2)
+    # while the date dimension stays reasonably bounded (not pathological)
+    assert z.avg_day_span < 2600

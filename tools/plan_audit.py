@@ -37,6 +37,8 @@ ALLOWED = {
     "op-ext-constraints": {"cartesian"},
     # 1-row theta frame joined onto the 2-row variant frame
     "op-ext-cuped": {"cartesian"},
+    # 1-row adaptive-bin-width stats broadcast onto the point frame
+    "op-ext-zorder": {"cartesian"},
     # k-means assign: corpus × broadcast n_clusters centroids (k tiny)
     "op-ext-ann-ivf": {"cartesian"},
     # new-members numbering after the anti-join: dim-sized by construction
