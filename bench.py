@@ -155,7 +155,12 @@ def run_suite(spark, qs, names, sf_dir, sf, metric) -> dict:
             # measure a no-op. Rebuild those inside the timed region;
             # lazy queries keep the build-once timing (comparable with
             # earlier rounds, and plan construction isn't the metric).
-            eager = name in ("op-ext-dedup-clusters", "op-ext-dedup-survivors")
+            eager = name in (
+                "op-ext-dedup-clusters",
+                "op-ext-dedup-survivors",
+                "op-ext-dedup-best-survivor",
+                "op-ext-bpe-learn",  # merge loop collects during build
+            )
             df = qs[name](spark, sf_dir)
             # warm-up ×2: JIT, parquet footer cache, broadcast build. Two
             # forces, not one — HotSpot C2 compilation of the generated

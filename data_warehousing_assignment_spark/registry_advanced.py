@@ -1859,3 +1859,76 @@ def op_ext_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("bigint").alias("files_hit_ck42"),
     )
+
+
+# --------------------------------------------------------------------------
+# out-of-orderness / late-arrival audit (watermark calibration)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-late-arrivals",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, user_id, event_id, epoch_us(ts) AS us,
+             MAX(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS high_water
+      FROM events
+    ),
+    lat AS (
+      SELECT event_type,
+             GREATEST(COALESCE(high_water - us, 0), 0) AS late_us
+      FROM seq
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_out_of_order,
+           CAST(SUM(CASE WHEN late_us > 900000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_beyond_15min,
+           CAST(MAX(late_us) // 1000000 AS BIGINT) AS max_late_s
+    FROM lat GROUP BY 1
+    """,
+)
+def op_ext_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit — the measurement that CALIBRATES a
+    stream's watermark delay (SURVEY §7.5 streaming surface: our
+    windows drop rows later than the watermark; this op tells you what
+    delay loses how much): per ingest stream (user), each event's
+    lateness = how far it arrives behind the stream's running
+    event-time high-water mark (arrival order = event_id). Reported
+    per event type: out-of-order count, count beyond the 15-minute
+    delay the streaming ops use, and worst lateness. One running-max
+    window per user partition (O(n) incremental frame) + one
+    aggregate — a single shuffle each."""
+    seq = t(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.expr("ts_ns div 1000").alias("us"),
+    ).withColumn(
+        "high_water",
+        F.max("us").over(
+            Window.partitionBy("user_id")
+            .orderBy("event_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    lat = seq.select(
+        "event_type",
+        F.greatest(
+            F.coalesce(F.col("high_water") - F.col("us"), F.lit(0)),
+            F.lit(0),
+        ).alias("late_us"),
+    )
+    return lat.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_out_of_order"),
+        F.sum(F.when(F.col("late_us") > 900_000_000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_beyond_15min"),
+        F.expr("MAX(late_us) div 1000000").cast("bigint").alias("max_late_s"),
+    )
