@@ -1932,3 +1932,43 @@ def op_ext_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_beyond_15min"),
         F.expr("MAX(late_us) div 1000000").cast("bigint").alias("max_late_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity risk audit
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-kanonymity",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS nation_key, c_mktsegment,
+           CAST(FLOOR(CAST(c_acctbal AS DECIMAL(18,2)) / 1000)
+                AS BIGINT) AS bal_band,
+           COUNT(*) AS n_individuals,
+           (COUNT(*) < 5) AS at_risk
+    FROM customer
+    GROUP BY 1, 2, 3
+    """,
+)
+def op_ext_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the quasi-identifier tuple
+    (nation, market segment, $1000 balance band) — the re-identification
+    risk check a governance pipeline runs before releasing
+    "de-identified" data: any equivalence class smaller than k can
+    single people out and must be suppressed or generalized
+    (op-ext-pii-redact handles direct identifiers; THIS catches the
+    indirect ones). One map-side-combined aggregate over the
+    quasi-identifier key; the risky-class report is the input to a
+    generalization loop (widen bands → re-audit). Band edges come from
+    exact decimal division — no float binning drift across engines."""
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            F.col("c_nationkey").cast("bigint").alias("nation_key"),
+            "c_mktsegment",
+            F.floor(dec("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_individuals"))
+        .withColumn("at_risk", F.col("n_individuals") < 5)
+    )

@@ -255,3 +255,70 @@ def op_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
         .select("n_nationkey", "n_name", "batch_no")
     )
+
+
+@query(
+    "op-ext-time-travel",
+    oracle=f"""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+             AS rev_cents
+    FROM orders WHERE year(o_orderdate) < 1997
+    GROUP BY 1
+    """,
+)
+def op_ext_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-log time travel WITHOUT a lakehouse format — the
+    overwrite-era mechanics our SCD2/materialization docs name as the
+    Delta/Iceberg upgrade path (plans/scd2.py; delta-spark cannot be
+    installed offline, SURVEY §7.0): three yearly append commits land
+    as immutable parquet delta dirs plus a JSON-lines _log manifest
+    (version, path, action) — exactly a miniature Delta log. Reading
+    "AS OF version 2" replays the manifest UP TO the pinned version and
+    unions only those files, giving snapshot isolation by construction:
+    later commits are invisible because their files are never listed.
+    The oracle recomputes the as-of-v2 state (orders before 1997)
+    directly. The manifest is metadata-sized; the data read is bounded
+    by the pinned snapshot — the same contract as a real table format,
+    minus compaction (op-ext-compaction-plan) which this composes
+    with."""
+    import json as _json
+
+    root = _scratch("op-ext-time-travel")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        (
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+        ).alias("pc"),
+    )
+    log_path = os.path.join(root, "_log.jsonl")
+    entries = []
+    for version, year in enumerate((1996, 1997, 1998), start=1):
+        delta_dir = os.path.join(root, f"delta_v{version}")
+        orders.filter(F.year("o_orderdate") == year - 1).write.mode(
+            "overwrite"
+        ).parquet(delta_dir)
+        # plus the backfill of everything earlier for v1
+        if version == 1:
+            orders.filter(F.year("o_orderdate") < 1995).write.mode(
+                "append"
+            ).parquet(delta_dir)
+        entries.append(
+            {"version": version, "path": delta_dir, "action": "add"}
+        )
+    with open(log_path, "w") as fh:
+        for e in entries:
+            fh.write(_json.dumps(e) + "\n")
+
+    # --- time-travel read: pin version 2, replay the log ---
+    with open(log_path) as fh:
+        manifest = [_json.loads(line) for line in fh]
+    pinned = [e["path"] for e in manifest if e["version"] <= 2 and e["action"] == "add"]
+    snap = spark.read.parquet(*pinned)
+    return snap.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("pc").cast("bigint").alias("rev_cents"),
+    )

@@ -82,3 +82,117 @@ def start_incremental_fact_sink(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.trigger(availableNow=True).start()
+
+
+def start_scd2_dim_sink(
+    stream: DataFrame,
+    dim_path: str,
+    key: str,
+    attrs: list[str],
+    seq_col: str,
+    as_of_col: str,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """foreachBatch SCD2 dimension maintenance — the streaming twin of
+    the reference's batch expire-then-insert merge (ref
+    ``A3_load_dim_emp.sql:27-62``), i.e. the Debezium→warehouse dim
+    path: each micro-batch of change rows is collapsed to the latest
+    change per key (``seq_col`` + key order — at-least-once sources may
+    redeliver), then applied through the SAME ``plans/scd2.merge_scd2``
+    the batch loader uses, stamped with the batch's own max
+    ``as_of_col``. Stream ≡ batch by construction: replaying the same
+    batches through this sink or through merge_scd2 sequentially yields
+    the identical dimension (tests/test_stream_scd2.py).
+
+    Replay safety is TWO-layered: the checkpoint skips processed files
+    on restart, and a per-key ``last_seq`` manifest (``<dim_path>_seq``)
+    drops any incoming change whose sequence is not strictly newer than
+    what the dim already absorbed — so replaying history from offset 0
+    with a FRESH checkpoint (the Debezium snapshot-again failure mode)
+    is a no-op instead of re-expiring every key with stale versions.
+    SCD2 alone cannot provide this (row hashes say "different", not
+    "older"); sequence monotonicity is the CDC-correct guard.
+
+    The merged dim is materialized (localCheckpoint) BEFORE the
+    overwrite so the read-then-overwrite of ``dim_path`` never races
+    its own input. At 100 TB the dim is key-partitioned and this
+    becomes MERGE INTO on a lakehouse table — same plan, transactional
+    swap instead of overwrite."""
+    spark = stream.sparkSession
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_warehousing_assignment_spark.plans.scd2 import (
+        SCD2_COLS,
+        merge_scd2,
+        scd2_row_hash,
+    )
+
+    seq_path = dim_path.rstrip("/") + "_seq"
+
+    def _readable(path: str) -> bool:
+        jp = spark._jvm.org.apache.hadoop.fs.Path(path)  # type: ignore[union-attr]
+        fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
+        return bool(
+            fs.exists(jp)
+            and fs.globStatus(
+                spark._jvm.org.apache.hadoop.fs.Path(path + "/part-*")  # type: ignore[union-attr]
+            )
+        )
+
+    def load_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        w = Window.partitionBy(key).orderBy(
+            F.desc(seq_col), F.desc(as_of_col)
+        )
+        latest = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        # sequence-monotonicity guard: drop changes the dim already saw
+        if _readable(seq_path):
+            seqs = spark.read.parquet(seq_path)
+            latest = (
+                latest.join(seqs, on=key, how="left")
+                .filter(
+                    F.col("last_seq").isNull()
+                    | (F.col(seq_col) > F.col("last_seq"))
+                )
+                .drop("last_seq")
+            )
+        else:
+            seqs = None
+        if latest.isEmpty():
+            return
+        as_of = latest.agg(F.max(as_of_col)).first()[0]
+        if _readable(dim_path):
+            current = spark.read.parquet(dim_path)
+        else:
+            current = (
+                latest.select(key, *attrs)
+                .limit(0)
+                .withColumn("row_hash", scd2_row_hash(attrs))
+                .withColumn("valid_from", F.lit(None).cast("date"))
+                .withColumn("valid_to", F.lit(None).cast("date"))
+                .withColumn("is_current", F.lit(True))
+                .select(key, *attrs, *SCD2_COLS)
+            )
+        merged = merge_scd2(
+            current, latest.select(key, *attrs), key, attrs, str(as_of)
+        ).localCheckpoint(eager=True)
+        applied = latest.select(
+            key, F.col(seq_col).cast("long").alias("last_seq")
+        )
+        new_seqs = (
+            applied if seqs is None else seqs.unionByName(applied)
+        ).groupBy(key).agg(F.max("last_seq").alias("last_seq"))
+        new_seqs = new_seqs.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(dim_path)
+        new_seqs.write.mode("overwrite").parquet(seq_path)
+
+    writer = stream.writeStream.foreachBatch(load_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()

@@ -21,6 +21,24 @@ from data_warehousing_assignment_spark.operators.timeseries import (
     time_weighted_avg,
 )
 
+@pytest.fixture(autouse=True)
+def _release_registry_pins(spark):
+    """Registry queries pin operator-internal frames that are normally
+    drained when the NEXT query builds (registry.py release_unscoped),
+    and the iterative ops here (pagerank, BPE) leave localCheckpoint
+    RDDs that persist until the JVM ContextCleaner GCs them. Drain both
+    after each test — otherwise the residue skews test_caching.py's
+    cached-RDD baseline accounting nondeterministically."""
+    yield
+    from data_warehousing_assignment_spark.caching import release_unscoped
+
+    release_unscoped()
+    for jrdd in list(
+        spark.sparkContext._jsc.getPersistentRDDs().values()
+    ):
+        jrdd.unpersist(False)
+
+
 # ---------------------------------------------------------------- skyline
 
 
@@ -669,3 +687,69 @@ def test_zorder_layout_improves_custkey_pruning(spark):
     assert z.files_hit_ck42 <= max(1, d.files_hit_ck42 // 2)
     # while the date dimension stays reasonably bounded (not pathological)
     assert z.avg_day_span < 2600
+
+
+# ---------------------------------------------------------- edge inputs
+
+
+def test_operators_handle_empty_inputs(spark):
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    empty_edges = spark.createDataFrame(
+        [], StructType([StructField("src", StringType()),
+                        StructField("dst", StringType())])
+    )
+    assert pagerank_fixed_point(empty_edges).count() == 0
+
+    empty_pts = spark.createDataFrame(
+        [], StructType([StructField("g", StringType()),
+                        StructField("x", LongType()),
+                        StructField("y", LongType())])
+    )
+    assert skyline_2d(empty_pts, ["g"], "x", "y").count() == 0
+
+    empty_kv = spark.createDataFrame(
+        [], StructType([StructField("k", LongType()),
+                        StructField("v", LongType())])
+    )
+    one = spark.createDataFrame([Row(k=1, v=2)])
+    d = snapshot_diff(empty_kv, one, ["k"], ["v"]).collect()
+    assert [(r.k, r.change_type) for r in d] == [(1, "added")]
+    d2 = snapshot_diff(one, empty_kv, ["k"], ["v"]).collect()
+    assert [(r.k, r.change_type) for r in d2] == [(1, "removed")]
+    assert snapshot_diff(empty_kv, empty_kv, ["k"], ["v"]).count() == 0
+
+    empty_ts = spark.createDataFrame(
+        [], StructType([StructField("u", LongType()),
+                        StructField("us", LongType()),
+                        StructField("vc", LongType()),
+                        StructField("i", LongType())])
+    )
+    assert time_weighted_avg(empty_ts, "u", "us", "vc", "i").count() == 0
+
+
+def test_bpe_empty_corpus_returns_no_merges(spark):
+    from data_warehousing_assignment_spark.operators.text import (
+        learn_bpe_merges,
+    )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    empty = spark.createDataFrame(
+        [], StructType([StructField("text", StringType())])
+    )
+    assert learn_bpe_merges(empty, "text", n_merges=3) == []
+
+
+def test_single_word_corpus_merges_to_whole_word(spark):
+    from data_warehousing_assignment_spark.operators.text import (
+        learn_bpe_merges,
+    )
+
+    docs = spark.createDataFrame([Row(text="ab ab ab")])
+    merges = learn_bpe_merges(docs, "text", n_merges=3)
+    # 'a'+'b' then 'ab'+eow; after that no pair repeats -> but a single
+    # remaining pair still counts — just assert the first two exactly
+    assert merges[0][1:3] == ("a", "b")
+    assert merges[1][1:3] == ("ab", "▁")
