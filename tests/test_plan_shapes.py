@@ -252,3 +252,42 @@ def test_incremental_fact_prune_hits_partition_filters(spark, tmp_path):
         "load_date",
     )
     assert [r.o_orderkey for r in wm_new.collect()] == [1]
+
+
+def test_profile_is_single_scan(spark, qs):
+    """The dataset-profile card computes every per-column metric in ONE
+    pass — N columns must not mean N table scans."""
+    plan = plan_of(qs["op-ext-profile"](spark, SF_SMALL))
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_count" in plan  # map-side combined wide aggregate
+
+
+def test_skyline_single_incremental_window(spark, qs):
+    """skyline_2d must plan its running max over the DESC slice sort —
+    never an unbounded-FOLLOWING frame (Spark recomputes those per row,
+    O(partition^2)) and never a nested-loop dominance join."""
+    plan = plan_of(qs["op-ext-skyline"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "unboundedfollowing" not in plan.lower().replace(" ", "")
+    assert plan.count("Window") == 1
+
+
+def test_pagerank_iterations_are_equi_joins(spark, qs):
+    plan = plan_of(qs["op-ext-pagerank"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zonemap_single_scan_single_agg(spark, qs):
+    plan = plan_of(qs["op-ext-zonemap"](spark, SF_SMALL))
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_min" in plan and "partial_max" in plan
+
+
+def test_ivm_merge_keeps_partial_aggregation(spark, qs):
+    """Both the base and delta partials must combine map-side before
+    their single merge shuffle."""
+    plan = plan_of(qs["op-ext-ivm"](spark, SF_SMALL))
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
