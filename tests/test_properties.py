@@ -243,3 +243,85 @@ def test_cdc_scd2_composition_invariants_and_final_state(spark, batches):
 
     got = {r.k: r.v for r in dim.collect() if r.is_current}
     assert got == state
+
+
+# ---------------------------------------------------------------- skyline
+
+sky_points = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 20)),
+    min_size=0,
+    max_size=40,
+)
+
+
+@SPARK_SETTINGS
+@given(pts=sky_points)
+def test_skyline_matches_quadratic_dominance(spark, pts):
+    from pyspark.sql import Row
+
+    from data_warehousing_assignment_spark.operators.analytics import (
+        skyline_2d,
+    )
+
+    if not pts:
+        return
+    df = spark.createDataFrame([Row(g="g", x=x, y=y) for x, y in pts])
+    got = sorted(
+        (r.x, r.y, r.n_points)
+        for r in skyline_2d(df, ["g"], "x", "y").collect()
+    )
+    dedup = sorted(set(pts))
+    want = sorted(
+        (x, y, pts.count((x, y)))
+        for x, y in dedup
+        if not any(
+            a >= x and b >= y and (a > x or b > y) for a, b in dedup
+        )
+    )
+    assert got == want
+
+
+# ------------------------------------------------------------ snapshot diff
+
+kv_rows = st.dictionaries(
+    st.integers(0, 15),
+    st.one_of(st.none(), st.integers(-3, 3)),
+    max_size=12,
+)
+
+
+@SPARK_SETTINGS
+@given(old=kv_rows, new=kv_rows)
+def test_snapshot_diff_partitions_key_space(spark, old, new):
+    """Every key in either snapshot lands in exactly one class, classes
+    are mutually consistent with plain set algebra, and unchanged keys
+    (null-safe equal values) are exactly the ones suppressed."""
+    from pyspark.sql import Row
+    from pyspark.sql.types import (
+        IntegerType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [StructField("k", IntegerType()), StructField("v", IntegerType())]
+    )
+    o = spark.createDataFrame(
+        [Row(k=k, v=v) for k, v in old.items()], schema
+    )
+    n = spark.createDataFrame(
+        [Row(k=k, v=v) for k, v in new.items()], schema
+    )
+    from data_warehousing_assignment_spark.operators.diff import snapshot_diff
+
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(o, n, ["k"], ["v"]).collect()
+    }
+    want = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            want[k] = "added"
+        elif k not in new:
+            want[k] = "removed"
+        elif old[k] != new[k]:
+            want[k] = "changed"
+    assert got == want

@@ -38,3 +38,36 @@ def test_pandas_udf_matches_native_column(spark):
     ).collect()
     for r in out:
         assert r.native == r.udf, r
+
+
+def test_grouped_agg_pandas_udf_matches_native(spark):
+    """GROUPED_AGG pandas UDF — the remaining UDF flavor (scalar UDF
+    here, applyInPandas = EWMA, applyInPandasWithState = streaming,
+    mapInPandas = multimodal): a per-group aggregate computed over each
+    group's Arrow batch, pinned equal to the native decimal-exact sum.
+    Native stays the hot path — the UDF exists to show where a truly
+    custom aggregate (e.g. a sketch merge) would plug in."""
+    import numpy as np
+
+    @pandas_udf("long")
+    def cents_sum_udf(v: pd.Series) -> int:
+        # int64 cents: exact, order-independent — same contract as
+        # registry.sum_cents
+        return int(np.sum((v * 100).round().astype("int64")))
+
+    df = spark.createDataFrame(
+        [(i % 3, float(f"{i}.{i % 100:02d}")) for i in range(300)],
+        "g int, amount double",
+    )
+    # Spark disallows mixing pandas grouped-agg with native aggregates
+    # in one agg (INVALID_PANDAS_UDF_PLACEMENT) — compute separately.
+    udf_side = df.groupBy("g").agg(cents_sum_udf("amount").alias("udf_cents"))
+    native_side = df.groupBy("g").agg(
+        (F.sum(F.col("amount").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("native_cents")
+    )
+    got = udf_side.join(native_side, on="g").collect()
+    assert len(got) == 3
+    for r in got:
+        assert r.udf_cents == r.native_cents, r
