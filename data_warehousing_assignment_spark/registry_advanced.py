@@ -1972,3 +1972,44 @@ def op_ext_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_individuals"))
         .withColumn("at_risk", F.col("n_individuals") < 5)
     )
+
+
+# --------------------------------------------------------------------------
+# HLL sketch partials + reaggregation (mergeable distinct counts)
+# --------------------------------------------------------------------------
+
+
+@query("op-ext-hll-merge")  # sketch estimates are approximate by spec →
+# rows-only; pytest pins the MERGEABILITY IDENTITY exactly
+# (union-of-daily-sketches ≡ one-pass sketch) and the estimate against
+# the exact distinct count (tests/test_advanced.py)
+def op_ext_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct counting — the pattern that makes DAU→MAU
+    scale: per (day, event_type) HLL sketches (datasketches
+    hll_sketch_agg) are stored ONCE, then any coarser rollup is a
+    register-wise UNION of the partials (hll_union_agg) — never a
+    re-scan of raw events. Unions are associative + commutative (max of
+    registers), so re-aggregation is exact w.r.t. the sketch: the union
+    of daily sketches is bit-equivalent to sketching the whole range in
+    one pass (pinned in tests). The EXACT twin is op-ext-rolling-dau;
+    at 100 TB the sketch table is |days|·|types| rows of ~KB blobs
+    while the exact path re-shuffles raw user ids."""
+    ev = t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "user_id",
+    )
+    daily = ev.groupBy("day", "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("bigint")
+            .alias("est_users"),
+        )
+    )

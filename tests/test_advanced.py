@@ -753,3 +753,42 @@ def test_single_word_corpus_merges_to_whole_word(spark):
     # remaining pair still counts — just assert the first two exactly
     assert merges[0][1:3] == ("a", "b")
     assert merges[1][1:3] == ("ab", "▁")
+
+
+def test_hll_merge_identity_and_accuracy(spark):
+    rows = _q("op-ext-hll-merge")(spark, SF).collect()
+    import duckdb
+
+    exact = dict(
+        duckdb.sql(
+            f"SELECT event_type, COUNT(DISTINCT user_id) "
+            f"FROM '{SF}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    assert {r.event_type for r in rows} == set(exact)
+    for r in rows:
+        # small-cardinality HLL (sparse mode) is exact; at minimum the
+        # datasketches error bound (~1.6% at lgK=12) must hold
+        assert abs(r.est_users - exact[r.event_type]) <= max(
+            1, int(0.05 * exact[r.event_type])
+        )
+    # mergeability identity: union of daily sketches == one-pass sketch
+    from data_warehousing_assignment_spark.registry import t as _t
+
+    e = _t(spark, SF, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "user_id",
+    )
+    daily = e.groupBy("day", "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    onepass = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    )
+    m = {r.event_type: r.est for r in merged.collect()}
+    o = {r.event_type: r.est for r in onepass.collect()}
+    assert m == o
