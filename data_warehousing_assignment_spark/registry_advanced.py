@@ -2013,3 +2013,49 @@ def op_ext_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_users"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# differential privacy: Laplace-noised count release
+# --------------------------------------------------------------------------
+
+
+@query("op-ext-dp-counts")  # DP noise is inherently non-SQL-oracle-able
+# (ln() is not bit-guaranteed cross-engine); rows-only + an EXACT pytest
+# pin that recomputes the hash-seeded noise in numpy (tests/test_advanced.py)
+def op_ext_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private count release (ε=1, Laplace mechanism):
+    per-nation customer counts with noise drawn from the inverse-CDF of
+    Laplace(1/ε) over a CONTENT-ADDRESSED uniform (md5 of the group
+    key) — the governance sibling of op-ext-kanonymity for when
+    aggregate counts themselves must not reveal membership. Hash-seeded
+    noise makes the release REPRODUCIBLE (same table → same noise; no
+    rand(), no seed plumbing) while remaining DP w.r.t. the data,
+    because the noise seed depends only on the group label, never the
+    count. One map-side aggregate + row-local noise expression.
+
+    Caveat (documented, standard): deterministic per-label noise means
+    repeated releases of the SAME label reuse noise — the ε budget is
+    per label-set version; rotate the salt per release to re-draw.
+    """
+    c = t(spark, sf_dir, "customer")
+    counts = c.groupBy(
+        F.col("c_nationkey").cast("bigint").alias("nation_key")
+    ).agg(F.count(F.lit(1)).alias("true_count_DO_NOT_SHIP"))
+    # u in (0,1): 16-bit hash slice, offset half a step from the edges
+    u16 = "CAST(conv(substring(md5(concat('dp:', nation_key)), 1, 4), 16, 10) AS INT)"
+    # D-suffixed literals: bare 0.5/65536.0 parse as DECIMAL in Spark
+    # SQL and the division would round to 8 fractional digits
+    u = f"(({u16}) + 0.5D) / 65536.0D"
+    noise = (
+        f"(CASE WHEN {u} < 0.5D THEN ln(2.0D * {u})"
+        f" ELSE -ln(2.0D * (1.0D - {u})) END)"
+    )  # inverse-CDF of Laplace(b=1), b = sensitivity/epsilon = 1
+    return counts.select(
+        "nation_key",
+        F.col("true_count_DO_NOT_SHIP").alias("true_count"),
+        F.expr(noise).alias("noise"),
+        (F.col("true_count_DO_NOT_SHIP") + F.expr(noise)).alias(
+            "released_count"
+        ),
+    )

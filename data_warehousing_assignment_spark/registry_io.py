@@ -283,7 +283,7 @@ def op_ext_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the pinned snapshot — the same contract as a real table format,
     minus compaction (op-ext-compaction-plan) which this composes
     with."""
-    import json as _json
+    from data_warehousing_assignment_spark.plans import txlog
 
     root = _scratch("op-ext-time-travel")
     orders = t(spark, sf_dir, "orders").select(
@@ -294,30 +294,12 @@ def op_ext_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
         ).alias("pc"),
     )
-    log_path = os.path.join(root, "_log.jsonl")
-    entries = []
-    for version, year in enumerate((1996, 1997, 1998), start=1):
-        delta_dir = os.path.join(root, f"delta_v{version}")
-        orders.filter(F.year("o_orderdate") == year - 1).write.mode(
-            "overwrite"
-        ).parquet(delta_dir)
-        # plus the backfill of everything earlier for v1
-        if version == 1:
-            orders.filter(F.year("o_orderdate") < 1995).write.mode(
-                "append"
-            ).parquet(delta_dir)
-        entries.append(
-            {"version": version, "path": delta_dir, "action": "add"}
+    for version, year in enumerate((1995, 1996, 1997), start=1):
+        txlog.commit(
+            root, orders.filter(F.year("o_orderdate") == year), version
         )
-    with open(log_path, "w") as fh:
-        for e in entries:
-            fh.write(_json.dumps(e) + "\n")
-
-    # --- time-travel read: pin version 2, replay the log ---
-    with open(log_path) as fh:
-        manifest = [_json.loads(line) for line in fh]
-    pinned = [e["path"] for e in manifest if e["version"] <= 2 and e["action"] == "add"]
-    snap = spark.read.parquet(*pinned)
+    # time-travel read: pin version 2 — the 1997 commit is invisible
+    snap = txlog.read_snapshot(spark, root, as_of_version=2)
     return snap.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("pc").cast("bigint").alias("rev_cents"),

@@ -792,3 +792,31 @@ def test_hll_merge_identity_and_accuracy(spark):
     m = {r.event_type: r.est for r in merged.collect()}
     o = {r.event_type: r.est for r in onepass.collect()}
     assert m == o
+
+
+def test_dp_counts_noise_is_exactly_reproducible(spark):
+    rows = _q("op-ext-dp-counts")(spark, SF).collect()
+    import duckdb
+    import hashlib
+    import math
+
+    truth = dict(
+        duckdb.sql(
+            f"SELECT CAST(c_nationkey AS BIGINT), COUNT(*) "
+            f"FROM '{SF}/customer.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    assert {r.nation_key for r in rows} == set(truth)
+    for r in rows:
+        assert r.true_count == truth[r.nation_key]
+        h = hashlib.md5(f"dp:{r.nation_key}".encode()).hexdigest()
+        u = (int(h[:4], 16) + 0.5) / 65536.0
+        noise = (
+            math.log(2.0 * u) if u < 0.5 else -math.log(2.0 * (1.0 - u))
+        )
+        assert r.noise == pytest.approx(noise, rel=1e-12)
+        assert r.released_count == pytest.approx(
+            truth[r.nation_key] + noise, rel=1e-12
+        )
+    # Laplace(1) noise: overwhelmingly within ±8 (P ~ 3e-4 per draw)
+    assert all(abs(r.noise) < 8 for r in rows)
