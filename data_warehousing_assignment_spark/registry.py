@@ -263,6 +263,7 @@ def import_all_registries() -> None:
         "registry_analytics",
         "registry_advanced",
         "registry_relational",
+        "registry_warehouse",
         "registry_io",
     ):
         importlib.import_module(f"data_warehousing_assignment_spark.{mod}")

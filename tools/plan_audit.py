@@ -74,6 +74,9 @@ ALLOWED = {
     # post-aggregate CUSTOMER frame (dim-sized; same sanction as
     # op-ext-ntile — never over raw orders)
     "op-ext-rfm": {"cartesian", "single-partition window"},
+    # junk-dim surrogate numbering runs on the post-distinct flag
+    # combination frame (≤ product of flag cardinalities ≈ 10² rows)
+    "op-ext-junk-dim": {"single-partition window"},
 }
 
 
