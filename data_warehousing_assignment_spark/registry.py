@@ -264,6 +264,7 @@ def import_all_registries() -> None:
         "registry_advanced",
         "registry_relational",
         "registry_warehouse",
+        "registry_corpus",
         "registry_io",
     ):
         importlib.import_module(f"data_warehousing_assignment_spark.{mod}")

@@ -1,0 +1,418 @@
+"""Corpus-curation registry, wave 2 of the LLM training-data surface:
+CCNet-style shared-chunk (paragraph) dedup, Lee-et-al-style duplicated
+span coverage, bigram-LM document scoring, Gopher-style quality rules,
+and SemDeDup cluster-scoped semantic dedup.
+
+No reference counterpart (SURVEY.md §7.5 extension surface). Methods are
+re-expressed from the public literature — CCNet (Wenzek et al. 2020,
+paragraph-hash dedup), "Deduplicating Training Data Makes Language
+Models Better" (Lee et al. 2022, duplicated-substring coverage),
+Gopher's document-quality heuristics (Rae et al. 2021), and SemDeDup
+(Abbas et al. 2023, k-means-bucketed embedding dedup) — each as a
+shuffle-bounded Spark plan under the registry.py determinism rules
+(integer/md5 arithmetic only across the engine boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_warehousing_assignment_spark.operators import similarity as sim
+from data_warehousing_assignment_spark.operators.ivf import build_ivf_index
+from data_warehousing_assignment_spark.operators.text import tokens
+from data_warehousing_assignment_spark.registry import query, t
+
+#: DuckDB twin of operators.text.tokens()
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+# --------------------------------------------------------------------------
+# shared-chunk (paragraph) dedup — CCNet
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-paragraph-dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    c AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, (len(l) + 9) // 10),
+                                   i -> i)) AS chunk_idx,
+             unnest(list_transform(range(0, (len(l) + 9) // 10),
+                                   i -> array_to_string(
+                                          list_slice(l, i * 10 + 1,
+                                                     i * 10 + 10), ' ')))
+               AS chunk
+      FROM t
+    ),
+    r AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, chunk_idx) AS rn
+      FROM c
+    )
+    SELECT doc_id, COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST((1000 * SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS kept_ratio_pm
+    FROM r GROUP BY doc_id
+    """,
+)
+def op_ext_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style shared-paragraph dedup (Wenzek et al. 2020): documents
+    split into fixed 10-token chunks (the corpus is single-line, so
+    chunks stand in for paragraphs); a chunk duplicated anywhere in the
+    corpus survives only at its FIRST occurrence (lowest doc_id, then
+    chunk position) — the classic boilerplate-removal pass. Output is
+    the per-document retention ledger the curation funnel consumes.
+
+    Scale shape: chunking is row-local (transform over an index
+    sequence, no explode until the chunk frame); the only corpus-wide
+    exchange partitions by md5(chunk) — 32-char digests, never the
+    corpus text — and the first-occurrence window runs inside those
+    hash partitions. Per-doc rollup re-shuffles only (doc_id, flag)
+    pairs. No all-pairs anywhere."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("l")
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, (size(l) + 9) div 10 - 1), "
+                "i -> array_join(slice(l, i * 10 + 1, 10), ' '))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).select("doc_id", "chunk_idx", F.md5("chunk").alias("h"))
+    w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    flagged = chunks.withColumn("rn", F.row_number().over(w))
+    kept = F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        kept.cast("bigint").alias("n_kept"),
+        F.expr(
+            "CAST((1000 * sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END))"
+            " div count(1) AS BIGINT)"
+        ).alias("kept_ratio_pm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# duplicated-span coverage — Lee et al. 2022
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-span-dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    base AS (SELECT doc_id, len(l) AS n_tokens FROM t),
+    s AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(l) - 6), i -> i)) AS i,
+             unnest(list_transform(range(1, len(l) - 6),
+                      i -> md5(array_to_string(list_slice(l, i, i + 7),
+                                               ' ')))) AS h
+      FROM t WHERE len(l) >= 8
+    ),
+    duph AS (SELECT h FROM s GROUP BY h
+             HAVING COUNT(DISTINCT doc_id) >= 2),
+    ds AS (SELECT s.doc_id, s.i FROM s JOIN duph USING (h)),
+    spanstats AS (
+      SELECT s.doc_id, COUNT(*) AS n_spans,
+             CAST(SUM(CASE WHEN duph.h IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup_spans
+      FROM s LEFT JOIN duph ON s.h = duph.h GROUP BY s.doc_id
+    ),
+    cov AS (
+      SELECT doc_id, COUNT(DISTINCT pos) AS covered_tokens
+      FROM (SELECT doc_id, unnest(generate_series(i, i + 7)) AS pos
+            FROM ds)
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           COALESCE(sp.n_spans, 0) AS n_spans,
+           COALESCE(sp.n_dup_spans, 0) AS n_dup_spans,
+           COALESCE(c.covered_tokens, 0) AS covered_tokens,
+           CAST((1000 * COALESCE(c.covered_tokens, 0)) // b.n_tokens
+                AS BIGINT) AS coverage_pm
+    FROM base b
+    LEFT JOIN spanstats sp ON b.doc_id = sp.doc_id
+    LEFT JOIN cov c ON b.doc_id = c.doc_id
+    """,
+)
+def op_ext_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring coverage (Lee et al. 2022, the exact-substring
+    dedup ledger): every 8-token span is hashed; a span whose hash
+    appears in ≥2 distinct documents is a cross-document duplicate, and
+    each document reports how many of its token positions fall inside
+    at least one duplicated span — the "what fraction of this doc is
+    copied" signal that drives span-level removal decisions.
+
+    Scale shape: span construction is row-local; the corpus exchanges
+    only 32-char span digests (groupBy h for the distinct-doc test,
+    then a digest-keyed semi-join back). Coverage union is an exploded
+    (doc, pos) distinct — integer pairs, bounded by 8× the duplicated
+    span count, not the corpus. The suffix-array formulation is a
+    single-node algorithm; this hash-bucketed one is the distributable
+    equivalent for fixed span length."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("l")
+    )
+    base = docs.select("doc_id", F.size("l").cast("bigint").alias("n_tokens"))
+    spans = (
+        docs.filter(F.size("l") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(l) - 7), "
+                    "i -> named_struct('i', i, 'h', "
+                    "md5(array_join(slice(l, i, 8), ' '))))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.i").alias("i"), F.col("s.h").alias("h"))
+    )
+    duph = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    spanstats = (
+        spans.join(duph.withColumn("_dup", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("_dup") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+        )
+    )
+    cov = (
+        spans.join(duph, "h")
+        .select("doc_id", F.explode(F.sequence("i", F.col("i") + 7)).alias("pos"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("pos").alias("covered_tokens"))
+    )
+    return (
+        base.join(spanstats, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.expr(
+                "CAST((1000 * coalesce(covered_tokens, 0)) div n_tokens"
+                " AS BIGINT)"
+            ).alias("coverage_pm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# bigram-LM document scoring
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-lm-score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(l)),
+                      i -> l[i] || ' ' || l[i + 1])) AS bigram
+      FROM t WHERE len(l) >= 2
+    ),
+    p AS (SELECT doc_id, split_part(bigram, ' ', 1) AS w1,
+                 split_part(bigram, ' ', 2) AS w2 FROM bg),
+    cnt AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM p GROUP BY 1, 2),
+    lft AS (SELECT w1, CAST(SUM(n_ab) AS BIGINT) AS n_left
+            FROM cnt GROUP BY 1)
+    SELECT p.doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM((1000000 * c.n_ab) // l.n_left) // COUNT(*)
+                AS BIGINT) AS avg_cond_ppm
+    FROM p JOIN cnt c ON p.w1 = c.w1 AND p.w2 = c.w2
+           JOIN lft l ON p.w1 = l.w1
+    GROUP BY p.doc_id
+    """,
+)
+def op_ext_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document scoring — the CCNet/KenLM-style perplexity
+    filter re-expressed in exact integers: train ML bigram
+    probabilities on the corpus itself (op-ext-ngram-lm's count table),
+    then score each document by the mean conditional probability of its
+    bigrams, fixed-point parts-per-million via integer floor division
+    (log-space scores differ in the last ulp across engines; the mean
+    conditional probability ranks documents the same way and crosses
+    the engine boundary bit-identically). Low scores = improbable word
+    sequences → candidates for the quality cut.
+
+    Scale shape: the count table aggregates the BIGRAM VOCAB (sublinear
+    in corpus size — BASELINE.md ngram-lm probe); scoring is one join
+    of doc bigrams against that table on (w1, w2), then a per-doc
+    rollup. At 100 TB the LM table broadcast-joins once it stops
+    growing."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("l")
+    )
+    p = (
+        docs.filter(F.size("l") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(l) - 1), "
+                    "i -> named_struct('w1', element_at(l, i), "
+                    "'w2', element_at(l, i + 1)))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    cnt = p.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    lft = cnt.groupBy("w1").agg(F.sum("n_ab").alias("n_left"))
+    return (
+        p.join(cnt, ["w1", "w2"])
+        .join(lft, "w1")
+        .withColumn("ppm", F.expr("(1000000 * n_ab) div n_left"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("CAST(sum(ppm) div count(1) AS BIGINT)").alias(
+                "avg_cond_ppm"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style quality rules
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-gopher-rules",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(l) AS n_words,
+             CAST((100 * list_sum(list_transform(l, x -> length(x))))
+                  // len(l) AS BIGINT) AS mean_word_len_x100,
+             CAST((1000 * len(list_distinct(l))) // len(l) AS BIGINT)
+               AS distinct_ratio_pm,
+             CAST(len(list_filter(l,
+                    x -> x IN ('the', 'a', 'of', 'to', 'and', 'in', 'is')))
+                  AS BIGINT) AS stopword_hits
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len_x100, distinct_ratio_pm,
+           stopword_hits,
+           (n_words BETWEEN 20 AND 10000
+            AND mean_word_len_x100 BETWEEN 250 AND 800
+            AND distinct_ratio_pm >= 300
+            AND stopword_hits >= 2) AS passes_gopher
+    FROM m
+    """,
+)
+def op_ext_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document-quality rules (Rae et al. 2021, Table A1,
+    adapted to this corpus's scale): word-count bounds, mean word
+    length bounds, a type-token-ratio floor (the repetition screen),
+    and a minimum stop-word count (the "is it prose" screen). All
+    measures are integer fixed-point over row-local list aggregations —
+    zero shuffles besides the scan; the rule verdict travels with the
+    row for the downstream curation filter (compose with
+    op-ext-curation-funnel).
+
+    100 TB: embarrassingly parallel single-pass map; the natural
+    first-stage filter before any dedup shuffles run."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("l")
+    )
+    m = docs.select(
+        "doc_id",
+        F.size("l").cast("bigint").alias("n_words"),
+        F.expr(
+            "CAST((100 * aggregate(transform(l, x -> length(x)), 0, "
+            "(a, x) -> a + x)) div size(l) AS BIGINT)"
+        ).alias("mean_word_len_x100"),
+        F.expr(
+            "CAST((1000 * size(array_distinct(l))) div size(l) AS BIGINT)"
+        ).alias("distinct_ratio_pm"),
+        F.expr(
+            "CAST(size(filter(l, x -> x IN "
+            "('the', 'a', 'of', 'to', 'and', 'in', 'is'))) AS BIGINT)"
+        ).alias("stopword_hits"),
+    )
+    return m.select(
+        "*",
+        (
+            F.col("n_words").between(20, 10000)
+            & F.col("mean_word_len_x100").between(250, 800)
+            & (F.col("distinct_ratio_pm") >= 300)
+            & (F.col("stopword_hits") >= 2)
+        ).alias("passes_gopher"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup — cluster-scoped semantic dedup
+# --------------------------------------------------------------------------
+
+
+@query("op-ext-semantic-dedup")  # rows-only: pytest pin in tests/test_corpus.py
+def op_ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-bucket the embedding space
+    (the deterministic IVF build from operators/ivf.py — seeded by
+    lowest ids, 2 Lloyd rounds, no RNG), then WITHIN each cluster mark
+    any vector that has a lower-id neighbor with cosine ≥ 0.5 as a
+    semantic duplicate; survivors are the per-neighborhood
+    representatives. The pairwise pass never leaves a cluster —
+    O(Σ cluster²) instead of O(n²) — which is the paper's entire
+    scaling argument; op-ext-embed-neardup-exact is the corpus-wide
+    exactness anchor for the same threshold.
+
+    rows-only by design: centroids feed a float k-means whose cluster
+    boundaries can't be replayed in ANSI SQL; semantics are pinned in
+    tests/test_corpus.py by a numpy replay at sf0.001 (exact survivor
+    set equality)."""
+    emb = t(spark, sf_dir, "embeddings")
+    _, assign = build_ivf_index(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=8, n_iters=2
+    )
+    vecs = emb.select("vec_id", "embedding").join(assign, "vec_id")
+    a = vecs.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        "cluster",
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        "cluster",
+    )
+    dominated = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(sim.cosine_similarity_col(F.col("va"), F.col("vb")) >= 0.5)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        vecs.join(dominated.withColumn("_dom", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.col("_dom").isNull().alias("kept"),
+        )
+    )

@@ -1,0 +1,157 @@
+"""Corpus-wave pins: SemDeDup numpy replay (exact survivor set),
+paragraph/span dedup invariants, Gopher rule recompute, LM score bounds."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from data_warehousing_assignment_spark.registry_corpus import (
+    op_ext_gopher_rules,
+    op_ext_lm_score,
+    op_ext_paragraph_dedup,
+    op_ext_semantic_dedup,
+    op_ext_span_dedup,
+)
+
+SF = "/root/testdata/sf0.001"
+QUANT = 1_000_000
+
+
+def _quantize(v):
+    return np.floor(np.asarray(v, dtype=np.float64) * QUANT).astype(np.int64)
+
+
+def _round_half_up(x):
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
+def test_semantic_dedup_matches_numpy_replay(spark):
+    """Replays the deterministic IVF k-means (lowest-id seeds, 2 Lloyd
+    rounds, exact int64 distances, half-up centroid rounding) and the
+    within-cluster lower-id-neighbor rule in numpy; the survivor set
+    must match exactly."""
+    rows = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    order = np.argsort(ids)
+    ids = ids[order]
+    q = np.stack([_quantize(rows[i]["embedding"]) for i in order])
+
+    k = 8
+    cent = q[:k].copy()  # seeds: k lowest ids
+    for _ in range(2):
+        d = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # ties → lowest cluster, argmin matches
+        new = []
+        for c in range(k):
+            members = q[assign == c]
+            # Spark avg over bigint = exact sum / count (one IEEE div)
+            m = members.sum(axis=0, dtype=np.int64) / len(members)
+            new.append(_round_half_up(m))
+        cent = np.stack(new)
+    d = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+
+    dominated = set()
+    for c in range(k):
+        members = np.where(assign == c)[0]
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                x, y = q[members[ai]], q[members[bi]]
+                cos = float(x @ y) / (
+                    np.sqrt(float(x @ x)) * np.sqrt(float(y @ y))
+                )
+                if cos >= 0.5:
+                    dominated.add(int(ids[members[bi]]))
+    expected_kept = {int(i) for i in ids} - dominated
+
+    got = op_ext_semantic_dedup(spark, SF).collect()
+    got_kept = {r["vec_id"] for r in got if r["kept"]}
+    assert got_kept == expected_kept
+    assert len(got) == len(ids)
+
+
+def test_paragraph_dedup_kept_equals_distinct_chunks(spark):
+    out = op_ext_paragraph_dedup(spark, SF)
+    total_kept = out.agg(F.sum("n_kept")).first()[0]
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("l")
+    )
+    n_distinct = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, (size(l) + 9) div 10 - 1), "
+                    "i -> array_join(slice(l, i * 10 + 1, 10), ' '))"
+                )
+            ).alias("chunk")
+        )
+        .agg(F.countDistinct("chunk"))
+        .first()[0]
+    )
+    assert total_kept == n_distinct
+    bad = out.filter(
+        (F.col("n_kept") > F.col("n_chunks")) | (F.col("n_kept") < 0)
+    )
+    assert bad.count() == 0
+
+
+def test_span_dedup_coverage_invariants(spark):
+    out = op_ext_span_dedup(spark, SF)
+    assert out.filter(F.col("covered_tokens") > F.col("n_tokens")).count() == 0
+    assert out.filter(F.col("n_dup_spans") > F.col("n_spans")).count() == 0
+    # a doc with any duplicated span covers at least the span length
+    assert (
+        out.filter(
+            (F.col("n_dup_spans") > 0) & (F.col("covered_tokens") < 8)
+        ).count()
+        == 0
+    )
+    # symmetry: duplicated spans exist in the planted near-dup corpus
+    assert out.agg(F.sum("n_dup_spans")).first()[0] > 0
+
+
+def test_gopher_rules_recompute_one_doc(spark):
+    row = op_ext_gopher_rules(spark, SF).orderBy("doc_id").first()
+    text = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") == row["doc_id"])
+        .first()["text"]
+    )
+    words = text.strip().lower().split()
+    assert row["n_words"] == len(words)
+    assert row["mean_word_len_x100"] == (
+        100 * sum(len(w) for w in words)
+    ) // len(words)
+    assert row["distinct_ratio_pm"] == (1000 * len(set(words))) // len(words)
+    stop = {"the", "a", "of", "to", "and", "in", "is"}
+    assert row["stopword_hits"] == sum(1 for w in words if w in stop)
+    expected = (
+        20 <= len(words) <= 10000
+        and 250 <= row["mean_word_len_x100"] <= 800
+        and row["distinct_ratio_pm"] >= 300
+        and row["stopword_hits"] >= 2
+    )
+    assert row["passes_gopher"] == expected
+
+
+def test_lm_score_bounds_and_bigram_counts(spark):
+    out = op_ext_lm_score(spark, SF)
+    assert out.filter(
+        (F.col("avg_cond_ppm") < 0) | (F.col("avg_cond_ppm") > 1_000_000)
+    ).count() == 0
+    joined = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            "doc_id",
+            (F.size(F.split(F.lower(F.trim("text")), r"\s+")) - 1).alias(
+                "want"
+            ),
+        )
+        .join(out, "doc_id")
+    )
+    assert joined.filter(F.col("want") != F.col("n_bigrams")).count() == 0

@@ -77,6 +77,9 @@ ALLOWED = {
     # junk-dim surrogate numbering runs on the post-distinct flag
     # combination frame (≤ product of flag cardinalities ≈ 10² rows)
     "op-ext-junk-dim": {"single-partition window"},
+    # same k-means centroid-assign broadcast cartesian as op-ext-ann-ivf
+    # (corpus × k tiny centroids); the dedup pair join is cluster-keyed
+    "op-ext-semantic-dedup": {"cartesian"},
 }
 
 
