@@ -213,3 +213,55 @@ def component_summary(components: DataFrame, id_col: str = "id") -> DataFrame:
     return components.groupBy("component").agg(
         F.count(F.lit(1)).alias("group_size")
     )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact global triangle count via degree-ordered orientation
+    (the MapReduce-classic Suri–Vassilvitskii / Cohen formulation):
+    orient every undirected edge from its lower- to its higher-degree
+    endpoint (ties by node id, encoded as ONE sortable key
+    deg·2³² + node so the total order is a plain int64 comparison).
+    Each triangle then has exactly one "pivot" vertex with two
+    out-edges, so wedges = pairs of out-neighbors of a common source
+    and a triangle is a wedge whose (v, w) closure edge exists —
+    every step an equi-join, no OR-joins, no cartesian.
+
+    Why orientation matters at 100 TB: out-degree under this order is
+    O(√m) on ANY graph, so the wedge count is Σ outdeg² = O(m^1.5)
+    instead of the Σ deg² blowup a star node causes in the naive
+    formulation (one celebrity node of degree 10⁷ → 10¹⁴ naive wedges).
+
+    Input: canonical undirected edges (u < v, distinct).
+    Output: one row (n_nodes, n_edges, n_wedges, n_triangles).
+    """
+    nodes = edges.select(F.col("u").alias("n")).unionAll(
+        edges.select(F.col("v").alias("n"))
+    )
+    deg = nodes.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    okey = (F.col("d") * F.lit(4294967296) + F.col("n")).alias("ok")
+    dk = deg.select("n", okey)
+    e = (
+        edges.join(dk.withColumnRenamed("n", "u").withColumnRenamed("ok", "oku"), "u")
+        .join(dk.withColumnRenamed("n", "v").withColumnRenamed("ok", "okv"), "v")
+    )
+    o = e.select(
+        F.when(F.col("oku") < F.col("okv"), F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(F.col("oku") < F.col("okv"), F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(F.col("oku") < F.col("okv"), F.col("okv")).otherwise(F.col("oku")).alias("okt"),
+    )
+    a = o.select(F.col("s"), F.col("t").alias("x"), F.col("okt").alias("okx"))
+    b = o.select(F.col("s"), F.col("t").alias("y"), F.col("okt").alias("oky"))
+    wedges = (
+        a.join(b, "s")
+        .filter(F.col("okx") < F.col("oky"))
+        .select(F.col("x").alias("wv"), F.col("y").alias("ww"))
+    )
+    closures = o.select(F.col("s").alias("wv"), F.col("t").alias("ww"))
+    tris = wedges.join(closures, ["wv", "ww"])
+    return (
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+        .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
+        .crossJoin(tris.agg(F.count(F.lit(1)).alias("n_triangles")))
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+    )

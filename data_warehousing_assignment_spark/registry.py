@@ -265,6 +265,7 @@ def import_all_registries() -> None:
         "registry_relational",
         "registry_warehouse",
         "registry_corpus",
+        "registry_sketch",
         "registry_io",
     ):
         importlib.import_module(f"data_warehousing_assignment_spark.{mod}")

@@ -1,0 +1,588 @@
+"""Sketch & statistics registry: Count-Min frequency sketch, Bloom-filter
+semi-join pre-filter, degree-oriented triangle counting, Markov
+transition probabilities, chi-square independence, day-of-week seasonal
+anomaly screening, deterministic weighted priority sampling, and an
+EXACT windowed CUSUM control statistic (via the prefix-min identity
+S_i = P_i − min(0, min_{j≤i} P_j), which turns the recurrence into two
+running windows — no recursion, no pandas).
+
+No reference counterpart (SURVEY.md §7.5 extension surface); methods
+from the public literature (Cormode & Muthukrishnan 2005 CMS; Bloom
+1970; Suri & Vassilvitskii 2011 oriented triangles; Page 1954 CUSUM).
+All cross-engine surfaces are exact integers, md5-derived slots, or a
+bounded chain of IEEE ops over exact integers (registry.py rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_warehousing_assignment_spark.operators import sketch as sk
+from data_warehousing_assignment_spark.operators.graph import triangle_count
+from data_warehousing_assignment_spark.registry import query, sum_cents, t
+
+
+def _nib(h: str, i: int) -> str:
+    """DuckDB: value of hex digit ``i`` (1-based) of hash expr ``h``."""
+    return f"(strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
+
+
+def _slot_sql(key: str, salt_expr: str, n_hex: int) -> str:
+    """DuckDB twin of operators.sketch._hash_slot: first n_hex hex chars
+    of md5(salt || key) as an integer."""
+    h = f"md5({salt_expr} || CAST({key} AS VARCHAR))"
+    terms = [
+        f"{_nib(h, i + 1)} * {16 ** (n_hex - 1 - i)}" for i in range(n_hex)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-cms",
+    oracle=f"""
+    WITH src AS (SELECT o_custkey AS k FROM orders),
+    f AS (SELECT k, j FROM src CROSS JOIN (SELECT unnest([0,1,2,3]) AS j)),
+    cells AS (
+      SELECT j, {_slot_sql("k", "'cms' || CAST(j AS VARCHAR) || ':'", 2)}
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM f GROUP BY 1, 2
+    ),
+    cand AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS true_count
+             FROM src WHERE k % 50 = 0 GROUP BY 1),
+    probe AS (
+      SELECT k, true_count, j,
+             {_slot_sql("k", "'cms' || CAST(j AS VARCHAR) || ':'", 2)}
+               AS bucket
+      FROM cand CROSS JOIN (SELECT unnest([0,1,2,3]) AS j)
+    )
+    SELECT p.k AS o_custkey, p.true_count,
+           CAST(MIN(COALESCE(c.n, 0)) AS BIGINT) AS cms_est
+    FROM probe p LEFT JOIN cells c ON p.j = c.j AND p.bucket = c.bucket
+    GROUP BY 1, 2
+    """,
+)
+def op_ext_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of per-customer
+    order frequency: 4 md5-derived hash rows × 256 buckets — 1024 cells
+    TOTAL regardless of input size — then point estimates (min over the
+    4 addressed cells) for the %50 candidate keys next to their true
+    counts. The one-sided guarantee est ≥ true is pinned in
+    tests/test_sketch.py along with linear mergeability (sketch of a
+    union = cell-wise sum of sketches), which is why a 1000-executor
+    fleet can build it map-side and union 1024-row frames.
+    Deterministic hashing (md5 slots) makes the sketch itself
+    bit-identical in any engine — hence an EXACT oracle for an
+    approximate structure."""
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    )
+    cells = sk.cms_build(orders, "k", depth=4, width_hex=2)
+    cand = (
+        orders.filter(F.col("k") % 50 == 0)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    est = sk.cms_estimate(cells, cand, "k", depth=4, width_hex=2)
+    return cand.join(est, "k").select(
+        F.col("k").alias("o_custkey"), "true_count", "cms_est"
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter semi-join pre-filter
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-bloom-semi",
+    oracle=f"""
+    WITH build AS (SELECT c_custkey AS k FROM customer
+                   WHERE c_mktsegment = 'BUILDING'),
+    bits AS (SELECT DISTINCT
+               {_slot_sql("k", "'bf' || CAST(j AS VARCHAR) || ':'", 3)} AS pos
+             FROM build CROSS JOIN (SELECT unnest([0,1,2]) AS j)),
+    probe AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    fan AS (SELECT k,
+              {_slot_sql("k", "'bf' || CAST(j AS VARCHAR) || ':'", 3)} AS pos
+            FROM probe CROSS JOIN (SELECT unnest([0,1,2]) AS j)),
+    hits AS (SELECT k FROM fan JOIN bits USING (pos)
+             GROUP BY k HAVING COUNT(*) = 3),
+    truth AS (SELECT k FROM probe WHERE k IN (SELECT k FROM build))
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM build) AS n_build,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM probe) AS n_probed,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_passed,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true_members,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hits
+            WHERE k NOT IN (SELECT k FROM truth)) AS n_false_pos
+    """,
+)
+def op_ext_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pre-filter (Bloom 1970; the runtime-filter
+    pattern Spark's own `spark.sql.optimizer.runtimeFilter.bloomFilter`
+    automates): the BUILDING-segment customer keys set 3 md5-derived
+    bits each in a 4096-bit filter; the order fact's distinct customers
+    probe it, and only passers would reach the real join. Output is the
+    audit row — build size, set bits, probed, passed, true members, and
+    measured false positives (passers that the exact semi-join
+    rejects). Deterministic bit positions ⇒ the false-positive count
+    itself is engine-exact. At 100 TB the filter frame (≤4096 ints)
+    broadcasts while the fact never shuffles for rejected keys — the
+    entire point of the pattern. The 1-row metric crossJoins are
+    degenerate (plan-audit sanctioned)."""
+    cust = t(spark, sf_dir, "customer")
+    build = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    probe = (
+        t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    bits = sk.bloom_bits(build, "k", n_hashes=3, bits_hex=3)
+    passed = sk.bloom_filter_probe(probe, bits, "k", n_hashes=3, bits_hex=3)
+    truth = probe.join(build.distinct(), "k", "semi")
+    joined = passed.join(
+        truth.withColumn("_true", F.lit(1)), "k", "left"
+    )
+    return (
+        build.agg(F.count(F.lit(1)).alias("n_build"))
+        .crossJoin(bits.agg(F.count(F.lit(1)).alias("n_bits_set")))
+        .crossJoin(probe.agg(F.count(F.lit(1)).alias("n_probed")))
+        .crossJoin(
+            joined.agg(
+                F.sum(F.when(F.col("passes"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_passed"),
+                F.sum(F.when(F.col("_true") == 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_true_members"),
+                F.sum(
+                    F.when(F.col("passes") & F.col("_true").isNull(), 1)
+                    .otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_false_pos"),
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# triangle counting
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-triangle-count",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                      greatest(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    n AS (SELECT u AS x FROM e UNION SELECT v FROM e),
+    tri AS (
+      SELECT COUNT(*) AS c
+      FROM e e1 JOIN e e2 ON e1.v = e2.u
+                JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM n) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(c AS BIGINT) FROM tri) AS n_triangles
+    """,
+)
+def op_ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the part co-purchase graph (parts sharing
+    an order) via degree-ordered orientation (Suri & Vassilvitskii
+    2011) — graph.triangle_count. The oracle counts the SAME triangles
+    with the naive a<b<c three-way join (obviously correct, wedge-
+    unbounded); the engine side orients edges low→high degree first so
+    wedge count is O(m^1.5) even with celebrity nodes — at 100 TB the
+    naive form dies on the first hub part, the oriented one doesn't.
+    Equi-joins only; the orientation total order is one int64 key
+    (deg·2³² + node)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    return triangle_count(edges).select("n_nodes", "n_edges", "n_triangles")
+
+
+# --------------------------------------------------------------------------
+# Markov transition probabilities
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-markov",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id)
+               AS next_type
+      FROM events
+    ),
+    cnt AS (SELECT event_type AS cur_state, next_type AS next_state,
+                   CAST(COUNT(*) AS BIGINT) AS n_trans
+            FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT cur_state, CAST(SUM(n_trans) AS BIGINT) AS row_total
+            FROM cnt GROUP BY 1)
+    SELECT c.cur_state, c.next_state, c.n_trans,
+           CAST((1000000 * c.n_trans) // t.row_total AS BIGINT) AS p_ppm,
+           CAST(ROW_NUMBER() OVER (PARTITION BY c.cur_state
+                                   ORDER BY c.n_trans DESC, c.next_state)
+                AS BIGINT) AS rk
+    FROM cnt c JOIN tot t ON c.cur_state = t.cur_state
+    """,
+)
+def op_ext_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov chain over user event sequences: the
+    transition-count matrix (op-ext-transitions) normalized to
+    fixed-point conditional probabilities P(next|cur) in ppm (integer
+    floor division — exact in both engines) plus each state's ranked
+    next states — the "what does a user do after X" model behind
+    next-action prediction and funnel repair. The ranking window
+    partitions by cur_state over the |states|² post-aggregate matrix,
+    never the event fact."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur_state"),
+        F.lead("event_type").over(w).alias("next_state"),
+    ).filter(F.col("next_state").isNotNull())
+    cnt = seq.groupBy("cur_state", "next_state").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    tot = cnt.groupBy("cur_state").agg(F.sum("n_trans").alias("row_total"))
+    wr = Window.partitionBy("cur_state").orderBy(
+        F.desc("n_trans"), F.asc("next_state")
+    )
+    return (
+        cnt.join(tot, "cur_state")
+        .select(
+            "cur_state",
+            "next_state",
+            "n_trans",
+            F.expr("CAST((1000000 * n_trans) div row_total AS BIGINT)").alias(
+                "p_ppm"
+            ),
+            F.row_number().over(wr).cast("bigint").alias("rk"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# chi-square independence
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-chisq",
+    oracle="""
+    WITH o AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+                      CAST(COUNT(*) AS BIGINT) AS obs
+               FROM customer GROUP BY 1, 2),
+    r AS (SELECT seg, CAST(SUM(obs) AS BIGINT) AS rt FROM o GROUP BY 1),
+    c AS (SELECT nat, CAST(SUM(obs) AS BIGINT) AS ct FROM o GROUP BY 1),
+    nn AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o),
+    cells AS (
+      SELECT o.obs * nn.n - r.rt * c.ct AS delta, r.rt, c.ct, nn.n
+      FROM o JOIN r USING (seg) JOIN c USING (nat) CROSS JOIN nn
+    )
+    SELECT (SELECT n FROM nn) AS n_obs,
+           (SELECT CAST((COUNT(DISTINCT seg) - 1)
+                        * (COUNT(DISTINCT nat) - 1) AS BIGINT) FROM o)
+             AS dof,
+           CAST(SUM(CAST(floor(((CAST(delta AS DOUBLE) * CAST(delta AS DOUBLE))
+                   / ((CAST(n AS DOUBLE) * CAST(rt AS DOUBLE))
+                      * CAST(ct AS DOUBLE))) * 1000000.0) AS BIGINT))
+                AS BIGINT) AS chi2_x1e6
+    FROM cells
+    """,
+)
+def op_ext_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between market segment and nation
+    (the categorical-drift / association screen, same family as
+    op-ext-abtest-ztest): χ²·10⁶ computed per cell as
+    floor(((delta·delta)/((N·R)·C))·10⁶) where delta = O·N − R·C —
+    exact int64 inputs, a FIXED parenthesized chain of IEEE ops
+    (identical rounding in every engine), floored to int64 BEFORE the
+    sum so the final aggregation is exact integer addition
+    (order-independent). One groupBy over the dim + two marginal
+    rollups of the |seg|×|nat| cell frame."""
+    cust = t(spark, sf_dir, "customer")
+    o = cust.groupBy(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    r = o.groupBy("seg").agg(F.sum("obs").alias("rt"))
+    c = o.groupBy("nat").agg(F.sum("obs").alias("ct"))
+    nn = o.agg(F.sum("obs").alias("n"))
+    cells = o.join(r, "seg").join(c, "nat").crossJoin(F.broadcast(nn))
+    contrib = F.expr(
+        "CAST(floor(((CAST(obs * n - rt * ct AS DOUBLE)"
+        " * CAST(obs * n - rt * ct AS DOUBLE))"
+        " / ((CAST(n AS DOUBLE) * CAST(rt AS DOUBLE))"
+        " * CAST(ct AS DOUBLE))) * 1000000.0D) AS BIGINT)"
+    )
+    dims = o.agg(
+        F.expr(
+            "CAST((COUNT(DISTINCT seg) - 1) * (COUNT(DISTINCT nat) - 1)"
+            " AS BIGINT)"
+        ).alias("dof")
+    )
+    return (
+        nn.select(F.col("n").alias("n_obs"))
+        .crossJoin(dims)
+        .crossJoin(
+            cells.agg(F.sum(contrib).cast("bigint").alias("chi2_x1e6"))
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# seasonal (day-of-week) anomaly screen
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-seasonal-anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS day_cents
+      FROM orders GROUP BY 1
+    ),
+    dw AS (
+      SELECT d, day_cents,
+             date_diff('day', TIMESTAMP '1970-01-05', d) % 7 AS dow
+      FROM daily
+    ),
+    m AS (
+      SELECT d, day_cents, dow,
+             CAST(SUM(day_cents) OVER (PARTITION BY dow) AS BIGINT)
+               // CAST(COUNT(*) OVER (PARTITION BY dow) AS BIGINT)
+               AS dow_mean_cents
+      FROM dw
+    ),
+    res AS (
+      SELECT *, day_cents - dow_mean_cents AS residual_cents FROM m
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS order_day, dow, day_cents,
+           dow_mean_cents, residual_cents,
+           abs(residual_cents)
+             > 2 * (CAST(SUM(abs(residual_cents)) OVER (PARTITION BY dow)
+                         AS BIGINT)
+                    // CAST(COUNT(*) OVER (PARTITION BY dow) AS BIGINT))
+             AS is_anomaly
+    FROM res
+    """,
+)
+def op_ext_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly screen on daily revenue: the day-of-week profile
+    is the baseline (mean cents per weekday, exact floor division), a
+    day is anomalous when its |residual| exceeds 2× the weekday's mean
+    absolute deviation — the additive-seasonality outlier rule, all in
+    exact integer cents. Weekday derives from epoch-day arithmetic
+    (days since Monday 1970-01-05, mod 7) — identical in every engine,
+    no locale/DOW-convention trap (ref op-fn-extract's Postgres-DOW
+    note). Two cascaded windows over the SAME dow partitioning — one
+    shuffle of the |days| aggregate frame, never raw orders."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(sum_cents("o_totalprice").alias("day_cents"))
+    )
+    dw = daily.withColumn(
+        "dow",
+        (F.datediff("d", F.lit("1970-01-05")) % 7).cast("bigint"),
+    )
+    wd = Window.partitionBy("dow")
+    m = dw.select(
+        "d",
+        "day_cents",
+        "dow",
+        F.expr(
+            "CAST(sum(day_cents) OVER (PARTITION BY dow) AS BIGINT)"
+            " div CAST(count(1) OVER (PARTITION BY dow) AS BIGINT)"
+        ).alias("dow_mean_cents"),
+    ).withColumn(
+        "residual_cents", F.col("day_cents") - F.col("dow_mean_cents")
+    )
+    return m.select(
+        F.date_format("d", "yyyy-MM-dd").alias("order_day"),
+        "dow",
+        "day_cents",
+        "dow_mean_cents",
+        "residual_cents",
+        (
+            F.abs(F.col("residual_cents"))
+            > 2
+            * F.expr(
+                "CAST(sum(abs(residual_cents)) OVER (PARTITION BY dow)"
+                " AS BIGINT)"
+                " div CAST(count(1) OVER (PARTITION BY dow) AS BIGINT)"
+            )
+        ).alias("is_anomaly"),
+    )
+
+
+# --------------------------------------------------------------------------
+# deterministic weighted priority sample
+# --------------------------------------------------------------------------
+
+def _pri_sql() -> str:
+    u32 = " + ".join(
+        f"{_nib('md5(' + chr(39) + 'ps:' + chr(39) + ' || CAST(c_custkey AS VARCHAR))', i + 1)}"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    w = "(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100001)"
+    return f"((({u32}) * 1000000) // {w})"
+
+
+@query(
+    "op-ext-priority-sample",
+    oracle=f"""
+    SELECT c_custkey,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100001
+             AS weight_cents,
+           CAST({_pri_sql()} AS BIGINT) AS priority
+    FROM customer
+    ORDER BY priority ASC, c_custkey ASC
+    LIMIT 100
+    """,
+)
+def op_ext_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted priority sample, k=100 (the
+    Efraimidis–Spirakis weighted-reservoir shape with an integer
+    priority key: uniform32(md5(key))·10⁶ div weight — heavier rows
+    draw systematically smaller priorities, so ascending top-k is a
+    weight-biased sample that is a PURE FUNCTION of the key set:
+    stable across reruns, engines, partitionings; the same property as
+    op-ext-hash-split, extended to weighted selection). Plans as
+    TakeOrderedAndProject — per-partition top-k, no global sort, no
+    single-partition exchange; the reservoir merges associatively at
+    100 TB exactly like any top-k."""
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (
+            F.expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            + F.lit(100001)
+        ).alias("weight_cents"),
+    )
+    pri = cust.withColumn(
+        "priority",
+        F.expr(
+            "(CAST(conv(substring(md5('ps:' || CAST(c_custkey AS STRING)),"
+            " 1, 8), 16, 10) AS BIGINT) * 1000000) div weight_cents"
+        ),
+    )
+    return pri.orderBy(F.asc("priority"), F.asc("c_custkey")).limit(100)
+
+
+# --------------------------------------------------------------------------
+# exact CUSUM control statistic
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT l_returnflag AS flag, l_shipdate AS d,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS day_cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT flag, d, day_cents,
+             CAST(SUM(day_cents) OVER (PARTITION BY flag) AS BIGINT)
+               // CAST(COUNT(*) OVER (PARTITION BY flag) AS BIGINT)
+               AS mean_cents
+      FROM daily
+    ),
+    p AS (
+      SELECT flag, d, day_cents,
+             SUM(day_cents - mean_cents)
+               OVER (PARTITION BY flag ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS pre
+      FROM m
+    )
+    SELECT flag AS l_returnflag, strftime(d, '%Y-%m-%d') AS ship_day,
+           day_cents,
+           CAST(pre - LEAST(MIN(pre) OVER (PARTITION BY flag ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                AS BIGINT) AS cusum_cents
+    FROM p
+    """,
+)
+def op_ext_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT CUSUM control statistic (Page 1954) on daily revenue per
+    return flag: S_i = max(0, S_{i-1} + (x_i − target)) with target =
+    the series mean. The recurrence looks sequential (op-ext-ewma needs
+    a pandas recurrence for its float chain) but over EXACT INTEGERS it
+    has the closed form S_i = P_i − min(0, min_{j≤i} P_j) with P the
+    running sum of deviations — so it windows: one running sum + one
+    running min over the same (flag, date) ordering, incremental
+    frames only (never the O(n²) UNBOUNDED FOLLOWING trap,
+    BASELINE.md skyline note). Oracle-exact because every value is an
+    integer cent. Spike detection = thresholding cusum_cents
+    downstream."""
+    li = t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_shipdate").alias("d"),
+    ).agg(sum_cents("l_extendedprice").alias("day_cents"))
+    m = daily.select(
+        "flag",
+        "d",
+        "day_cents",
+        F.expr(
+            "CAST(sum(day_cents) OVER (PARTITION BY flag) AS BIGINT)"
+            " div CAST(count(1) OVER (PARTITION BY flag) AS BIGINT)"
+        ).alias("mean_cents"),
+    )
+    wrun = (
+        Window.partitionBy("flag")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = m.withColumn(
+        "pre", F.sum(F.col("day_cents") - F.col("mean_cents")).over(wrun)
+    )
+    return p.select(
+        F.col("flag").alias("l_returnflag"),
+        F.date_format("d", "yyyy-MM-dd").alias("ship_day"),
+        "day_cents",
+        (
+            F.col("pre")
+            - F.least(F.min("pre").over(wrun), F.lit(0).cast("bigint"))
+        )
+        .cast("bigint")
+        .alias("cusum_cents"),
+    )

@@ -1,0 +1,94 @@
+"""Sketch-wave pins: CMS one-sided bound + linear mergeability, Bloom
+zero-false-negatives, oriented-triangle cross-check vs brute force,
+CUSUM closed form vs the literal recurrence."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from data_warehousing_assignment_spark.operators import sketch as sk
+from data_warehousing_assignment_spark.operators.graph import triangle_count
+from data_warehousing_assignment_spark.registry_sketch import op_ext_cusum
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cms_one_sided_and_mergeable(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_custkey").alias("k")
+    )
+    cells = sk.cms_build(orders, "k")
+    truth = orders.groupBy("k").agg(F.count(F.lit(1)).alias("tc"))
+    est = sk.cms_estimate(cells, truth.select("k"), "k")
+    j = truth.join(est, "k")
+    # one-sided guarantee: estimate never undercounts
+    assert j.filter(F.col("cms_est") < F.col("tc")).count() == 0
+
+    # linearity: sketch(A ∪ B) == cellwise_sum(sketch(A), sketch(B))
+    a = orders.filter(F.col("k") % 2 == 0)
+    b = orders.filter(F.col("k") % 2 == 1)
+    merged = (
+        sk.cms_build(a, "k")
+        .unionByName(sk.cms_build(b, "k"))
+        .groupBy("j", "bucket")
+        .agg(F.sum("cell_count").alias("cell_count"))
+    )
+    full = cells
+    diff = (
+        full.withColumnRenamed("cell_count", "x")
+        .join(merged.withColumnRenamed("cell_count", "y"), ["j", "bucket"],
+              "full_outer")
+        .filter(
+            ~F.coalesce("x", F.lit(0)).eqNullSafe(F.coalesce("y", F.lit(0)))
+        )
+    )
+    assert diff.count() == 0
+
+
+def test_bloom_no_false_negatives(spark):
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    build = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    bits = sk.bloom_bits(build, "k")
+    res = sk.bloom_filter_probe(build.distinct(), bits, "k")
+    # every true member passes — Bloom filters never false-negative
+    assert res.filter(~F.col("passes")).count() == 0
+
+
+def test_triangle_count_matches_brute_force(spark):
+    edges_py = [
+        (1, 2), (2, 3), (1, 3),          # triangle
+        (3, 4), (4, 5), (3, 5),          # triangle
+        (5, 6), (6, 7),                  # path, no triangle
+        (1, 4),                          # closes (1,3,4)
+        (2, 4),                          # closes (2,3,4) and (1,2,4)
+    ]
+    adj = set(edges_py)
+    nodes = sorted({n for e in edges_py for n in e})
+    brute = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    )
+    edges = spark.createDataFrame(edges_py, ["u", "v"])
+    row = triangle_count(edges).first()
+    assert row["n_triangles"] == brute == 5
+    assert row["n_edges"] == len(edges_py)
+    assert row["n_nodes"] == len(nodes)
+
+
+def test_cusum_closed_form_equals_recurrence(spark):
+    rows = op_ext_cusum(spark, SF).orderBy("l_returnflag", "ship_day").collect()
+    by_flag: dict = {}
+    for r in rows:
+        by_flag.setdefault(r["l_returnflag"], []).append(r)
+    for flag, seq in by_flag.items():
+        total = sum(r["day_cents"] for r in seq)
+        mean = total // len(seq)
+        s = 0
+        for r in seq:
+            s = max(0, s + (r["day_cents"] - mean))
+            assert s == r["cusum_cents"], (flag, r["ship_day"])

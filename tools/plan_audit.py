@@ -80,6 +80,10 @@ ALLOWED = {
     # same k-means centroid-assign broadcast cartesian as op-ext-ann-ivf
     # (corpus × k tiny centroids); the dedup pair join is cluster-keyed
     "op-ext-semantic-dedup": {"cartesian"},
+    # 1-row metric frames crossJoined into the single audit row
+    "op-ext-bloom-semi": {"cartesian"},
+    "op-ext-chisq": {"cartesian"},
+    "op-ext-triangle-count": {"cartesian"},
 }
 
 
