@@ -266,6 +266,7 @@ def import_all_registries() -> None:
         "registry_warehouse",
         "registry_corpus",
         "registry_sketch",
+        "registry_ml",
         "registry_io",
     ):
         importlib.import_module(f"data_warehousing_assignment_spark.{mod}")

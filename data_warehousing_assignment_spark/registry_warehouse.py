@@ -448,3 +448,141 @@ def op_ext_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_into(
         target, source, "o_orderkey", ["o_orderstatus", "total_cents"]
     )
+
+
+# --------------------------------------------------------------------------
+# write-audit-publish
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-wap",
+    oracle=f"""
+    WITH staged AS (
+      SELECT 1995 AS batch_id, o_orderkey, o_orderstatus, o_orderdate,
+             {_OTOT} AS total_cents
+      FROM orders WHERE year(o_orderdate) = 1995
+      UNION ALL
+      SELECT 1996, o_orderkey, o_orderstatus, o_orderdate,
+             CASE WHEN o_orderkey % 97 = 0 THEN -{_OTOT}
+                  ELSE {_OTOT} END
+      FROM orders WHERE year(o_orderdate) = 1996
+    )
+    SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN total_cents <= 0
+                          OR o_orderstatus NOT IN ('O', 'F', 'P')
+                          OR o_orderdate IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           SUM(CASE WHEN total_cents <= 0
+                     OR o_orderstatus NOT IN ('O', 'F', 'P')
+                     OR o_orderdate IS NULL
+                    THEN 1 ELSE 0 END) = 0 AS published
+    FROM staged GROUP BY 1
+    """,
+)
+def op_ext_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish (the Netflix/Iceberg WAP pattern; the
+    transactional form of the reference's staging-then-load flow, ref
+    ``A2_hr_etl.py`` staging tables): each batch stages invisibly, an
+    audit pass counts constraint violations (positive totals, legal
+    status codes, non-null dates — op-ext-constraints' rule family),
+    and ONLY a zero-violation batch publishes. Fixture: the 1995 batch
+    is clean (publishes), the 1996 batch carries %97 negated totals
+    (audit blocks it). Output is the audit ledger the on-call reads;
+    the atomic-commit mechanics over the transaction log are exercised
+    in tests/test_warehouse_wave.py (publish = txlog.commit of the
+    audited files, abort = no commit — readers never see batch 1996).
+    One scan + one aggregate per batch; the audit is map-side
+    combinable so it costs one pass at 100 TB."""
+    orders = t(spark, sf_dir, "orders")
+    cents = F.expr(_OTOT)
+
+    def _batch(year: int, perturb: bool) -> DataFrame:
+        df = orders.filter(F.year("o_orderdate") == year).select(
+            F.lit(year).alias("batch_id"),
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderdate",
+            (
+                F.when(
+                    F.col("o_orderkey") % 97 == 0, -cents
+                ).otherwise(cents)
+                if perturb
+                else cents
+            ).alias("total_cents"),
+        )
+        return df
+
+    staged = _batch(1995, False).unionByName(_batch(1996, True))
+    viol = F.when(
+        (F.col("total_cents") <= 0)
+        | (~F.col("o_orderstatus").isin("O", "F", "P"))
+        | F.col("o_orderdate").isNull(),
+        1,
+    ).otherwise(0)
+    return staged.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(viol).cast("bigint").alias("n_violations"),
+        (F.sum(viol) == 0).alias("published"),
+    )
+
+
+# --------------------------------------------------------------------------
+# zone-map pruning
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-zonemap-prune",
+    oracle=f"""
+    WITH z AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS part_month,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN({_OTOT}) AS min_cents,
+             MAX({_OTOT}) AS max_cents,
+             CAST(SUM(CASE WHEN {_OTOT} BETWEEN 40000000 AND 50000000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_matching
+      FROM orders GROUP BY 1
+    )
+    SELECT part_month, n_rows, min_cents, max_cents,
+           (max_cents >= 40000000 AND min_cents <= 50000000) AS scanned,
+           n_matching
+    FROM z
+    """,
+)
+def op_ext_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning decision (the read side of op-ext-zonemap's
+    min/max stats — what Parquet row-group stats, ORC stripe stats, and
+    Delta file stats all do): for the predicate total ∈ [$400k, $500k],
+    a month-zone is SCANNED only when [min,max] overlaps the predicate
+    range; non-overlap proves zero matches without reading the zone
+    (tests/test_warehouse_wave.py pins pruned ⇒ n_matching = 0). The
+    zone frame is metadata-sized (one row per month); at 100 TB this
+    decision is why a selective scan reads 2% of files instead of all
+    of them — same contract as the PartitionFilters plan guard
+    (tests/test_plan_shapes.py) one level below partitions."""
+    orders = t(spark, sf_dir, "orders")
+    cents = F.expr(_OTOT)
+    z = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("part_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(cents).alias("min_cents"),
+        F.max(cents).alias("max_cents"),
+        F.sum(
+            F.when(cents.between(40000000, 50000000), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_matching"),
+    )
+    return z.select(
+        "part_month",
+        "n_rows",
+        "min_cents",
+        "max_cents",
+        (
+            (F.col("max_cents") >= 40000000)
+            & (F.col("min_cents") <= 50000000)
+        ).alias("scanned"),
+        "n_matching",
+    )

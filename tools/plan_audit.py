@@ -84,6 +84,8 @@ ALLOWED = {
     "op-ext-bloom-semi": {"cartesian"},
     "op-ext-chisq": {"cartesian"},
     "op-ext-triangle-count": {"cartesian"},
+    # 5-row class frame + 1-row vocab-size frame broadcast onto tokens
+    "op-ext-text-classify": {"cartesian"},
 }
 
 
