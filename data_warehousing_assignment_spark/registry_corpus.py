@@ -416,3 +416,92 @@ def op_ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_dom").isNull().alias("kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance score
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-importance-score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS l FROM documents),
+    bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(l)),
+                      i -> l[i] || ' ' || l[i + 1])) AS b
+      FROM t WHERE len(l) >= 2
+    ),
+    tcnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nt FROM bg
+             WHERE lang = 'en' GROUP BY 1),
+    ttot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM bg
+             WHERE lang = 'en'),
+    rcnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nr FROM bg GROUP BY 1),
+    rtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS rt FROM bg)
+    SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM((1000000000 * (COALESCE(tc.nt, 0) + 1))
+                    // (ttot.tt + rc2.v)
+                  - (1000000000 * (tc2.nr + 1)) // (rtot.rt + rc2.v))
+                AS BIGINT) AS imp_score
+    FROM bg g
+    LEFT JOIN tcnt tc ON g.b = tc.b
+    JOIN rcnt tc2 ON g.b = tc2.b
+    CROSS JOIN ttot
+    CROSS JOIN rtot
+    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM rcnt) rc2
+    GROUP BY 1
+    """,
+)
+def op_ext_importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance score (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", re-expressed
+    log-free): hashed-n-gram feature probabilities under a TARGET
+    distribution (the 'en' slice) vs the RAW corpus; each document's
+    score sums the per-bigram smoothed probability DIFFERENCE in exact
+    parts-per-billion (each term is two nonneg integer floor-divisions
+    then one subtraction — engine-exact; DSIR's log-ratio needs ln,
+    whose last ulp differs across engines, and the difference score
+    ranks the same direction). Downstream: sample ∝ max(score, 0) via
+    op-ext-priority-sample to shift the mixture toward the target. The
+    bigram LM tables aggregate the VOCAB (sublinear — BASELINE.md
+    ngram-lm probe); scoring is one join per doc-bigram + one rollup."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens("text").alias("l")
+    )
+    bg = (
+        docs.filter(F.size("l") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(l) - 1), "
+                    "i -> concat(element_at(l, i), ' ',"
+                    " element_at(l, i + 1)))"
+                )
+            ).alias("b"),
+        )
+    )
+    tgt = bg.filter(F.col("lang") == "en")
+    tcnt = tgt.groupBy("b").agg(F.count(F.lit(1)).alias("nt"))
+    ttot = tgt.agg(F.count(F.lit(1)).alias("tt"))
+    rcnt = bg.groupBy("b").agg(F.count(F.lit(1)).alias("nr"))
+    rtot = bg.agg(F.count(F.lit(1)).alias("rt"))
+    vsz = rcnt.agg(F.count(F.lit(1)).alias("v"))
+    term = F.expr(
+        "(1000000000 * (coalesce(nt, 0) + 1)) div (tt + v)"
+        " - (1000000000 * (nr + 1)) div (rt + v)"
+    )
+    return (
+        bg.join(tcnt, "b", "left")
+        .join(rcnt, "b")
+        .crossJoin(F.broadcast(ttot))
+        .crossJoin(F.broadcast(rtot))
+        .crossJoin(F.broadcast(vsz))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(term).cast("bigint").alias("imp_score"),
+        )
+    )

@@ -586,3 +586,128 @@ def op_ext_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cusum_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# local clustering coefficient
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-clustering-coef",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                      greatest(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+            GROUP BY 1),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e1.v = e2.u
+                JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+    ),
+    pertri AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+      FROM (SELECT a AS node FROM tri UNION ALL
+            SELECT b FROM tri UNION ALL SELECT c FROM tri)
+      GROUP BY 1
+    )
+    SELECT d.node AS part_key, d.d AS degree,
+           COALESCE(p.n_tri, 0) AS n_triangles,
+           CAST((2000000 * COALESCE(p.n_tri, 0)) // (d.d * (d.d - 1))
+                AS BIGINT) AS coef_ppm
+    FROM deg d LEFT JOIN pertri p ON d.node = p.node
+    WHERE d.d >= 10
+    ORDER BY coef_ppm DESC, part_key ASC
+    LIMIT 20
+    """,
+)
+def op_ext_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (Watts–Strogatz) of the part
+    co-purchase graph: per node, triangles ÷ C(deg, 2) in fixed-point
+    ppm — "how clique-ish is this part's neighborhood", the community
+    screen that complements op-ext-triangle-count's global census.
+    Per-node triangle counts reuse the degree-ORIENTED closure
+    (graph.triangle_count's shape: each triangle found once at its
+    pivot, then credited to all 3 corners by a 3-way union — no
+    per-corner rejoin), so the wedge bound O(m^1.5) still holds at
+    100 TB. Top-20 by coefficient via TakeOrderedAndProject; degree
+    floor 10 keeps C(deg,2) meaningful."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    nodes = edges.select(F.col("u").alias("n")).unionAll(
+        edges.select(F.col("v").alias("n"))
+    )
+    deg = nodes.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    okey = (F.col("d") * F.lit(4294967296) + F.col("n")).alias("ok")
+    dk = deg.select("n", okey)
+    e = (
+        edges.join(
+            dk.withColumnRenamed("n", "u").withColumnRenamed("ok", "oku"),
+            "u",
+        ).join(
+            dk.withColumnRenamed("n", "v").withColumnRenamed("ok", "okv"),
+            "v",
+        )
+    )
+    o = e.select(
+        F.when(F.col("oku") < F.col("okv"), F.col("u"))
+        .otherwise(F.col("v"))
+        .alias("s"),
+        F.when(F.col("oku") < F.col("okv"), F.col("v"))
+        .otherwise(F.col("u"))
+        .alias("t"),
+        F.when(F.col("oku") < F.col("okv"), F.col("okv"))
+        .otherwise(F.col("oku"))
+        .alias("okt"),
+    )
+    aa = o.select("s", F.col("t").alias("x"), F.col("okt").alias("okx"))
+    bb = o.select("s", F.col("t").alias("y"), F.col("okt").alias("oky"))
+    wedges = (
+        aa.join(bb, "s")
+        .filter(F.col("okx") < F.col("oky"))
+        .select("s", F.col("x").alias("wv"), F.col("y").alias("ww"))
+    )
+    closures = o.select(F.col("s").alias("wv"), F.col("t").alias("ww"))
+    tris = wedges.join(closures, ["wv", "ww"]).select(
+        F.col("s").alias("a"), F.col("wv").alias("b"), F.col("ww").alias("c")
+    )
+    corners = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+    )
+    pertri = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+    return (
+        deg.withColumnRenamed("n", "node")
+        .join(pertri, "node", "left")
+        .filter(F.col("d") >= 10)
+        .select(
+            F.col("node").alias("part_key"),
+            F.col("d").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.expr(
+                "CAST((2000000 * coalesce(n_tri, 0)) div (d * (d - 1))"
+                " AS BIGINT)"
+            ).alias("coef_ppm"),
+        )
+        .orderBy(F.desc("coef_ppm"), F.asc("part_key"))
+        .limit(20)
+    )

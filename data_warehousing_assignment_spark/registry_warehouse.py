@@ -586,3 +586,150 @@ def op_ext_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("scanned"),
         "n_matching",
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 point-in-time lookup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-scd2-pit",
+    oracle="""
+    WITH dim AS (
+      -- %4 keys changed segment on 1997-01-01 (OLDSEG before, real after);
+      -- everyone else has one open row from the beginning of time
+      SELECT c_custkey, 'OLDSEG' AS seg,
+             DATE '1900-01-01' AS valid_from, DATE '1997-01-01' AS valid_to
+      FROM customer WHERE c_custkey % 4 = 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment,
+             DATE '1997-01-01', DATE '9999-12-31'
+      FROM customer WHERE c_custkey % 4 = 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment,
+             DATE '1900-01-01', DATE '9999-12-31'
+      FROM customer WHERE c_custkey % 4 <> 0
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
+           d.seg AS segment_at_order
+    FROM orders o JOIN dim d
+      ON o.o_custkey = d.c_custkey
+     AND o.o_orderdate >= d.valid_from
+     AND o.o_orderdate < d.valid_to
+    """,
+)
+def op_ext_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) fact⋈SCD2-dim join — THE query a Type-2
+    dimension exists to answer (ref A3_load_dim_emp.sql's
+    valid_from/valid_to pair; Kimball ch. 5 "as-was" reporting): each
+    order joins the dim row whose validity interval contains the order
+    date, so pre-1997 orders of %4 customers see their historical
+    'OLDSEG'. The dim carries ≤2 rows per key, so this plans as one
+    broadcast/hash equi-join on the business key with the interval
+    predicate as a residual filter — at 100 TB the fact never shuffles
+    more than once, and validity intervals never overlap (SCD2
+    invariant, plans/scd2.assert_scd2_invariants), so multiplicity is
+    exactly 1 (pinned in tests/test_warehouse_wave.py)."""
+    cust = t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    hist = cust.filter(k % 4 == 0).select(
+        "c_custkey",
+        F.lit("OLDSEG").alias("seg"),
+        F.to_date(F.lit("1900-01-01")).alias("valid_from"),
+        F.to_date(F.lit("1997-01-01")).alias("valid_to"),
+    )
+    cur4 = cust.filter(k % 4 == 0).select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.to_date(F.lit("1997-01-01")).alias("valid_from"),
+        F.to_date(F.lit("9999-12-31")).alias("valid_to"),
+    )
+    rest = cust.filter(k % 4 != 0).select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.to_date(F.lit("1900-01-01")).alias("valid_from"),
+        F.to_date(F.lit("9999-12-31")).alias("valid_to"),
+    )
+    dim = hist.unionByName(cur4).unionByName(rest)
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.join(
+            dim,
+            (o["o_custkey"] == dim["c_custkey"])
+            & (o["o_orderdate"] >= dim["valid_from"])
+            & (o["o_orderdate"] < dim["valid_to"]),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            F.col("seg").alias("segment_at_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# referential-integrity orphan check
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-orphan-check",
+    oracle="""
+    SELECT 'lineitem->orders(purged)' AS check_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_orphans
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey
+                        AND o.o_orderkey % 11 <> 0)
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def op_ext_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity orphan audit (dbt's `relationships` test,
+    the DQ check the reference's FK DDL enforces in-database, ref
+    ``01_create_a_db_*/create_db.sql`` REFERENCES clauses — a lakehouse
+    has no FK enforcement, so this anti-join IS the constraint): one
+    failing check (parents with key %11 purged → their lineitems
+    orphaned) and one passing check (orders→customer, intact by
+    construction). Null-safe anti-joins, each one broadcast/shuffle
+    hash join on the key; the parent side reduces to distinct keys
+    before joining, so at 100 TB the child fact streams once against a
+    key-only build side."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    surviving = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey"
+    ).distinct()
+    orphans1 = li.join(
+        surviving, li["l_orderkey"] == surviving["o_orderkey"], "left_anti"
+    )
+    check1 = li.agg(F.count(F.lit(1)).alias("n_child_rows")).crossJoin(
+        orphans1.agg(F.count(F.lit(1)).alias("n_orphans"))
+    ).select(
+        F.lit("lineitem->orders(purged)").alias("check_name"),
+        "n_child_rows",
+        "n_orphans",
+    )
+    parents2 = c.select("c_custkey").distinct()
+    orphans2 = o.join(
+        parents2, o["o_custkey"] == parents2["c_custkey"], "left_anti"
+    )
+    check2 = o.agg(F.count(F.lit(1)).alias("n_child_rows")).crossJoin(
+        orphans2.agg(F.count(F.lit(1)).alias("n_orphans"))
+    ).select(
+        F.lit("orders->customer").alias("check_name"),
+        "n_child_rows",
+        "n_orphans",
+    )
+    return check1.unionByName(check2)

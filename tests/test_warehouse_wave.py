@@ -107,3 +107,58 @@ def test_autocorr_bounded(spark):
     assert {r["lag_k"] for r in rows} == {1, 7}
     for r in rows:
         assert -1_000_000_000 <= r["autocorr_x1e9"] <= 1_000_000_000
+
+
+def test_scd2_pit_multiplicity_exactly_one(spark):
+    from data_warehousing_assignment_spark.registry_warehouse import (
+        op_ext_scd2_pit,
+    )
+
+    out = op_ext_scd2_pit(spark, SF)
+    n_orders = spark.read.parquet(f"{SF}/orders.parquet").count()
+    # every order matches exactly one validity interval
+    assert out.count() == n_orders
+    assert out.select("o_orderkey").distinct().count() == n_orders
+    # pre-1997 orders of %4 customers see the historical segment
+    hist = out.filter(
+        (F.col("o_custkey") % 4 == 0) & (F.col("order_day") < "1997-01-01")
+    )
+    assert hist.count() > 0
+    assert hist.filter(F.col("segment_at_order") != "OLDSEG").count() == 0
+
+
+def test_orphan_check_counts(spark):
+    from data_warehousing_assignment_spark.registry_warehouse import (
+        op_ext_orphan_check,
+    )
+
+    rows = {r["check_name"]: r for r in op_ext_orphan_check(spark, SF).collect()}
+    assert rows["orders->customer"]["n_orphans"] == 0
+    bad = rows["lineitem->orders(purged)"]
+    # orphans are exactly the lineitems of %11 parents
+    expect = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_orderkey") % 11 == 0)
+        .count()
+    )
+    assert bad["n_orphans"] == expect > 0
+
+
+def test_importance_score_targets_score_higher(spark):
+    from data_warehousing_assignment_spark.registry_corpus import (
+        op_ext_importance_score,
+    )
+
+    out = op_ext_importance_score(spark, SF)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    j = out.join(docs, "doc_id")
+    means = {
+        r["is_t"]: r["m"]
+        for r in j.groupBy((F.col("lang") == "en").alias("is_t"))
+        .agg(F.avg(F.col("imp_score")).alias("m"))
+        .collect()
+    }
+    # weak-signal corpus, but target docs must average >= raw docs
+    assert means[True] >= means[False]

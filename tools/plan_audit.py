@@ -86,6 +86,10 @@ ALLOWED = {
     "op-ext-triangle-count": {"cartesian"},
     # 5-row class frame + 1-row vocab-size frame broadcast onto tokens
     "op-ext-text-classify": {"cartesian"},
+    # 1-row LM-total frames broadcast onto the doc-bigram stream
+    "op-ext-importance-score": {"cartesian"},
+    # 1-row child-count frames crossJoined into the per-check audit rows
+    "op-ext-orphan-check": {"cartesian"},
 }
 
 
