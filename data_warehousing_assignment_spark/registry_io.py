@@ -330,6 +330,15 @@ def op_ext_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference warehouse's clustered PK tables (ref
     ``01_create_a_db_*/create_db.sql``). The aggregate after the join
     exchanges only the 5-row segment frame."""
+    # a fresh session may find stale table DIRECTORIES under the
+    # warehouse without catalog entries (LOCATION_ALREADY_EXISTS) —
+    # drop both layers before writing
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for tbl in ("bkt_orders", "bkt_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
     orders = t(spark, sf_dir, "orders").select(
         "o_custkey",
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)
