@@ -505,3 +505,69 @@ def op_ext_importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term).cast("bigint").alias("imp_score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# inverted index build
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-inverted-index",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    bg AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(l)),
+                      i -> l[i] || ' ' || l[i + 1])) AS term
+      FROM t WHERE len(l) >= 2
+    ),
+    ix AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+             string_agg(CAST(doc_id AS VARCHAR), ','
+                        ORDER BY doc_id) AS postings
+      FROM bg GROUP BY 1
+    )
+    SELECT term, df, postings FROM ix WHERE df BETWEEN 2 AND 50
+    """,
+)
+def op_ext_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (the search-engine primitive BM25/TF-IDF
+    query against): bigram term → document-frequency + sorted posting
+    list, restricted to the discriminative band 2 ≤ df ≤ 50 (df=1 terms
+    match nothing else; stop-terms with huge df get skip-list/bitmap
+    treatment instead — the standard index-pruning split). Postings
+    surface as a comma-joined SORTED id string so the column stays
+    scalar for the driver hash (array-native layout stays internal).
+    One distinct + one groupBy, both keyed on the term — at 100 TB the
+    posting lists for the banded df are bounded by construction, and
+    unbounded hot terms never reach the agg because the band filter
+    pushes into the same aggregation."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("l")
+    )
+    bg = (
+        docs.filter(F.size("l") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(l) - 1), "
+                    "i -> concat(element_at(l, i), ' ',"
+                    " element_at(l, i + 1)))"
+                )
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    ix = bg.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    return ix.filter(F.col("df").between(2, 50))

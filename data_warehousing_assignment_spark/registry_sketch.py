@@ -711,3 +711,98 @@ def op_ext_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("coef_ppm"), F.asc("part_key"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# marketing attribution (first/last touch)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-attribution",
+    oracle="""
+    WITH v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS v_us
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+          FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT p.purchase_id, p.user_id, v.view_id, v.v_us,
+             ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                ORDER BY v.v_us ASC, v.view_id ASC) AS rnf,
+             ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                ORDER BY v.v_us DESC, v.view_id DESC) AS rnl
+      FROM p JOIN v ON p.user_id = v.user_id
+                   AND v.v_us < p.p_us
+                   AND v.v_us >= p.p_us - 3600000000
+    ),
+    agg AS (
+      SELECT purchase_id,
+             MAX(CASE WHEN rnf = 1 THEN view_id END) AS first_touch_view,
+             MAX(CASE WHEN rnl = 1 THEN view_id END) AS last_touch_view,
+             CAST(COUNT(*) AS BIGINT) AS n_views_window
+      FROM j GROUP BY 1
+    )
+    SELECT p.purchase_id, p.user_id,
+           a.first_touch_view, a.last_touch_view,
+           COALESCE(a.n_views_window, 0) AS n_views_window
+    FROM p LEFT JOIN agg a ON p.purchase_id = a.purchase_id
+    """,
+)
+def op_ext_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch marketing attribution: every purchase
+    credits the FIRST and LAST view by the same user within the
+    preceding hour — the two canonical attribution models, answered in
+    one pass (the multi-touch generalization divides credit across the
+    same joined frame). One user-keyed equi-join with the time window
+    as a residual predicate (the op-ext-stream-join shape, so the
+    streaming twin is watermark-bounded), then purchase-partitioned
+    ranking windows; purchases with no qualifying view keep NULL
+    touches rather than vanishing — the funnel's dark-traffic share.
+    At 100 TB everything is partitioned by user/purchase — no global
+    ordering anywhere."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts_us").alias("v_us"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("p_us"),
+    )
+    j = p.join(
+        v,
+        (p["user_id"] == v["v_user"])
+        & (v["v_us"] < p["p_us"])
+        & (v["v_us"] >= p["p_us"] - 3600000000),
+    )
+    wf = Window.partitionBy("purchase_id").orderBy(
+        F.asc("v_us"), F.asc("view_id")
+    )
+    wl = Window.partitionBy("purchase_id").orderBy(
+        F.desc("v_us"), F.desc("view_id")
+    )
+    agg = (
+        j.withColumn("rnf", F.row_number().over(wf))
+        .withColumn("rnl", F.row_number().over(wl))
+        .groupBy("purchase_id")
+        .agg(
+            F.max(F.when(F.col("rnf") == 1, F.col("view_id"))).alias(
+                "first_touch_view"
+            ),
+            F.max(F.when(F.col("rnl") == 1, F.col("view_id"))).alias(
+                "last_touch_view"
+            ),
+            F.count(F.lit(1)).alias("n_views_window"),
+        )
+    )
+    return p.join(agg, "purchase_id", "left").select(
+        "purchase_id",
+        "user_id",
+        "first_touch_view",
+        "last_touch_view",
+        F.coalesce("n_views_window", F.lit(0)).alias("n_views_window"),
+    )
