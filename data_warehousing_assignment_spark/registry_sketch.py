@@ -806,3 +806,239 @@ def op_ext_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_touch_view",
         F.coalesce("n_views_window", F.lit(0)).alias("n_views_window"),
     )
+
+
+# --------------------------------------------------------------------------
+# exact interpolated percentile (percentile_cont)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-percentile-cont",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag AS flag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY CAST(CAST(l_extendedprice AS
+                                  DECIMAL(18,2)) * 100 AS BIGINT),
+                                  l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    k AS (
+      SELECT flag, n,
+             (9 * (n - 1)) // 10 AS k0,
+             (9 * (n - 1)) % 10 AS frac10
+      FROM (SELECT DISTINCT flag, n FROM c)
+    )
+    SELECT c.flag AS l_returnflag, CAST(k.n AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN c.rn = k.k0 + 1
+                         THEN (10 - k.frac10) * c.cents
+                         WHEN c.rn = k.k0 + 2 AND k.frac10 > 0
+                         THEN k.frac10 * c.cents
+                         ELSE 0 END) AS BIGINT) AS p90_cents_x10
+    FROM c JOIN k ON c.flag = k.flag
+    WHERE c.rn BETWEEN k.k0 + 1 AND k.k0 + 2
+    GROUP BY 1, 2
+    """,
+)
+def op_ext_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ANSI percentile_cont(0.9) per return flag in fixed-point:
+    the interpolated index 0.9·(n−1) splits into integer part k₀ and
+    tenths remainder, so the interpolated value ×10 is
+    (10−frac)·x[k₀] + frac·x[k₀+1] — pure int64 arithmetic, engine-
+    exact, where float interpolation differs in the last ulp. Same
+    per-group-sort cost family as op-ext-median (the exactness anchor);
+    op-ext-approx-quantile is the 100 TB sketch path. The ranking
+    window orders by (cents, unique line key) so ties break
+    identically in both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    cents = F.expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    wflag = Window.partitionBy("flag")
+    c = li.select(
+        F.col("l_returnflag").alias("flag"),
+        cents.alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    ).select(
+        "flag",
+        "cents",
+        F.row_number()
+        .over(
+            Window.partitionBy("flag").orderBy(
+                "cents", "l_orderkey", "l_linenumber"
+            )
+        )
+        .alias("rn"),
+        F.count(F.lit(1)).over(wflag).alias("n"),
+    )
+    k = (
+        c.select("flag", "n")
+        .distinct()
+        .select(
+            "flag",
+            F.expr("(9 * (n - 1)) div 10").alias("k0"),
+            F.expr("(9 * (n - 1)) % 10").alias("frac10"),
+        )
+    )
+    return (
+        c.join(k, "flag")
+        .filter(
+            (F.col("rn") >= F.col("k0") + 1) & (F.col("rn") <= F.col("k0") + 2)
+        )
+        .groupBy("flag", "n")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("rn") == F.col("k0") + 1,
+                    (10 - F.col("frac10")) * F.col("cents"),
+                )
+                .when(
+                    (F.col("rn") == F.col("k0") + 2) & (F.col("frac10") > 0),
+                    F.col("frac10") * F.col("cents"),
+                )
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("p90_cents_x10")
+        )
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.col("n").cast("bigint").alias("n_rows"),
+            "p90_cents_x10",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# KMV distinct-count sketch with union merge
+# --------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_M = 16 ** 15  # hash space: 15 hex nibbles = 60 bits (stays in int64)
+
+
+def _kmv_hash_spark():
+    return F.expr(
+        "CAST(conv(substring(md5('kmv:' || CAST(o_custkey AS STRING)),"
+        " 1, 15), 16, 10) AS BIGINT)"
+    )
+
+
+def _kmv_hash_sql() -> str:
+    h = "md5('kmv:' || CAST(o_custkey AS VARCHAR))"
+    terms = " + ".join(
+        f"{_nib(h, i + 1)} * {16 ** (14 - i)}" for i in range(15)
+    )
+    return f"({terms})"
+
+
+@query(
+    "op-ext-kmv-sketch",
+    oracle=f"""
+    WITH src AS (
+      SELECT DISTINCT c.c_mktsegment AS seg, o.o_custkey
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    h AS (SELECT seg, o_custkey, {_kmv_hash_sql()} AS hv FROM src),
+    keep AS (
+      SELECT seg, hv,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY hv) AS rn
+      FROM h
+    ),
+    sk AS (SELECT seg, hv, rn FROM keep WHERE rn <= {_KMV_K}),
+    uni AS (
+      SELECT 'UNION' AS seg, hv,
+             ROW_NUMBER() OVER (ORDER BY hv) AS rn
+      FROM (SELECT DISTINCT hv FROM sk)
+    ),
+    allk AS (
+      SELECT seg, hv, rn FROM sk
+      UNION ALL
+      SELECT seg, hv, rn FROM uni WHERE rn <= {_KMV_K}
+    ),
+    est AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(MAX(hv) AS BIGINT) AS theta
+      FROM allk GROUP BY 1
+    ),
+    truth AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS true_distinct FROM src
+      GROUP BY 1
+      UNION ALL
+      SELECT 'UNION', CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM src
+    )
+    SELECT e.seg, t.true_distinct, e.n_kept,
+           CAST(CASE WHEN e.n_kept < {_KMV_K} THEN e.n_kept
+                ELSE ((e.n_kept - 1) * CAST({_KMV_M} AS HUGEINT))
+                     // e.theta END AS BIGINT) AS kmv_est
+    FROM est e JOIN truth t ON e.seg = t.seg
+    """,
+)
+def op_ext_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.
+    2002; the theta-sketch core): keep the k=64 smallest md5-derived
+    60-bit hashes of each segment's customer set; estimate distincts as
+    (k−1)·M/θ with θ = the k-th minimum. The crucial property next to
+    op-ext-approx-count-distinct's opaque HLL: KMV sketches MERGE by
+    set-union-then-retruncate — shown in-query by fusing the BUILDING
+    and MACHINERY sketches into the UNION row WITHOUT rescanning the
+    base data (DISTINCT over the two 64-hash sets) — and intersections
+    follow the same algebra, which HLL cannot do. Deterministic md5
+    slots ⇒ sketch AND estimate are engine-exact (an exact oracle for
+    an approximate structure, same move as op-ext-cms); small sets
+    (n_kept < k) return their exact count. Sketch frames are ≤ k rows
+    per group — metadata-sized at any scale."""
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    src = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .distinct()
+    )
+    h = src.select("seg", "o_custkey", _kmv_hash_spark().alias("hv"))
+    wseg = Window.partitionBy("seg").orderBy("hv")
+    sk = (
+        h.withColumn("rn", F.row_number().over(wseg))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("seg", "hv", "rn")
+    )
+    wuni = Window.orderBy("hv")
+    uni = (
+        sk.select("hv")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wuni))
+        .filter(F.col("rn") <= _KMV_K)
+        .select(F.lit("UNION").alias("seg"), "hv", "rn")
+    )
+    allk = sk.unionByName(uni)
+    est = allk.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("hv").alias("theta")
+    )
+    truth = (
+        src.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("true_distinct"))
+        .unionByName(
+            src.agg(
+                F.countDistinct("o_custkey").alias("true_distinct")
+            ).select(F.lit("UNION").alias("seg"), "true_distinct")
+        )
+    )
+    kmv = F.when(F.col("n_kept") < _KMV_K, F.col("n_kept")).otherwise(
+        F.expr(
+            f"CAST((CAST(n_kept - 1 AS DECIMAL(38,0))"
+            f" * CAST({_KMV_M} AS DECIMAL(38,0))"
+            f" - ((CAST(n_kept - 1 AS DECIMAL(38,0))"
+            f"     * CAST({_KMV_M} AS DECIMAL(38,0))) % theta))"
+            f" / theta AS BIGINT)"
+        )
+    )
+    return est.join(truth, "seg").select(
+        "seg", "true_distinct", "n_kept", kmv.cast("bigint").alias("kmv_est")
+    )

@@ -85,11 +85,16 @@ ALLOWED = {
     "op-ext-chisq": {"cartesian"},
     "op-ext-triangle-count": {"cartesian"},
     # 5-row class frame + 1-row vocab-size frame broadcast onto tokens
-    "op-ext-text-classify": {"cartesian"},
+    # (the 1-row aggs surface as SinglePartition exchanges beside the
+    # doc_id-partitioned ranking window — same shape as op-ext-tfidf)
+    "op-ext-text-classify": {"cartesian", "single-partition window"},
     # 1-row LM-total frames broadcast onto the doc-bigram stream
     "op-ext-importance-score": {"cartesian"},
     # 1-row child-count frames crossJoined into the per-check audit rows
     "op-ext-orphan-check": {"cartesian"},
+    # the union-merge re-rank runs over the two fused 64-hash sketches
+    # (≤128 rows — metadata-sized by construction)
+    "op-ext-kmv-sketch": {"single-partition window"},
 }
 
 
