@@ -116,3 +116,57 @@ def test_clustering_coef_matches_brute_force_on_k4(spark):
     for r in out:
         assert 0 <= r["coef_ppm"] <= 1_000_000
         assert r["degree"] >= 10
+
+
+def test_percentile_cont_matches_numpy(spark):
+    from data_warehousing_assignment_spark.registry_sketch import (
+        op_ext_percentile_cont,
+    )
+    import numpy as np
+
+    rows = {r["l_returnflag"]: r for r in
+            op_ext_percentile_cont(spark, SF).collect()}
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select(
+            "l_returnflag",
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT)"
+            ).alias("c"),
+        )
+        .collect()
+    )
+    series: dict = {}
+    for r in li:
+        series.setdefault(r["l_returnflag"], []).append(r["c"])
+    for flag, vals in series.items():
+        want = np.percentile(np.array(vals, dtype=np.float64), 90,
+                             method="linear")
+        got = rows[flag]["p90_cents_x10"] / 10.0
+        assert abs(got - want) < 0.51, (flag, got, want)
+        assert rows[flag]["n_rows"] == len(vals)
+
+
+def test_kmv_union_merge_and_error_bound(spark):
+    from data_warehousing_assignment_spark.registry_sketch import (
+        op_ext_kmv_sketch,
+    )
+
+    rows = {r["seg"]: r for r in
+            op_ext_kmv_sketch(spark, "/root/testdata/sf0.01").collect()}
+    assert set(rows) == {"BUILDING", "MACHINERY", "UNION"}
+    for seg, r in rows.items():
+        # KMV relative error ~ 1/sqrt(k-1) = 12.6%; allow 4 sigma
+        assert r["n_kept"] <= 64
+        if r["n_kept"] < 64:
+            assert r["kmv_est"] == r["true_distinct"]
+        else:
+            rel = abs(r["kmv_est"] - r["true_distinct"]) / r["true_distinct"]
+            assert rel < 0.5, (seg, r)
+    # union can't be smaller than either input's truth
+    assert (
+        rows["UNION"]["true_distinct"]
+        >= max(rows["BUILDING"]["true_distinct"],
+               rows["MACHINERY"]["true_distinct"])
+    )
