@@ -385,26 +385,52 @@ def op_ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only by design: centroids feed a float k-means whose cluster
     boundaries can't be replayed in ANSI SQL; semantics are pinned in
     tests/test_corpus.py by a numpy replay at sf0.001 (exact survivor
-    set equality)."""
+    set equality).
+
+    Cluster count SCALES with the corpus (k = n/500, floor 8, cap 256)
+    — the paper's own requirement: with fixed k the within-cluster
+    pair count grows as (n/k)²·k = n²/k, measured as a 156M-pair stall
+    at the 50k-vector probe; bounding mean cluster size at ~500 keeps
+    pairs ≤ 250·n (linear in n). The one count() here is the same
+    sanctioned driver scalar as the watermark lookup
+    (op-agg-scalar-max)."""
     emb = t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = max(8, min(256, n // 500))
     _, assign = build_ivf_index(
-        emb, id_col="vec_id", vec_col="embedding", n_clusters=8, n_iters=2
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=k, n_iters=2
     )
-    vecs = emb.select("vec_id", "embedding").join(assign, "vec_id")
+    # quantize + norm ONCE per vector (not per pair — the pair frame is
+    # ~250× larger, and re-running the 64-element HOF chain there was
+    # the measured 3× overhead); the pair stage is one int dot + one
+    # double compare
+    vecs = emb.select(
+        "vec_id", sim.quantize("embedding").alias("qv")
+    ).join(assign, "vec_id")
+    vecs = vecs.withColumn(
+        "nrm",
+        F.sqrt(sim.int_dot(F.col("qv"), F.col("qv")).cast("double")),
+    )
     a = vecs.select(
         F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
+        F.col("qv").alias("qa"),
+        F.col("nrm").alias("na"),
         "cluster",
     )
     b = vecs.select(
         F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
+        F.col("qv").alias("qb"),
+        F.col("nrm").alias("nb"),
         "cluster",
     )
     dominated = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(sim.cosine_similarity_col(F.col("va"), F.col("vb")) >= 0.5)
+        .filter(
+            sim.int_dot(F.col("qa"), F.col("qb")).cast("double")
+            / (F.col("na") * F.col("nb"))
+            >= 0.5
+        )
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
