@@ -152,3 +152,72 @@ def vacuum(root: str, retain_from_version: int) -> list[str]:
         root, [{"action": "vacuum", "horizon": retain_from_version}]
     )
     return removed
+
+
+def commit_with_stats(
+    root: str, df: DataFrame, version: int, stats_col: str
+) -> str:
+    """Commit like :func:`commit`, additionally recording the file's
+    min/max of ``stats_col`` in the manifest entry — the Delta/Iceberg
+    per-file statistics that make MANIFEST-LEVEL data skipping
+    possible (same min/max contract as op-ext-zonemap, one level
+    above row groups). One extra 1-row aggregate per commit."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.min(stats_col).alias("lo"), F.max(stats_col).alias("hi")
+    ).collect()[0]
+    lohi = (row["lo"], row["hi"])
+    delta_dir = os.path.join(root, f"delta_v{version}")
+    df.write.mode("overwrite").parquet(delta_dir)
+    _append(
+        root,
+        [
+            {
+                "version": version,
+                "path": delta_dir,
+                "action": "add",
+                "stats": {
+                    "col": stats_col,
+                    "min": str(lohi[0]),
+                    "max": str(lohi[1]),
+                },
+            }
+        ],
+    )
+    return delta_dir
+
+
+def skipped_read(
+    spark: SparkSession,
+    root: str,
+    lo: str,
+    hi: str,
+    as_of_version: int | None = None,
+) -> tuple[DataFrame, list[str], list[str]]:
+    """Snapshot read that SKIPS files whose manifest stats range
+    [min, max] cannot intersect [lo, hi] — returns (frame, scanned,
+    skipped). A file without stats is always scanned (sound by
+    construction: skipping requires PROOF of non-overlap). String
+    comparison matches because the stats column is stored as an
+    ISO-formatted string/date here; numeric columns would store
+    numbers."""
+    entries = read_log(root)
+    if as_of_version is None:
+        as_of_version = latest_version(root)
+    live = set(live_files(root, as_of_version))
+    stats = {
+        e["path"]: e.get("stats")
+        for e in entries
+        if e.get("action") == "add" and e["path"] in live
+    }
+    scanned, skipped = [], []
+    for p in sorted(live):
+        s = stats.get(p)
+        if s is not None and (s["max"] < lo or s["min"] > hi):
+            skipped.append(p)
+        else:
+            scanned.append(p)
+    if not scanned:
+        raise ValueError("predicate prunes every file — empty snapshot read")
+    return spark.read.parquet(*scanned), scanned, skipped

@@ -733,3 +733,196 @@ def op_ext_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orphans",
     )
     return check1.unionByName(check2)
+
+
+# --------------------------------------------------------------------------
+# SCD Type 6 — hybrid 1+2+3
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-pipe-scd6",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, 'OLDSEG' AS seg,
+             '1900-01-01' AS valid_from, '1997-01-01' AS valid_to,
+             FALSE AS is_current
+      FROM customer WHERE c_custkey % 4 = 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, '1997-01-01', NULL, TRUE
+      FROM customer WHERE c_custkey % 4 = 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, '1900-01-01', NULL, TRUE
+      FROM customer WHERE c_custkey % 4 <> 0
+    )
+    SELECT c_custkey, seg AS historical_seg, valid_from, valid_to,
+           is_current,
+           MAX(CASE WHEN is_current THEN seg END)
+             OVER (PARTITION BY c_custkey) AS current_seg
+    FROM dim
+    """,
+)
+def op_pipe_scd6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 6 (hybrid 1+2+3, Kimball ch. 5): the Type-2 history
+    rows additionally carry the TYPE-1-style ``current_seg`` column on
+    EVERY row — so "as-was" (historical_seg) and "as-is" (current_seg)
+    reporting both resolve with zero extra joins. The overwrite is one
+    key-partitioned window over the dim (propagate the is_current
+    row's value to the whole key partition); at 100 TB that is a
+    dim-sized shuffle, run once per merge, which is why warehouses pay
+    the denormalization. Completes the SCD family: Type 1
+    (op-pipe-scd1), 2 (op-pipe-scd2), 3 (op-pipe-scd3), 6 (here)."""
+    cust = t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    hist = cust.filter(k % 4 == 0).select(
+        "c_custkey",
+        F.lit("OLDSEG").alias("seg"),
+        F.lit("1900-01-01").alias("valid_from"),
+        F.lit("1997-01-01").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    cur4 = cust.filter(k % 4 == 0).select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("1997-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    rest = cust.filter(k % 4 != 0).select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("1900-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    dim = hist.unionByName(cur4).unionByName(rest)
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy("c_custkey")
+    return dim.select(
+        "c_custkey",
+        F.col("seg").alias("historical_seg"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+        F.max(F.when(F.col("is_current"), F.col("seg"))).over(wk).alias(
+            "current_seg"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# crypto-shredding erasure
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-crypto-shred",
+    oracle="""
+    WITH keys AS (
+      -- per-user key vault: %13 users' keys are SHREDDED (deleted)
+      SELECT c_custkey, md5('key:' || CAST(c_custkey AS VARCHAR)) AS k
+      FROM customer WHERE c_custkey % 13 <> 0
+    )
+    SELECT c.c_custkey,
+           k.k IS NOT NULL AS decryptable,
+           CASE WHEN k.k IS NOT NULL
+                THEN md5(k.k || c.c_name) END AS name_digest
+    FROM customer c LEFT JOIN keys k ON c.c_custkey = k.c_custkey
+    """,
+)
+def op_ext_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crypto-shredding GDPR erasure (the lakehouse right-to-be-
+    forgotten pattern: per-user envelope keys in a key vault; "erase" =
+    DELETE THE KEY, never rewrite petabytes of immutable files): with
+    %13 users' keys shredded, their PII is provably undecryptable —
+    the payload digest can only be derived WITH the key. The payload
+    here is an md5 keyed digest standing in for real AES envelope
+    encryption (same join/flag shape; swap `md5(k || x)` for
+    `aes_decrypt` in production — Spark ships aes_encrypt/aes_decrypt
+    but DuckDB has no twin, so the oracle-checkable digest carries the
+    demo). One key-vault broadcast join; erasure cost is O(1) per
+    user, which is the entire point at 100 TB. Composes with
+    op-ext-kanonymity / op-ext-dp-counts for the governance suite."""
+    cust = t(spark, sf_dir, "customer")
+    keys = cust.filter(F.col("c_custkey") % 13 != 0).select(
+        F.col("c_custkey").alias("_kk"),
+        F.md5(
+            F.concat(F.lit("key:"), F.col("c_custkey").cast("string"))
+        ).alias("k"),
+    )
+    return (
+        cust.join(keys, cust["c_custkey"] == keys["_kk"], "left")
+        .select(
+            "c_custkey",
+            F.col("k").isNotNull().alias("decryptable"),
+            F.when(
+                F.col("k").isNotNull(),
+                F.md5(F.concat(F.col("k"), F.col("c_name"))),
+            ).alias("name_digest"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# manifest-stats file skipping on the transaction log
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-txlog-skip",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+             AS rev_cents
+    FROM orders
+    WHERE year(o_orderdate) = 1996
+    GROUP BY 1
+    """,
+)
+def op_ext_txlog_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level data skipping on the transaction log
+    (plans/txlog.commit_with_stats / skipped_read): each yearly commit
+    records its order-date min/max in the manifest — exactly Delta/
+    Iceberg per-file stats — and the 1996 read PROVES non-overlapping
+    files skip without being opened (tests/test_txlog_skip.py pins
+    scanned == 1 of 3 files; a file without stats is always scanned —
+    skipping requires proof). This is op-ext-zonemap-prune one level
+    up: manifest stats prune FILES before parquet row-group stats
+    prune pages. The commits happen at build (same methodology as
+    op-ext-time-travel); the timed read unions only surviving files."""
+    import os
+    import shutil
+
+    from data_warehousing_assignment_spark.plans import txlog
+    from data_warehousing_assignment_spark.registry_io import _scratch
+
+    root = _scratch("op-ext-txlog-skip")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderdate",
+        F.expr(_OTOT).alias("pc"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od_str"),
+    )
+    for version, year in enumerate((1995, 1996, 1997), start=1):
+        txlog.commit_with_stats(
+            root,
+            orders.filter(F.year("o_orderdate") == year),
+            version,
+            "od_str",
+        )
+    snap, scanned, skipped = txlog.skipped_read(
+        spark, root, lo="1996-01-01", hi="1996-12-31"
+    )
+    return (
+        snap.filter(
+            (F.col("od_str") >= "1996-01-01") & (F.col("od_str") <= "1996-12-31")
+        )
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("pc").cast("bigint").alias("rev_cents"),
+        )
+    )
