@@ -244,11 +244,14 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         edges.join(dk.withColumnRenamed("n", "u").withColumnRenamed("ok", "oku"), "u")
         .join(dk.withColumnRenamed("n", "v").withColumnRenamed("ok", "okv"), "v")
     )
-    o = e.select(
+    # the oriented frame feeds THREE consumers (both wedge sides + the
+    # closure probe): pin it so the lineitem self-join + degree joins
+    # run once, not three times
+    o = pin(e.select(
         F.when(F.col("oku") < F.col("okv"), F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(F.col("oku") < F.col("okv"), F.col("v")).otherwise(F.col("u")).alias("t"),
         F.when(F.col("oku") < F.col("okv"), F.col("okv")).otherwise(F.col("oku")).alias("okt"),
-    )
+    ))
     a = o.select(F.col("s"), F.col("t").alias("x"), F.col("okt").alias("okx"))
     b = o.select(F.col("s"), F.col("t").alias("y"), F.col("okt").alias("oky"))
     wedges = (

@@ -652,6 +652,9 @@ def op_ext_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    from data_warehousing_assignment_spark.caching import pin
+
+    edges = pin(edges)
     nodes = edges.select(F.col("u").alias("n")).unionAll(
         edges.select(F.col("v").alias("n"))
     )
@@ -667,7 +670,9 @@ def op_ext_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v",
         )
     )
-    o = e.select(
+    # three consumers (two wedge sides + closures) — pin like
+    # graph.triangle_count so the edge build runs once
+    o = pin(e.select(
         F.when(F.col("oku") < F.col("okv"), F.col("u"))
         .otherwise(F.col("v"))
         .alias("s"),
@@ -677,7 +682,7 @@ def op_ext_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("oku") < F.col("okv"), F.col("okv"))
         .otherwise(F.col("oku"))
         .alias("okt"),
-    )
+    ))
     aa = o.select("s", F.col("t").alias("x"), F.col("okt").alias("okx"))
     bb = o.select("s", F.col("t").alias("y"), F.col("okt").alias("oky"))
     wedges = (
@@ -686,8 +691,12 @@ def op_ext_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s", F.col("x").alias("wv"), F.col("y").alias("ww"))
     )
     closures = o.select(F.col("s").alias("wv"), F.col("t").alias("ww"))
-    tris = wedges.join(closures, ["wv", "ww"]).select(
-        F.col("s").alias("a"), F.col("wv").alias("b"), F.col("ww").alias("c")
+    # the corner credit unions this frame THREE times — without the pin
+    # the whole edge→wedge→closure pipeline re-runs per corner
+    tris = pin(
+        wedges.join(closures, ["wv", "ww"]).select(
+            F.col("s").alias("a"), F.col("wv").alias("b"), F.col("ww").alias("c")
+        )
     )
     corners = (
         tris.select(F.col("a").alias("node"))
