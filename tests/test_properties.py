@@ -325,3 +325,121 @@ def test_snapshot_diff_partitions_key_space(spark, old, new):
         elif old[k] != new[k]:
             want[k] = "changed"
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-7 closing-wave properties
+# ---------------------------------------------------------------------------
+
+
+@SPARK_SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),          # group
+            st.integers(1, 12),         # line number (may collide → unique'd)
+            st.integers(1, 10_000_00),  # weight cents
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    st.integers(1, 50_000_00),  # header total cents
+)
+def test_bridge_allocation_always_reconciles(spark, rows, total):
+    """Largest-remainder allocation: for ANY weights and header total,
+    per-group allocations sum EXACTLY to the total and every allocation
+    is within 1 cent of exact pro-rata."""
+    from data_warehousing_assignment_spark.plans.kimball import bridge_allocate
+
+    uniq = {}
+    for g, ln, w in rows:
+        uniq[(g, ln)] = w
+    data = [(g, ln, w, total) for (g, ln), w in uniq.items()]
+    df = spark.createDataFrame(
+        data, ["grp", "line", "weight_cents", "total_cents"]
+    )
+    out = bridge_allocate(
+        df, "grp", "line", "weight_cents", "total_cents"
+    ).collect()
+    by_grp: dict = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r["alloc_cents"])
+    for g, allocs in by_grp.items():
+        assert sum(allocs) == total, (g, allocs, total)
+    # pro-rata proximity
+    wsum: dict = {}
+    for g, ln, w, _ in data:
+        wsum[g] = wsum.get(g, 0) + w
+    alloc_map = {(r["grp"], r["line"]): r["alloc_cents"] for r in out}
+    for g, ln, w, _ in data:
+        exact = total * w / wsum[g]
+        assert abs(alloc_map[(g, ln)] - exact) < 1.0 + 1e-9
+
+
+@SPARK_SETTINGS
+@given(
+    st.dictionaries(st.integers(1, 12), st.integers(0, 99), max_size=8),
+    st.dictionaries(
+        st.integers(1, 16),
+        st.tuples(st.sampled_from(["U", "I", "D"]), st.integers(0, 99)),
+        max_size=8,
+    ),
+)
+def test_merge_into_matches_dict_semantics(spark, target, source):
+    """MERGE INTO equals the dict-based reference semantics for ANY
+    target state and key-unique source batch."""
+    from data_warehousing_assignment_spark.plans.kimball import merge_into
+
+    if not target and not source:
+        return
+    tgt_rows = [(k, v) for k, v in target.items()]
+    src_rows = [(k, v, op) for k, (op, v) in source.items()]
+    expected = dict(target)
+    for k, (op, v) in source.items():
+        if op == "D":
+            expected.pop(k, None)
+        else:
+            expected[k] = v
+    tgt = spark.createDataFrame(
+        tgt_rows, "k int, v int"
+    ) if tgt_rows else spark.createDataFrame([], "k int, v int")
+    src = spark.createDataFrame(
+        src_rows, "k int, v int, op string"
+    ) if src_rows else spark.createDataFrame([], "k int, v int, op string")
+    got = {
+        r["k"]: r["v"] for r in merge_into(tgt, src, "k", ["v"]).collect()
+    }
+    assert got == expected
+
+
+@SPARK_SETTINGS
+@given(
+    st.lists(st.integers(-1000, 1000), min_size=1, max_size=40),
+)
+def test_cusum_prefix_min_identity(spark, xs):
+    """The windowed closed form S_i = P_i − min(0, min_{j≤i} P_j)
+    equals the literal recurrence S_i = max(0, S_{i-1} + x_i) for ANY
+    integer deviation series."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "i int, d long"
+    )
+    wrun = (
+        Window.orderBy("i").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    )
+    out = (
+        df.withColumn("pre", F.sum("d").over(wrun))
+        .withColumn(
+            "cusum",
+            F.col("pre")
+            - F.least(F.min("pre").over(wrun), F.lit(0).cast("long")),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    s = 0
+    for r, x in zip(out, xs):
+        s = max(0, s + x)
+        assert r["cusum"] == s
