@@ -1431,3 +1431,43 @@ def op_ext_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "op-ext-except-all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def op_ext_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference WITH multiplicity (a customer with 3
+    orders in 1995 and 1 in 1996 keeps 2 rows), the ANSI set op the
+    DISTINCT-flavored op-ext-except can't express (auditing "how many
+    more" rather than "whether"). Spark plans exceptAll as one
+    count-and-replicate aggregation per side + a join — single shuffle
+    on the key, no sort."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return a.exceptAll(b)
+
+
+@query(
+    "op-ext-intersect-all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def op_ext_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag intersection with min-multiplicity (the
+    overlap COUNTED, completing the ALL-flavored set-op family next to
+    op-ext-except-all / op-ext-union-all). Same single-shuffle
+    count-based plan as exceptAll."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return a.intersectAll(b)

@@ -1051,3 +1051,202 @@ def op_ext_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(truth, "seg").select(
         "seg", "true_distinct", "n_kept", kmv.cast("bigint").alias("kmv_est")
     )
+
+
+# --------------------------------------------------------------------------
+# decile lift / gains table
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-decile-lift",
+    oracle="""
+    WITH resp AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE year(o_orderdate) = 1997
+    ),
+    scored AS (
+      SELECT c.c_custkey,
+             CASE WHEN r.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS responded,
+             NTILE(10) OVER (ORDER BY
+               CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) DESC,
+               c.c_custkey) AS decile
+      FROM customer c LEFT JOIN resp r ON c.c_custkey = r.o_custkey
+    ),
+    d AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(responded) AS BIGINT) AS responders
+      FROM scored GROUP BY 1
+    ),
+    cum AS (
+      SELECT decile, n, responders,
+             CAST(SUM(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+             CAST(SUM(responders) OVER (ORDER BY decile) AS BIGINT)
+               AS cum_resp,
+             CAST(SUM(n) OVER () AS BIGINT) AS tot_n,
+             CAST(SUM(responders) OVER () AS BIGINT) AS tot_resp
+      FROM d
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n, responders,
+           CAST((1000000 * responders) // n AS BIGINT) AS response_ppm,
+           CAST((1000000 * cum_resp * tot_n) // (cum_n * tot_resp)
+                AS BIGINT) AS cum_lift_ppm
+    FROM cum
+    """,
+)
+def op_ext_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / gains table — THE model-evaluation artifact a
+    marketing warehouse produces (rank by score, bucket into deciles,
+    read cumulative lift): customers scored by account balance,
+    response = ordered in 1997. response rate and cumulative lift are
+    fixed-point ppm over exact counts. The ntile runs over the
+    CUSTOMER DIM (same sanction as op-ext-ntile — never raw facts);
+    the cumulative windows run over the 10-row decile frame. At 100 TB
+    the score column comes from a model scoring pass and the decile
+    boundary derivation switches to approx_percentile — documented,
+    same contract."""
+    resp = (
+        t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1997)
+        .select("o_custkey")
+        .distinct()
+        .withColumn("_r", F.lit(1))
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(
+            "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("bal"),
+    )
+    scored = (
+        cust.join(resp, cust["c_custkey"] == resp["o_custkey"], "left")
+        .select(
+            "c_custkey",
+            F.coalesce("_r", F.lit(0)).alias("responded"),
+            F.ntile(10)
+            .over(Window.orderBy(F.desc("bal"), F.asc("c_custkey")))
+            .alias("decile"),
+        )
+    )
+    d = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("responded").cast("bigint").alias("responders"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        d.withColumn("cum_n", F.sum("n").over(wcum))
+        .withColumn("cum_resp", F.sum("responders").over(wcum))
+        .withColumn("tot_n", F.sum("n").over(wall))
+        .withColumn("tot_resp", F.sum("responders").over(wall))
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n",
+            "responders",
+            F.expr("CAST((1000000 * responders) div n AS BIGINT)").alias(
+                "response_ppm"
+            ),
+            F.expr(
+                "CAST((1000000 * cum_resp * tot_n) div (cum_n * tot_resp)"
+                " AS BIGINT)"
+            ).alias("cum_lift_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# life table (discrete-time survival)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-lifetable",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
+    cust AS (
+      SELECT o_custkey,
+             date_diff('month', MIN(o_orderdate), MAX(o_orderdate))
+               AS tenure_m,
+             date_diff('month', MAX(o_orderdate), (SELECT mxd FROM mx)) > 6
+               AS churned
+      FROM orders GROUP BY 1
+    ),
+    d AS (
+      SELECT tenure_m,
+             CAST(COUNT(*) AS BIGINT) AS n_ending,
+             CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+               AS deaths
+      FROM cust GROUP BY 1
+    ),
+    lt AS (
+      SELECT tenure_m, n_ending, deaths,
+             CAST(SUM(n_ending) OVER (ORDER BY tenure_m DESC) AS BIGINT)
+               AS at_risk
+      FROM d
+    )
+    SELECT CAST(tenure_m AS BIGINT) AS tenure_m, n_ending, deaths, at_risk,
+           CAST((1000000 * deaths) // at_risk AS BIGINT) AS hazard_ppm
+    FROM lt
+    """,
+)
+def op_ext_lifetable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time life table (the actuarial/Kaplan-Meier counting
+    layer, log-free): customer tenure in months from first to last
+    order, "churn" = last order >6 months before the corpus horizon
+    (later customers are right-CENSORED — counted at risk, never as
+    deaths: the distinction every naive churn query gets wrong).
+    at_risk(k) = Σ_{t≥k} ending(t) via one reverse running sum over the
+    POST-AGGREGATE tenure frame (≤ months-span rows — the
+    single-ordering window is dim-bounded, op-ext-ntile's sanction);
+    hazard is fixed-point ppm. The KM survival curve is the running
+    product of (1 − hazard) — a float fold done downstream, outside
+    the engine-exact boundary."""
+    o = t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("mxd"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("fo"),
+            F.max("o_orderdate").alias("lo"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.months_between(
+                F.date_trunc("month", "lo"), F.date_trunc("month", "fo")
+            )
+            .cast("bigint")
+            .alias("tenure_m"),
+            (
+                F.months_between(
+                    F.date_trunc("month", "mxd"), F.date_trunc("month", "lo")
+                ).cast("bigint")
+                > 6
+            ).alias("churned"),
+        )
+    )
+    d = cust.groupBy("tenure_m").agg(
+        F.count(F.lit(1)).alias("n_ending"),
+        F.sum(F.when(F.col("churned"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("deaths"),
+    )
+    wrev = Window.orderBy(F.desc("tenure_m")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        d.withColumn("at_risk", F.sum("n_ending").over(wrev).cast("bigint"))
+        .select(
+            F.col("tenure_m").cast("bigint").alias("tenure_m"),
+            "n_ending",
+            "deaths",
+            "at_risk",
+            F.expr("CAST((1000000 * deaths) div at_risk AS BIGINT)").alias(
+                "hazard_ppm"
+            ),
+        )
+    )

@@ -95,6 +95,12 @@ ALLOWED = {
     # the union-merge re-rank runs over the two fused 64-hash sketches
     # (≤128 rows — metadata-sized by construction)
     "op-ext-kmv-sketch": {"single-partition window"},
+    # score-ordered ntile over the customer DIM + cumulative windows
+    # over the 10-row decile frame (op-ext-ntile's sanction)
+    "op-ext-decile-lift": {"single-partition window"},
+    # reverse running sum over the post-aggregate tenure-month frame
+    # (≤ months-span rows) + 1-row horizon broadcast
+    "op-ext-lifetable": {"cartesian", "single-partition window"},
 }
 
 
