@@ -1471,3 +1471,128 @@ def op_ext_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
     b = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
     return a.intersectAll(b)
+
+
+@query(
+    "op-ext-tpch-q3",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)
+                    * (100 - CAST(CAST(l.l_discount AS DECIMAL(5,2)) * 100
+                              AS BIGINT))) AS BIGINT) AS revenue_c4,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1996-03-15'
+      AND l.l_shipdate > DATE '1996-03-15'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue_c4 DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def op_ext_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (Shipping Priority), adapted to the testdata's columns
+    (o_orderpriority for the missing shippriority): top-10 unshipped
+    BUILDING-segment orders by outstanding revenue as of 1996-03-15.
+    The canonical selective-join + aggregate + top-k macro shape:
+    both date filters push into the scans, the customer dim broadcast-
+    joins, revenue aggregates in exact integer centi-cents
+    (price_cents·(100−disc_pct) — the star-join formulation,
+    BASELINE.md r7 bisect), and the cut plans as TakeOrderedAndProject
+    — per-partition top-10, never a global sort."""
+    c = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1996-03-15"
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1996-03-15"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = (
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        * (
+            100
+            - F.expr("CAST(CAST(l_discount AS DECIMAL(5,2)) * 100 AS BIGINT)")
+        )
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev).cast("bigint").alias("revenue_c4"))
+        .select("l_orderkey", "revenue_c4", "order_day", "o_orderpriority")
+        .orderBy(F.desc("revenue_c4"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "op-ext-tpch-q5",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)
+                    * (100 - CAST(CAST(l.l_discount AS DECIMAL(5,2)) * 100
+                              AS BIGINT))) AS BIGINT) AS revenue_c4
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND year(o.o_orderdate) = 1996
+    GROUP BY 1
+    """,
+)
+def op_ext_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (Local Supplier Volume): revenue per ASIA nation from
+    1996 orders where the SUPPLIER shares the customer's nation — the
+    classic 6-table snowflake with a non-FK equality (s_nationkey =
+    c_nationkey) that forces join-order care. All four dims broadcast;
+    the only shuffles are fact⋈fact keyed on order/supplier keys and
+    the 5-row final aggregate. Exact centi-cents revenue, same
+    formulation as op-ext-tpch-q3."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1996
+    ).select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    rev = (
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        * (
+            100
+            - F.expr("CAST(CAST(l_discount AS DECIMAL(5,2)) * 100 AS BIGINT)")
+        )
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("bigint").alias("revenue_c4"))
+    )
