@@ -215,56 +215,94 @@ def component_summary(components: DataFrame, id_col: str = "id") -> DataFrame:
     )
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
-    """Exact global triangle count via degree-ordered orientation
-    (the MapReduce-classic Suri–Vassilvitskii / Cohen formulation):
-    orient every undirected edge from its lower- to its higher-degree
-    endpoint (ties by node id, encoded as ONE sortable key
-    deg·2³² + node so the total order is a plain int64 comparison).
-    Each triangle then has exactly one "pivot" vertex with two
-    out-edges, so wedges = pairs of out-neighbors of a common source
-    and a triangle is a wedge whose (v, w) closure edge exists —
-    every step an equi-join, no OR-joins, no cartesian.
+def part_copurchase_edges(li: DataFrame) -> DataFrame:
+    """Canonical undirected co-purchase edges: parts sharing an order,
+    u < v, distinct — the shared edge builder for triangle_count /
+    clustering-coefficient registry ops. One order-keyed self-join;
+    fan-out per order is a data constant (lines per order)."""
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
 
-    Why orientation matters at 100 TB: out-degree under this order is
-    O(√m) on ANY graph, so the wedge count is Σ outdeg² = O(m^1.5)
-    instead of the Σ deg² blowup a star node causes in the naive
-    formulation (one celebrity node of degree 10⁷ → 10¹⁴ naive wedges).
 
-    Input: canonical undirected edges (u < v, distinct).
-    Output: one row (n_nodes, n_edges, n_wedges, n_triangles).
-    """
+def node_degrees(edges: DataFrame) -> DataFrame:
+    """(n, d) degree frame of a canonical undirected edge set."""
     nodes = edges.select(F.col("u").alias("n")).unionAll(
         edges.select(F.col("v").alias("n"))
     )
-    deg = nodes.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
-    okey = (F.col("d") * F.lit(4294967296) + F.col("n")).alias("ok")
-    dk = deg.select("n", okey)
+    return nodes.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+
+
+def oriented_triangles(edges: DataFrame) -> DataFrame:
+    """Every triangle exactly once as (a, b, c) = (pivot, second,
+    third in the (degree, node) total order) via degree-ordered
+    orientation (Suri–Vassilvitskii / Cohen): orient each undirected
+    edge from its lower- to higher-(degree, id) endpoint — the order
+    key is a STRUCT (d, n) comparison, total for ANY id range (an
+    int64-packed d·2³² + n key silently collides once ids reach 2³²,
+    i.e. exactly the 100 TB regime) — then wedges are out-neighbor
+    pairs of a common pivot and a triangle is a wedge whose closure
+    edge exists. All equi-joins; out-degree under this order is
+    O(√m) on any graph, so wedges are O(m^1.5) even with hub nodes.
+
+    The oriented frame and the triangle output are pinned
+    (caching.pin): wedge sides, closure probe, and the callers'
+    multi-consumer rollups reuse them instead of re-deriving the
+    pipeline."""
+    deg = node_degrees(edges)
+    dk = deg.select("n", F.struct(F.col("d"), F.col("n")).alias("ok"))
     e = (
-        edges.join(dk.withColumnRenamed("n", "u").withColumnRenamed("ok", "oku"), "u")
-        .join(dk.withColumnRenamed("n", "v").withColumnRenamed("ok", "okv"), "v")
+        edges.join(
+            dk.withColumnRenamed("n", "u").withColumnRenamed("ok", "oku"),
+            "u",
+        ).join(
+            dk.withColumnRenamed("n", "v").withColumnRenamed("ok", "okv"),
+            "v",
+        )
     )
-    # the oriented frame feeds THREE consumers (both wedge sides + the
-    # closure probe): pin it so the lineitem self-join + degree joins
-    # run once, not three times
-    o = pin(e.select(
-        F.when(F.col("oku") < F.col("okv"), F.col("u")).otherwise(F.col("v")).alias("s"),
-        F.when(F.col("oku") < F.col("okv"), F.col("v")).otherwise(F.col("u")).alias("t"),
-        F.when(F.col("oku") < F.col("okv"), F.col("okv")).otherwise(F.col("oku")).alias("okt"),
-    ))
-    a = o.select(F.col("s"), F.col("t").alias("x"), F.col("okt").alias("okx"))
-    b = o.select(F.col("s"), F.col("t").alias("y"), F.col("okt").alias("oky"))
+    lt = F.col("oku") < F.col("okv")
+    o = pin(
+        e.select(
+            F.when(lt, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lt, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(lt, F.col("okv")).otherwise(F.col("oku")).alias("okt"),
+        )
+    )
+    a = o.select("s", F.col("t").alias("x"), F.col("okt").alias("okx"))
+    b = o.select("s", F.col("t").alias("y"), F.col("okt").alias("oky"))
     wedges = (
         a.join(b, "s")
         .filter(F.col("okx") < F.col("oky"))
-        .select(F.col("x").alias("wv"), F.col("y").alias("ww"))
+        .select("s", F.col("x").alias("wv"), F.col("y").alias("ww"))
     )
     closures = o.select(F.col("s").alias("wv"), F.col("t").alias("ww"))
-    tris = wedges.join(closures, ["wv", "ww"])
+    return pin(
+        wedges.join(closures, ["wv", "ww"]).select(
+            F.col("s").alias("a"),
+            F.col("wv").alias("b"),
+            F.col("ww").alias("c"),
+        )
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact global triangle census via :func:`oriented_triangles`.
+    Output: one row (n_nodes, n_edges, n_triangles)."""
+    deg = node_degrees(edges)
+    tris = oriented_triangles(edges)
     return (
         edges.agg(F.count(F.lit(1)).alias("n_edges"))
         .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
-        .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
         .crossJoin(tris.agg(F.count(F.lit(1)).alias("n_triangles")))
-        .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+        .select("n_nodes", "n_edges", "n_triangles")
     )

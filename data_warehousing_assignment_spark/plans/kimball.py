@@ -129,7 +129,10 @@ def junk_dimension(
     occupancy so rare combos are auditable.
     """
     combos = df.groupBy(*flags).agg(F.count(F.lit(1)).alias("n_rows"))
-    w = Window.orderBy(*[F.col(c).asc_nulls_first() for c in flags])
+    # asc_nulls_last matches ANSI/DuckDB default ASC ordering (Spark
+    # alone defaults to nulls-first) — surrogate keys must not shift
+    # between engines the day a flag column turns nullable
+    w = Window.orderBy(*[F.col(c).asc_nulls_last() for c in flags])
     return combos.withColumn(
         "junk_key", F.row_number().over(w).cast("bigint")
     ).select("junk_key", *flags, "n_rows")

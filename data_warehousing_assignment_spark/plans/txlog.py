@@ -94,16 +94,7 @@ def read_snapshot(
     version (default latest). Raises below the vacuum horizon — those
     snapshots are no longer reconstructible BY CONTRACT, never
     silently partial."""
-    entries = read_log(root)
-    if not any("path" in e for e in entries):
-        raise FileNotFoundError(f"no commits in {root}")
-    if as_of_version is None:
-        as_of_version = latest_version(root)
-    h = horizon(root)
-    if as_of_version < h:
-        raise ValueError(
-            f"version {as_of_version} is below the vacuum horizon {h}"
-        )
+    as_of_version = _resolve_version(root, as_of_version)
     paths = live_files(root, as_of_version)
     if not paths:
         raise ValueError(
@@ -154,57 +145,75 @@ def vacuum(root: str, retain_from_version: int) -> list[str]:
     return removed
 
 
+def _resolve_version(root: str, as_of_version: int | None) -> int:
+    """Shared snapshot-read validation: commits exist, the pinned
+    version defaults to latest, and it is at or above the vacuum
+    horizon — both read paths enforce the 'never silently partial'
+    contract through this one gate."""
+    entries = read_log(root)
+    if not any("path" in e for e in entries):
+        raise FileNotFoundError(f"no commits in {root}")
+    if as_of_version is None:
+        as_of_version = latest_version(root)
+    h = horizon(root)
+    if as_of_version < h:
+        raise ValueError(
+            f"version {as_of_version} is below the vacuum horizon {h}"
+        )
+    return as_of_version
+
+
 def commit_with_stats(
     root: str, df: DataFrame, version: int, stats_col: str
 ) -> str:
     """Commit like :func:`commit`, additionally recording the file's
     min/max of ``stats_col`` in the manifest entry — the Delta/Iceberg
-    per-file statistics that make MANIFEST-LEVEL data skipping
-    possible (same min/max contract as op-ext-zonemap, one level
-    above row groups). One extra 1-row aggregate per commit."""
+    per-file statistics that make MANIFEST-LEVEL data skipping possible
+    (same min/max contract as op-ext-zonemap, one level above row
+    groups). The stats are aggregated from the JUST-WRITTEN file, so
+    the input plan runs once and the recorded range provably describes
+    the file's actual contents. Values are stored as raw JSON (string
+    stays string, number stays number) so :func:`skipped_read` compares
+    with the column's own ordering, never lexically-on-str()."""
     from pyspark.sql import functions as F
 
-    row = df.agg(
-        F.min(stats_col).alias("lo"), F.max(stats_col).alias("hi")
-    ).collect()[0]
-    lohi = (row["lo"], row["hi"])
-    delta_dir = os.path.join(root, f"delta_v{version}")
-    df.write.mode("overwrite").parquet(delta_dir)
-    _append(
-        root,
-        [
-            {
-                "version": version,
-                "path": delta_dir,
-                "action": "add",
-                "stats": {
-                    "col": stats_col,
-                    "min": str(lohi[0]),
-                    "max": str(lohi[1]),
-                },
-            }
-        ],
+    delta_dir = commit(root, df, version)
+    row = (
+        df.sparkSession.read.parquet(delta_dir)
+        .agg(F.min(stats_col).alias("lo"), F.max(stats_col).alias("hi"))
+        .collect()[0]
     )
+    if row["lo"] is not None and row["hi"] is not None:
+        # rewrite the entry commit() appended, now carrying stats —
+        # an all-NULL/empty file stays statless (always scanned: sound)
+        entries = read_log(root)
+        entries[-1]["stats"] = {
+            "col": stats_col,
+            "min": row["lo"],
+            "max": row["hi"],
+        }
+        with open(log_path(root), "w") as fh:
+            for e in entries:
+                fh.write(json.dumps(e, default=str) + "\n")
     return delta_dir
 
 
 def skipped_read(
     spark: SparkSession,
     root: str,
-    lo: str,
-    hi: str,
+    lo,
+    hi,
     as_of_version: int | None = None,
 ) -> tuple[DataFrame, list[str], list[str]]:
     """Snapshot read that SKIPS files whose manifest stats range
     [min, max] cannot intersect [lo, hi] — returns (frame, scanned,
     skipped). A file without stats is always scanned (sound by
-    construction: skipping requires PROOF of non-overlap). String
-    comparison matches because the stats column is stored as an
-    ISO-formatted string/date here; numeric columns would store
-    numbers."""
+    construction: skipping requires PROOF of non-overlap), and stats
+    whose JSON type differs from lo/hi's type are treated as absent
+    rather than compared across types. Same horizon/no-commit guards
+    as :func:`read_snapshot` (via _resolve_version)."""
+    as_of_version = _resolve_version(root, as_of_version)
     entries = read_log(root)
-    if as_of_version is None:
-        as_of_version = latest_version(root)
     live = set(live_files(root, as_of_version))
     stats = {
         e["path"]: e.get("stats")
@@ -214,7 +223,12 @@ def skipped_read(
     scanned, skipped = [], []
     for p in sorted(live):
         s = stats.get(p)
-        if s is not None and (s["max"] < lo or s["min"] > hi):
+        comparable = (
+            s is not None
+            and isinstance(s["min"], type(lo))
+            and isinstance(s["max"], type(hi))
+        )
+        if comparable and (s["max"] < lo or s["min"] > hi):
             skipped.append(p)
         else:
             scanned.append(p)

@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_warehousing_assignment_spark.operators import sketch as sk
-from data_warehousing_assignment_spark.operators.graph import triangle_count
+from data_warehousing_assignment_spark.operators.graph import (
+    node_degrees,
+    oriented_triangles,
+    part_copurchase_edges,
+    triangle_count,
+)
 from data_warehousing_assignment_spark.registry import query, sum_cents, t
 
 
@@ -210,20 +215,7 @@ def op_ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Equi-joins only; the orientation total order is one int64 key
     (deg·2³² + node)."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
-    )
+    edges = part_copurchase_edges(li)
     return triangle_count(edges).select("n_nodes", "n_edges", "n_triangles")
 
 
@@ -631,73 +623,16 @@ def op_ext_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchase graph: per node, triangles ÷ C(deg, 2) in fixed-point
     ppm — "how clique-ish is this part's neighborhood", the community
     screen that complements op-ext-triangle-count's global census.
-    Per-node triangle counts reuse the degree-ORIENTED closure
-    (graph.triangle_count's shape: each triangle found once at its
-    pivot, then credited to all 3 corners by a 3-way union — no
-    per-corner rejoin), so the wedge bound O(m^1.5) still holds at
-    100 TB. Top-20 by coefficient via TakeOrderedAndProject; degree
+    Per-node counts reuse graph.oriented_triangles (each triangle found
+    once at its pivot, then credited to all 3 corners by one 3-way
+    union over the PINNED triangle frame — no per-corner re-derivation,
+    no second orientation pipeline), so the O(m^1.5) wedge bound holds
+    here too. Top-20 by coefficient via TakeOrderedAndProject; degree
     floor 10 keeps C(deg,2) meaningful."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
-    )
-    from data_warehousing_assignment_spark.caching import pin
-
-    edges = pin(edges)
-    nodes = edges.select(F.col("u").alias("n")).unionAll(
-        edges.select(F.col("v").alias("n"))
-    )
-    deg = nodes.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
-    okey = (F.col("d") * F.lit(4294967296) + F.col("n")).alias("ok")
-    dk = deg.select("n", okey)
-    e = (
-        edges.join(
-            dk.withColumnRenamed("n", "u").withColumnRenamed("ok", "oku"),
-            "u",
-        ).join(
-            dk.withColumnRenamed("n", "v").withColumnRenamed("ok", "okv"),
-            "v",
-        )
-    )
-    # three consumers (two wedge sides + closures) — pin like
-    # graph.triangle_count so the edge build runs once
-    o = pin(e.select(
-        F.when(F.col("oku") < F.col("okv"), F.col("u"))
-        .otherwise(F.col("v"))
-        .alias("s"),
-        F.when(F.col("oku") < F.col("okv"), F.col("v"))
-        .otherwise(F.col("u"))
-        .alias("t"),
-        F.when(F.col("oku") < F.col("okv"), F.col("okv"))
-        .otherwise(F.col("oku"))
-        .alias("okt"),
-    ))
-    aa = o.select("s", F.col("t").alias("x"), F.col("okt").alias("okx"))
-    bb = o.select("s", F.col("t").alias("y"), F.col("okt").alias("oky"))
-    wedges = (
-        aa.join(bb, "s")
-        .filter(F.col("okx") < F.col("oky"))
-        .select("s", F.col("x").alias("wv"), F.col("y").alias("ww"))
-    )
-    closures = o.select(F.col("s").alias("wv"), F.col("t").alias("ww"))
-    # the corner credit unions this frame THREE times — without the pin
-    # the whole edge→wedge→closure pipeline re-runs per corner
-    tris = pin(
-        wedges.join(closures, ["wv", "ww"]).select(
-            F.col("s").alias("a"), F.col("wv").alias("b"), F.col("ww").alias("c")
-        )
-    )
+    edges = part_copurchase_edges(li)
+    deg = node_degrees(edges)
+    tris = oriented_triangles(edges)
     corners = (
         tris.select(F.col("a").alias("node"))
         .unionAll(tris.select(F.col("b").alias("node")))

@@ -534,37 +534,43 @@ def op_ext_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "op-ext-zonemap-prune",
-    oracle=f"""
-    WITH z AS (
-      SELECT strftime(o_orderdate, '%Y-%m') AS part_month,
+    oracle=f"""    WITH z AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 1250000 AS zone_id,
              CAST(COUNT(*) AS BIGINT) AS n_rows,
-             MIN({_OTOT}) AS min_cents,
-             MAX({_OTOT}) AS max_cents,
-             CAST(SUM(CASE WHEN {_OTOT} BETWEEN 40000000 AND 50000000
+             MIN(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS min_cents,
+             MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS max_cents,
+             CAST(SUM(CASE WHEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) BETWEEN 40000000 AND 50000000
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_matching
       FROM orders GROUP BY 1
     )
-    SELECT part_month, n_rows, min_cents, max_cents,
+    SELECT CAST(zone_id AS BIGINT) AS zone_id, n_rows, min_cents, max_cents,
            (max_cents >= 40000000 AND min_cents <= 50000000) AS scanned,
            n_matching
     FROM z
+    
     """,
 )
 def op_ext_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map pruning decision (the read side of op-ext-zonemap's
     min/max stats — what Parquet row-group stats, ORC stripe stats, and
-    Delta file stats all do): for the predicate total ∈ [$400k, $500k],
-    a month-zone is SCANNED only when [min,max] overlaps the predicate
-    range; non-overlap proves zero matches without reading the zone
-    (tests/test_warehouse_wave.py pins pruned ⇒ n_matching = 0). The
-    zone frame is metadata-sized (one row per month); at 100 TB this
-    decision is why a selective scan reads 2% of files instead of all
-    of them — same contract as the PartitionFilters plan guard
+    Delta file stats all do) for the predicate total ∈ [$400k, $500k],
+    over the VALUE-SORTED layout (zone = $12.5k-wide total bucket, the
+    zones a totalprice-ORDERED write produces): a zone is SCANNED only
+    when [min,max] overlaps the predicate; non-overlap proves zero
+    matches without reading the zone (tests/test_warehouse_wave.py
+    pins pruned ⇒ n_matching = 0, and that the predicate both prunes
+    and keeps zones). Why the layout matters: on the month-keyed
+    layout every zone's [min,max] spans nearly the full price range
+    (measured — ZERO zones prunable for this predicate), which is
+    op-ext-zorder's lesson one level down: min/max stats only skip
+    when the layout clusters the filter column. At 100 TB this
+    decision is why a selective scan on a sorted table reads ~2% of
+    files — same contract as the PartitionFilters plan guard
     (tests/test_plan_shapes.py) one level below partitions."""
     orders = t(spark, sf_dir, "orders")
     cents = F.expr(_OTOT)
     z = orders.groupBy(
-        F.date_format("o_orderdate", "yyyy-MM").alias("part_month")
+        F.expr(f"({_OTOT}) div 1250000").cast("bigint").alias("zone_id")
     ).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min(cents).alias("min_cents"),
@@ -576,7 +582,7 @@ def op_ext_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_matching"),
     )
     return z.select(
-        "part_month",
+        "zone_id",
         "n_rows",
         "min_cents",
         "max_cents",

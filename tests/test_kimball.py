@@ -134,3 +134,14 @@ def test_junk_dim_keys_dense_and_unique(spark):
     assert len(combos) == len(jd)
     # occupancy covers the whole fact
     assert sum(r["n_rows"] for r in jd) == li.count()
+
+
+def test_junk_dim_null_flags_sort_last(spark):
+    """Cross-engine surrogate stability: NULL flag combos take the
+    HIGHEST keys (ANSI/DuckDB ASC default), not Spark's nulls-first."""
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), (None, "x"), ("a", "x")], ["f1", "f2"]
+    )
+    jd = {(r["f1"], r["f2"]): r["junk_key"]
+          for r in junk_dimension(df, ["f1", "f2"]).collect()}
+    assert jd[("a", "x")] < jd[("a", None)] < jd[(None, "x")]

@@ -69,3 +69,34 @@ def test_crypto_shred_is_irreversible(spark):
     # surviving users fully decryptable
     kept = out.filter(F.col("c_custkey") % 13 != 0)
     assert kept.filter(~F.col("decryptable")).count() == 0
+
+
+def test_numeric_stats_skip_numerically_not_lexically(spark, tmp_path):
+    """'99' > '200' lexically — numeric stats must compare as numbers
+    (the pre-review str() bug skipped files containing matches)."""
+    root = str(tmp_path / "num")
+    a = spark.createDataFrame([(99,), (150,)], ["amount"])
+    b = spark.createDataFrame([(900,), (950,)], ["amount"])
+    txlog.commit_with_stats(root, a, 1, "amount")
+    txlog.commit_with_stats(root, b, 2, "amount")
+    snap, scanned, skipped = txlog.skipped_read(spark, root, lo=100, hi=200)
+    assert len(scanned) == 1 and len(skipped) == 1
+    assert snap.filter(F.col("amount") == 150).count() == 1
+    # mismatched predicate type → stats unusable → everything scanned
+    _, scanned2, skipped2 = txlog.skipped_read(
+        spark, root, lo="100", hi="200"
+    )
+    assert len(scanned2) == 2 and skipped2 == []
+
+
+def test_skipped_read_respects_vacuum_horizon(spark, tmp_path):
+    import pytest as _pt
+
+    root = str(tmp_path / "hz")
+    _yearly_commits(spark, root)
+    txlog.compact(spark, root, 4)
+    txlog.vacuum(root, 4)
+    with _pt.raises(ValueError, match="vacuum horizon"):
+        txlog.skipped_read(
+            spark, root, lo="1996-01-01", hi="1996-12-31", as_of_version=2
+        )
