@@ -306,3 +306,39 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .crossJoin(tris.agg(F.count(F.lit(1)).alias("n_triangles")))
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+def k_core(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
+    """The k-core of an undirected graph (canonical u<v edges): the
+    maximal subgraph where every node has degree ≥ k, computed by the
+    standard peeling fixpoint — drop all nodes with degree < k,
+    recompute degrees, repeat until stable (Seidman 1983; the
+    community-density screen coarser than clustering coefficients but
+    linear-time).
+
+    Same driver-loop contract as :func:`connected_components`: each
+    round is one distributed semi-join + one degree aggregation, the
+    only driver data is the 1-scalar convergence count, and
+    ``localCheckpoint`` truncates lineage per round. Rounds are
+    bounded by the degeneracy ordering depth — small for real graphs
+    (the sf0.1 co-purchase graph converges in ≤4).
+
+    Returns the surviving (n, d) degree frame (nodes of the k-core
+    with their in-core degrees).
+    """
+    cur = pin(edges.select("u", "v"))
+    for _ in range(max_iter):
+        deg = node_degrees(cur)
+        keep = deg.filter(F.col("d") >= k).select("n")
+        nxt = (
+            cur.join(keep.withColumnRenamed("n", "u"), "u", "semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        before = cur.count()
+        after = nxt.count()
+        cur = nxt
+        if after == before:
+            break
+    return node_degrees(cur).filter(F.col("d") >= k)

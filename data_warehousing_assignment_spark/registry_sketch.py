@@ -1185,3 +1185,127 @@ def op_ext_lifetable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# item-item similarity ("people also bought")
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-item-sim",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    cnt AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+            FROM li GROUP BY 1),
+    co AS (
+      SELECT a.l_partkey AS i, b.l_partkey AS j,
+             CAST(COUNT(*) AS BIGINT) AS co_n
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT i, j, co_n FROM co
+      UNION ALL
+      SELECT j, i, co_n FROM co
+    ),
+    scored AS (
+      SELECT s.i AS part_key, s.j AS similar_part, s.co_n,
+             CAST((1000000 * s.co_n * s.co_n) // (ci.c * cj.c) AS BIGINT)
+               AS cos2_ppm
+      FROM sym s JOIN cnt ci ON s.i = ci.l_partkey
+                 JOIN cnt cj ON s.j = cj.l_partkey
+      WHERE ci.c >= 20 AND s.co_n >= 3
+    )
+    SELECT part_key, similar_part, co_n, cos2_ppm
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY part_key
+                               ORDER BY cos2_ppm DESC, similar_part) <= 5
+    """,
+)
+def op_ext_item_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering ("customers who bought X also
+    bought…", Amazon's classic): parts scored by co-purchase cosine —
+    ranked by the SQUARED cosine co²/(c_i·c_j) in exact fixed-point
+    ppm, which orders identically to cosine (both sides nonneg) and
+    needs no cross-engine sqrt. Support floors (anchor count ≥ 20,
+    co-count ≥ 3) prune the long noise tail BEFORE the per-part top-5
+    ranking window, which carries WindowGroupLimit pushdown. The
+    co-occurrence build is the order-keyed pair join (fan-out per
+    order is a data constant — op-ext-copurchase's scale argument);
+    nothing is ever all-pairs over the catalog."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = li.alias("a")
+    b = li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("i"), F.col("b.l_partkey").alias("j")
+        )
+        .agg(F.count(F.lit(1)).alias("co_n"))
+    )
+    sym = co.unionByName(
+        co.select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "co_n"
+        )
+    )
+    ci = cnt.select(F.col("l_partkey").alias("i"), F.col("c").alias("ci"))
+    cj = cnt.select(F.col("l_partkey").alias("j"), F.col("c").alias("cj"))
+    scored = (
+        sym.join(ci, "i")
+        .join(cj, "j")
+        .filter((F.col("ci") >= 20) & (F.col("co_n") >= 3))
+        .select(
+            F.col("i").alias("part_key"),
+            F.col("j").alias("similar_part"),
+            "co_n",
+            F.expr(
+                "CAST((1000000 * co_n * co_n) div (ci * cj) AS BIGINT)"
+            ).alias("cos2_ppm"),
+        )
+    )
+    w = Window.partitionBy("part_key").orderBy(
+        F.desc("cos2_ppm"), F.asc("similar_part")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition
+# --------------------------------------------------------------------------
+
+
+@query("op-ext-kcore")  # rows-only: peeling fixpoint has no SQL oracle;
+def op_ext_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the part co-purchase graph (Seidman 1983): the maximal
+    subgraph where every part co-occurs with ≥3 other in-core parts —
+    the density screen that separates structural community members
+    from incidental co-purchases (coarser than op-ext-clustering-coef,
+    linear instead of O(m^1.5)). graph.k_core peels by the standard
+    degree fixpoint — one semi-join + one degree agg per round, rounds
+    bounded by degeneracy depth. rows-only by design (a shrinking
+    fixpoint can't be a DuckDB recursive CTE, which only grows);
+    semantics pinned in tests/test_graph.py by a python peel replay at
+    sf0.001 (exact surviving-node-set equality)."""
+    from data_warehousing_assignment_spark.operators.graph import (
+        k_core,
+        part_copurchase_edges,
+    )
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = part_copurchase_edges(li)
+    return k_core(edges, k=3).select(
+        F.col("n").alias("part_key"), F.col("d").alias("core_degree")
+    )

@@ -68,3 +68,45 @@ def test_long_chain_converges_in_log_rounds(spark):
     out = gr.connected_components(nodes, edges, max_iter=12)
     got = {r.id: r.component for r in out.collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_k_core_matches_python_peel(spark):
+    """Exact surviving-node parity with a literal python peel at
+    sf0.001."""
+    from pyspark.sql import functions as F
+
+    from data_warehousing_assignment_spark.operators.graph import (
+        k_core,
+        part_copurchase_edges,
+    )
+
+    li = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).select("l_orderkey", "l_partkey")
+    edges_df = part_copurchase_edges(li)
+    edges = {(r["u"], r["v"]) for r in edges_df.collect()}
+
+    K = 3
+    cur = set(edges)
+    while True:
+        deg: dict = {}
+        for u, v in cur:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= K}
+        nxt = {(u, v) for u, v in cur if u in keep and v in keep}
+        if nxt == cur:
+            break
+        cur = nxt
+    expect_deg: dict = {}
+    for u, v in cur:
+        expect_deg[u] = expect_deg.get(u, 0) + 1
+        expect_deg[v] = expect_deg.get(v, 0) + 1
+    expect = {n: d for n, d in expect_deg.items() if d >= K}
+
+    got = {
+        r["n"]: r["d"] for r in k_core(edges_df, k=K).collect()
+    }
+    assert got == expect
+    # the core is non-trivial on the planted co-purchase graph
+    assert len(got) > 0
