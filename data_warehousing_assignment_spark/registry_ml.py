@@ -347,3 +347,321 @@ def op_ext_text_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cls") == F.col("actual_lang")).alias("correct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# classifier evaluation: confusion matrix + per-class precision/recall
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-confusion",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS l FROM documents),
+    tok AS (SELECT doc_id, lang, unnest(l) AS w FROM t),
+    cwc AS (SELECT w, lang AS cls, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM tok GROUP BY 1, 2),
+    cw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt_w
+           FROM tok GROUP BY 1),
+    ncls AS (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS k FROM tok),
+    cls AS (SELECT DISTINCT lang AS cls FROM tok),
+    fan AS (
+      SELECT tok.doc_id, tok.lang AS actual_lang, tok.w, cls.cls
+      FROM tok CROSS JOIN cls
+    ),
+    scored AS (
+      SELECT f.doc_id, f.actual_lang, f.cls,
+             CAST(SUM((1000000 * (COALESCE(c.cnt, 0) + 1))
+                      // (cw.cnt_w + ncls.k)) AS BIGINT) AS score_ppm
+      FROM fan f
+      LEFT JOIN cwc c ON f.w = c.w AND f.cls = c.cls
+      JOIN cw ON f.w = cw.w
+      CROSS JOIN ncls
+      GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT doc_id, actual_lang, cls AS predicted_lang
+      FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY score_ppm DESC, cls) = 1
+    ),
+    cm AS (
+      SELECT actual_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT c.cls,
+             CAST(COALESCE(SUM(CASE WHEN cm.actual_lang = c.cls
+                               AND cm.predicted_lang = c.cls
+                          THEN cm.n END), 0) AS BIGINT) AS tp,
+             CAST(COALESCE(SUM(CASE WHEN cm.predicted_lang = c.cls
+                          THEN cm.n END), 0) AS BIGINT) AS pred_n,
+             CAST(COALESCE(SUM(CASE WHEN cm.actual_lang = c.cls
+                          THEN cm.n END), 0) AS BIGINT) AS actual_n
+      FROM cls c LEFT JOIN cm ON TRUE
+      GROUP BY 1
+    )
+    SELECT cls, tp, pred_n, actual_n,
+           CAST(CASE WHEN pred_n = 0 THEN 0
+                ELSE (1000000 * tp) // pred_n END AS BIGINT)
+             AS precision_ppm,
+           CAST(CASE WHEN actual_n = 0 THEN 0
+                ELSE (1000000 * tp) // actual_n END AS BIGINT)
+             AS recall_ppm
+    FROM m
+    """,
+)
+def op_ext_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall off the posterior-vote classifier's
+    confusion matrix (op-ext-text-classify's predictions rolled up) —
+    the evaluation artifact that tells you WHICH class the classifier
+    confuses, in exact fixed-point ppm. The confusion matrix is
+    |classes|² rows; the per-class rollup joins it against the class
+    frame so zero-support classes still report (precision 0 by
+    convention, not NULL). At 100 TB the eval is one groupBy over
+    predictions — the expensive part is the classifier, already
+    measured flat-ish (BASELINE.md)."""
+    pred = op_ext_text_classify(spark, sf_dir).select(
+        "actual_lang", "predicted_lang"
+    )
+    cm = pred.groupBy("actual_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cls = pred.select(F.col("actual_lang").alias("cls")).distinct()
+    m = (
+        cls.crossJoin(F.broadcast(cm))
+        .groupBy("cls")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("actual_lang") == F.col("cls"))
+                    & (F.col("predicted_lang") == F.col("cls")),
+                    F.col("n"),
+                )
+            ).alias("_tp"),
+            F.sum(
+                F.when(F.col("predicted_lang") == F.col("cls"), F.col("n"))
+            ).alias("_pred"),
+            F.sum(
+                F.when(F.col("actual_lang") == F.col("cls"), F.col("n"))
+            ).alias("_act"),
+        )
+        .select(
+            "cls",
+            F.coalesce("_tp", F.lit(0)).cast("bigint").alias("tp"),
+            F.coalesce("_pred", F.lit(0)).cast("bigint").alias("pred_n"),
+            F.coalesce("_act", F.lit(0)).cast("bigint").alias("actual_n"),
+        )
+    )
+    return m.select(
+        "cls",
+        "tp",
+        "pred_n",
+        "actual_n",
+        F.expr(
+            "CAST(CASE WHEN pred_n = 0 THEN 0"
+            " ELSE (1000000 * tp) div pred_n END AS BIGINT)"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CAST(CASE WHEN actual_n = 0 THEN 0"
+            " ELSE (1000000 * tp) div actual_n END AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# exact rank-based AUC (Mann-Whitney with midranks)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-auc",
+    oracle="""
+    WITH resp AS (SELECT DISTINCT o_custkey FROM orders
+                  WHERE year(o_orderdate) = 1997),
+    s AS (
+      SELECT c.c_custkey,
+             CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS score,
+             CASE WHEN r.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
+      FROM customer c LEFT JOIN resp r ON c.c_custkey = r.o_custkey
+    ),
+    rk AS (
+      SELECT y, score,
+             ROW_NUMBER() OVER (ORDER BY score, c_custkey) AS rn
+      FROM s
+    ),
+    mid AS (
+      -- midrank×2 = min(rn)+max(rn) within a tied-score group: integer
+      SELECT y,
+             CAST(MIN(rn) OVER (PARTITION BY score)
+                  + MAX(rn) OVER (PARTITION BY score) AS BIGINT) AS mr2
+      FROM rk
+    ),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN y = 1 THEN mr2 ELSE 0 END) AS BIGINT)
+               AS pos_mr2,
+             CAST(SUM(y) AS BIGINT) AS p,
+             CAST(SUM(1 - y) AS BIGINT) AS n
+      FROM mid
+    )
+    SELECT p AS n_pos, n AS n_neg,
+           CAST((1000000 * (pos_mr2 - p * (p + 1)))
+                // (2 * p * n) AS BIGINT) AS auc_ppm
+    FROM agg
+    """,
+)
+def op_ext_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC via the Mann–Whitney rank identity with midranks
+    for ties (AUC = (Σ_pos midrank − P(P+1)/2)/(P·N)) — account
+    balance scoring 1997-response, the same setup as
+    op-ext-decile-lift, now as the single-number ranking metric.
+    Midrank×2 = min(rank)+max(rank) over the tied-score group keeps
+    every quantity an exact integer, so auc_ppm is engine-exact where
+    trapezoidal float AUC is not. The global rank window runs over the
+    CUSTOMER DIM (op-ext-ntile's sanction — a fact-scale AUC would
+    pre-aggregate scores to bounded resolution first, same contract as
+    op-ext-histogram)."""
+    resp = (
+        t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1997)
+        .select("o_custkey")
+        .distinct()
+        .withColumn("_r", F.lit(1))
+    )
+    s = (
+        t(spark, sf_dir, "customer")
+        .join(resp, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey",
+            F.expr(
+                "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("score"),
+            F.coalesce("_r", F.lit(0)).alias("y"),
+        )
+    )
+    rk = s.select(
+        "y",
+        "score",
+        F.row_number().over(Window.orderBy("score", "c_custkey")).alias("rn"),
+    )
+    wsc = Window.partitionBy("score")
+    mid = rk.select(
+        "y",
+        (F.min("rn").over(wsc) + F.max("rn").over(wsc))
+        .cast("bigint")
+        .alias("mr2"),
+    )
+    agg = mid.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("mr2")).otherwise(0))
+        .cast("bigint")
+        .alias("pos_mr2"),
+        F.sum("y").cast("bigint").alias("p"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("n"),
+    )
+    return agg.select(
+        F.col("p").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        F.expr(
+            "CAST((1000000 * (pos_mr2 - p * (p + 1))) div (2 * p * n)"
+            " AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# exact two-sample Kolmogorov-Smirnov statistic
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-ks-test",
+    oracle="""
+    WITH a AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT) AS v
+               FROM orders WHERE year(o_orderdate) = 1995),
+    b AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT) AS v
+          FROM orders WHERE year(o_orderdate) = 1996),
+    na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1 FROM a),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2 FROM b),
+    pts AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS c1, CAST(0 AS BIGINT) AS c2
+      FROM a GROUP BY 1
+      UNION ALL
+      SELECT v, 0, CAST(COUNT(*) AS BIGINT) FROM b GROUP BY 1
+    ),
+    merged AS (
+      SELECT v, SUM(c1) AS c1, SUM(c2) AS c2 FROM pts GROUP BY 1
+    ),
+    cdf AS (
+      SELECT v,
+             CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS cum1,
+             CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS cum2
+      FROM merged
+    )
+    SELECT (SELECT n1 FROM na) AS n_1995,
+           (SELECT n2 FROM nb) AS n_1996,
+           CAST(MAX(abs((1000000 * cum1) // (SELECT n1 FROM na)
+                        - (1000000 * cum2) // (SELECT n2 FROM nb)))
+                AS BIGINT) AS ks_d_ppm
+    FROM cdf
+    """,
+)
+def op_ext_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic between the 1995
+    and 1996 order-total distributions — the CONTINUOUS drift screen
+    beside the categorical op-ext-chisq: D = max |F₁(v) − F₂(v)| over
+    the merged observed support, with each empirical CDF in fixed-point
+    ppm (integer floor division — one consistent quantization on both
+    sides; the max of exact integers is exact). The CDF windows run
+    over the MERGED DISTINCT-VALUE frame, not raw orders — at 100 TB
+    values pre-bucket to cents (already bounded) so the frame is
+    value-domain-sized; drift monitoring runs this per
+    partition-pair."""
+    o = t(spark, sf_dir, "orders")
+    cents = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    a = o.filter(F.year("o_orderdate") == 1995).select(cents.alias("v"))
+    b = o.filter(F.year("o_orderdate") == 1996).select(cents.alias("v"))
+    na = a.agg(F.count(F.lit(1)).alias("n1"))
+    nb = b.agg(F.count(F.lit(1)).alias("n2"))
+    pts = (
+        a.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .withColumn("c2", F.lit(0).cast("bigint"))
+        .unionByName(
+            b.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("c2"))
+            .withColumn("c1", F.lit(0).cast("bigint"))
+            .select("v", "c1", "c2")
+        )
+    )
+    merged = pts.groupBy("v").agg(
+        F.sum("c1").alias("c1"), F.sum("c2").alias("c2")
+    )
+    wcdf = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = merged.select(
+        F.sum("c1").over(wcdf).cast("bigint").alias("cum1"),
+        F.sum("c2").over(wcdf).cast("bigint").alias("cum2"),
+    )
+    return (
+        cdf.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .agg(
+            F.max(
+                F.abs(
+                    F.expr("(1000000 * cum1) div n1")
+                    - F.expr("(1000000 * cum2) div n2")
+                )
+            )
+            .cast("bigint")
+            .alias("ks_d_ppm"),
+            F.first("n1").alias("n_1995"),
+            F.first("n2").alias("n_1996"),
+        )
+        .select("n_1995", "n_1996", "ks_d_ppm")
+    )

@@ -101,6 +101,14 @@ ALLOWED = {
     # reverse running sum over the post-aggregate tenure-month frame
     # (≤ months-span rows) + 1-row horizon broadcast
     "op-ext-lifetable": {"cartesian", "single-partition window"},
+    # rides op-ext-text-classify's sanctioned shapes + |classes|²
+    # confusion-matrix broadcast onto the 5-row class frame
+    "op-ext-confusion": {"cartesian", "single-partition window"},
+    # global rank window over the customer DIM (op-ext-ntile sanction)
+    "op-ext-auc": {"single-partition window"},
+    # CDF running sums over the merged DISTINCT-VALUE frame + two 1-row
+    # count broadcasts
+    "op-ext-ks-test": {"cartesian", "single-partition window"},
 }
 
 
