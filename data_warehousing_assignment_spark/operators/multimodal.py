@@ -310,3 +310,51 @@ def audio_frame_energy(
             )
 
     return df.select(id_col, "payload").mapInPandas(run, AUDIO_ENERGY_SCHEMA)
+
+
+AHASH_SCHEMA = "doc_id bigint, h1 bigint, h2 bigint"
+
+
+def average_hash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint of each media
+    payload: the 64 "pixels" (payload bytes after the magic, repeated/
+    truncated to 64 exactly like :func:`decode`) become one bit each —
+    1 iff the byte exceeds the integer-floor mean — packed as TWO
+    int32-range bigints (h1 = bits 0-31, h2 = bits 32-63) so Hamming
+    distance is ``bit_count(a.h1 ^ b.h1) + bit_count(a.h2 ^ b.h2)`` in
+    any engine (a single int64 pack flips sign at bit 63 and engines
+    disagree on << 63 semantics).
+
+    All integer arithmetic ⇒ the fingerprint is engine-exact — an
+    oracle-checkable stand-in for DCT pHash, whose float cosines
+    aren't. Real-codec swap point: feed real grayscale pixels from
+    :func:`decode`(real_codec=True) into the same bit rule; the
+    mapInPandas contract is unchanged. Arrow-batched; payload bytes
+    never hit row-wise Python."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            h1s, h2s = [], []
+            for b in pdf["payload"]:
+                body = bytes(b)[len(_MAGIC):]
+                arr = (
+                    np.resize(np.frombuffer(body, dtype=np.uint8), 64)
+                    if body
+                    else np.zeros(64, dtype=np.uint8)
+                )
+                mean = int(arr.sum()) // 64
+                bits = (arr.astype(np.int64) > mean).astype(np.int64)
+                weights = 1 << np.arange(32, dtype=np.int64)
+                h1s.append(int((bits[:32] * weights).sum()))
+                h2s.append(int((bits[32:] * weights).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "h1": h1s,
+                    "h2": h2s,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, AHASH_SCHEMA)

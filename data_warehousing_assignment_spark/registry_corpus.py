@@ -597,3 +597,128 @@ def op_ext_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("postings"),
     )
     return ix.filter(F.col("df").between(2, 50))
+
+
+# --------------------------------------------------------------------------
+# perceptual hash + banded Hamming near-dup (multimodal dedup)
+# --------------------------------------------------------------------------
+
+_PHASH_SQL = """
+    WITH t AS (SELECT doc_id, text, length(text) AS L FROM documents),
+    px AS (SELECT doc_id, k, ord(substr(text, (k % L) + 1, 1)) AS p
+           FROM t CROSS JOIN (SELECT unnest(range(0, 64)) AS k)),
+    m AS (SELECT doc_id, CAST(SUM(p) // 64 AS BIGINT) AS mean
+          FROM px GROUP BY 1),
+    b AS (SELECT px.doc_id, px.k,
+                 CASE WHEN px.p > m.mean THEN 1 ELSE 0 END AS bit
+          FROM px JOIN m ON px.doc_id = m.doc_id),
+    h AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN k < 32
+                      THEN bit * (CAST(1 AS BIGINT) << k)
+                      ELSE 0 END) AS BIGINT) AS h1,
+             CAST(SUM(CASE WHEN k >= 32
+                      THEN bit * (CAST(1 AS BIGINT) << (k - 32))
+                      ELSE 0 END) AS BIGINT) AS h2
+      FROM b GROUP BY 1
+    )
+"""
+
+
+@query(
+    "op-ext-mm-phash",
+    oracle=_PHASH_SQL + "    SELECT doc_id, h1, h2 FROM h",
+)
+def op_ext_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-hash perceptual fingerprint of each media payload
+    (multimodal.average_hash): 64 payload bytes → one bit each (byte >
+    integer mean), packed as two int32-range halves so Hamming math is
+    plain xor+bit_count in any engine. Deterministic integer pipeline
+    ⇒ EXACT oracle for a perceptual hash (the DCT-pHash float path is
+    the documented real-codec swap, multimodal.decode). Arrow-batched
+    mapInPandas over the payload column; the corpus-facing cost is one
+    scan. The oracle replays the byte math from the text column
+    (payload = magic || ascii text, pinned by op-ext-mm-decode)."""
+    from data_warehousing_assignment_spark.operators import multimodal as mm
+
+    docs = mm.with_media_columns(t(spark, sf_dir, "documents"))
+    return mm.average_hash(docs)
+
+
+@query(
+    "op-ext-mm-phash-neardup",
+    oracle=_PHASH_SQL + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.h1, b.h1))
+                + bit_count(xor(a.h2, b.h2)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 3
+    """,
+)
+def op_ext_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate MEDIA detection: payload pairs whose perceptual
+    hashes differ in ≤3 of 64 bits — the image-dedup pass of a
+    multimodal curation pipeline (the visual twin of the text ops:
+    simhash for tokens, THIS for pixels). Engine side is the
+    pigeonhole-banded join (4×16-bit bands; Hamming ≤3 < 4 bands
+    guarantees one clean band — op-ext-simhash-neardup's exactness
+    argument), so candidates are O(Σ band-bucket²), never all-pairs;
+    the ORACLE is the naive all-pairs xor+bit_count join — the banded
+    plan must reproduce it exactly. Final Hamming check is
+    bit_count(h1⊕h1')+bit_count(h2⊕h2') — JVM-side, no UDF."""
+    from data_warehousing_assignment_spark.operators import multimodal as mm
+
+    docs = mm.with_media_columns(t(spark, sf_dir, "documents"))
+    h = mm.average_hash(docs)
+    bands = h.select(
+        "doc_id",
+        "h1",
+        "h2",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    (F.col("h1") % 65536).alias("val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    (F.col("h1") / 65536).cast("bigint").alias("val"),
+                ),
+                F.struct(
+                    F.lit(2).alias("band"),
+                    (F.col("h2") % 65536).alias("val"),
+                ),
+                F.struct(
+                    F.lit(3).alias("band"),
+                    (F.col("h2") / 65536).cast("bigint").alias("val"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "h1", "h2", F.col("b.band").alias("band"),
+             F.col("b.val").alias("val"))
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("h1").alias("a1"),
+        F.col("h2").alias("a2"),
+        "band",
+        "val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("h1").alias("b1"),
+        F.col("h2").alias("b2"),
+        "band",
+        "val",
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "a1", "a2", "b1", "b2")
+        .distinct()
+    )
+    ham = F.expr("bit_count(a1 ^ b1) + bit_count(a2 ^ b2)")
+    return (
+        cand.withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )

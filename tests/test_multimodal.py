@@ -135,3 +135,21 @@ def test_audio_real_codec_is_documented_stub(spark):
         raise AssertionError("expected NotImplementedError")
     except NotImplementedError:
         pass
+
+
+def test_average_hash_identical_payloads_collide(spark):
+    from pyspark.sql import functions as F
+
+    from data_warehousing_assignment_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other words here")],
+        ["doc_id", "text"],
+    )
+    h = mm.average_hash(mm.with_media_columns(df)).collect()
+    by = {r["doc_id"]: (r["h1"], r["h2"]) for r in h}
+    assert by[1] == by[2]
+    assert by[1] != by[3]
+    # halves stay in uint32 range (packable, sign-safe)
+    for v1, v2 in by.values():
+        assert 0 <= v1 < 2**32 and 0 <= v2 < 2**32
