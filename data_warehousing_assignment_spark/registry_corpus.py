@@ -722,3 +722,119 @@ def op_ext_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# curriculum packing — quality-ordered sequence packing
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-curriculum-pack",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS l FROM documents),
+    p AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(l)),
+               i -> l[i] || ' ' || l[i + 1])) AS bigram
+      FROM t WHERE len(l) >= 2
+    ),
+    pw AS (SELECT doc_id, split_part(bigram, ' ', 1) AS w1,
+                  split_part(bigram, ' ', 2) AS w2 FROM p),
+    cnt AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM pw GROUP BY 1, 2),
+    lft AS (SELECT w1, CAST(SUM(n_ab) AS BIGINT) AS n_left
+            FROM cnt GROUP BY 1),
+    q AS (
+      SELECT pw.doc_id,
+             CAST(SUM((1000000 * c.n_ab) // l.n_left) // COUNT(*)
+                  AS BIGINT) AS quality_ppm
+      FROM pw JOIN cnt c ON pw.w1 = c.w1 AND pw.w2 = c.w2
+              JOIN lft l ON pw.w1 = l.w1
+      GROUP BY 1
+    ),
+    keyed AS (
+      SELECT t.doc_id, t.source, CAST(len(t.l) AS BIGINT) AS n_tokens,
+             q.quality_ppm,
+             (1000000 - q.quality_ppm) * 10000000000 + t.doc_id AS ord_key
+      FROM t JOIN q ON t.doc_id = q.doc_id
+      WHERE len(t.l) > 0
+    ),
+    cum AS (
+      SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source
+                       ORDER BY ord_key ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS cum_tokens
+      FROM keyed
+    )
+    SELECT doc_id, source, n_tokens, quality_ppm, cum_tokens,
+           CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS chunk_start
+    FROM cum
+    """,
+)
+def op_ext_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered sequence packing: op-ext-seq-pack's 512-token
+    GPT packing, but each source shard concatenates its documents in
+    QUALITY order (op-ext-lm-score's bigram-LM score, descending; ties
+    by doc_id via one composite int64 sort key) — so the first training
+    sequences of every shard hold the most-probable text, the standard
+    easy-first curriculum. The LM scoring joins aggregate the bigram
+    VOCAB; the packing prefix-sum is one per-shard window. Composition
+    = the curation pipeline a training run actually executes: score →
+    order → pack, all in one plan, no materialization between
+    stages."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens("text").alias("l")
+    )
+    pw = (
+        docs.filter(F.size("l") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(l) - 1), "
+                    "i -> named_struct('w1', element_at(l, i), "
+                    "'w2', element_at(l, i + 1)))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    cnt = pw.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    lft = cnt.groupBy("w1").agg(F.sum("n_ab").alias("n_left"))
+    q = (
+        pw.join(cnt, ["w1", "w2"])
+        .join(lft, "w1")
+        .withColumn("ppm", F.expr("(1000000 * n_ab) div n_left"))
+        .groupBy("doc_id")
+        .agg(
+            F.expr("CAST(sum(ppm) div count(1) AS BIGINT)").alias(
+                "quality_ppm"
+            )
+        )
+    )
+    keyed = (
+        docs.filter(F.size("l") > 0)
+        .select("doc_id", "source", F.size("l").cast("bigint").alias("n_tokens"))
+        .join(q, "doc_id")
+        .withColumn(
+            "ord_key",
+            (F.lit(1000000) - F.col("quality_ppm")) * F.lit(10000000000)
+            + F.col("doc_id"),
+        )
+    )
+    wpack = (
+        Window.partitionBy("source")
+        .orderBy("ord_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return keyed.withColumn(
+        "cum_tokens", F.sum("n_tokens").over(wpack).cast("bigint")
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "quality_ppm",
+        "cum_tokens",
+        F.expr("CAST((cum_tokens - n_tokens) div 512 AS BIGINT)").alias(
+            "chunk_start"
+        ),
+    )

@@ -932,3 +932,60 @@ def op_ext_txlog_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pc").cast("bigint").alias("rev_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# row-level security policy view
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-rls",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100) AS BIGINT)
+             AS acctbal_cents
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+    GROUP BY 1
+    """,
+)
+def op_ext_rls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level security: the EMEA analyst's customer rollup through
+    ``plans/access.with_row_policy`` — the policy predicate (customer's
+    nation ∈ EUROPE) is applied AT THE SOURCE FRAME, before any
+    aggregation, so every downstream op inherits the filter (the
+    Postgres RLS / Unity row-filter semantics; complements the
+    view-grant layer in plans/access.ROLE_GRANTS, ref User_roles.sql's
+    role separation). Catalyst pushes the region predicate through the
+    joins into the dim scans — the policy costs a broadcast semi-join,
+    not a post-hoc filter."""
+    from data_warehousing_assignment_spark.plans.access import (
+        with_row_policy,
+    )
+
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    emea_nations = (
+        n.join(r, n["n_regionkey"] == r["r_regionkey"])
+        .filter(F.col("r_name") == "EUROPE")
+        .select("n_nationkey", "n_name")
+    )
+    policy_frame = c.join(
+        F.broadcast(emea_nations),
+        c["c_nationkey"] == emea_nations["n_nationkey"],
+        "left",
+    )
+    secured = with_row_policy(
+        policy_frame, F.col("n_name").isNotNull()
+    )
+    return secured.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.expr("CAST(c_acctbal AS DECIMAL(18,2)) * 100"))
+        .cast("bigint")
+        .alias("acctbal_cents"),
+    )
