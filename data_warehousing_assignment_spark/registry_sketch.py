@@ -1309,3 +1309,141 @@ def op_ext_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(edges, k=3).select(
         F.col("n").alias("part_key"), F.col("d").alias("core_degree")
     )
+
+
+# --------------------------------------------------------------------------
+# linear multi-touch attribution credit
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-multitouch",
+    oracle="""
+    WITH v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS v_us
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us,
+                 value FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT p.purchase_id, v.view_id,
+             CAST(COUNT(*) OVER (PARTITION BY p.purchase_id) AS BIGINT)
+               AS n_touches
+      FROM p JOIN v ON p.user_id = v.user_id
+                   AND v.v_us < p.p_us
+                   AND v.v_us >= p.p_us - 3600000000
+    )
+    SELECT view_id,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM((1000000 // n_touches)) AS BIGINT) AS credit_ppm
+    FROM j GROUP BY 1
+    """,
+)
+def op_ext_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — each purchase splits one unit
+    of credit EQUALLY across all views in its preceding hour
+    (1e6 div n_touches ppm per touch, exact integers), aggregated per
+    view: the fair-share complement to op-ext-attribution's
+    first/last-touch extremes, and the degenerate (uniform-weight)
+    case of Shapley-value attribution. Same user-keyed interval join;
+    the per-purchase touch count is one purchase-partitioned window;
+    credit rollup shuffles (view_id, int) pairs only."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts_us").alias("v_us"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("p_us"),
+    )
+    j = p.join(
+        v,
+        (p["user_id"] == v["v_user"])
+        & (v["v_us"] < p["p_us"])
+        & (v["v_us"] >= p["p_us"] - 3600000000),
+    ).select(
+        "purchase_id",
+        "view_id",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("purchase_id"))
+        .cast("bigint")
+        .alias("n_touches"),
+    )
+    return j.groupBy("view_id").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.sum(F.expr("1000000 div n_touches")).cast("bigint").alias(
+            "credit_ppm"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# activity streaks (gaps-and-islands)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-streaks",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    g AS (
+      SELECT user_id, day,
+             date_diff('day', DATE '1970-01-01', day)
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+      FROM d
+    ),
+    s AS (
+      SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len,
+             strftime(MIN(day), '%Y-%m-%d') AS streak_start
+      FROM g GROUP BY 1, 2
+    )
+    SELECT user_id, len AS longest_streak_days, streak_start
+    FROM s
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY len DESC, streak_start) = 1
+    """,
+)
+def op_ext_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands pattern (epoch_day − row_number is constant
+    within a consecutive run, so the difference IS the island key; no
+    self-joins, no recursion): the engagement metric behind "7-day
+    streak" product features and the dual of op-ext-event-gaps'
+    silence measurement. Two user-partitioned windows over the
+    DISTINCT (user, day) frame — never raw events — then one island
+    rollup and a per-user argmax (WindowGroupLimit)."""
+    ev = t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.to_date(F.col("ts")).alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.select(
+        "user_id",
+        "day",
+        (
+            F.datediff("day", F.lit("1970-01-01"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    s = g.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("streak_start"),
+    )
+    wtop = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), F.asc("streak_start")
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("longest_streak_days"),
+            "streak_start",
+        )
+    )

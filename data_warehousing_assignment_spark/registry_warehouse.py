@@ -12,7 +12,7 @@ so both engines derive the identical input from the parquet testdata.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_warehousing_assignment_spark.plans.kimball import (
@@ -988,4 +988,117 @@ def op_ext_rls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("CAST(c_acctbal AS DECIMAL(18,2)) * 100"))
         .cast("bigint")
         .alias("acctbal_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SCD2 backfill — one-pass history reconstruction
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-pipe-scd2-backfill",
+    oracle="""
+    WITH yearly AS (
+      SELECT o_custkey, year(o_orderdate) AS yr, o_orderpriority
+      FROM orders
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey, year(o_orderdate)
+                                 ORDER BY o_orderdate DESC,
+                                          o_orderkey DESC) = 1
+    ),
+    flagged AS (
+      SELECT o_custkey, yr, o_orderpriority,
+             CASE WHEN LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+                                                  ORDER BY yr)
+                       IS DISTINCT FROM o_orderpriority
+                  THEN 1 ELSE 0 END AS chg
+      FROM yearly
+    ),
+    runs AS (
+      SELECT o_custkey, yr, o_orderpriority,
+             CAST(SUM(chg) OVER (PARTITION BY o_custkey ORDER BY yr
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS run_id
+      FROM flagged
+    ),
+    hist AS (
+      SELECT o_custkey, run_id, o_orderpriority,
+             CAST(MIN(yr) AS BIGINT) AS from_yr
+      FROM runs GROUP BY 1, 2, 3
+    )
+    SELECT o_custkey, o_orderpriority,
+           CAST(from_yr AS VARCHAR) || '-01-01' AS valid_from,
+           CASE WHEN LEAD(from_yr) OVER (PARTITION BY o_custkey
+                                         ORDER BY from_yr) IS NULL
+                THEN NULL
+                ELSE CAST(LEAD(from_yr) OVER (PARTITION BY o_custkey
+                                              ORDER BY from_yr)
+                          AS VARCHAR) || '-01-01' END AS valid_to,
+           LEAD(from_yr) OVER (PARTITION BY o_custkey ORDER BY from_yr)
+             IS NULL AS is_current
+    FROM hist
+    """,
+)
+def op_pipe_scd2_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 HISTORY BACKFILL in one pass — reconstruct a Type-2
+    dimension from raw history when no dim was ever maintained (the
+    day-1 problem every warehouse migration hits; the incremental
+    merge op-pipe-scd2 only works going forward): each customer's
+    yearly order priority is run-length collapsed via gaps-and-islands
+    (change flag = LAG ≠ value; run id = running sum of flags), runs
+    become validity intervals, LEAD supplies valid_to, the last run is
+    current. Four window functions over ONE (customer, year) ordering
+    — no iteration, no self-join per change, which is why backfilling
+    years of 100 TB history is one shuffle by entity. Invariants
+    (contiguity, single current row) are the same
+    plans/scd2.assert_scd2_invariants contract, pinned in
+    tests/test_warehouse_wave.py."""
+    o = t(spark, sf_dir, "orders")
+    wlatest = Window.partitionBy(
+        "o_custkey", F.year("o_orderdate")
+    ).orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    yearly = (
+        o.withColumn("rn", F.row_number().over(wlatest))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.year("o_orderdate").alias("yr"),
+            "o_orderpriority",
+        )
+    )
+    wyr = Window.partitionBy("o_custkey").orderBy("yr")
+    flagged = yearly.select(
+        "o_custkey",
+        "yr",
+        "o_orderpriority",
+        F.when(
+            ~F.lag("o_orderpriority")
+            .over(wyr)
+            .eqNullSafe(F.col("o_orderpriority")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    wrun = wyr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runs = flagged.withColumn(
+        "run_id", F.sum("chg").over(wrun).cast("bigint")
+    )
+    hist = runs.groupBy("o_custkey", "run_id", "o_orderpriority").agg(
+        F.min("yr").cast("bigint").alias("from_yr")
+    )
+    wh = Window.partitionBy("o_custkey").orderBy("from_yr")
+    nxt = F.lead("from_yr").over(wh)
+    return hist.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.concat(F.col("from_yr").cast("string"), F.lit("-01-01")).alias(
+            "valid_from"
+        ),
+        F.when(
+            nxt.isNull(), F.lit(None).cast("string")
+        ).otherwise(F.concat(nxt.cast("string"), F.lit("-01-01"))).alias(
+            "valid_to"
+        ),
+        nxt.isNull().alias("is_current"),
     )

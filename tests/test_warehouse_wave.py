@@ -161,3 +161,27 @@ def test_importance_score_targets_score_higher(spark):
     }
     # weak-signal corpus, but target docs must average >= raw docs
     assert means[True] >= means[False]
+
+
+def test_scd2_backfill_invariants(spark):
+    """The reconstructed history obeys the SCD2 contract: exactly one
+    current row per key, intervals contiguous (valid_to == next
+    valid_from), no overlaps."""
+    from data_warehousing_assignment_spark.registry_warehouse import (
+        op_pipe_scd2_backfill,
+    )
+
+    rows = op_pipe_scd2_backfill(spark, SF).collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r["o_custkey"], []).append(r)
+    assert by_key
+    for k, hist in by_key.items():
+        hist.sort(key=lambda r: r["valid_from"])
+        currents = [r for r in hist if r["is_current"]]
+        assert len(currents) == 1, k
+        assert hist[-1]["is_current"] and hist[-1]["valid_to"] is None
+        for a, b in zip(hist, hist[1:]):
+            assert a["valid_to"] == b["valid_from"], k
+            # a run boundary means the attribute actually changed
+            assert a["o_orderpriority"] != b["o_orderpriority"], k
