@@ -838,3 +838,52 @@ def op_ext_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_start"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# MLlib MinHashLSH cross-check
+# --------------------------------------------------------------------------
+
+
+@query("op-ext-mllib-minhash")  # rows-only: MLlib hash seeds aren't SQL
+def op_ext_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark MLlib's own MinHashLSH as an independent implementation of
+    the near-dup pair search (pyspark.ml.feature.MinHashLSH, seeded) —
+    the cross-check that our hand-built band-join pipeline
+    (op-ext-minhash-lsh) agrees with the framework's: shingles →
+    seeded HashingTF binary vectors → 5 hash tables →
+    approxSimilarityJoin at Jaccard distance ≤ 0.5. rows-only by
+    design (MLlib's hash family isn't reproducible in SQL); recall
+    against the EXACT Jaccard pairs is pinned in tests/test_corpus.py
+    — two entirely independent LSH stacks must find the same planted
+    near-dups. Scale note: MLlib's approxSimilarityJoin is itself a
+    bucket equi-join (explode hash tables, join on (table, hash)) —
+    the same O(Σ bucket²) shape this repo's operators argue for."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from data_warehousing_assignment_spark.operators.text import (
+        word_shingles,
+    )
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens("text"), n=3)).alias("sh"),
+    )
+    tf = HashingTF(
+        inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feat = tf.transform(docs).filter(F.size("sh") > 0)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=5, seed=42
+    )
+    model = lsh.fit(feat)
+    pairs = (
+        model.approxSimilarityJoin(feat, feat, 0.5, distCol="jdist")
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            (1.0 - F.col("jdist")).alias("jaccard_sim"),
+        )
+    )
+    return pairs

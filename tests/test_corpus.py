@@ -155,3 +155,54 @@ def test_lm_score_bounds_and_bigram_counts(spark):
         .join(out, "doc_id")
     )
     assert joined.filter(F.col("want") != F.col("n_bigrams")).count() == 0
+
+
+def test_mllib_minhash_recall_vs_exact_jaccard(spark):
+    """Two independent LSH stacks (MLlib's MinHashLSH vs the hand-built
+    band join) must agree: MLlib recall over the exact Jaccard ≥ 0.5
+    pairs is high, and everything it reports really is ≥ 0.5."""
+    from data_warehousing_assignment_spark.registry_corpus import (
+        op_ext_mllib_minhash,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_sim"]
+        for r in op_ext_mllib_minhash(spark, sf).collect()
+    }
+    # exact ground truth: all-pairs Jaccard over distinct 3-shingles
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(
+            "doc_id",
+            F.split(F.lower(F.trim("text")), r"\s+").alias("l"),
+        )
+        .collect()
+    )
+    sh = {
+        r["doc_id"]: {
+            " ".join(r["l"][i : i + 3]) for i in range(len(r["l"]) - 2)
+        }
+        for r in docs
+        if len(r["l"]) >= 3
+    }
+    ids = sorted(sh)
+    truth = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sh[a]) + len(sh[b]) - inter)
+            if j >= 0.5:
+                truth[(a, b)] = j
+    assert truth, "corpus must contain planted near-dups"
+    found = sum(1 for k in truth if k in got)
+    recall = found / len(truth)
+    assert recall >= 0.8, (recall, len(truth))
+    # similarity agreement vs the exact measure — near-equal, modulo
+    # rare HashingTF bucket collisions (2^18 features), which make
+    # MLlib's feature-space Jaccard approximate by design
+    for (a, b), jsim in got.items():
+        if (a, b) in truth:
+            assert abs(jsim - truth[(a, b)]) < 0.05
