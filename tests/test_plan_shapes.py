@@ -291,3 +291,40 @@ def test_ivm_merge_keeps_partial_aggregation(spark, qs):
     plan = plan_of(qs["op-ext-ivm"](spark, SF_SMALL))
     assert "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q3_is_takeordered_with_broadcast_dim(spark, qs):
+    plan = plan_of(qs["op-ext-tpch-q3"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan       # top-10, never global sort
+    assert "BroadcastHashJoin" in plan            # customer dim broadcast
+    assert "CartesianProduct" not in plan
+    # both date filters reach the scans
+    assert plan.count("PushedFilters") >= 2
+
+
+def test_merge_into_is_single_shuffle_outer_join(spark, qs):
+    plan = plan_of(qs["op-ext-merge-into"](spark, SF_SMALL))
+    assert "FullOuter" in plan                    # the MERGE core
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_estimate_broadcasts_the_sketch(spark, qs):
+    plan = plan_of(qs["op-ext-cms"](spark, SF_SMALL))
+    # the 1024-cell sketch frame must be the broadcast side
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_item_sim_topk_uses_window_group_limit(spark, qs):
+    plan = plan_of(qs["op-ext-item-sim"](spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan             # per-part top-5 pushdown
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_backfill_is_window_only_no_selfjoin(spark, qs):
+    plan = plan_of(qs["op-pipe-scd2-backfill"](spark, SF_SMALL))
+    # the gaps-and-islands rebuild must stay join-free (windows over
+    # one entity ordering), or backfilling history re-joins per change
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
