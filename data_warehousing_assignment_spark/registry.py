@@ -267,6 +267,7 @@ def import_all_registries() -> None:
         "registry_corpus",
         "registry_sketch",
         "registry_ml",
+        "registry_tpch",
         "registry_io",
     ):
         importlib.import_module(f"data_warehousing_assignment_spark.{mod}")

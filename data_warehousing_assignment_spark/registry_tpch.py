@@ -1,0 +1,769 @@
+"""TPC-H macro-query wave: the classic decision-support shapes adapted
+to the testdata schema (no partsupp table; lineitem lacks commit/receipt
+dates, shipmode and container, so Q2/Q11/Q16/Q20/Q21 are out of reach
+and Q4/Q12's predicates are re-expressed on the columns that exist).
+Together with op-ext-tpch-q3/q5 (registry_relational.py) this covers
+15 of the 22 TPC-H shapes.
+
+No reference counterpart — the reference's SQL surface is star-join +
+GROUP BY (``04_KPI/KPIs.sql``); these are the §7.5 extension macros that
+prove the engine handles the canonical warehouse benchmark shapes:
+multi-way broadcast snowflakes, semi/anti joins, correlated-aggregate
+rewrites, OR-of-conjuncts pushdown, distribution queries, and global
+top-k — each with the 100 TB plan shape (dims broadcast, facts shuffle
+at most once, top-k as TakeOrderedAndProject).
+
+Determinism rules follow registry.py: revenue in exact integer
+centi-cents ``price_cents·(100−disc_pct)`` (``_c4`` suffix), charge in
+centi⁶-cents ``·(100+tax_pct)`` (``_c6``), quantities/balances in
+cents, averages as one IEEE division of exact integers, dates as
+strings at the boundary, unique tiebreakers on every top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehousing_assignment_spark.registry import dec, query, t
+
+# exact integer fragments shared by every query in this module (same
+# formulation as op-ext-tpch-q3, registry_relational.py:1497)
+_PRICE_C = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+_DISC_PCT = "CAST(CAST(l_discount AS DECIMAL(5,2)) * 100 AS BIGINT)"
+_TAX_PCT = "CAST(CAST(l_tax AS DECIMAL(5,2)) * 100 AS BIGINT)"
+_QTY_C = "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+_O_REV_C4 = f"({_PRICE_C} * (100 - {_DISC_PCT}))"
+_O_CHARGE_C6 = f"({_PRICE_C} * (100 - {_DISC_PCT}) * (100 + {_TAX_PCT}))"
+
+
+def _rev_c4() -> F.Column:
+    return F.expr(_O_REV_C4)
+
+
+def _price_c() -> F.Column:
+    return F.expr(_PRICE_C)
+
+
+def _qty_c() -> F.Column:
+    return F.expr(_QTY_C)
+
+
+# --------------------------------------------------------------------------
+# Q1 — pricing summary report
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-tpch-q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM({_QTY_C}) AS BIGINT) AS sum_qty_c,
+           CAST(SUM({_PRICE_C}) AS BIGINT) AS sum_base_c,
+           CAST(SUM({_O_REV_C4}) AS BIGINT) AS sum_disc_c4,
+           CAST(SUM({_O_CHARGE_C6}) AS BIGINT) AS sum_charge_c6,
+           CAST(CAST(SUM({_QTY_C}) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_qty_c,
+           CAST(CAST(SUM({_PRICE_C}) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_price_c,
+           CAST(CAST(SUM({_DISC_PCT}) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_disc_pct,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= '2001-09-01'
+    GROUP BY 1, 2
+    """,
+)
+def op_ext_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (Pricing Summary Report): the canonical scan→partial-agg
+    →4-group shape. One pass over lineitem, every aggregate map-side
+    combinable, final exchange carries 4 groups × 9 integer cells.
+    Quantities/prices in exact integer cents, discounted revenue in
+    centi-cents, charge (price·(1−disc)·(1+tax)) in centi⁶-cents;
+    averages are one IEEE division of those exact sums — identical in
+    both engines regardless of row order. 100 TB: this is pure
+    map-side reduction; the shuffle is 4 rows."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-09-01")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_qty_c()).alias("sum_qty_c"),
+        F.sum(_price_c()).alias("sum_base_c"),
+        F.sum(_rev_c4()).alias("sum_disc_c4"),
+        F.sum(F.expr(_O_CHARGE_C6)).alias("sum_charge_c6"),
+        (F.sum(_qty_c()).cast("double") / F.count(F.lit(1))).alias("avg_qty_c"),
+        (F.sum(_price_c()).cast("double") / n).alias("avg_price_c"),
+        (F.sum(F.expr(_DISC_PCT)).cast("double") / n).alias("avg_disc_pct"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4 — order priority checking (EXISTS → semi join)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-tpch-q4",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= '1996-07-01' AND o.o_orderdate < '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY 1
+    """,
+)
+def op_ext_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (Order Priority Checking) re-expressed on the columns
+    that exist: the testdata has no commit/receipt dates, so "late"
+    means a lineitem shipped >90 days after the order date. The EXISTS
+    subquery is a LEFT SEMI join — each qualifying order counts once
+    no matter how many late lines it has. The quarter filter pushes
+    into the orders scan; the semi join shuffles on orderkey and the
+    final agg is 5 priority rows. 100 TB: semi join emits at most one
+    row per order — never the lineitem multiplicity."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.date_add(F.col("o_orderdate"), 90)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 — forecasting revenue change (pure filter + scalar agg)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-tpch-q6",
+    oracle=f"""
+    SELECT CAST(SUM({_PRICE_C} * {_DISC_PCT}) AS BIGINT) AS forecast_rev_c4,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+      AND {_DISC_PCT} BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def op_ext_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (Forecasting Revenue Change): what revenue disappears
+    if discounts in [5%,7%] on small orders were eliminated. Pure
+    scan→filter→one-row aggregate — every predicate pushes into the
+    parquet scan (the discount bound compares exact integer percents,
+    never raw doubles). 100 TB: zero shuffles beyond the 1-row final
+    combine; the scan is the whole cost, which is the point of the
+    shape."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_pct = F.expr(_DISC_PCT)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & disc_pct.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_price_c() * disc_pct).alias("forecast_rev_c4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 — volume shipping between two nations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-tpch-q7",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l.l_shipdate) AS ship_year,
+           CAST(SUM({_O_REV_C4}) AS BIGINT) AS volume_c4
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def op_ext_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (Volume Shipping): trade volume between two nations in
+    each direction per ship year. The two nation filters reduce
+    customer and supplier BEFORE their joins (each side keeps ~1/25 of
+    rows), both reduced dims broadcast, and the OR-pair predicate
+    becomes a post-join filter on two tiny dict-encoded columns.
+    100 TB: the only shuffle is lineitem⋈orders on orderkey; the
+    groupBy output is 2 directions × years."""
+    both = ("NATION_1", "NATION_2")
+    nat = t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*both))
+    c = (
+        t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(F.sum(_rev_c4()).alias("volume_c4"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 — national market share (exact numerator/denominator, no division)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-tpch-q8",
+    oracle=f"""
+    SELECT year(o.o_orderdate) AS order_year,
+           CAST(SUM(CASE WHEN sn.n_name = 'NATION_5'
+                    THEN {_O_REV_C4} ELSE 0 END) AS BIGINT) AS mkt_rev_c4,
+           CAST(SUM({_O_REV_C4}) AS BIGINT) AS total_rev_c4
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN region r ON cn.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def op_ext_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (National Market Share): NATION_5 suppliers' share of
+    the ASIA customer market per order year. The share is surfaced as
+    its exact integer numerator and denominator (mkt_rev_c4 /
+    total_rev_c4) rather than a float ratio — cross-engine exact, and
+    the caller divides once. Region filter prunes the customer side
+    before its broadcast; the conditional sum replaces the classic
+    two-pass CASE-in-outer-query formulation with one aggregation.
+    100 TB: one fact-fact shuffle on orderkey, 2 output rows."""
+    cn = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    c = (
+        t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(cn.join(F.broadcast(r), cn["n_regionkey"] == r["r_regionkey"])),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    sn = t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("supp_nation")
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "supp_nation")
+    )
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = _rev_c4()
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left_semi")
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(F.lit(0))
+            ).alias("mkt_rev_c4"),
+            F.sum(rev).alias("total_rev_c4"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10 — returned item reporting (global top-20)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-tpch-q10",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS acctbal_c,
+           CAST(SUM({_O_REV_C4}) AS BIGINT) AS rev_c4
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= '1996-07-01' AND o.o_orderdate < '1996-10-01'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY rev_c4 DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def op_ext_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (Returned Item Reporting): the 20 customers who
+    returned the most revenue in a quarter. Return-flag and quarter
+    filters push into both fact scans; customer and nation broadcast;
+    the top-20 cut plans as TakeOrderedAndProject (per-partition
+    heaps), never a global sort, with custkey as the unique tiebreak.
+    100 TB: agg output is bounded by |customers with returns|, and the
+    cut forwards 20 rows per partition."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    ).select("o_orderkey", "o_custkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            (dec("c_acctbal") * 100).cast("bigint").alias("acctbal_c"),
+        )
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name", "n_name", "acctbal_c")
+        .agg(F.sum(_rev_c4()).alias("rev_c4"))
+        .select("c_custkey", "c_name", "n_name", "acctbal_c", "rev_c4")
+        .orderBy(F.desc("rev_c4"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 — customer order-count distribution (left join + double group)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-tpch-q13",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                            AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY 1)
+    GROUP BY 1
+    """,
+)
+def op_ext_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (Customer Distribution): how many customers placed
+    0, 1, 2, … non-urgent orders (the priority predicate replaces the
+    reference benchmark's comment-pattern filter, which needs a column
+    the testdata lacks). The predicate lives in the JOIN condition, not
+    WHERE — customers with only urgent orders must still appear with
+    count 0, the part naive rewrites get wrong. COUNT(o_orderkey)
+    counts matches only (NULL-skipping), so no-order customers land in
+    the 0 bucket. 100 TB: first agg is keyed on custkey (same key as
+    the join — no extra exchange under AQE); second agg output is the
+    tiny distinct-count domain."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# Q14 — promotion effect (conditional share, exact num/denom)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-tpch-q14",
+    oracle=f"""
+    SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN {_O_REV_C4} ELSE 0 END) AS BIGINT) AS promo_rev_c4,
+           CAST(SUM({_O_REV_C4}) AS BIGINT) AS total_rev_c4
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= '1996-09-01' AND l.l_shipdate < '1996-10-01'
+    """,
+)
+def op_ext_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (Promotion Effect): what fraction of one month's
+    revenue came from PROMO-type parts (the testdata's p_type is a
+    single word, so equality replaces the benchmark's LIKE 'PROMO%%').
+    Surfaced as exact integer numerator/denominator like Q8. The month
+    filter pushes into the lineitem scan; part broadcasts; output is
+    one row — no shuffle at all beyond the broadcast. 100 TB: the
+    filtered month is the only data read given date partitioning."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01")
+        & (F.col("l_shipdate") < "1996-10-01")
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _rev_c4()
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+            ).alias("promo_rev_c4"),
+            F.sum(rev).alias("total_rev_c4"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 — top supplier (agg + scalar-max join)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-tpch-q15",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey, CAST(SUM({_O_REV_C4}) AS BIGINT) AS total_rev_c4
+      FROM lineitem
+      WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+      GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, r.total_rev_c4
+    FROM revenue r
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_rev_c4 = (SELECT MAX(total_rev_c4) FROM revenue)
+    """,
+)
+def op_ext_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (Top Supplier): the supplier(s) with the maximum
+    quarterly revenue. The per-supplier revenue frame is computed once
+    and reused for both the max and the final filter (Spark plans the
+    1-row max frame as a broadcast joined against the agg — the
+    sanctioned 1-row-stats-frame cross join, never a global window).
+    Ties all surface, matching the SQL. 100 TB: agg output is
+    |suppliers|; the max is a 1-row broadcast."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev_c4()).alias("total_rev_c4"))
+    mx = rev.agg(F.max("total_rev_c4").alias("_mx"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_rev_c4") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_c4")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (correlated avg → integer predicate)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-tpch-q17",
+    oracle=f"""
+    WITH pq AS (
+      SELECT l_partkey, CAST(SUM({_QTY_C}) AS BIGINT) AS sum_qty_c,
+             COUNT(*) AS n_li
+      FROM lineitem GROUP BY 1)
+    SELECT CAST(SUM({_PRICE_C}) AS BIGINT) AS small_rev_c, COUNT(*) AS n_small
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#11'
+      AND 5 * {_QTY_C} * pq.n_li < pq.sum_qty_c
+    """,
+)
+def op_ext_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (Small-Quantity-Order Revenue): revenue from Brand#11
+    lineitems whose quantity is below 20%% of that part's average. The
+    correlated AVG subquery is decorrelated into one per-part
+    aggregate joined back, and the float predicate qty < 0.2·avg is
+    rewritten exactly in integers: 5·qty·n < Σqty (n > 0 always) — no
+    float division crosses the engine boundary. 100 TB: both sides of
+    the self-join shuffle once on partkey; the brand filter prunes the
+    probe side before its join."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pq = li.groupBy("l_partkey").agg(
+        F.sum(_qty_c()).alias("sum_qty_c"), F.count(F.lit(1)).alias("n_li")
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11").select(
+        "p_partkey"
+    )
+    probe = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return (
+        probe.join(pq, probe["l_partkey"] == pq["l_partkey"])
+        .filter(F.lit(5) * _qty_c() * F.col("n_li") < F.col("sum_qty_c"))
+        .agg(
+            F.sum(_price_c()).alias("small_rev_c"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 — large-volume customers (HAVING → agg-filter semi join)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-tpch-q18",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM({_QTY_C}) AS BIGINT) AS sum_qty_c
+      FROM lineitem GROUP BY 1 HAVING CAST(SUM(l_quantity) AS BIGINT) > 200)
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS total_c,
+           b.sum_qty_c
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY total_c DESC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def op_ext_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (Large-Volume Customers): top-100 orders whose total
+    quantity exceeds 200 units (threshold re-scaled to the testdata's
+    ≤7 lines/order). The HAVING subquery becomes an aggregate filtered
+    before any join — the big-order frame is tiny, so it broadcasts
+    into orders rather than shuffling the fact. Top-100 cut is
+    TakeOrderedAndProject with orderkey tiebreak. 100 TB: the
+    qty-aggregate is the only full-fact shuffle; everything after
+    operates on the filtered survivors."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(_qty_c()).alias("sum_qty_c"),
+            F.sum("l_quantity").alias("_qty"),
+        )
+        .filter(F.col("_qty") > 200)
+        .select("l_orderkey", "sum_qty_c")
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        (dec("o_totalprice") * 100).cast("bigint").alias("total_c"),
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        F.broadcast(big)
+        .join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "order_day", "total_c",
+            "sum_qty_c",
+        )
+        .orderBy(F.desc("total_c"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 — discounted revenue (OR-of-conjuncts over part attributes)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-tpch-q19",
+    oracle=f"""
+    SELECT CAST(SUM({_O_REV_C4}) AS BIGINT) AS rev_c4, COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 21)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def op_ext_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (Discounted Revenue): the OR-of-conjuncts shape —
+    three brand/size/quantity predicate groups that share no prefix,
+    the classic test of disjunctive predicate handling (quantity
+    bounds widened and Brand#3 substituted to match the testdata's 25
+    brands). The part side filters to the union of the three brands
+    before broadcasting; the residual OR evaluates post-join inside
+    codegen. 100 TB: broadcast join, no shuffle, one output row."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+    ).select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    pred = (
+        ((F.col("p_brand") == "Brand#12") & sz.between(1, 15) & q.between(1, 21))
+        | ((F.col("p_brand") == "Brand#23") & sz.between(1, 20) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & sz.between(1, 25) & q.between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(pred)
+        .agg(
+            F.sum(_rev_c4()).alias("rev_c4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 — global sales opportunity (above-average balances, no orders)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-tpch-q22",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+                 AS sum_c,
+             COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT n.n_name,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS totacctbal_c
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    CROSS JOIN pos
+    WHERE CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * pos.n
+              > pos.sum_c
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= '1999-01-01')
+    GROUP BY 1
+    """,
+)
+def op_ext_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (Global Sales Opportunity): customers with
+    above-average positive balances and no orders since 1999, grouped
+    by nation (the testdata has no phone column, so nation replaces
+    the country-code prefix; the benchmark's never-ordered predicate
+    selects zero customers in this data, so "lapsed since 1999" keeps
+    the anti-join meaningful at every sf). The scalar AVG comparison
+    is exact in integers: bal·n > Σbal over positive balances — no
+    float average. NOT EXISTS is a LEFT ANTI join on custkey. 100 TB:
+    the positive-balance stats frame is 1 row (broadcast); the anti
+    join is the one shuffle — and the date filter pre-prunes the
+    orders side before it."""
+    bal_c = (dec("c_acctbal") * 100).cast("bigint")
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", bal_c.alias("bal_c")
+    )
+    pos = c.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("sum_c"), F.count(F.lit(1)).alias("n")
+    )
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1999-01-01"
+    ).select("o_custkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.join(F.broadcast(pos))
+        .filter(F.col("bal_c") * F.col("n") > F.col("sum_c"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_c").alias("totacctbal_c"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 — shipping-priority classification (CASE-sum over a join)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-tpch-q12",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def op_ext_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (Shipping Modes and Order Priority) re-keyed on the
+    columns that exist: per line status (for ship mode, absent), how
+    many 1996-shipped lines belong to urgent/high- vs lower-priority
+    orders. The CASE-sums are map-side combinable after the join;
+    the year filter pushes into the lineitem scan. 100 TB: one
+    orderkey shuffle, 2 output rows."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_orderkey", "l_linestatus")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )

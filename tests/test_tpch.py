@@ -1,0 +1,159 @@
+"""TPC-H macro wave (registry_tpch.py): semantic invariants + the plan
+shapes each query is designed around. Value-exactness vs DuckDB is the
+oracle gate's job (tools/check_local.py, driver CORRECTNESS); these
+tests pin what the oracle can't see — plan structure and the internal
+consistency of num/denom pairs, semi/anti-join bounds, and tie
+semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from data_warehousing_assignment_spark.registry import t
+from tests.conftest import SF_SMALL
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entrymod.queries()
+
+
+# ---------------------------------------------------------------- semantics
+
+
+def test_q1_partitions_every_line_once(spark, qs):
+    rows = qs["op-ext-tpch-q1"](spark, SF_SMALL).collect()
+    li = t(spark, SF_SMALL, "lineitem").filter(
+        F.col("l_shipdate") <= "2001-09-01"
+    )
+    assert sum(r["count_order"] for r in rows) == li.count()
+    for r in rows:
+        # avg columns are exactly sum/count of the same row
+        assert r["avg_qty_c"] == r["sum_qty_c"] / r["count_order"]
+        assert 0 <= r["avg_disc_pct"] <= 100
+
+
+def test_q4_counts_orders_not_lineitems(spark, qs):
+    rows = qs["op-ext-tpch-q4"](spark, SF_SMALL).collect()
+    n_orders = (
+        t(spark, SF_SMALL, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-07-01")
+            & (F.col("o_orderdate") < "1996-10-01")
+        )
+        .count()
+    )
+    total = sum(r["order_count"] for r in rows)
+    assert 0 < total <= n_orders  # semi join can never exceed the order count
+
+
+def test_q8_and_q14_share_is_a_true_fraction(spark, qs):
+    for name, num, den in (
+        ("op-ext-tpch-q8", "mkt_rev_c4", "total_rev_c4"),
+        ("op-ext-tpch-q14", "promo_rev_c4", "total_rev_c4"),
+    ):
+        for r in qs[name](spark, SF_SMALL).collect():
+            assert 0 <= r[num] <= r[den], name
+
+
+def test_q13_keeps_zero_order_customers(spark, qs):
+    rows = {r["c_count"]: r["custdist"] for r in
+            qs["op-ext-tpch-q13"](spark, SF_SMALL).collect()}
+    n_cust = t(spark, SF_SMALL, "customer").count()
+    assert sum(rows.values()) == n_cust  # every customer lands in a bucket
+
+
+def test_q15_returns_all_ties_at_the_max(spark, qs):
+    rows = qs["op-ext-tpch-q15"](spark, SF_SMALL).collect()
+    assert len(rows) >= 1
+    assert len({r["total_rev_c4"] for r in rows}) == 1  # all at the max
+
+
+def test_q17_integer_predicate_equals_float_formulation(spark, qs):
+    """5·qty·n < Σqty (integer cents) must select exactly the rows the
+    float formulation qty < 0.2·avg(qty) selects — the decorrelation
+    and the exact-arithmetic rewrite change no membership."""
+    got = qs["op-ext-tpch-q17"](spark, SF_SMALL).collect()[0]
+    li = t(spark, SF_SMALL, "lineitem")
+    p = t(spark, SF_SMALL, "part").filter(F.col("p_brand") == "Brand#11")
+    avg = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("_avg"))
+    naive = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(avg, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg"))
+        .count()
+    )
+    assert got["n_small"] == naive
+
+
+def test_q18_threshold_holds_on_every_row(spark, qs):
+    for r in qs["op-ext-tpch-q18"](spark, SF_SMALL).collect():
+        assert r["sum_qty_c"] > 200 * 100  # >200 units, in cents
+
+
+def test_q22_selects_only_lapsed_customers(spark, qs):
+    rows = qs["op-ext-tpch-q22"](spark, SF_SMALL).collect()
+    assert sum(r["numcust"] for r in rows) >= 1
+    for r in rows:
+        assert r["totacctbal_c"] > 0  # above-positive-average ⇒ positive
+
+
+# ------------------------------------------------------------- plan shapes
+
+
+def test_q1_is_pure_partial_aggregation(spark, qs):
+    plan = plan_of(qs["op-ext-tpch-q1"](spark, SF_SMALL))
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    assert "Join" not in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_q6_pushes_every_scan_predicate(spark, qs):
+    plan = plan_of(qs["op-ext-tpch-q6"](spark, SF_SMALL))
+    assert "Join" not in plan
+    # the qty/discount/date predicates reach the parquet scan (the full
+    # PushedFilters list is display-truncated; the IsNotNull guards that
+    # accompany each pushed bound are the stable visible prefix)
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)" in plan
+
+
+def test_q10_q18_global_topk_is_takeordered(spark, qs):
+    for name in ("op-ext-tpch-q10", "op-ext-tpch-q18"):
+        plan = plan_of(qs[name](spark, SF_SMALL))
+        assert "TakeOrderedAndProject" in plan, name
+        assert "WindowExec" not in plan, name  # never a global ranking window
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_q7_q8_broadcast_reduced_dims(spark, qs):
+    for name in ("op-ext-tpch-q7", "op-ext-tpch-q8"):
+        plan = plan_of(qs[name](spark, SF_SMALL))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q15_max_filter_is_broadcast_not_window(spark, qs):
+    plan = plan_of(qs["op-ext-tpch-q15"](spark, SF_SMALL))
+    assert "WindowExec" not in plan  # 1-row max frame, not a global window
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q19_or_predicate_stays_on_broadcast_join(spark, qs):
+    plan = plan_of(qs["op-ext-tpch-q19"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the brand pre-filter reaches the part scan
+    assert "In(p_brand" in plan
+
+
+def test_q22_anti_join_with_prefiltered_orders(spark, qs):
+    plan = plan_of(qs["op-ext-tpch-q22"](spark, SF_SMALL))
+    assert "LeftAnti" in plan
+    # the 1999 cutoff reaches the orders scan, pre-pruning the anti side
+    assert "GreaterThanOrEqual(o_orderdate" in plan
