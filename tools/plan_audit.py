@@ -37,6 +37,9 @@ ALLOWED = {
     "op-ext-constraints": {"cartesian"},
     # 1-row theta frame joined onto the 2-row variant frame
     "op-ext-cuped": {"cartesian"},
+    # 1-row positive-balance stats frame (Σbal, n) broadcast onto the
+    # customer dim for the exact integer above-average predicate
+    "op-ext-tpch-q22": {"cartesian"},
     # 1-row adaptive-bin-width stats broadcast onto the point frame
     "op-ext-zorder": {"cartesian"},
     # k-means assign: corpus × broadcast n_clusters centroids (k tiny)

@@ -1,0 +1,59 @@
+"""Ad-hoc scale probe: time named registry queries at sf0.1 and at the
+bench's synthesized 10× dataset (.scratch/sf1), min of N warm runs each.
+
+Usage:  python tools/probe_ops.py [--iters N] name [name ...]
+
+Prints one line per (query, sf) and a final JSON summary; used to record
+the per-wave BASELINE.md scale-probe sections (same method as rounds
+5-7: warm-up once, then min of N timed noop-sink materializations).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import bench  # noqa: E402  (SparkSession factory + force + synthesize_sf1)
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    iters = 3
+    if args and args[0] == "--iters":
+        iters = int(args[1])
+        args = args[2:]
+    names = args
+    from data_warehousing_assignment_spark.session import get_spark
+
+    spark = get_spark("probe")
+    sf01 = bench.SF_DIR
+    sf1 = bench.synthesize_sf1(spark)
+    from data_warehousing_assignment_spark import registry
+
+    qs = registry.all_queries()
+    out: dict[str, dict[str, float]] = {}
+    for name in names:
+        fn = qs[name]
+        out[name] = {}
+        for label, d in (("sf0.1", sf01), ("sf1", sf1)):
+            bench.force(fn(spark, d))  # warm-up: JIT, broadcast, page cache
+            best = min(
+                _timed(bench.force, fn, spark, d) for _ in range(iters)
+            )
+            out[name][label] = round(best, 3)
+            print(f"{name} {label}: {out[name][label]}s", flush=True)
+    print(json.dumps(out))
+    return 0
+
+
+def _timed(force, fn, spark, d) -> float:
+    t0 = time.perf_counter()
+    force(fn(spark, d))
+    return time.perf_counter() - t0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
