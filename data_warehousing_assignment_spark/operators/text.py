@@ -345,3 +345,66 @@ def learn_bpe_merges(
             ).alias("syms"),
         ).localCheckpoint(eager=False)
     return merges
+
+
+# ---------------------------------------------------------------------------
+# overlapping-window chunking (RAG / training-sequence prep)
+# ---------------------------------------------------------------------------
+
+#: default chunk geometry: 32-token windows, stride 24 (25% overlap) —
+#: sized to the testdata's 10-99-token documents; real corpora use the
+#: same shape at 512/384.
+CHUNK_W = 32
+CHUNK_S = 24
+
+
+def n_chunks(n_toks: Column, w: int = CHUNK_W, s: int = CHUNK_S) -> Column:
+    """ceil((n-w)/s)+1 for n>w else 1 — integer-exact in both engines
+    (DuckDB twin: ``CASE WHEN n <= w THEN 1 ELSE (n-w+s-1)//s + 1 END``)."""
+    tail = (n_toks - w + (s - 1)).cast("bigint")
+    return F.when(n_toks <= w, F.lit(1).cast("bigint")).otherwise(
+        (tail - tail % s) / s + 1
+    ).cast("bigint")
+
+
+def chunk_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    w: int = CHUNK_W,
+    s: int = CHUNK_S,
+) -> DataFrame:
+    """Overlapping token-window chunks of each document — the
+    RAG-indexing / training-sequence shape (windows of ``w`` tokens
+    every ``s``, so consecutive chunks share ``w-s`` tokens; the final
+    window is the ragged tail). Row-local: tokenize once, build the
+    per-chunk structs with transform(sequence(...)), explode — no
+    shuffle at all, and chunk text leaves the row as an md5 digest, so
+    the exploded frame carries 3 scalars per chunk, never the text.
+
+    Adds (chunk_idx, n_chunk_toks, chunk_md5) to every input row.
+    100 TB: embarrassingly parallel per-document work; output rows ≈
+    input tokens / s.
+    """
+    toks = tokens(text_col)
+    df = df.withColumn("_toks", toks).withColumn("_n", F.size("_toks"))
+    per = F.transform(
+        F.sequence(F.lit(0), n_chunks(F.col("_n"), w, s) - 1),
+        lambda i: F.struct(
+            i.cast("bigint").alias("chunk_idx"),
+            F.least(F.lit(w), F.col("_n") - i * s)
+            .cast("bigint")
+            .alias("n_chunk_toks"),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("_toks"), i * s + 1, w))
+            ).alias("chunk_md5"),
+        ),
+    )
+    return (
+        df.select("*", F.explode(per).alias("_c"))
+        .select(
+            *[c for c in df.columns if c not in ("_toks", "_n")],
+            F.col("_c.chunk_idx").alias("chunk_idx"),
+            F.col("_c.n_chunk_toks").alias("n_chunk_toks"),
+            F.col("_c.chunk_md5").alias("chunk_md5"),
+        )
+    )

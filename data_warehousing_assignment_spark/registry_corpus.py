@@ -887,3 +887,67 @@ def op_ext_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pairs
+
+
+# --------------------------------------------------------------------------
+# overlapping-window chunking — built-in HOF path + Python UDTF surface
+# --------------------------------------------------------------------------
+
+_CHUNK_ORACLE = f"""
+    WITH tk AS (
+      SELECT doc_id, source, {_TOKS} AS l, len({_TOKS}) AS n FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, source, l, n,
+             unnest(range(0, CASE WHEN n <= 32 THEN 1
+                                  ELSE (n - 32 + 23) // 24 + 1 END)) AS ci
+      FROM tk
+    )
+    SELECT doc_id, source,
+           CAST(ci AS BIGINT) AS chunk_idx,
+           CAST(LEAST(32, n - ci * 24) AS BIGINT) AS n_chunk_toks,
+           md5(array_to_string(list_slice(l, ci * 24 + 1, ci * 24 + 32),
+                               ' ')) AS chunk_md5
+    FROM ch
+    """
+
+
+@query("op-ext-chunk-overlap", oracle=_CHUNK_ORACLE)
+def op_ext_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks (32-token windows every 24 — the
+    RAG-index / training-sequence prep shape) over the corpus:
+    operators/text.py:chunk_windows. Row-local transform+explode, zero
+    shuffle; chunk text never leaves the row — only its md5 digest and
+    token count do. The 100 TB path; op-ext-chunk-udtf is the same
+    contract through Spark 4's Python UDTF surface."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    from data_warehousing_assignment_spark.operators.text import chunk_windows
+
+    return chunk_windows(docs).select(
+        "doc_id", "source", "chunk_idx", "n_chunk_toks", "chunk_md5"
+    )
+
+
+@query("op-ext-chunk-udtf", oracle=_CHUNK_ORACLE)
+def op_ext_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same overlapping-chunk contract through a Python UDTF
+    (Spark 4 user-defined TABLE function) invoked via LATERAL — the
+    §2.10 API-surface demo for per-row fan-out logic that genuinely
+    can't be expressed with transform/explode (this one can, which is
+    exactly what makes it pin-able: tests/test_chunking.py proves the
+    UDTF row-identical to the codegen path, and the shared DuckDB
+    oracle checks both). Python-side cost is Arrow-batched rows, not
+    per-row IPC; the scale path remains op-ext-chunk-overlap."""
+    from data_warehousing_assignment_spark.functions import chunkers
+
+    chunkers.register(spark)
+    t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).createOrReplaceTempView("_chunk_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, d.source,
+               c.chunk_idx, c.n_chunk_toks, c.chunk_md5
+        FROM _chunk_docs d, LATERAL overlap_chunks(d.text) c
+        """
+    )
