@@ -860,3 +860,90 @@ def op_ext_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return label_centroid_digest(emb, "label", "embedding")
+
+
+# --------------------------------------------------------------------------
+# correlation matrix — all pairwise Pearson in ONE pass
+# --------------------------------------------------------------------------
+
+_CM_DISC = "CAST(CAST(l_discount AS DECIMAL(5,2)) * 100 AS BIGINT)"
+_CM_TAX = "CAST(CAST(l_tax AS DECIMAL(5,2)) * 100 AS BIGINT)"
+_CM_VARS = [
+    ("qty", "CAST(l_quantity AS BIGINT)"),
+    ("price_c", _CENTS),
+    ("disc_pct", _CM_DISC),
+    ("tax_pct", _CM_TAX),
+]
+_CM_PAIRS = [
+    (_CM_VARS[i], _CM_VARS[j])
+    for i in range(len(_CM_VARS))
+    for j in range(i + 1, len(_CM_VARS))
+]
+
+
+def _cm_oracle() -> str:
+    sums = ", ".join(
+        f"SUM(CAST({expr} AS DECIMAL(38,0))) AS s_{nm}, "
+        f"SUM(CAST({expr} AS DECIMAL(38,0)) * {expr}) AS ss_{nm}"
+        for nm, expr in _CM_VARS
+    )
+    crosses = ", ".join(
+        f"SUM(CAST({ea} AS DECIMAL(38,0)) * {eb}) AS sx_{na}_{nb}"
+        for (na, ea), (nb, eb) in _CM_PAIRS
+    )
+    def corr(na, nb):
+        return (
+            f"CAST(CAST(n AS DECIMAL(38,0)) * sx_{na}_{nb} - s_{na} * s_{nb} "
+            f"AS DOUBLE) / (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * ss_{na} "
+            f"- s_{na} * s_{na} AS DOUBLE)) * sqrt(CAST(CAST(n AS "
+            f"DECIMAL(38,0)) * ss_{nb} - s_{nb} * s_{nb} AS DOUBLE)))"
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT '{na}' AS var_a, '{nb}' AS var_b, CAST(n AS BIGINT) "
+        f"AS n_rows, {corr(na, nb)} AS pearson_r FROM s"
+        for (na, _), (nb, _) in _CM_PAIRS
+    )
+    return f"WITH s AS (SELECT COUNT(*) AS n, {sums}, {crosses} FROM lineitem) {rows}"
+
+
+@query("op-ext-corr-matrix", oracle=_cm_oracle())
+def op_ext_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise Pearson matrix of the four lineitem measures
+    (quantity, price cents, discount %, tax %) from ONE pass of
+    DECIMAL(38,0) power sums — the feature-screening step of any model
+    pipeline, and the generalization of op-ext-corr's single pair: 4
+    sums + 4 squares + 6 cross-products accumulate map-side-combinably
+    in a single aggregate, the 6 correlations are then three IEEE ops
+    each over the 1-row exact frame, exploded long-form (var_a, var_b,
+    n_rows, pearson_r). 100 TB: one scan, one 1-row combine — adding
+    variables grows the row width O(k²), never the pass count."""
+    li = t(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for nm, expr in _CM_VARS:
+        e = F.expr(expr)
+        aggs.append(F.sum(e.cast("decimal(38,0)")).alias(f"s_{nm}"))
+        aggs.append(F.sum(e.cast("decimal(38,0)") * e).alias(f"ss_{nm}"))
+    for (na, ea), (nb, eb) in _CM_PAIRS:
+        aggs.append(
+            F.sum(F.expr(ea).cast("decimal(38,0)") * F.expr(eb)).alias(
+                f"sx_{na}_{nb}"
+            )
+        )
+    s = li.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(na).alias("var_a"),
+            F.lit(nb).alias("var_b"),
+            F.col("n").cast("bigint").alias("n_rows"),
+            an.exact_corr(
+                F.col("n"),
+                F.col(f"s_{na}"), F.col(f"s_{nb}"),
+                F.col(f"ss_{na}"), F.col(f"ss_{nb}"),
+                F.col(f"sx_{na}_{nb}"),
+            ).alias("pearson_r"),
+        )
+        for (na, _), (nb, _) in _CM_PAIRS
+    ])
+    return s.select(F.explode(pairs).alias("_p")).select(
+        "_p.var_a", "_p.var_b", "_p.n_rows", "_p.pearson_r"
+    )

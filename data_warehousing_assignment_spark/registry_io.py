@@ -224,6 +224,28 @@ def op_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+@query("op-scan-xml", oracle="SELECT * FROM nation")
+def op_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scan — Spark 4's built-in XML datasource (the spark-xml
+    package merged upstream in 4.0): nation round-trips through an XML
+    document (<nations><nation>…</nation></nations>) and reads back
+    with an explicit schema, the config-feed reality where upstream
+    systems still speak XML. Explicit schema, not inference — at scale
+    schema inference is its own full read of every file."""
+    path = _scratch("op-scan-xml")
+    src = t(spark, sf_dir, "nation")
+    src.write.mode("overwrite").format("xml").option(
+        "rootTag", "nations"
+    ).option("rowTag", "nation").save(path)
+    return (
+        spark.read.schema(src.schema)
+        .format("xml")
+        .option("rowTag", "nation")
+        .load(path)
+        .select(*src.columns)
+    )
+
+
 @query(
     "op-scan-merge-schema",
     oracle="""

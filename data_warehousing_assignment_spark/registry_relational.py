@@ -1596,3 +1596,101 @@ def op_ext_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(rev).cast("bigint").alias("revenue_c4"))
     )
+
+
+# --------------------------------------------------------------------------
+# recursive CTE — Spark 4.1's WITH RECURSIVE surface
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-recursive-spine",
+    oracle="""
+    WITH RECURSIVE m(mo) AS (
+      SELECT DATE '1995-01-01'
+      UNION ALL
+      SELECT CAST(mo + INTERVAL 1 MONTH AS DATE) FROM m
+      WHERE mo < DATE '2001-08-01'
+    ),
+    a AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_custkey % 97 = 0
+      GROUP BY 1
+    )
+    SELECT strftime(m.mo, '%Y-%m') AS month,
+           CAST(COALESCE(a.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(a.rev_c, 0) AS BIGINT) AS rev_c
+    FROM m LEFT JOIN a ON a.mo = m.mo
+    """,
+)
+def op_ext_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense monthly revenue spine via WITH RECURSIVE (Spark 4.1's
+    recursive-CTE surface, UNION ALL + monotone bound — the standard
+    SQL formulation of a calendar spine, next to op-fn-generate-series'
+    sequence() formulation): 80 months from 1995-01, LEFT-joined to a
+    sparse order subgroup so zero months surface explicitly as 0 rows
+    — the gap-visible revenue report. The recursion is acyclic and
+    driver-free (80 fixed iterations over 1-row frames); the aggregate
+    side is one scan + month-keyed combine. Cyclic-graph recursion is
+    deliberately NOT expressed this way (UNION ALL recursion enumerates
+    paths, which explodes on dense graphs) — BFS stays in
+    op-ext-khop's per-hop distinct joins."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_rspine_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE m(mo) AS (
+          SELECT DATE '1995-01-01' AS mo
+          UNION ALL
+          SELECT add_months(mo, 1) FROM m WHERE mo < DATE '2001-08-01'
+        ),
+        a AS (
+          SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS mo,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                               AS BIGINT)) AS BIGINT) AS rev_c
+          FROM _rspine_orders
+          WHERE o_orderpriority = '1-URGENT' AND o_custkey % 97 = 0
+          GROUP BY 1
+        )
+        SELECT date_format(m.mo, 'yyyy-MM') AS month,
+               CAST(COALESCE(a.n_orders, 0) AS BIGINT) AS n_orders,
+               CAST(COALESCE(a.rev_c, 0) AS BIGINT) AS rev_c
+        FROM m LEFT JOIN a ON a.mo = m.mo
+        """
+    )
+
+
+@query(
+    "op-ext-offset-page",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS acctbal_c
+    FROM customer
+    ORDER BY acctbal_c DESC, c_custkey ASC
+    LIMIT 25 OFFSET 50
+    """,
+)
+def op_ext_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination page 3 (rows 51-75) of the balance leaderboard via
+    ORDER BY … LIMIT/OFFSET — Spark's DataFrame ``offset()`` surface,
+    with the mandatory unique tiebreaker that makes pages stable.
+    Plans as a global-limit over per-partition top-(offset+limit)
+    heaps; cost grows with page DEPTH, so deep pagination at 100 TB
+    should switch to keyset pagination (WHERE (bal, key) < last-seen
+    ORDER BY … LIMIT n — same result, O(page) cost; pinned equivalent
+    in tests/test_relational_extras.py)."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        (dec("c_acctbal") * 100).cast("bigint").alias("acctbal_c"),
+    )
+    return (
+        c.orderBy(F.desc("acctbal_c"), F.asc("c_custkey"))
+        .offset(50)
+        .limit(25)
+    )
