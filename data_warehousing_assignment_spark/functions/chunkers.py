@@ -26,10 +26,14 @@ from data_warehousing_assignment_spark.operators.text import CHUNK_S, CHUNK_W
 
 def chunk_spans(text: str, w: int = CHUNK_W, s: int = CHUNK_S):
     """Pure-python twin of the chunk geometry: yields
-    (chunk_idx, n_chunk_toks, chunk_md5) per window."""
+    (chunk_idx, n_chunk_toks, chunk_md5) per window. NULL text yields
+    nothing — the HOF path's sequence(NULL) explode and the oracle's
+    range-over-NULL both drop the row, so the UDTF must too."""
+    if text is None:
+        return
     # SQL-trim (spaces only) + lower + \s+ split — NOT str.split(), whose
     # empty-string behavior ([] vs ['']) differs from both engines.
-    toks = re.split(r"\s+", (text or "").strip(" ").lower())
+    toks = re.split(r"\s+", text.strip(" ").lower())
     n = len(toks)
     count = 1 if n <= w else (n - w + s - 1) // s + 1
     for i in range(count):
@@ -41,7 +45,10 @@ def chunk_spans(text: str, w: int = CHUNK_W, s: int = CHUNK_S):
         )
 
 
-@udtf(returnType="chunk_idx: bigint, n_chunk_toks: bigint, chunk_md5: string")
+@udtf(
+    returnType="chunk_idx: bigint, n_chunk_toks: bigint, chunk_md5: string",
+    useArrow=True,  # Arrow batches; the 4.1.2 conf default is pickle rows
+)
 class OverlapChunker:
     """``SELECT d.*, c.* FROM docs d, LATERAL overlap_chunks(d.text) c``."""
 

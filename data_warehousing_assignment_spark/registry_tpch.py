@@ -1,9 +1,9 @@
 """TPC-H macro-query wave: the classic decision-support shapes adapted
 to the testdata schema (no partsupp table; lineitem lacks commit/receipt
-dates, shipmode and container, so Q2/Q11/Q16/Q20/Q21 are out of reach
-and Q4/Q12's predicates are re-expressed on the columns that exist).
-Together with op-ext-tpch-q3/q5 (registry_relational.py) this covers
-15 of the 22 TPC-H shapes.
+dates, shipmode and container, so Q2/Q9/Q11/Q16/Q20/Q21 are out of
+reach and Q4/Q12's predicates are re-expressed on the columns that
+exist). The 14 queries here plus op-ext-tpch-q3/q5
+(registry_relational.py) cover 16 of the 22 TPC-H shapes.
 
 No reference counterpart — the reference's SQL surface is star-join +
 GROUP BY (``04_KPI/KPIs.sql``); these are the §7.5 extension macros that
@@ -528,21 +528,26 @@ def op_ext_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated AVG subquery is decorrelated into one per-part
     aggregate joined back, and the float predicate qty < 0.2·avg is
     rewritten exactly in integers: 5·qty·n < Σqty (n > 0 always) — no
-    float division crosses the engine boundary. 100 TB: both sides of
-    the self-join shuffle once on partkey; the brand filter prunes the
-    probe side before its join."""
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_quantity", "l_extendedprice"
-    )
-    pq = li.groupBy("l_partkey").agg(
-        F.sum(_qty_c()).alias("sum_qty_c"), F.count(F.lit(1)).alias("n_li")
-    )
+    float division crosses the engine boundary. 100 TB: the brand
+    semi-filter prunes BOTH sides before the partkey self-join, so the
+    per-part aggregate shuffles only the brand's lineitems (~1/25)."""
     p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11").select(
         "p_partkey"
     )
-    probe = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    # brand semi-filter BEFORE the per-part aggregate: per-part sums are
+    # independent across parts, so aggregating only Brand#11's lineitems
+    # is byte-identical for every surviving group while shrinking the
+    # full-fact groupBy shuffle ~25x (r8 review finding)
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    )
+    pq = li.groupBy("l_partkey").agg(
+        F.sum(_qty_c()).alias("sum_qty_c"), F.count(F.lit(1)).alias("n_li")
+    ).withColumnRenamed("l_partkey", "_pq_partkey")  # disambiguate self-join
     return (
-        probe.join(pq, probe["l_partkey"] == pq["l_partkey"])
+        li.join(pq, F.col("l_partkey") == F.col("_pq_partkey"))
         .filter(F.lit(5) * _qty_c() * F.col("n_li") < F.col("sum_qty_c"))
         .agg(
             F.sum(_price_c()).alias("small_rev_c"),
@@ -561,7 +566,8 @@ def op_ext_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH big AS (
       SELECT l_orderkey, CAST(SUM({_QTY_C}) AS BIGINT) AS sum_qty_c
-      FROM lineitem GROUP BY 1 HAVING CAST(SUM(l_quantity) AS BIGINT) > 200)
+      FROM lineitem GROUP BY 1
+      HAVING CAST(SUM({_QTY_C}) AS BIGINT) > 20000)
     SELECT c.c_custkey, c.c_name, o.o_orderkey,
            strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
            CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
@@ -576,9 +582,11 @@ def op_ext_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def op_ext_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 (Large-Volume Customers): top-100 orders whose total
-    quantity exceeds 200 units (threshold re-scaled to the testdata's
-    ≤7 lines/order). The HAVING subquery becomes an aggregate filtered
-    before any join — the big-order frame is tiny, so it broadcasts
+    quantity exceeds 200 units — the threshold compares the exact
+    integer cents sum (20000), never a float double-sum whose boundary
+    behavior is accumulation-order-dependent (threshold re-scaled to
+    the testdata's ≤7 lines/order). The HAVING subquery becomes an
+    aggregate filtered before any join — the big-order frame is tiny, so it broadcasts
     into orders rather than shuffling the fact. Top-100 cut is
     TakeOrderedAndProject with orderkey tiebreak. 100 TB: the
     qty-aggregate is the only full-fact shuffle; everything after
@@ -586,12 +594,8 @@ def op_ext_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (
         li.groupBy("l_orderkey")
-        .agg(
-            F.sum(_qty_c()).alias("sum_qty_c"),
-            F.sum("l_quantity").alias("_qty"),
-        )
-        .filter(F.col("_qty") > 200)
-        .select("l_orderkey", "sum_qty_c")
+        .agg(F.sum(_qty_c()).alias("sum_qty_c"))
+        .filter(F.col("sum_qty_c") > 200 * 100)
     )
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey",

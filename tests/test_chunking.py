@@ -93,6 +93,26 @@ def test_builtin_matches_python_on_adversarial_texts(spark):
     assert len(got) == sum(len(list(chunk_spans(tx))) for _, tx in rows)
 
 
+def test_null_text_drops_row_in_both_paths(spark):
+    """NULL text must vanish from BOTH the HOF path (sequence(NULL)
+    explode) and the UDTF (r8 review finding: a None-guard once made
+    the UDTF emit a md5('') chunk for NULL while the twin dropped it)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "some real text here")],
+        "doc_id: long, text: string",
+    )
+    assert list(chunk_spans(None)) == []
+    hof = chunk_windows(df).select("doc_id").collect()
+    assert {r["doc_id"] for r in hof} == {2}
+    spark.udtf.register("overlap_chunks_nulltest", OverlapChunker)
+    df.createOrReplaceTempView("_chunk_null_docs")
+    ud = spark.sql(
+        """SELECT d.doc_id FROM _chunk_null_docs d,
+           LATERAL overlap_chunks_nulltest(d.text) c"""
+    ).collect()
+    assert {r["doc_id"] for r in ud} == {2}
+
+
 def test_chunk_plan_has_no_shuffle(spark):
     docs = t(spark, SF_SMALL, "documents").select("doc_id", "text")
     plan = chunk_windows(docs)._jdf.queryExecution().executedPlan().toString()
