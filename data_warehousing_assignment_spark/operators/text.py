@@ -381,12 +381,19 @@ def chunk_windows(
     shuffle at all, and chunk text leaves the row as an md5 digest, so
     the exploded frame carries 3 scalars per chunk, never the text.
 
-    Adds (chunk_idx, n_chunk_toks, chunk_md5) to every input row.
+    Adds (chunk_idx, n_chunk_toks, chunk_md5) to every NON-NULL-text
+    row; NULL text drops (explicitly — with ANSI off Spark's
+    size(NULL) is -1, which would otherwise fabricate a md5('') chunk
+    the SQL formulation of this operator never emits).
     100 TB: embarrassingly parallel per-document work; output rows ≈
     input tokens / s.
     """
     toks = tokens(text_col)
-    df = df.withColumn("_toks", toks).withColumn("_n", F.size("_toks"))
+    df = (
+        df.filter(F.col(text_col).isNotNull())
+        .withColumn("_toks", toks)
+        .withColumn("_n", F.size("_toks"))
+    )
     per = F.transform(
         F.sequence(F.lit(0), n_chunks(F.col("_n"), w, s) - 1),
         lambda i: F.struct(
