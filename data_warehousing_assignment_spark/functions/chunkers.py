@@ -45,10 +45,11 @@ def chunk_spans(text: str, w: int = CHUNK_W, s: int = CHUNK_S):
         )
 
 
-@udtf(
-    returnType="chunk_idx: bigint, n_chunk_toks: bigint, chunk_md5: string",
-    useArrow=True,  # Arrow batches; the 4.1.2 conf default is pickle rows
-)
+# Serialization: measured at the 10x probe (r8), pickle rows beat
+# useArrow=True 0.48s vs 1.25s for THIS shape — one short string in,
+# three small scalars out per yield; Arrow's per-eval record-batch
+# setup only pays for wide/numeric rows. Deliberately default (pickle).
+@udtf(returnType="chunk_idx: bigint, n_chunk_toks: bigint, chunk_md5: string")
 class OverlapChunker:
     """``SELECT d.*, c.* FROM docs d, LATERAL overlap_chunks(d.text) c``."""
 

@@ -936,8 +936,10 @@ def op_ext_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     can't be expressed with transform/explode (this one can, which is
     exactly what makes it pin-able: tests/test_chunking.py proves the
     UDTF row-identical to the codegen path, and the shared DuckDB
-    oracle checks both). Python-side cost is Arrow-batched rows, not
-    per-row IPC; the scale path remains op-ext-chunk-overlap."""
+    oracle checks both). Serialization is the measured-faster pickle
+    path — useArrow=True was A/B'd 2.6x SLOWER for this narrow
+    string-in/3-scalars-out shape (functions/chunkers.py) — and the
+    scale path remains op-ext-chunk-overlap either way."""
     from data_warehousing_assignment_spark.functions import chunkers
 
     chunkers.register(spark)
