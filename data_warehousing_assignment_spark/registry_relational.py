@@ -1694,3 +1694,36 @@ def op_ext_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(50)
         .limit(25)
     )
+
+
+@query(
+    "op-ext-variant-json",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events GROUP BY 1
+    """,
+)
+def op_ext_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through the VARIANT type (Spark 4):
+    ``parse_json`` converts the events props string ONCE into Spark's
+    binary variant encoding, and every extraction afterwards is a
+    ``variant_get`` path read on the encoded form — the parse-once /
+    extract-many contract that replaces op-ext-json-extract's
+    string-reparse-per-path ``get_json_object`` when several fields
+    leave the same document. 100 TB: variant encoding happens in the
+    scan projection; the aggregate is an ordinary map-side-combined
+    groupBy on the extracted int64."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "_v", F.parse_json(F.col("props"))
+    )
+    k = F.expr("variant_get(_v, '$.k', 'bigint')")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )

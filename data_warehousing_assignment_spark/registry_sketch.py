@@ -1447,3 +1447,45 @@ def op_ext_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "streak_start",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# bitmap-exact distinct — the mergeable EXACT alternative to HLL
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-bitmap-distinct",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders GROUP BY 1
+    """,
+)
+def op_ext_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct customers per order-month via bitmap aggregation
+    (Spark's bitmap_bucket_number / bitmap_bit_position /
+    bitmap_construct_agg — the roaring-style pattern): each
+    (month, 32k-id bucket) group packs its present ids into one bitmap
+    byte-array map-side, so the shuffle carries fixed-size bitmaps
+    instead of the distinct-key set — HLL's mergeability with NONE of
+    its error. Completes the distinct-counting ladder: exact groupBy
+    (op-agg-count-distinct) / exact mergeable bitmaps (this) / HLL
+    sketch (op-ext-approx-count-distinct) / KMV with set algebra
+    (op-ext-kmv-sketch). Re-aggregation (month→year by bitmap_or_agg,
+    never re-scanning raw orders) is pinned exact in
+    tests/test_sketch.py. 100 TB: bitmap size is id-range/8 bits per
+    bucket, data-independent; dense id spaces pack 32k ids into 4 KB."""
+    orders = t(spark, sf_dir, "orders")
+    per_bucket = (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bk"),
+            F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+        )
+        .groupBy("order_month", "bk")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return per_bucket.groupBy("order_month").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_customers")
+    )

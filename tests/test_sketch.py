@@ -170,3 +170,57 @@ def test_kmv_union_merge_and_error_bound(spark):
         >= max(rows["BUILDING"]["true_distinct"],
                rows["MACHINERY"]["true_distinct"])
     )
+
+
+def test_bitmap_distinct_reaggregates_exactly(spark):
+    """Month-level bitmaps OR-merge to the year level EXACTLY equal to
+    a direct distinct count — the mergeability HLL only approximates.
+    Never re-scans raw orders for the rollup."""
+    from pyspark.sql import functions as F
+
+    from data_warehousing_assignment_spark.registry import t
+
+    orders = t(spark, "/root/testdata/sf0.01", "orders")
+    per_bucket = (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy").alias("y"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bk"),
+            F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+        )
+        .groupBy("y", "m", "bk")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    yearly = (
+        per_bucket.groupBy("y", "bk")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))  # month -> year merge
+        .groupBy("y")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n"))
+    )
+    truth = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy").alias("y")
+    ).agg(F.countDistinct("o_custkey").alias("n"))
+    got = {r["y"]: r["n"] for r in yearly.collect()}
+    want = {r["y"]: r["n"] for r in truth.collect()}
+    assert got == want
+
+
+def test_bitmap_month_op_matches_exact_distinct(spark):
+    from data_warehousing_assignment_spark.registry import t
+    from data_warehousing_assignment_spark.registry_sketch import (
+        op_ext_bitmap_distinct,
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r["order_month"]: r["n_customers"]
+        for r in op_ext_bitmap_distinct(spark, "/root/testdata/sf0.001").collect()
+    }
+    orders = t(spark, "/root/testdata/sf0.001", "orders")
+    want = {
+        r["m"]: r["n"]
+        for r in orders.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("m")
+        ).agg(F.countDistinct("o_custkey").alias("n")).collect()
+    }
+    assert got == want
