@@ -1727,3 +1727,43 @@ def op_ext_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@query(
+    "op-ext-pandas-api",
+    oracle="""
+    SELECT user_id,
+           (CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+               AS mean_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def op_ext_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's pandas ETL (``C2_ops_etl.py:63-70`` groupby-mean)
+    re-expressed through pandas-on-Spark (``pyspark.pandas``) — the
+    migration bridge for a pandas user: ``.pandas_api()`` →
+    ``groupby().agg()`` → ``.to_spark()``, with the SAME lazy
+    distributed plan underneath (one map-side-combined shuffle; the
+    pandas surface is plan sugar, not a driver-side collect). Money
+    stays exact: the grouped sums run on integer cents, and the mean
+    is one decimal division cast to double — identical to
+    op-agg-groupby-mean's contract. 100 TB: the traced plan is the
+    same hash aggregate the native op produces."""
+    sdf = t(spark, sf_dir, "events").select(
+        "user_id", (dec("value") * 100).cast("bigint").alias("v_c")
+    )
+    psdf = sdf.pandas_api()
+    g = psdf.groupby("user_id", as_index=False).agg(
+        sum_c=("v_c", "sum"), n_events=("v_c", "count")
+    )
+    out = g.to_spark()
+    return out.select(
+        "user_id",
+        (
+            (F.col("sum_c").cast("decimal(38,2)") / 100).cast("double")
+            / F.col("n_events")
+        ).alias("mean_value"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )

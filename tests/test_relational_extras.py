@@ -84,3 +84,22 @@ def test_xml_scan_round_trips_nation(spark, qs):
     assert back.schema == src.schema
     assert back.exceptAll(src).count() == 0
     assert src.exceptAll(back).count() == 0
+
+
+def test_pandas_api_stays_distributed(spark, qs):
+    """The pandas-on-Spark bridge must trace to the same distributed
+    hash aggregate as the native op — no driver-side materialization
+    (an ExistingRDD scan would mean the data passed through the
+    driver)."""
+    df = qs["op-ext-pandas-api"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "ExistingRDD" not in plan
+    assert "partial_sum" in plan  # map-side combine survived the bridge
+    # and the values equal the native op's (same exact-decimal contract)
+    native = {
+        r["user_id"]: r["mean_value"]
+        for r in qs["op-agg-groupby-mean"](spark, SF_SMALL).collect()
+    }
+    got = {r["user_id"]: r["mean_value"] for r in df.collect()}
+    assert got == native
