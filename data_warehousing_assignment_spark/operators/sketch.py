@@ -133,3 +133,22 @@ def bloom_filter_probe(
     return probe.select(key).distinct().join(hits, key, "left").select(
         F.col(key), F.coalesce("passes", F.lit(False)).alias("passes")
     )
+
+
+def cms_join_size(cells_a: DataFrame, cells_b: DataFrame) -> DataFrame:
+    """Equi-join cardinality estimate from two CMS cell frames over the
+    same key domain (Cormode & Muthukrishnan 2005, §4.2): |A ⋈ B| =
+    Σ_k fA(k)·fB(k), estimated as min over the depth rows j of
+    Σ_bucket cellA[j,b]·cellB[j,b] — one-sided (est ≥ true) like the
+    point estimate, since colliding keys only ADD cross terms. The
+    input frames are depth·width rows each, so this costs one tiny
+    join + a depth-row aggregate — the optimizer-statistics pattern
+    for sizing a shuffle join without running it."""
+    a = cells_a.select("j", "bucket", F.col("cell_count").alias("_na"))
+    b = cells_b.select("j", "bucket", F.col("cell_count").alias("_nb"))
+    per_j = (
+        a.join(b, ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("_na") * F.col("_nb")).alias("dot"))
+    )
+    return per_j.agg(F.min("dot").alias("est_join_size"))

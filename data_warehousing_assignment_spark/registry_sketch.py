@@ -1489,3 +1489,54 @@ def op_ext_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("order_month").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("n_customers")
     )
+
+
+@query(
+    "op-ext-cms-join-size",
+    oracle=f"""
+    WITH src AS (SELECT user_id AS k FROM events),
+    f AS (SELECT k, j FROM src CROSS JOIN (SELECT unnest([0,1,2,3]) AS j)),
+    cells AS (
+      SELECT j, {_slot_sql("k", "'cms' || CAST(j AS VARCHAR) || ':'", 2)}
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM f GROUP BY 1, 2
+    ),
+    dots AS (SELECT j, CAST(SUM(n * n) AS BIGINT) AS dot
+             FROM cells GROUP BY 1),
+    truth AS (
+      SELECT CAST(SUM(c * c) AS BIGINT) AS true_join_size
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM src GROUP BY k)
+    )
+    SELECT (SELECT CAST(MIN(dot) AS BIGINT) FROM dots) AS est_join_size,
+           (SELECT true_join_size FROM truth) AS true_join_size
+    """,
+)
+def op_ext_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation WITHOUT running the join (Cormode &
+    Muthukrishnan 2005 §4.2 inner-product identity; the AMS
+    second-moment special case): |events ⋈ events| on user_id =
+    Σ_u f(u)², estimated as min over the CMS depth rows of the cell
+    dot product Σ_b cell[j,b]² — the statistic a cost-based planner
+    wants before committing to a shuffle strategy, computed from a
+    1024-cell sketch instead of the fact table. One-sided (est ≥
+    true: collisions only add cross terms), pinned with the exact
+    size in the same row; md5 slots make both engines bit-identical —
+    an exact oracle for an approximate structure, same move as
+    op-ext-cms. 100 TB: the sketch builds map-side in one pass; the
+    estimate itself costs a 1024-row self-join."""
+    ev = t(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    cells = sk.cms_build(ev, "k", depth=4, width_hex=2)
+    cells = cells.localCheckpoint(eager=False)  # reused by both sides
+    est = sk.cms_join_size(cells, cells)
+    truth = (
+        ev.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias(
+            "true_join_size"
+        ))
+    )
+    return est.join(truth).select(
+        F.col("est_join_size").cast("bigint").alias("est_join_size"),
+        "true_join_size",
+    )

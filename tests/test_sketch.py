@@ -224,3 +224,16 @@ def test_bitmap_month_op_matches_exact_distinct(spark):
         ).agg(F.countDistinct("o_custkey").alias("n")).collect()
     }
     assert got == want
+
+
+def test_cms_join_size_is_one_sided_and_tight(spark):
+    """est >= true (collisions only add cross terms), and with 256
+    buckets against ~100 distinct users the estimate should be within
+    the epsilon*N^2 CMS bound — use 2x true as a generous pin."""
+    from data_warehousing_assignment_spark.registry_sketch import (
+        op_ext_cms_join_size,
+    )
+
+    r = op_ext_cms_join_size(spark, "/root/testdata/sf0.01").collect()[0]
+    assert r["est_join_size"] >= r["true_join_size"]
+    assert r["est_join_size"] <= 2 * r["true_join_size"]

@@ -40,6 +40,8 @@ ALLOWED = {
     # 1-row positive-balance stats frame (Σbal, n) broadcast onto the
     # customer dim for the exact integer above-average predicate
     "op-ext-tpch-q22": {"cartesian"},
+    # 1-row estimate × 1-row truth frame assembled into the output row
+    "op-ext-cms-join-size": {"cartesian"},
     # 1-row adaptive-bin-width stats broadcast onto the point frame
     "op-ext-zorder": {"cartesian"},
     # k-means assign: corpus × broadcast n_clusters centroids (k tiny)
