@@ -1767,3 +1767,61 @@ def op_ext_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_value"),
         F.col("n_events").cast("bigint").alias("n_events"),
     )
+
+
+@query(
+    "op-ext-seq-match",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY epoch_us(ts), event_id) AS s
+      FROM events GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(length(s) AS BIGINT) AS seq_len,
+           md5(s) AS seq_md5,
+           CAST(length(regexp_replace(s, 'v[cs]*p', '#', 'g'))
+                - length(regexp_replace(s, 'v[cs]*p', '', 'g'))
+                AS BIGINT) AS n_conversions
+    FROM seq
+    """,
+)
+def op_ext_seq_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-sequence pattern matching (the MATCH_RECOGNIZE
+    pattern class, which Spark SQL lacks): each user's event history
+    becomes a character string in exact (ts, event_id) order — v/c/p/s/e
+    initials — and conversions are leftmost non-overlapping matches of
+    ``v[cs]*p`` (view, then only clicks/signups, then purchase; an
+    error or second view breaks the run). Both engines count matches by
+    the same replace-and-measure identity, so the greedy-scan
+    semantics are pinned identically; the full sequence crosses the
+    boundary only as md5 + length. 100 TB: one (user)-keyed shuffle;
+    per-user state is the event-initial string — events-per-user
+    bounded, the same assumption every sessionizer here makes."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.expr("ts_ns div 1000").alias("ts_us"),
+            F.col("event_id"),
+            F.substring("event_type", 1, 1).alias("c"),
+        ).alias("e"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("e")), lambda x: x["c"]
+            ),
+            "",
+        ).alias("s")
+    )
+    pat = "v[cs]*p"
+    return seq.select(
+        "user_id",
+        F.length("s").cast("bigint").alias("seq_len"),
+        F.md5("s").alias("seq_md5"),
+        (
+            F.length(F.regexp_replace("s", pat, "#"))
+            - F.length(F.regexp_replace("s", pat, ""))
+        ).cast("bigint").alias("n_conversions"),
+    )
