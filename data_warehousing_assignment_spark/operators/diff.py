@@ -73,3 +73,42 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.filter(F.col("change_type") != "unchanged")
     return out
+
+
+def partition_digest(
+    df: DataFrame,
+    key_col: str,
+    cols: list[str],
+    bucket_size: int = 1000,
+) -> DataFrame:
+    """Merkle-style range-bucket digest for table reconciliation
+    (anti-entropy, Dynamo/Cassandra repair shape): rows hash to a
+    64-bit-ish value (first 8 hex of md5 over all compared columns),
+    buckets are key ranges, and each bucket reduces to (n_rows,
+    digest = Σ row-hash) — order-insensitive and mergeable, so two
+    replicas compare by exchanging |key-range|/bucket_size digest rows
+    instead of the data. A mismatched bucket pinpoints WHERE to do the
+    expensive row-level diff (snapshot_diff). One map-side-combined
+    pass per replica; digests are exact integers, so any engine
+    computes the identical frame."""
+    row_hash = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols])),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        df.select(
+            (F.col(key_col).cast("bigint") - F.col(key_col).cast("bigint") % bucket_size)
+            .alias("bucket_start"),
+            row_hash.alias("_h"),
+        )
+        .groupBy("bucket_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_h").alias("digest"),
+        )
+    )

@@ -1540,3 +1540,99 @@ def op_ext_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_join_size").cast("bigint").alias("est_join_size"),
         "true_join_size",
     )
+
+
+# --------------------------------------------------------------------------
+# Merkle-style table reconciliation digest
+# --------------------------------------------------------------------------
+
+_TD_ROW = (
+    "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) "
+    "|| '|' || o_orderstatus || '|' || CAST(price_c AS VARCHAR) "
+    "|| '|' || o_orderpriority"
+)
+
+
+def _td_hash64() -> str:
+    h = f"md5({_TD_ROW})"
+    terms = [f"{_nib(h, i + 1)} * {16 ** (8 - 1 - i)}" for i in range(8)]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "op-ext-table-digest",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS price_c,
+             o_orderpriority
+      FROM orders
+    ),
+    replica AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             price_c + CASE WHEN o_orderkey % 5000 = 17 THEN 1 ELSE 0 END
+                 AS price_c,
+             o_orderpriority
+      FROM base
+    ),
+    da AS (SELECT o_orderkey - o_orderkey % 1000 AS bucket_start,
+                  CAST(COUNT(*) AS BIGINT) AS n_a,
+                  CAST(SUM({_td_hash64()}) AS BIGINT) AS digest_a
+           FROM base GROUP BY 1),
+    db AS (SELECT o_orderkey - o_orderkey % 1000 AS bucket_start,
+                  CAST(COUNT(*) AS BIGINT) AS n_b,
+                  CAST(SUM({_td_hash64()}) AS BIGINT) AS digest_b
+           FROM replica GROUP BY 1)
+    SELECT da.bucket_start, n_a, digest_a, n_b, digest_b
+    FROM da JOIN db ON da.bucket_start = db.bucket_start
+    WHERE digest_a <> digest_b OR n_a <> n_b
+    """,
+)
+def op_ext_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy table reconciliation (the Dynamo/Cassandra Merkle
+    repair shape, operators/diff.py:partition_digest): both "replicas"
+    of orders reduce to one (n_rows, Σ row-hash64) digest per 1000-key
+    range — order-insensitive, mergeable, exact — and only buckets
+    whose digests disagree surface, pinpointing where the row-level
+    snapshot_diff must run. The replica here carries a deterministic
+    1-cent corruption on keys ≡17 (mod 5000), so exactly those buckets
+    mismatch. Row bytes never cross replicas — at 100 TB the exchange
+    is |key range|/1000 digest rows, and each side's digest is one
+    map-side-combined pass. Hashed columns use exact-integer cents
+    (raw double→string formatting is not cross-engine stable)."""
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .alias("price_c"),
+        "o_orderpriority",
+    )
+    replica = base.withColumn(
+        "price_c",
+        F.when(
+            F.col("o_orderkey") % 5000 == 17, F.col("price_c") + 1
+        ).otherwise(F.col("price_c")),
+    )
+    from data_warehousing_assignment_spark.operators.diff import (
+        partition_digest,
+    )
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "price_c",
+            "o_orderpriority"]
+    da = partition_digest(base, "o_orderkey", cols).select(
+        "bucket_start",
+        F.col("n_rows").alias("n_a"),
+        F.col("digest").alias("digest_a"),
+    )
+    db = partition_digest(replica, "o_orderkey", cols).select(
+        "bucket_start",
+        F.col("n_rows").alias("n_b"),
+        F.col("digest").alias("digest_b"),
+    )
+    return da.join(db, "bucket_start").filter(
+        (F.col("digest_a") != F.col("digest_b"))
+        | (F.col("n_a") != F.col("n_b"))
+    )

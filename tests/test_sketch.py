@@ -237,3 +237,29 @@ def test_cms_join_size_is_one_sided_and_tight(spark):
     r = op_ext_cms_join_size(spark, "/root/testdata/sf0.01").collect()[0]
     assert r["est_join_size"] >= r["true_join_size"]
     assert r["est_join_size"] <= 2 * r["true_join_size"]
+
+
+def test_table_digest_pinpoints_only_corrupted_buckets(spark):
+    """Digest mismatch set == exactly the buckets holding a corrupted
+    key (≡17 mod 5000); clean buckets never false-positive."""
+    from data_warehousing_assignment_spark.registry import t
+    from data_warehousing_assignment_spark.registry_sketch import (
+        op_ext_table_digest,
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r["bucket_start"]
+        for r in op_ext_table_digest(spark, "/root/testdata/sf0.01").collect()
+    }
+    orders = t(spark, "/root/testdata/sf0.01", "orders")
+    want = {
+        r["b"]
+        for r in orders.filter(F.col("o_orderkey") % 5000 == 17)
+        .select(
+            (F.col("o_orderkey") - F.col("o_orderkey") % 1000).alias("b")
+        )
+        .distinct()
+        .collect()
+    }
+    assert got == want and got  # every corrupted bucket, nothing else
