@@ -1825,3 +1825,47 @@ def op_ext_seq_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.length(F.regexp_replace("s", pat, ""))
         ).cast("bigint").alias("n_conversions"),
     )
+
+
+@query(
+    "op-ext-try-arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0.0 THEN NULL
+                ELSE CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                               AS BIGINT)
+                          // CAST(CAST(l_discount AS DECIMAL(5,2)) * 100
+                                  AS BIGINT) AS BIGINT)
+           END AS price_per_disc_pct,
+           TRY_CAST(l_returnflag AS BIGINT) AS flag_as_num,
+           TRY_CAST('1e' || CAST(l_linenumber * 100 AS VARCHAR) AS DOUBLE)
+               AS overflow_probe
+    FROM lineitem
+    WHERE l_orderkey % 500 = 0
+    """,
+)
+def op_ext_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface (try_divide / try_cast — the
+    error-as-NULL family next to op-fn-date-safe's try_to_date): the
+    engine runs with ANSI enabled, where 1/0 and bad casts THROW, so
+    pipelines over dirty data reach for the try_* forms — division by
+    a zero discount → NULL (not a crash), a non-numeric cast → NULL,
+    and a deliberately overflowing 1e100/1e700 parse → the IEEE value
+    or NULL past double range. Integer division keeps the quotient
+    cross-engine exact (DuckDB ``//`` truncates like Spark ``div`` on
+    nonnegatives). All row-local, pushdown-friendly — the safety
+    wrappers cost nothing at scale."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 500 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "CAST(try_divide(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100"
+            " AS BIGINT), CAST(CAST(l_discount AS DECIMAL(5,2)) * 100 AS"
+            " BIGINT)) AS BIGINT)"
+        ).alias("price_per_disc_pct"),
+        F.expr("try_cast(l_returnflag AS BIGINT)").alias("flag_as_num"),
+        F.expr(
+            "try_cast(concat('1e', CAST(l_linenumber * 100 AS STRING)) AS DOUBLE)"
+        ).alias("overflow_probe"),
+    )
