@@ -28,7 +28,14 @@ def chunk_spans(text: str, w: int = CHUNK_W, s: int = CHUNK_S):
     """Pure-python twin of the chunk geometry: yields
     (chunk_idx, n_chunk_toks, chunk_md5) per window. NULL text yields
     nothing — the HOF path's sequence(NULL) explode and the oracle's
-    range-over-NULL both drop the row, so the UDTF must too."""
+    range-over-NULL both drop the row, so the UDTF must too.
+
+    Requires ``0 < s <= w``: the ceil((n-w)/s)+1 count (stop once the
+    end is covered) only guarantees gap-free, non-empty windows for
+    stride ≤ window — hypothesis found the s>w spurious-empty-tail
+    case (tests/test_chunking.py)."""
+    if not 0 < s <= w:
+        raise ValueError(f"stride must satisfy 0 < s <= w, got s={s} w={w}")
     if text is None:
         return
     # SQL-trim (spaces only) + lower + \s+ split — NOT str.split(), whose

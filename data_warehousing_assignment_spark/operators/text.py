@@ -360,7 +360,12 @@ CHUNK_S = 24
 
 def n_chunks(n_toks: Column, w: int = CHUNK_W, s: int = CHUNK_S) -> Column:
     """ceil((n-w)/s)+1 for n>w else 1 — integer-exact in both engines
-    (DuckDB twin: ``CASE WHEN n <= w THEN 1 ELSE (n-w+s-1)//s + 1 END``)."""
+    (DuckDB twin: ``CASE WHEN n <= w THEN 1 ELSE (n-w+s-1)//s + 1 END``).
+    Valid only for 0 < s <= w (enforced here and in chunk_spans): with
+    stride past the window the stop-once-covered count emits an empty
+    tail window."""
+    if not 0 < s <= w:
+        raise ValueError(f"stride must satisfy 0 < s <= w, got s={s} w={w}")
     tail = (n_toks - w + (s - 1)).cast("bigint")
     return F.when(n_toks <= w, F.lit(1).cast("bigint")).otherwise(
         (tail - tail % s) / s + 1

@@ -118,3 +118,50 @@ def test_chunk_plan_has_no_shuffle(spark):
     plan = chunk_windows(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # row-local explode, zero shuffle
     assert "Generate explode" in plan
+
+
+# ----------------------------------------------------------- properties
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        n=st.integers(0, 500),
+        w=st.integers(1, 64),
+        data=st.data(),
+    )
+    def test_chunk_geometry_properties(n, w, data):
+        """For ANY valid window/stride (0 < s <= w — s > w is rejected
+        with ValueError, see below): full coverage (last chunk reaches
+        the final token), correct count formula, starts at i*s, and no
+        empty chunks."""
+        s = data.draw(st.integers(1, w))
+        toks = [f"t{i}" for i in range(n)]
+        text = " ".join(toks) if toks else ""
+        spans = list(chunk_spans(text, w=w, s=s))
+        m = max(n, 1)  # empty text still tokenizes to [''] in SQL land
+        want_count = 1 if m <= w else (m - w + s - 1) // s + 1
+        assert len(spans) == want_count
+        for i, (ci, ntk, _h) in enumerate(spans):
+            assert ci == i
+            assert ntk == min(w, m - i * s)
+            assert ntk >= 1
+        assert spans[-1][0] * s + spans[-1][1] == m  # coverage
+
+    def test_stride_past_window_rejected():
+        """s > w would emit empty tail windows (hypothesis-found r8);
+        both paths refuse it loudly instead."""
+        with pytest.raises(ValueError):
+            list(chunk_spans("a b c", w=2, s=3))
+        from data_warehousing_assignment_spark.operators.text import n_chunks
+
+        with pytest.raises(ValueError):
+            n_chunks(F.lit(10), w=2, s=3)
