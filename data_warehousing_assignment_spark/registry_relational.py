@@ -1869,3 +1869,38 @@ def op_ext_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             "try_cast(concat('1e', CAST(l_linenumber * 100 AS STRING)) AS DOUBLE)"
         ).alias("overflow_probe"),
     )
+
+
+@query(
+    "op-ext-stream-cep",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY epoch_us(ts), event_id) AS s
+      FROM events GROUP BY 1
+    )
+    SELECT user_id, n_events,
+           CAST(length(regexp_replace(s, 'v[cs]*p', '#', 'g'))
+                - length(regexp_replace(s, 'v[cs]*p', '', 'g'))
+                AS BIGINT) AS n_conversions
+    FROM seq
+    """,
+)
+def op_ext_stream_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CEP: op-ext-seq-match's v[cs]*p conversion pattern as
+    an incremental stateful operator (streaming/cep.py — a 2-state DFA
+    with O(1) state per user, applyInPandasWithState on streams, its
+    applyInPandas twin here). The oracle is the REGEX formulation on
+    the full history: the DFA must count exactly what leftmost
+    non-overlapping regex matching counts — pinned per-user here and
+    replayed across micro-batches in tests/test_cep.py. This is the
+    CEP trade: the batch op materializes the sequence string, the
+    stream op carries 3 integers per user forever."""
+    from data_warehousing_assignment_spark.streaming.cep import conversion_cep
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    return conversion_cep(ev)

@@ -1,0 +1,123 @@
+"""Streaming CEP (complex event processing) via ``applyInPandasWithState``:
+the incremental twin of op-ext-seq-match's ``v[cs]*p`` conversion
+pattern (registry_relational.py) — view, then only clicks/signups, then
+purchase.
+
+The pattern compiles to a 2-state DFA, which is what makes it
+streamable with O(1) state per key: leftmost non-overlapping matching
+of ``v[cs]*p`` needs only (armed?, n_conversions) — after a completed
+or broken match the scanner can never re-enter a dead prefix, so no
+suffix buffer is required. Equivalence to the regex formulation is
+pinned in tests/test_cep.py (DFA ≡ regexp count on every user) and the
+stream replay converges to the batch final state.
+
+Ordering contract: the DFA consumes each user's events in event-time
+order. Within a micro-batch the handler sorts; ACROSS batches it
+assumes in-order delivery (the test feeds time-split files; a
+production deployment puts a watermark-buffered sort — or the
+dedup/sessionize pattern's window — in front, exactly like every
+sequence-sensitive streaming operator).
+
+Scale notes: state is 3 small integers per user — no event buffer, no
+string accumulation — so 10⁹ users is ~tens of GB of state store,
+and the per-batch work is one (user)-keyed shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("armed", LongType()),         # DFA state: 0 idle, 1 armed
+        StructField("n_events", LongType()),
+        StructField("n_conversions", LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_conversions", LongType()),
+    ]
+)
+
+
+def advance_dfa(armed: int, n_conv: int, initials) -> tuple[int, int]:
+    """Run the v[cs]*p matcher over a sequence of event initials.
+
+    Leftmost non-overlapping semantics: 'v' arms (or re-arms) the
+    matcher, 'c'/'s' keep an armed match alive, 'p' completes it
+    (count++, disarm), anything else ('e', or 'p' while idle) disarms.
+    """
+    for ch in initials:
+        if ch == "v":
+            armed = 1
+        elif armed:
+            if ch == "p":
+                n_conv += 1
+                armed = 0
+            elif ch not in ("c", "s"):
+                armed = 0
+    return armed, n_conv
+
+
+def _update(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    armed, n_events, n_conv = state.get if state.exists else (0, 0, 0)
+    pdfs = [p for p in batches if len(p)]
+    if pdfs:
+        pdf = pd.concat(pdfs).sort_values(["ts_us", "event_id"])
+        initials = [t[0] for t in pdf["event_type"]]
+        n_events += len(initials)
+        armed, n_conv = advance_dfa(armed, n_conv, initials)
+    state.update((int(armed), int(n_events), int(n_conv)))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n_events],
+            "n_conversions": [n_conv],
+        }
+    )
+
+
+def _single_batch(key: tuple[Any, ...], pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["ts_us", "event_id"])
+    armed, n_conv = advance_dfa(0, 0, [t[0] for t in pdf["event_type"]])
+    return pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [len(pdf)],
+            "n_conversions": [n_conv],
+        }
+    )
+
+
+def conversion_cep(events: DataFrame) -> DataFrame:
+    """Per-user conversion counting as a stateful CEP operator. Input
+    needs (user_id, event_type, ts_us, event_id). Streams update the
+    DFA state per micro-batch; a static frame takes the
+    ``applyInPandas`` twin (one batch, fresh state) — identical
+    output contract."""
+    cols = events.select("user_id", "event_type", "ts_us", "event_id")
+    grouped = cols.groupBy("user_id")
+    if not events.isStreaming:
+        return grouped.applyInPandas(_single_batch, OUTPUT_SCHEMA)
+    return grouped.applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,115 @@
+"""Streaming CEP (streaming/cep.py): the 2-state DFA must count exactly
+what leftmost non-overlapping regex matching of v[cs]*p counts, and the
+micro-batch replay must converge to the batch final state."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehousing_assignment_spark.registry import t
+from data_warehousing_assignment_spark.streaming.cep import (
+    advance_dfa,
+    conversion_cep,
+)
+from tests.conftest import SF_SMALL
+
+
+def _regex_count(s: str) -> int:
+    return len(re.findall("v[cs]*p", s))
+
+
+def test_dfa_equals_regex_on_crafted_strings():
+    for s in (
+        "", "v", "p", "vp", "vcp", "vcsp", "vcscp",
+        "vvp",          # re-arm: second v restarts, still one match
+        "vev p".replace(" ", ""),  # error breaks the armed run
+        "vpvp",         # two non-overlapping conversions
+        "vcpcp",        # second p finds no armed match
+        "pvcsve",       # never completes
+        "vcsvp",        # inner v re-arms then completes: one match
+    ):
+        armed, n = advance_dfa(0, 0, list(s))
+        assert n == _regex_count(s), s
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="vcspe", max_size=60))
+    def test_dfa_equals_regex_property(s):
+        _, n = advance_dfa(0, 0, list(s))
+        assert n == _regex_count(s)
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.text(alphabet="vcspe", max_size=40),
+        st.integers(0, 40),
+    )
+    def test_dfa_is_splittable(s, cut):
+        """State carried across an arbitrary split must equal one pass —
+        the property that makes the operator streamable."""
+        cut = min(cut, len(s))
+        armed, n = advance_dfa(0, 0, list(s[:cut]))
+        armed, n = advance_dfa(armed, n, list(s[cut:]))
+        assert n == _regex_count(s)
+except ImportError:  # pragma: no cover
+    pass
+
+
+@pytest.fixture(scope="module")
+def cep_chunks(spark, tmp_path_factory):
+    """events split into 3 TIME-RANGE files, written sequentially so the
+    file source's modification-time ordering replays them as in-order
+    micro-batches (the operator's ordering contract)."""
+    import time
+
+    path = str(tmp_path_factory.mktemp("cep_chunks"))
+    ev = (
+        t(spark, SF_SMALL, "events")
+        .withColumn("ts_us", F.expr("ts_ns div 1000"))
+        .select("user_id", "event_type", "ts_us", "event_id")
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    step = (hi - lo) // 3 + 1
+    for i in range(3):
+        ev.filter(
+            (F.col("ts_us") >= lo + i * step)
+            & (F.col("ts_us") < lo + (i + 1) * step)
+        ).coalesce(1).write.mode("append").parquet(path)
+        time.sleep(1.1)  # distinct mtimes → deterministic replay order
+    return path
+
+
+def test_stream_cep_converges_to_batch(spark, cep_chunks):
+    static = spark.read.parquet(cep_chunks)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cep_chunks)
+    )
+    q = (
+        conversion_cep(stream)
+        .writeStream.format("memory")
+        .queryName("cep_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = spark.sql(
+        """SELECT user_id, n_conversions FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY user_id ORDER BY n_events DESC) AS rn
+             FROM cep_out) WHERE rn = 1"""
+    )
+    want = {
+        r["user_id"]: r["n_conversions"]
+        for r in conversion_cep(static).collect()
+    }
+    got = {r["user_id"]: r["n_conversions"] for r in emitted.collect()}
+    assert got == want
