@@ -91,9 +91,22 @@ def partition_digest(
     expensive row-level diff (snapshot_diff). One map-side-combined
     pass per replica; digests are exact integers, so any engine
     computes the identical frame."""
+    # NULL columns take an explicit sentinel: bare concat_ws SKIPS nulls,
+    # so ('x','F',NULL) and ('x',NULL,'F') would collide — a value moved
+    # between nullable columns must change the digest (r8 review). The
+    # sentinel itself colliding with a literal '<NULL>' string is the
+    # documented residual risk of any sentinel scheme.
     row_hash = F.conv(
         F.substring(
-            F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols])),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+                        for c in cols
+                    ],
+                )
+            ),
             1,
             8,
         ),

@@ -1710,7 +1710,7 @@ def op_ext_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def op_ext_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured aggregation through the VARIANT type (Spark 4):
-    ``parse_json`` converts the events props string ONCE into Spark's
+    ``try_parse_json`` converts the events props string ONCE into Spark's
     binary variant encoding, and every extraction afterwards is a
     ``variant_get`` path read on the encoded form — the parse-once /
     extract-many contract that replaces op-ext-json-extract's
@@ -1719,7 +1719,10 @@ def op_ext_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan projection; the aggregate is an ordinary map-side-combined
     groupBy on the extracted int64."""
     ev = t(spark, sf_dir, "events").withColumn(
-        "_v", F.parse_json(F.col("props"))
+        # try_ variant: one malformed props row must contribute NULL,
+        # not abort the aggregate — per-row lenient like the
+        # get_json_object op this replaces (r8 review)
+        "_v", F.try_parse_json(F.col("props"))
     )
     k = F.expr("variant_get(_v, '$.k', 'bigint')")
     return ev.groupBy("event_type").agg(

@@ -1546,10 +1546,14 @@ def op_ext_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Merkle-style table reconciliation digest
 # --------------------------------------------------------------------------
 
-_TD_ROW = (
-    "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) "
-    "|| '|' || o_orderstatus || '|' || CAST(price_c AS VARCHAR) "
-    "|| '|' || o_orderpriority"
+# COALESCE-to-sentinel mirrors operators/diff.py:partition_digest —
+# bare '||' would NULLify the whole row hash (SUM then silently drops
+# the row), and concat-skip semantics would let values move between
+# nullable columns undetected (r8 review).
+_TD_ROW = " || '|' || ".join(
+    f"COALESCE(CAST({c} AS VARCHAR), '<NULL>')"
+    for c in ("o_orderkey", "o_custkey", "o_orderstatus", "price_c",
+              "o_orderpriority")
 )
 
 
@@ -1584,9 +1588,11 @@ def _td_hash64() -> str:
                   CAST(COUNT(*) AS BIGINT) AS n_b,
                   CAST(SUM({_td_hash64()}) AS BIGINT) AS digest_b
            FROM replica GROUP BY 1)
-    SELECT da.bucket_start, n_a, digest_a, n_b, digest_b
-    FROM da JOIN db ON da.bucket_start = db.bucket_start
-    WHERE digest_a <> digest_b OR n_a <> n_b
+    SELECT COALESCE(da.bucket_start, db.bucket_start) AS bucket_start,
+           n_a, digest_a, n_b, digest_b
+    FROM da FULL JOIN db ON da.bucket_start = db.bucket_start
+    WHERE digest_a IS DISTINCT FROM digest_b
+       OR n_a IS DISTINCT FROM n_b
     """,
 )
 def op_ext_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1632,7 +1638,12 @@ def op_ext_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").alias("n_b"),
         F.col("digest").alias("digest_b"),
     )
-    return da.join(db, "bucket_start").filter(
-        (F.col("digest_a") != F.col("digest_b"))
-        | (F.col("n_a") != F.col("n_b"))
+    # FULL OUTER: a bucket present in only one replica (whole-partition
+    # loss/addition — the severest corruption the digest exists to
+    # catch) must surface as a mismatch row, not vanish in an inner
+    # join (r8 review). Null-safe inequality treats the absent side's
+    # NULLs as differing.
+    return da.join(db, "bucket_start", "full_outer").filter(
+        ~F.col("digest_a").eqNullSafe(F.col("digest_b"))
+        | ~F.col("n_a").eqNullSafe(F.col("n_b"))
     )

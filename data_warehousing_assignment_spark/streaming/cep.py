@@ -79,8 +79,8 @@ def _update(
     pdfs = [p for p in batches if len(p)]
     if pdfs:
         pdf = pd.concat(pdfs).sort_values(["ts_us", "event_id"])
-        initials = [t[0] for t in pdf["event_type"]]
-        n_events += len(initials)
+        initials = _initials(pdf)
+        n_events += len(pdf)
         armed, n_conv = advance_dfa(armed, n_conv, initials)
     state.update((int(armed), int(n_events), int(n_conv)))
     yield pd.DataFrame(
@@ -92,9 +92,17 @@ def _update(
     )
 
 
+def _initials(pdf: pd.DataFrame) -> list[str]:
+    """First letter of each event type; NULL/empty types are SKIPPED,
+    matching the regex twin exactly (Spark's array_join and DuckDB's
+    string_agg both drop NULL initials) — raising would kill the
+    streaming query on one dirty row (r8 review)."""
+    return [t[0] for t in pdf["event_type"] if isinstance(t, str) and t]
+
+
 def _single_batch(key: tuple[Any, ...], pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values(["ts_us", "event_id"])
-    armed, n_conv = advance_dfa(0, 0, [t[0] for t in pdf["event_type"]])
+    armed, n_conv = advance_dfa(0, 0, _initials(pdf))
     return pd.DataFrame(
         {
             "user_id": [key[0]],

@@ -100,7 +100,7 @@ def test_stream_cep_converges_to_batch(spark, cep_chunks):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)  # False = still running: fail loudly
     emitted = spark.sql(
         """SELECT user_id, n_conversions FROM (
              SELECT *, row_number() OVER (
@@ -113,3 +113,21 @@ def test_stream_cep_converges_to_batch(spark, cep_chunks):
     }
     got = {r["user_id"]: r["n_conversions"] for r in emitted.collect()}
     assert got == want
+
+
+def test_cep_skips_null_and_empty_event_types(spark):
+    """One dirty row (NULL or '' event_type) must be skipped, exactly
+    like the regex twin's string_agg/array_join NULL-drop — the
+    pre-fix handler crashed the Python worker (r8 review)."""
+    rows = [
+        (1, "view", 1, 1),
+        (1, None, 2, 2),
+        (1, "", 3, 3),
+        (1, "purchase", 4, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id: long, event_type: string, ts_us: long, event_id: long"
+    )
+    out = {r["user_id"]: r for r in conversion_cep(df).collect()}
+    assert out[1]["n_conversions"] == 1  # 'v' then 'p', dirt skipped
+    assert out[1]["n_events"] == 4      # raw rows still counted

@@ -263,3 +263,56 @@ def test_table_digest_pinpoints_only_corrupted_buckets(spark):
         .collect()
     }
     assert got == want and got  # every corrupted bucket, nothing else
+
+
+def test_table_digest_catches_whole_bucket_loss(spark):
+    """A bucket present in only one replica (lost partition file) must
+    surface as a mismatch — r8 review: the pre-fix inner join silently
+    dropped exactly this, the severest corruption class."""
+    from pyspark.sql import functions as F
+
+    from data_warehousing_assignment_spark.operators.diff import (
+        partition_digest,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(3000)], "k: long, v: string"
+    )
+    replica = base.filter(~F.col("k").between(1000, 1999))  # bucket gone
+    da = partition_digest(base, "k", ["k", "v"]).select(
+        "bucket_start",
+        F.col("n_rows").alias("n_a"),
+        F.col("digest").alias("digest_a"),
+    )
+    db = partition_digest(replica, "k", ["k", "v"]).select(
+        "bucket_start",
+        F.col("n_rows").alias("n_b"),
+        F.col("digest").alias("digest_b"),
+    )
+    bad = (
+        da.join(db, "bucket_start", "full_outer")
+        .filter(
+            ~F.col("digest_a").eqNullSafe(F.col("digest_b"))
+            | ~F.col("n_a").eqNullSafe(F.col("n_b"))
+        )
+        .collect()
+    )
+    assert [r["bucket_start"] for r in bad] == [1000]
+    assert bad[0]["n_b"] is None  # absent side surfaces as NULL
+
+
+def test_partition_digest_null_columns_are_distinct(spark):
+    """('x','F',NULL) vs ('x',NULL,'F') must digest differently — bare
+    concat_ws would collide them (r8 review), hiding a value that
+    moved between nullable columns."""
+    from data_warehousing_assignment_spark.operators.diff import (
+        partition_digest,
+    )
+
+    a = spark.createDataFrame([(1, "x", "F", None)],
+                              "k: long, a: string, b: string, c: string")
+    b = spark.createDataFrame([(1, "x", None, "F")],
+                              "k: long, a: string, b: string, c: string")
+    da = partition_digest(a, "k", ["a", "b", "c"]).collect()[0]
+    db = partition_digest(b, "k", ["a", "b", "c"]).collect()[0]
+    assert da["digest"] != db["digest"]
