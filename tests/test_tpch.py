@@ -157,3 +157,48 @@ def test_q22_anti_join_with_prefiltered_orders(spark, qs):
     assert "LeftAnti" in plan
     # the 1999 cutoff reaches the orders scan, pre-pruning the anti side
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q2_returns_only_minimum_cost_suppliers(spark, qs):
+    rows = qs["op-ext-tpch-q2"](spark, SF_SMALL).collect()
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r["p_partkey"], set()).add(r["cost_c"])
+    for part, costs in by_part.items():
+        assert len(costs) == 1, part  # all returned rows sit AT the min
+
+
+def test_q11_share_threshold_holds(spark, qs):
+    rows = qs["op-ext-tpch-q11"](spark, SF_SMALL).collect()
+    total = None
+    # recompute the nation total from scratch and re-check the filter
+    from data_warehousing_assignment_spark.registry_tpch import _rev_c4
+
+    li = t(spark, SF_SMALL, "lineitem")
+    s = t(spark, SF_SMALL, "supplier")
+    n = t(spark, SF_SMALL, "nation").filter(F.col("n_name") == "NATION_7")
+    val = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev_c4()).alias("v"))
+    )
+    total = val.agg(F.sum("v")).collect()[0][0]
+    for r in rows:
+        assert r["value_c4"] * 1000 > total
+
+
+def test_q21_each_order_blames_at_most_one_supplier(spark, qs):
+    rows = qs["op-ext-tpch-q21"](spark, SF_SMALL).collect()
+    li = t(spark, SF_SMALL, "lineitem")
+    o = t(spark, SF_SMALL, "orders").filter(F.col("o_orderstatus") == "F")
+    n_f_orders = o.count()
+    assert sum(r["numwait"] for r in rows) <= n_f_orders
+
+
+def test_adapted_queries_broadcast_dims(spark, qs):
+    for name in ("op-ext-tpch-q2", "op-ext-tpch-q9", "op-ext-tpch-q16",
+                 "op-ext-tpch-q20"):
+        plan = plan_of(qs[name](spark, SF_SMALL))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
