@@ -826,7 +826,8 @@ def _ps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     mn AS (SELECT p_partkey, MIN(cost_c) AS min_cost
            FROM cand GROUP BY 1)
-    SELECT c.acctbal_c, c.s_name, c.n_name, c.p_partkey, c.cost_c
+    SELECT c.acctbal_c, c.s_name, c.n_name, c.p_partkey, c.s_suppkey,
+           c.cost_c
     FROM cand c JOIN mn ON c.p_partkey = mn.p_partkey
                        AND c.cost_c = mn.min_cost
     ORDER BY c.acctbal_c DESC, c.p_partkey ASC, c.s_suppkey ASC
@@ -868,8 +869,14 @@ def op_ext_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(F.broadcast(mn), "p_partkey")
         .filter(F.col("cost_c") == F.col("min_cost"))
-        .select("acctbal_c", "s_name", "n_name", "p_partkey", "cost_c")
-        .orderBy(F.desc("acctbal_c"), F.asc("p_partkey"), F.asc("cost_c"))
+        .select(
+            "acctbal_c", "s_name", "n_name", "p_partkey", "s_suppkey",
+            "cost_c",
+        )
+        # suppkey, NOT cost_c, is the tiebreak: survivors of a part all
+        # share min_cost, so cost_c can't break ties at the LIMIT
+        # boundary (r8 review)
+        .orderBy(F.desc("acctbal_c"), F.asc("p_partkey"), F.asc("s_suppkey"))
         .limit(100)
     )
 
@@ -880,7 +887,7 @@ def op_ext_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
            CAST(SUM({_O_REV_C4}
                     - CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) * 100
-                           AS BIGINT) * {_QTY_C} / 100) AS BIGINT)
+                           AS BIGINT) * {_QTY_C}) AS BIGINT)
                AS profit_c4
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
@@ -894,11 +901,12 @@ def op_ext_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 (Product Type Profit), partsupp-adapted: profit per
     supplier nation per order year on ECONOMY-type parts, where cost =
     part retail price × quantity (the ps_supplycost proxy available in
-    this schema). Exact integer centi-cents throughout: retail_c ×
-    qty_c / 100 is exact because qty_c is a multiple of 100 (verified
-    integral quantities). Part + supplier + nation broadcast; the one
-    fact-fact shuffle is lineitem⋈orders. 100 TB: same star shape as
-    Q5/Q8."""
+    this schema). Units: rev_c4 is centi-cents (cents × percent), and
+    cost matches it as retail_c (cents) × qty_c (qty × 100) — the
+    pre-fix extra /100 understated cost 100×, invisible to the oracle
+    because both engines ran the same mis-scaled SQL (r8 review).
+    Part + supplier + nation broadcast; the one fact-fact shuffle is
+    lineitem⋈orders. 100 TB: same star shape as Q5/Q8."""
     p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
         "p_partkey",
         F.expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
@@ -911,7 +919,7 @@ def op_ext_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
         "l_discount", "l_quantity",
     )
-    profit = _rev_c4() - F.col("retail_c") * _qty_c() / F.lit(100)
+    profit = _rev_c4() - F.col("retail_c") * _qty_c()
     return (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
@@ -1051,7 +1059,7 @@ def op_ext_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1997-01-01")
-    ).select("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    ).select("l_partkey", "l_suppkey", "l_quantity")
     shipped = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(_qty_c()).alias("qty_c")
     )

@@ -160,17 +160,39 @@ def test_q22_anti_join_with_prefiltered_orders(spark, qs):
 
 
 def test_q2_returns_only_minimum_cost_suppliers(spark, qs):
+    """Every returned cost must EQUAL the true per-part min recomputed
+    from scratch (r8 review: a single-distinct-cost check would also
+    pass a regression to F.max)."""
     rows = qs["op-ext-tpch-q2"](spark, SF_SMALL).collect()
-    by_part = {}
+    from data_warehousing_assignment_spark.registry_tpch import _ps
+
+    eu_sup = (
+        t(spark, SF_SMALL, "supplier")
+        .join(
+            t(spark, SF_SMALL, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            t(spark, SF_SMALL, "region").filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    true_min = {
+        r["l_partkey"]: r["m"]
+        for r in _ps(spark, SF_SMALL)
+        .join(eu_sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.min("cost_c").alias("m"))
+        .collect()
+    }
+    assert rows
     for r in rows:
-        by_part.setdefault(r["p_partkey"], set()).add(r["cost_c"])
-    for part, costs in by_part.items():
-        assert len(costs) == 1, part  # all returned rows sit AT the min
+        assert r["cost_c"] == true_min[r["p_partkey"]], r["p_partkey"]
 
 
 def test_q11_share_threshold_holds(spark, qs):
     rows = qs["op-ext-tpch-q11"](spark, SF_SMALL).collect()
-    total = None
     # recompute the nation total from scratch and re-check the filter
     from data_warehousing_assignment_spark.registry_tpch import _rev_c4
 
