@@ -1647,3 +1647,104 @@ def op_ext_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ~F.col("digest_a").eqNullSafe(F.col("digest_b"))
         | ~F.col("n_a").eqNullSafe(F.col("n_b"))
     )
+
+
+@query(
+    "op-ext-kmv-intersect",
+    oracle=f"""
+    WITH src AS (
+      SELECT DISTINCT year(o_orderdate) AS yr, o_custkey
+      FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+    ),
+    h AS (SELECT yr, o_custkey, {_kmv_hash_sql()} AS hv FROM src),
+    keep AS (
+      SELECT yr, hv,
+             ROW_NUMBER() OVER (PARTITION BY yr ORDER BY hv) AS rn
+      FROM h
+    ),
+    sk AS (SELECT yr, hv FROM keep WHERE rn <= {_KMV_K}),
+    th AS (
+      SELECT CAST(MIN(mx) AS BIGINT) AS theta,
+             CAST(MIN(nk) AS BIGINT) AS min_kept
+      FROM (SELECT yr, MAX(hv) AS mx, COUNT(*) AS nk FROM sk GROUP BY 1)
+    ),
+    common AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM (SELECT hv FROM sk GROUP BY hv HAVING COUNT(*) = 2)
+      CROSS JOIN th WHERE hv <= th.theta
+    ),
+    truth AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS true_inter
+      FROM (SELECT o_custkey FROM src GROUP BY 1 HAVING COUNT(*) = 2)
+    )
+    SELECT c.n_common, th.min_kept,
+           CAST(CASE WHEN th.min_kept < {_KMV_K} THEN c.n_common
+                ELSE (c.n_common * CAST({_KMV_M} AS HUGEINT)) // th.theta
+                END AS BIGINT) AS inter_est,
+           t.true_inter
+    FROM common c CROSS JOIN th CROSS JOIN truth t
+    """,
+)
+def op_ext_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-INTERSECTION estimate (the theta-sketch rule the
+    op-ext-kmv-sketch docstring promises: θ = min of the two sketches'
+    k-th minima, estimate = |common hashes ≤ θ|·M/θ) — the set algebra
+    HLL cannot do, here sizing the 1996∩1997 active-customer overlap
+    from two 64-hash sketches without rescanning orders. Same exact
+    md5-slot determinism as the union op: sketch, θ, and estimate are
+    bit-identical in both engines, so an approximate structure gets an
+    exact oracle; if either sketch is un-full it IS its set and the
+    common count is exact. Accuracy bound pinned in tests/test_sketch.py.
+    100 TB: the intersection itself touches ≤ 2k sketch rows."""
+    src = (
+        t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate").isin(1996, 1997))
+        .select(F.year("o_orderdate").alias("yr"), "o_custkey")
+        .distinct()
+    )
+    h = src.select("yr", "o_custkey", _kmv_hash_spark().alias("hv"))
+    wyr = Window.partitionBy("yr").orderBy("hv")
+    sk_ = (
+        h.withColumn("rn", F.row_number().over(wyr))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("yr", "hv")
+    )
+    th = (
+        sk_.groupBy("yr")
+        .agg(F.max("hv").alias("mx"), F.count(F.lit(1)).alias("nk"))
+        .agg(
+            F.min("mx").cast("bigint").alias("theta"),
+            F.min("nk").cast("bigint").alias("min_kept"),
+        )
+    )
+    common = (
+        sk_.groupBy("hv")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") == 2)
+        .join(F.broadcast(th))
+        .filter(F.col("hv") <= F.col("theta"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    truth = (
+        src.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") == 2)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_inter"))
+    )
+    est = F.when(F.col("min_kept") < _KMV_K, F.col("n_common")).otherwise(
+        F.expr(
+            f"CAST((CAST(n_common AS DECIMAL(38,0))"
+            f" * CAST({_KMV_M} AS DECIMAL(38,0))"
+            f" - ((CAST(n_common AS DECIMAL(38,0))"
+            f"     * CAST({_KMV_M} AS DECIMAL(38,0))) % theta))"
+            f" / theta AS BIGINT)"
+        )
+    )
+    return (
+        common.join(F.broadcast(th))
+        .join(F.broadcast(truth))
+        .select(
+            "n_common", "min_kept",
+            est.cast("bigint").alias("inter_est"), "true_inter",
+        )
+    )

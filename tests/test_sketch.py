@@ -316,3 +316,19 @@ def test_partition_digest_null_columns_are_distinct(spark):
     da = partition_digest(a, "k", ["a", "b", "c"]).collect()[0]
     db = partition_digest(b, "k", ["a", "b", "c"]).collect()[0]
     assert da["digest"] != db["digest"]
+
+
+def test_kmv_intersect_error_bound(spark):
+    """Relative error of the theta-intersection estimate is bounded by
+    ~1/sqrt(n_common); allow 4 sigma. Exact when a sketch is un-full."""
+    from data_warehousing_assignment_spark.registry_sketch import (
+        op_ext_kmv_intersect,
+    )
+
+    r = op_ext_kmv_intersect(spark, "/root/testdata/sf0.01").collect()[0]
+    assert r["true_inter"] > 0
+    if r["min_kept"] < 64:
+        assert r["inter_est"] == r["true_inter"]
+    else:
+        rel = abs(r["inter_est"] - r["true_inter"]) / r["true_inter"]
+        assert rel < 4 / max(r["n_common"], 1) ** 0.5, r
