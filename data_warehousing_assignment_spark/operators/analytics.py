@@ -264,3 +264,51 @@ def skyline_2d(
         .select(*group_cols, x_col, F.col("_y_slice").alias(y_col))
     )
     return frontier.join(pts, on=[*group_cols, x_col, y_col])
+
+
+def holt_linear(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per series
+    (Holt 1957): level ``l_i = α·x_i + (1−α)(l_{i−1}+b_{i−1})``, trend
+    ``b_i = β(l_i−l_{i−1}) + (1−β)b_{i−1}``, seeded l₀=x₀, b₀=x₁−x₀
+    (0 for 1-point series); one-step forecast = l+b. EWMA's upgrade
+    when series drift — same scalable decomposition (parallel across
+    series via ``applyInPandas``, sequential inside; run on
+    POST-AGGREGATE calendar-bounded frames).
+
+    Output: part_col, order_col, value_col, ``level``, ``trend``,
+    ``forecast`` (doubles).
+    """
+    import pandas as pd
+
+    schema = (
+        df.select(part_col, order_col, value_col)
+        .schema.add("level", "double")
+        .add("trend", "double")
+        .add("forecast", "double")
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        x = pdf[value_col].astype("float64").to_list()
+        lv, tr = [x[0]], [x[1] - x[0] if len(x) > 1 else 0.0]
+        for i in range(1, len(x)):
+            lv.append(alpha * x[i] + (1 - alpha) * (lv[-1] + tr[-1]))
+            tr.append(beta * (lv[-1] - lv[-2]) + (1 - beta) * tr[-1])
+        pdf["level"] = lv
+        pdf["trend"] = tr
+        pdf["forecast"] = [a + b for a, b in zip(lv, tr)]
+        return pdf[[part_col, order_col, value_col, "level", "trend",
+                    "forecast"]]
+
+    return (
+        df.select(part_col, order_col, value_col)
+        .groupBy(part_col)
+        .applyInPandas(smooth, schema)
+    )

@@ -947,3 +947,26 @@ def op_ext_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(F.explode(pairs).alias("_p")).select(
         "_p.var_a", "_p.var_b", "_p.n_rows", "_p.pearson_r"
     )
+
+
+@query("op-ext-holt-linear")
+def op_ext_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing of daily revenue per return flag
+    (α=0.3, β=0.1) — the trend-aware step past op-ext-ewma, same
+    parallel-across-series / sequential-within decomposition
+    (analytics.holt_linear). Rows-only by design: the coupled float
+    recurrences are accumulation-exact only within one engine;
+    semantics pinned in tests/test_analytics.py against the literal
+    recurrence (level/trend/one-step forecast)."""
+    li = t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+    ).agg(
+        (sum_cents("l_extendedprice").cast("double") / 100.0).alias(
+            "day_revenue"
+        )
+    )
+    return an.holt_linear(
+        daily, "l_returnflag", "ship_day", "day_revenue", alpha=0.3, beta=0.1
+    )

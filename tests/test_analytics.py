@@ -251,3 +251,35 @@ def test_cdc_apply_idempotent_under_replay(spark):
     )
     canon = lambda df: sorted(map(tuple, df.collect()))
     assert canon(once) == canon(twice)
+
+
+def test_holt_linear_matches_literal_recurrence(spark):
+    """applyInPandas Holt equals the hand-rolled coupled recurrences
+    l_i = a*x_i + (1-a)(l+b), b_i = B(l_i-l_{i-1}) + (1-B)b, seeded
+    l0=x0, b0=x1-x0; forecast = l+b. Includes a 1-point series (b0=0)."""
+    rows = [
+        ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 10.0), ("a", 4, 40.0),
+        ("b", 1, 5.0), ("b", 2, 5.0), ("b", 3, 8.0),
+        ("c", 1, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, i long, x double")
+    out = {
+        (r.k, r.i): (r.level, r.trend, r.forecast)
+        for r in an.holt_linear(df, "k", "i", "x", alpha=0.3, beta=0.1)
+        .collect()
+    }
+    a, B = 0.3, 0.1
+    for k in ("a", "b", "c"):
+        series = sorted((i, x) for kk, i, x in rows if kk == k)
+        xs = [x for _, x in series]
+        lv = xs[0]
+        tr = xs[1] - xs[0] if len(xs) > 1 else 0.0
+        for idx, (i, x) in enumerate(series):
+            if idx > 0:
+                prev = lv
+                lv = a * x + (1 - a) * (lv + tr)
+                tr = B * (lv - prev) + (1 - B) * tr
+            gl, gt, gf = out[(k, i)]
+            assert math.isclose(gl, lv, rel_tol=1e-12), (k, i)
+            assert math.isclose(gt, tr, rel_tol=1e-12), (k, i)
+            assert math.isclose(gf, lv + tr, rel_tol=1e-12), (k, i)
