@@ -44,8 +44,10 @@ ALLOWED = {
     "op-ext-cms-join-size": {"cartesian"},
     # 1-row nation-total frame broadcast for the share-of-total HAVING
     "op-ext-tpch-q11": {"cartesian"},
-    # 1-row theta/common/truth frames assembled into the output row
-    "op-ext-kmv-intersect": {"cartesian"},
+    # 1-row theta/common/truth frames assembled into the output row;
+    # their SinglePartition agg exchanges sit beside the legitimate
+    # yr-partitioned sketch window (same shape as op-ext-kmv-sketch)
+    "op-ext-kmv-intersect": {"cartesian", "single-partition window"},
     # 1-row adaptive-bin-width stats broadcast onto the point frame
     "op-ext-zorder": {"cartesian"},
     # k-means assign: corpus × broadcast n_clusters centroids (k tiny)
