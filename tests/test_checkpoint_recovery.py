@@ -32,7 +32,7 @@ def run_once(spark, src_dir, fact, ckpt):
     schema = "event_id bigint, user_id bigint, value double"
     stream = spark.readStream.schema(schema).parquet(src_dir)
     q = start_incremental_fact_sink(stream, fact, checkpoint_dir=ckpt)
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)  # False = timed out mid-stream: fail loudly
     return sum(p["numInputRows"] for p in q.recentProgress)
 
 

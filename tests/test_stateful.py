@@ -42,7 +42,7 @@ def test_stateful_stream_matches_batch_final_state(spark, events_chunks):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)  # False = timed out mid-stream: fail loudly
     # update-mode memory sink appends every state emission; the LAST row
     # per user is the final state
     emitted = spark.sql(

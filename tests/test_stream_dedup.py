@@ -53,7 +53,7 @@ def test_stream_dedup_suppresses_redelivery(spark, staged):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)  # False = timed out mid-stream: fail loudly
     out = spark.table("sdedup")
     assert out.count() == ev.count()  # each event exactly once
     batch_keys = {r.event_id for r in dedup_events(ev, ["event_id"]).collect()}

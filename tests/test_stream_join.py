@@ -44,7 +44,7 @@ def test_stream_stream_join_equals_batch(spark, events_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)  # False = timed out mid-stream: fail loudly
 
     batch = view_purchase_conversions(sviews, spurch)
     assert canon(spark.table("ssjoin")) == canon(batch)
@@ -102,7 +102,7 @@ def test_outer_join_streams_matched_rows(spark, events_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)  # False = timed out mid-stream: fail loudly
     got = spark.table("ssjoin_outer")
     batch_inner = view_purchase_conversions(
         static.filter(F.col("event_type") == "view"),
@@ -146,7 +146,7 @@ def test_stream_static_enrich_equals_batch(spark, events_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)  # False = timed out mid-stream: fail loudly
 
     batch = enrich_with_dim(static, nation, cond, ["n_name"])
     assert canon(spark.table("ssenrich")) == canon(batch)

@@ -82,7 +82,7 @@ def test_stream_merge_equals_batch_replay(spark, staged, tmp_path):
         stream, target_path, KEY, ATTRS, "seq",
         checkpoint_dir=str(tmp_path / "ckpt"),
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)  # False = timed out mid-stream: fail loudly
 
     got = sorted(
         (r["k"], r["v"]) for r in spark.read.parquet(target_path).collect()

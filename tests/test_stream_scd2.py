@@ -111,7 +111,7 @@ def test_stream_scd2_equals_batch_replay(spark, staged, tmp_path):
         stream, dim_path, KEY, ATTRS, "seq", "change_date",
         checkpoint_dir=str(tmp_path / "ckpt"),
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)  # False = timed out mid-stream: fail loudly
 
     got = sorted(
         (r.emp_id, r.dept, r.salary, str(r.valid_from), str(r.valid_to),
@@ -155,7 +155,7 @@ def test_stream_scd2_replay_is_idempotent(spark, staged, tmp_path):
             stream, dim_path, KEY, ATTRS, "seq", "change_date",
             checkpoint_dir=str(tmp_path / ck),
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180)  # False = timed out mid-stream: fail loudly
     dim = spark.read.parquet(dim_path)
     assert dim.count() == 5  # same as single run: 2 + 2 + 1 versions
     assert assert_scd2_invariants(dim, KEY)["multi_current_keys"] == 0

@@ -53,7 +53,7 @@ def run_sink(spark, src_dir, fact_path, checkpoint):
     q = start_incremental_fact_sink(
         stream, fact_path, checkpoint_dir=checkpoint
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)  # False = timed out mid-stream: fail loudly
 
 
 def test_overlapping_batches_land_exactly_once(spark, staged, tmp_path):

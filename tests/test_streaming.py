@@ -37,7 +37,7 @@ def run_stream(spark, events_dir, builder):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = timed out mid-stream: fail loudly
     result = spark.table(name)
     return result, builder(static)
 

@@ -69,7 +69,7 @@ def test_append_mode_drops_late_rows(spark, staged_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)  # False = timed out mid-stream: fail loudly
 
     dropped = sum(
         p["stateOperators"][0]["numRowsDroppedByWatermark"]
