@@ -1664,7 +1664,8 @@ def op_ext_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sk AS (SELECT yr, hv FROM keep WHERE rn <= {_KMV_K}),
     th AS (
-      SELECT CAST(MIN(mx) AS BIGINT) AS theta,
+      SELECT CAST(MIN(CASE WHEN nk < {_KMV_K} THEN {_KMV_M} ELSE mx END)
+                  AS BIGINT) AS theta,
              CAST(MIN(nk) AS BIGINT) AS min_kept
       FROM (SELECT yr, MAX(hv) AS mx, COUNT(*) AS nk FROM sk GROUP BY 1)
     ),
@@ -1677,25 +1678,30 @@ def op_ext_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(COUNT(*) AS BIGINT) AS true_inter
       FROM (SELECT o_custkey FROM src GROUP BY 1 HAVING COUNT(*) = 2)
     )
-    SELECT c.n_common, th.min_kept,
-           CAST(CASE WHEN th.min_kept < {_KMV_K} THEN c.n_common
-                ELSE (c.n_common * CAST({_KMV_M} AS HUGEINT)) // th.theta
-                END AS BIGINT) AS inter_est,
+    SELECT c.n_common, th.min_kept, th.theta,
+           CAST((c.n_common * CAST({_KMV_M} AS HUGEINT)) // th.theta
+                AS BIGINT) AS inter_est,
            t.true_inter
     FROM common c CROSS JOIN th CROSS JOIN truth t
     """,
 )
 def op_ext_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV set-INTERSECTION estimate (the theta-sketch rule the
-    op-ext-kmv-sketch docstring promises: θ = min of the two sketches'
-    k-th minima, estimate = |common hashes ≤ θ|·M/θ) — the set algebra
-    HLL cannot do, here sizing the 1996∩1997 active-customer overlap
-    from two 64-hash sketches without rescanning orders. Same exact
-    md5-slot determinism as the union op: sketch, θ, and estimate are
-    bit-identical in both engines, so an approximate structure gets an
-    exact oracle; if either sketch is un-full it IS its set and the
-    common count is exact. Accuracy bound pinned in tests/test_sketch.py.
-    100 TB: the intersection itself touches ≤ 2k sketch rows."""
+    """KMV set-INTERSECTION estimate via standard theta-sketch algebra
+    (Dasgupta et al., "Theta Sketch Framework"): each sketch's θᵢ is
+    its k-th minimum hash if full, else the FULL hash space M (an
+    un-full sketch has seen everything below M); θ = min(θ₁, θ₂);
+    estimate = |common hashes ≤ θ|·M/θ, always scaled — exactness when
+    both sketches are un-full falls out naturally (θ = M). This is the
+    set algebra HLL cannot do, here sizing the 1996∩1997
+    active-customer overlap from two 64-hash sketches without
+    rescanning orders. The r7 rule ("if either sketch is un-full the
+    common count is exact, θ = min kept maxima") was WRONG in the
+    asymmetric case: the full side's θ could drop common hashes that
+    the un-full side genuinely holds, undercounting unscaled. Same
+    exact md5-slot determinism as the union op: sketch, θ, and
+    estimate are bit-identical in both engines, so an approximate
+    structure gets an exact oracle. Accuracy bound pinned in
+    tests/test_sketch.py. 100 TB: the intersection touches ≤2k rows."""
     src = (
         t(spark, sf_dir, "orders")
         .filter(F.year("o_orderdate").isin(1996, 1997))
@@ -1712,8 +1718,14 @@ def op_ext_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     th = (
         sk_.groupBy("yr")
         .agg(F.max("hv").alias("mx"), F.count(F.lit(1)).alias("nk"))
+        .select(
+            F.when(F.col("nk") < _KMV_K, F.lit(_KMV_M))
+            .otherwise(F.col("mx"))
+            .alias("theta_i"),
+            "nk",
+        )
         .agg(
-            F.min("mx").cast("bigint").alias("theta"),
+            F.min("theta_i").cast("bigint").alias("theta"),
             F.min("nk").cast("bigint").alias("min_kept"),
         )
     )
@@ -1731,20 +1743,22 @@ def op_ext_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_n") == 2)
         .agg(F.count(F.lit(1)).cast("bigint").alias("true_inter"))
     )
-    est = F.when(F.col("min_kept") < _KMV_K, F.col("n_common")).otherwise(
-        F.expr(
-            f"CAST((CAST(n_common AS DECIMAL(38,0))"
-            f" * CAST({_KMV_M} AS DECIMAL(38,0))"
-            f" - ((CAST(n_common AS DECIMAL(38,0))"
-            f"     * CAST({_KMV_M} AS DECIMAL(38,0))) % theta))"
-            f" / theta AS BIGINT)"
-        )
+    # Always n_common·M/θ (floor division via the mod-subtraction
+    # trick so Spark's DECIMAL divide matches DuckDB's integer //);
+    # θ = M when both sketches are un-full, so exactness is the
+    # degenerate case of the one scaling rule, not a branch.
+    est = F.expr(
+        f"CAST((CAST(n_common AS DECIMAL(38,0))"
+        f" * CAST({_KMV_M} AS DECIMAL(38,0))"
+        f" - ((CAST(n_common AS DECIMAL(38,0))"
+        f"     * CAST({_KMV_M} AS DECIMAL(38,0))) % theta))"
+        f" / theta AS BIGINT)"
     )
     return (
         common.join(F.broadcast(th))
         .join(F.broadcast(truth))
         .select(
-            "n_common", "min_kept",
+            "n_common", "min_kept", "theta",
             est.cast("bigint").alias("inter_est"), "true_inter",
         )
     )

@@ -320,15 +320,76 @@ def test_partition_digest_null_columns_are_distinct(spark):
 
 def test_kmv_intersect_error_bound(spark):
     """Relative error of the theta-intersection estimate is bounded by
-    ~1/sqrt(n_common); allow 4 sigma. Exact when a sketch is un-full."""
+    ~1/sqrt(n_common); allow 4 sigma. Exact iff theta == M, i.e. BOTH
+    sketches un-full — one un-full sketch alone does NOT make the
+    estimate exact (the asymmetric case the r7 rule got wrong)."""
     from data_warehousing_assignment_spark.registry_sketch import (
+        _KMV_M,
         op_ext_kmv_intersect,
     )
 
     r = op_ext_kmv_intersect(spark, "/root/testdata/sf0.01").collect()[0]
     assert r["true_inter"] > 0
-    if r["min_kept"] < 64:
+    if r["theta"] == _KMV_M:
+        assert r["min_kept"] < 64  # theta==M implies an un-full sketch
         assert r["inter_est"] == r["true_inter"]
     else:
         rel = abs(r["inter_est"] - r["true_inter"]) / r["true_inter"]
         assert rel < 4 / max(r["n_common"], 1) ** 0.5, r
+
+
+def test_kmv_intersect_asymmetric_unfull(spark):
+    """The asymmetric case the advisor flagged: sketch A full (k=64),
+    sketch B un-full, B ⊂ A's domain with common hashes ABOVE A's
+    theta. Theta-sketch algebra must treat B's theta as M, take
+    theta = A's k-th minimum, and scale n_common·M/theta — NOT return
+    the truncated common count unscaled. Replays the exact Spark
+    pipeline on a constructed frame where the flawed rule undercounts."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from data_warehousing_assignment_spark.registry_sketch import (
+        _KMV_K,
+        _KMV_M,
+        _kmv_hash_spark,
+    )
+
+    # A: 500 members (full sketch, theta_A ≈ 64/500 = 12.8% of the
+    # space). B: 60 members drawn from A (un-full, true_inter = 60).
+    # md5 spreads them uniformly, so most of B's hashes land ABOVE
+    # A's 64th minimum — the flawed rule drops them all and returns
+    # only the ~60·0.128 ≈ 8 survivors unscaled.
+    rows = [(1, i) for i in range(500)] + [(2, i * 7) for i in range(60)]
+    src = spark.createDataFrame(rows, "yr: int, o_custkey: bigint")
+    h = src.select("yr", _kmv_hash_spark().alias("hv"))
+    wyr = Window.partitionBy("yr").orderBy("hv")
+    sk = (
+        h.withColumn("rn", F.row_number().over(wyr))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("yr", "hv")
+    )
+    per = {
+        r["yr"]: r
+        for r in sk.groupBy("yr")
+        .agg(F.max("hv").alias("mx"), F.count(F.lit(1)).alias("nk"))
+        .collect()
+    }
+    assert per[1]["nk"] == _KMV_K and per[2]["nk"] == 60
+    theta = min(
+        per[yr]["mx"] if per[yr]["nk"] >= _KMV_K else _KMV_M for yr in per
+    )
+    assert theta == per[1]["mx"]  # the full sketch's k-th minimum
+    common = [
+        r["hv"]
+        for r in sk.groupBy("hv").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") == 2).collect()
+    ]
+    n_common = sum(1 for hv in common if hv <= theta)
+    est = n_common * _KMV_M // theta
+    flawed = n_common  # what the r7 rule returned (unscaled)
+    true_inter = 60
+    # The corrected estimate is within 4/sqrt(n_common) of truth;
+    # the flawed unscaled count is a massive undercount.
+    assert n_common >= 1
+    rel = abs(est - true_inter) / true_inter
+    assert rel < 4 / n_common**0.5, (est, n_common, theta)
+    assert flawed < true_inter / 2, flawed
