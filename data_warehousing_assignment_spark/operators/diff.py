@@ -83,14 +83,36 @@ def partition_digest(
 ) -> DataFrame:
     """Merkle-style range-bucket digest for table reconciliation
     (anti-entropy, Dynamo/Cassandra repair shape): rows hash to a
-    64-bit-ish value (first 8 hex of md5 over all compared columns),
-    buckets are key ranges, and each bucket reduces to (n_rows,
-    digest = Σ row-hash) — order-insensitive and mergeable, so two
-    replicas compare by exchanging |key-range|/bucket_size digest rows
-    instead of the data. A mismatched bucket pinpoints WHERE to do the
-    expensive row-level diff (snapshot_diff). One map-side-combined
-    pass per replica; digests are exact integers, so any engine
-    computes the identical frame."""
+    60-bit value (first 15 hex nibbles of md5 over all compared
+    columns — same int64-safe slice as the KMV sketch hash), buckets
+    are key ranges, and each bucket reduces to (n_rows,
+    digest = Σ row-hash mod 2^63) — order-insensitive and mergeable
+    (mod is homomorphic under addition, so partial digests combine),
+    so two replicas compare by exchanging |key-range|/bucket_size
+    digest rows instead of the data. A mismatched bucket pinpoints
+    WHERE to do the expensive row-level diff (snapshot_diff). One
+    map-side-combined pass per replica; digests are exact integers,
+    so any engine computes the identical frame. Per-bucket false-match
+    probability is ~2^-63 per colliding edit pair (the r7 32-bit slice
+    made two offsetting row edits plausibly collide; r8 review).
+
+    ``key_col`` must be an integral column — range-bucketing a
+    non-numeric key would silently collapse every row into one NULL
+    bucket, so it raises instead."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    key_type = df.schema[key_col].dataType
+    if not isinstance(key_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"partition_digest key_col {key_col!r} must be integral, "
+            f"got {key_type.simpleString()}; range buckets over a "
+            f"non-numeric key would all collapse to the NULL bucket"
+        )
     # NULL columns take an explicit sentinel: bare concat_ws SKIPS nulls,
     # so ('x','F',NULL) and ('x',NULL,'F') would collide — a value moved
     # between nullable columns must change the digest (r8 review). The
@@ -108,20 +130,27 @@ def partition_digest(
                 )
             ),
             1,
-            8,
+            15,
         ),
         16,
         10,
     ).cast("bigint")
+    # Sum in DECIMAL(38,0) (1000 × 2^60 overflows int64), then fold
+    # back to a canonical int64 digest via mod 2^63.
     return (
         df.select(
             (F.col(key_col).cast("bigint") - F.col(key_col).cast("bigint") % bucket_size)
             .alias("bucket_start"),
-            row_hash.alias("_h"),
+            row_hash.cast("decimal(38,0)").alias("_h"),
         )
         .groupBy("bucket_start")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum("_h").alias("digest"),
+            F.pmod(
+                F.sum("_h"),
+                F.expr("CAST(9223372036854775808 AS DECIMAL(38,0))"),
+            )
+            .cast("bigint")
+            .alias("digest"),
         )
     )

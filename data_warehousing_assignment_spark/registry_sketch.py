@@ -1558,8 +1558,12 @@ _TD_ROW = " || '|' || ".join(
 
 
 def _td_hash64() -> str:
+    # 15 hex nibbles = 60 bits — the same int64-safe md5 slice as the
+    # KMV hash; mirrors operators/diff.py:partition_digest (r8 review:
+    # the old 8-nibble/32-bit slice made offsetting-edit collisions
+    # plausible within a bucket).
     h = f"md5({_TD_ROW})"
-    terms = [f"{_nib(h, i + 1)} * {16 ** (8 - 1 - i)}" for i in range(8)]
+    terms = [f"{_nib(h, i + 1)} * {16 ** (15 - 1 - i)}" for i in range(15)]
     return "(" + " + ".join(terms) + ")"
 
 
@@ -1582,11 +1586,13 @@ def _td_hash64() -> str:
     ),
     da AS (SELECT o_orderkey - o_orderkey % 1000 AS bucket_start,
                   CAST(COUNT(*) AS BIGINT) AS n_a,
-                  CAST(SUM({_td_hash64()}) AS BIGINT) AS digest_a
+                  CAST(SUM(CAST({_td_hash64()} AS HUGEINT))
+                       % 9223372036854775808 AS BIGINT) AS digest_a
            FROM base GROUP BY 1),
     db AS (SELECT o_orderkey - o_orderkey % 1000 AS bucket_start,
                   CAST(COUNT(*) AS BIGINT) AS n_b,
-                  CAST(SUM({_td_hash64()}) AS BIGINT) AS digest_b
+                  CAST(SUM(CAST({_td_hash64()} AS HUGEINT))
+                       % 9223372036854775808 AS BIGINT) AS digest_b
            FROM replica GROUP BY 1)
     SELECT COALESCE(da.bucket_start, db.bucket_start) AS bucket_start,
            n_a, digest_a, n_b, digest_b

@@ -318,6 +318,39 @@ def test_partition_digest_null_columns_are_distinct(spark):
     assert da["digest"] != db["digest"]
 
 
+def test_partition_digest_rejects_non_integral_key(spark):
+    """A string key would range-bucket to one NULL bucket — must raise,
+    not silently degrade (r8 review)."""
+    import pytest
+
+    from data_warehousing_assignment_spark.operators.diff import (
+        partition_digest,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "k: string, v: long")
+    with pytest.raises(TypeError, match="must be integral"):
+        partition_digest(df, "k", ["v"])
+
+
+def test_partition_digest_row_hash_width(spark):
+    """Row hashes are 60-bit (15 md5 nibbles), not the r7 32-bit slice:
+    across 2000 single-row buckets at least one digest must exceed
+    2^32 (probability of failure if truly 60-bit: (2^-28)^2000 ≈ 0)."""
+    import pyspark.sql.functions as F
+
+    from data_warehousing_assignment_spark.operators.diff import (
+        partition_digest,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("v")
+    )
+    d = partition_digest(df, "k", ["v"], bucket_size=1)
+    assert d.filter(F.col("digest") > 2**32).count() > 0
+    # and every digest stays inside int64 (the mod-2^63 fold)
+    assert d.filter(F.col("digest") < 0).count() == 0
+
+
 def test_kmv_intersect_error_bound(spark):
     """Relative error of the theta-intersection estimate is bounded by
     ~1/sqrt(n_common); allow 4 sigma. Exact iff theta == M, i.e. BOTH
