@@ -1887,7 +1887,8 @@ def op_ext_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, n_events,
            CAST(length(regexp_replace(s, 'v[cs]*p', '#', 'g'))
                 - length(regexp_replace(s, 'v[cs]*p', '', 'g'))
-                AS BIGINT) AS n_conversions
+                AS BIGINT) AS n_conversions,
+           CAST(0 AS BIGINT) AS n_late
     FROM seq
     """,
 )
@@ -1898,9 +1899,12 @@ def op_ext_stream_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas twin here). The oracle is the REGEX formulation on
     the full history: the DFA must count exactly what leftmost
     non-overlapping regex matching counts — pinned per-user here and
-    replayed across micro-batches in tests/test_cep.py. This is the
-    CEP trade: the batch op materializes the sequence string, the
-    stream op carries 3 integers per user forever."""
+    replayed across micro-batches in tests/test_cep.py. n_late counts
+    events that arrived below the key's consumed high-watermark (the
+    cross-batch ordering contract made observable; always 0 for the
+    batch twin — one fully-sorted batch — which the oracle pins). This
+    is the CEP trade: the batch op materializes the sequence string,
+    the stream op carries 5 integers per user forever."""
     from data_warehousing_assignment_spark.streaming.cep import conversion_cep
 
     ev = t(spark, sf_dir, "events").withColumn(

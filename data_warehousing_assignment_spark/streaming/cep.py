@@ -16,9 +16,15 @@ order. Within a micro-batch the handler sorts; ACROSS batches it
 assumes in-order delivery (the test feeds time-split files; a
 production deployment puts a watermark-buffered sort — or the
 dedup/sessionize pattern's window — in front, exactly like every
-sequence-sensitive streaming operator).
+sequence-sensitive streaming operator). The contract is CHECKED, not
+just assumed (r8 review): state carries the last-processed ts_us, and
+any event arriving below it is counted in the ``n_late`` output
+column — out-of-order delivery that could corrupt n_conversions is
+observable per key instead of silent. A non-zero n_late says "put the
+watermark sort in front"; the batch twin is always n_late = 0 (one
+fully-sorted batch).
 
-Scale notes: state is 3 small integers per user — no event buffer, no
+Scale notes: state is 5 small integers per user — no event buffer, no
 string accumulation — so 10⁹ users is ~tens of GB of state store,
 and the per-batch work is one (user)-keyed shuffle.
 """
@@ -39,6 +45,8 @@ STATE_SCHEMA = StructType(
         StructField("armed", LongType()),         # DFA state: 0 idle, 1 armed
         StructField("n_events", LongType()),
         StructField("n_conversions", LongType()),
+        StructField("last_ts_us", LongType()),    # high-watermark consumed
+        StructField("n_late", LongType()),        # events below it (OOO)
     ]
 )
 
@@ -47,6 +55,7 @@ OUTPUT_SCHEMA = StructType(
         StructField("user_id", LongType()),
         StructField("n_events", LongType()),
         StructField("n_conversions", LongType()),
+        StructField("n_late", LongType()),
     ]
 )
 
@@ -75,19 +84,44 @@ def _update(
     batches: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    armed, n_events, n_conv = state.get if state.exists else (0, 0, 0)
+    armed, n_events, n_conv, last_ts, n_late = (
+        state.get if state.exists else (0, 0, 0, None, 0)
+    )
     pdfs = [p for p in batches if len(p)]
     if pdfs:
         pdf = pd.concat(pdfs).sort_values(["ts_us", "event_id"])
+        # Ordering-contract check: an event below the previous batch's
+        # high-watermark arrived out of order — the DFA has already
+        # consumed later events, so this event's effect on
+        # n_conversions is suspect. Count it (observable corruption)
+        # but still feed it: dropping would be a different silent lie.
+        if last_ts is not None:
+            n_late += int((pdf["ts_us"] < last_ts).sum())
+        batch_max = pdf["ts_us"].max()
+        if batch_max is not None and not pd.isna(batch_max):
+            last_ts = (
+                int(batch_max)
+                if last_ts is None
+                else max(int(last_ts), int(batch_max))
+            )
         initials = _initials(pdf)
         n_events += len(pdf)
         armed, n_conv = advance_dfa(armed, n_conv, initials)
-    state.update((int(armed), int(n_events), int(n_conv)))
+    state.update(
+        (
+            int(armed),
+            int(n_events),
+            int(n_conv),
+            None if last_ts is None else int(last_ts),
+            int(n_late),
+        )
+    )
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n_events],
             "n_conversions": [n_conv],
+            "n_late": [n_late],
         }
     )
 
@@ -108,6 +142,7 @@ def _single_batch(key: tuple[Any, ...], pdf: pd.DataFrame) -> pd.DataFrame:
             "user_id": [key[0]],
             "n_events": [len(pdf)],
             "n_conversions": [n_conv],
+            "n_late": [0],  # one fully-sorted batch: nothing can be late
         }
     )
 

@@ -131,3 +131,50 @@ def test_cep_skips_null_and_empty_event_types(spark):
     out = {r["user_id"]: r for r in conversion_cep(df).collect()}
     assert out[1]["n_conversions"] == 1  # 'v' then 'p', dirt skipped
     assert out[1]["n_events"] == 4      # raw rows still counted
+
+
+def test_cep_counts_out_of_order_cross_batch_events(spark, tmp_path):
+    """An event delivered in a LATER micro-batch with an EARLIER ts_us
+    than anything already consumed must increment n_late — the ordering
+    contract made observable instead of silently corrupting
+    n_conversions (r8 review). In-order replay stays n_late = 0."""
+    import time
+
+    path = str(tmp_path / "ooo")
+    schema = "user_id: long, event_type: string, ts_us: long, event_id: long"
+    # batch 1: view@10, click@20  — high-watermark 20
+    spark.createDataFrame(
+        [(1, "view", 10, 1), (1, "click", 20, 2)], schema
+    ).coalesce(1).write.mode("append").parquet(path)
+    time.sleep(1.1)
+    # batch 2: purchase@15 (LATE: below watermark 20), view@30
+    spark.createDataFrame(
+        [(1, "purchase", 15, 3), (1, "view", 30, 4)], schema
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    static = spark.read.parquet(path)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = (
+        conversion_cep(stream)
+        .writeStream.format("memory")
+        .queryName("cep_ooo")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    final = spark.sql(
+        """SELECT * FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY user_id ORDER BY n_events DESC) AS rn
+             FROM cep_ooo) WHERE rn = 1"""
+    ).collect()[0]
+    assert final["n_late"] == 1   # the purchase@15 below watermark 20
+    assert final["n_events"] == 4
+    # batch twin on the union is fully sorted: zero late by definition
+    b = conversion_cep(static).collect()[0]
+    assert b["n_late"] == 0
