@@ -117,7 +117,11 @@ def test_chunk_plan_has_no_shuffle(spark):
     docs = t(spark, SF_SMALL, "documents").select("doc_id", "text")
     plan = chunk_windows(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # row-local explode, zero shuffle
-    assert "Generate explode" in plan
+    # 'Generate' + 'explode' asserted separately — the exact display
+    # string between them is not contractual across Spark versions
+    # (r8 review)
+    assert "Generate" in plan
+    assert "explode" in plan
 
 
 # ----------------------------------------------------------- properties

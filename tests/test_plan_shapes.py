@@ -26,8 +26,12 @@ def test_star_join_broadcasts_dims_and_pushes_filter(spark, qs):
     assert plan.count("BroadcastHashJoin") >= 3  # every dim side broadcast
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # dims must not trigger SMJ locally
-    # the region filter reaches the parquet scan, not a post-scan Filter only
-    assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)" in plan
+    # the region filter reaches the parquet scan, not a post-scan Filter
+    # only; each predicate asserted individually — PushedFilters display
+    # ordering is not contractual (r8 review)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(r_name)" in plan
+    assert "EqualTo(r_name,ASIA)" in plan
 
 
 def test_fact_incr_anti_join_prunes_both_scans(spark, qs):

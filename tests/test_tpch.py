@@ -111,16 +111,26 @@ def test_q1_is_pure_partial_aggregation(spark, qs):
     plan = plan_of(qs["op-ext-tpch-q1"](spark, SF_SMALL))
     assert "partial_sum" in plan  # map-side combine before the exchange
     assert "Join" not in plan
-    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # each predicate asserted individually — the joined PushedFilters
+    # display string's ordering/truncation is not contractual (r8 review)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan
 
 
 def test_q6_pushes_every_scan_predicate(spark, qs):
     plan = plan_of(qs["op-ext-tpch-q6"](spark, SF_SMALL))
     assert "Join" not in plan
-    # the qty/discount/date predicates reach the parquet scan (the full
-    # PushedFilters list is display-truncated; the IsNotNull guards that
-    # accompany each pushed bound are the stable visible prefix)
-    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)" in plan
+    # the qty/discount/date predicates reach the parquet scan; assert
+    # each pushed IsNotNull guard individually rather than the ordered
+    # joined prefix, whose column order/truncation is display-only
+    # (r8 review)
+    assert "PushedFilters: [" in plan
+    for pred in (
+        "IsNotNull(l_shipdate)",
+        "IsNotNull(l_discount)",
+        "IsNotNull(l_quantity)",
+    ):
+        assert pred in plan, pred
 
 
 def test_q10_q18_global_topk_is_takeordered(spark, qs):
