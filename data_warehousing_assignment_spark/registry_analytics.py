@@ -778,13 +778,45 @@ def op_ext_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("op-ext-ewma")
+@query(
+    "op-ext-ewma",
+    oracle="""
+    WITH RECURSIVE daily AS MATERIALIZED (
+      SELECT l_returnflag, strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                       AS BIGINT) AS DOUBLE) / 100.0 AS day_revenue
+      FROM lineitem GROUP BY 1, 2
+    ),
+    num AS MATERIALIZED (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                   ORDER BY ship_day) AS rn
+      FROM daily
+    ),
+    r AS (
+      SELECT l_returnflag, ship_day, day_revenue, rn,
+             day_revenue AS ewma
+      FROM num WHERE rn = 1
+      UNION ALL
+      SELECT n.l_returnflag, n.ship_day, n.day_revenue, n.rn,
+             CAST(0.3 AS DOUBLE) * n.day_revenue
+             + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * r.ewma
+      FROM r JOIN num n ON n.l_returnflag = r.l_returnflag
+                       AND n.rn = r.rn + 1
+    )
+    SELECT l_returnflag, ship_day, day_revenue, ewma FROM r
+    """,
+)
 def op_ext_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA-smoothed daily revenue per return flag (α=0.3, seeded at the
-    first day). Rows-only by design: the recursion's float chain is
-    accumulation-exact only within one engine — semantics are pinned in
-    tests/test_analytics.py against the literal recurrence. Sequential
-    per series, parallel across series (analytics.ewma)."""
+    first day). Oracle-exact since r8: the recurrence
+    y_i = α·x_i + (1−α)·y_{i−1} is a linear chain of IEEE-double
+    multiply/adds, and pandas ewm(adjust=False), the literal Python
+    loop, and DuckDB's WITH RECURSIVE all execute the identical op
+    sequence on identical inputs (integer-cents day revenue ÷ 100.0),
+    so the float chains agree bit-for-bit — verified over 2500-step
+    series. Semantics additionally pinned in tests/test_analytics.py
+    against the literal recurrence. Sequential per series, parallel
+    across series (analytics.ewma)."""
     li = t(spark, sf_dir, "lineitem")
     daily = li.groupBy(
         "l_returnflag",
@@ -949,15 +981,57 @@ def op_ext_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("op-ext-holt-linear")
+@query(
+    "op-ext-holt-linear",
+    oracle="""
+    WITH RECURSIVE daily AS MATERIALIZED (
+      SELECT l_returnflag, strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                       AS BIGINT) AS DOUBLE) / 100.0 AS day_revenue
+      FROM lineitem GROUP BY 1, 2
+    ),
+    num AS MATERIALIZED (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                   ORDER BY ship_day) AS rn,
+             lead(day_revenue) OVER (PARTITION BY l_returnflag
+                                     ORDER BY ship_day) AS next_rev
+      FROM daily
+    ),
+    r AS (
+      SELECT l_returnflag, ship_day, day_revenue, rn,
+             day_revenue AS level,
+             COALESCE(next_rev - day_revenue, CAST(0.0 AS DOUBLE)) AS trend
+      FROM num WHERE rn = 1
+      UNION ALL
+      SELECT n.l_returnflag, n.ship_day, n.day_revenue, n.rn,
+             CAST(0.3 AS DOUBLE) * n.day_revenue
+             + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+               * (r.level + r.trend),
+             CAST(0.1 AS DOUBLE)
+             * ((CAST(0.3 AS DOUBLE) * n.day_revenue
+                 + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                   * (r.level + r.trend)) - r.level)
+             + (CAST(1.0 AS DOUBLE) - CAST(0.1 AS DOUBLE)) * r.trend
+      FROM r JOIN num n ON n.l_returnflag = r.l_returnflag
+                       AND n.rn = r.rn + 1
+    )
+    SELECT l_returnflag, ship_day, day_revenue, level, trend,
+           level + trend AS forecast
+    FROM r
+    """,
+)
 def op_ext_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt linear-trend smoothing of daily revenue per return flag
     (α=0.3, β=0.1) — the trend-aware step past op-ext-ewma, same
     parallel-across-series / sequential-within decomposition
-    (analytics.holt_linear). Rows-only by design: the coupled float
-    recurrences are accumulation-exact only within one engine;
-    semantics pinned in tests/test_analytics.py against the literal
-    recurrence (level/trend/one-step forecast)."""
+    (analytics.holt_linear). Oracle-exact since r8: like EWMA, the
+    coupled level/trend recurrences are pure chains of IEEE-double
+    multiply/adds, and the Python literal loop and DuckDB's
+    WITH RECURSIVE execute the identical op sequence on identical
+    integer-cents-derived inputs (the recursive step repeats the new
+    level's expression verbatim for the trend — identical expressions
+    give identical doubles). Semantics also pinned in
+    tests/test_analytics.py against the literal recurrence."""
     li = t(spark, sf_dir, "lineitem")
     daily = li.groupBy(
         "l_returnflag",
