@@ -103,6 +103,29 @@ def read_snapshot(
     return spark.read.parquet(*paths)
 
 
+def rewrite(root: str, df: DataFrame, version: int) -> str:
+    """Replace-commit: ``df`` becomes the WHOLE snapshot at ``version``
+    — one add plus remove actions for every file live at the prior
+    version. This is the write shape of MERGE INTO / SCD2 on a table
+    format (Delta's MERGE rewrites touched files and commits adds +
+    removes atomically); earlier versions stay time-travelable because
+    removes are logical until vacuum. The materialize-then-log order
+    means a crash mid-write leaves an orphan data dir but never a
+    corrupt snapshot (the log line is the commit point)."""
+    prior = live_files(root, version - 1)
+    delta_dir = os.path.join(root, f"delta_v{version}")
+    df.write.mode("overwrite").parquet(delta_dir)
+    _append(
+        root,
+        [{"version": version, "path": delta_dir, "action": "add"}]
+        + [
+            {"version": version, "path": p, "action": "remove"}
+            for p in prior
+        ],
+    )
+    return delta_dir
+
+
 def compact(spark: SparkSession, root: str, version: int) -> str:
     """Rewrite commit: materialize the current snapshot into ONE new
     file and log remove actions for every file it supersedes — the

@@ -528,6 +528,136 @@ def op_ext_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# MERGE on the transaction log — the end-to-end lakehouse writer
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-merge-txlog",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, {_OTOT} AS total_cents FROM orders
+    ),
+    v1 AS (SELECT * FROM base WHERE o_orderkey % 2 = 0),
+    v2 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 10 = 0
+                    THEN total_cents + 100
+                  ELSE total_cents END AS total_cents
+      FROM base
+      WHERE (o_orderkey % 2 = 0
+             AND NOT (o_orderkey % 14 = 0 AND o_orderkey % 10 <> 0))
+         OR (o_orderkey % 2 = 1 AND o_orderkey % 5 = 0)
+    )
+    SELECT CAST(1 AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(total_cents) AS BIGINT) AS sum_cents,
+           TRUE AS published, FALSE AS is_latest
+    FROM v1
+    UNION ALL
+    SELECT 2, COUNT(*), CAST(SUM(total_cents) AS BIGINT), TRUE, TRUE FROM v2
+    UNION ALL
+    SELECT 3, COUNT(*),
+           CAST(SUM(CASE WHEN o_orderkey % 100 = 0 THEN -total_cents
+                         ELSE total_cents END) AS BIGINT),
+           FALSE, FALSE
+    FROM v2
+    """,
+)
+def op_ext_merge_txlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO composed with the transaction log, end-to-end — the
+    lakehouse-writer story the BASELINE north star names (Delta/Iceberg
+    stand-in): every MERGE result lands as a txlog REWRITE commit (one
+    add + removes of the superseded files, plans/txlog.rewrite — the
+    exact write shape of Delta's MERGE), gated by a WAP audit, so
+    published versions are time-travelable and a failed audit leaves
+    the table untouched.
+
+    Lifecycle exercised at build, all proved through TIME-TRAVEL READS
+    of the log rather than the in-memory frames:
+    * v1 — initial target (even order keys) committed;
+    * v2 — the op-ext-merge-into fixture batch (updates %10 keys
+      +100¢, deletes %14 keys, inserts odd %5 keys) merged against the
+      v1 SNAPSHOT and rewrite-committed after a clean audit;
+    * v3 — a poison batch (negates %100 keys) merges cleanly but FAILS
+      the audit (total_cents ≤ 0), so it is never committed: latest
+      stays 2, and v3's row reports the blocked candidate's stats with
+      published = FALSE.
+
+    The audit counts are driver-side by design — the WAP gate IS a
+    driver decision (commit or don't), same as op-ext-wap's publish
+    bit. Idempotency/replay pinned in tests/test_txlog.py. 100 TB: the
+    merge is one keyed shuffle; commits are metadata appends; audits
+    are map-side-combined aggregates."""
+    from data_warehousing_assignment_spark.plans import txlog
+    from data_warehousing_assignment_spark.registry_io import _scratch
+
+    root = _scratch("op-ext-merge-txlog")
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr(_OTOT).alias("total_cents"),
+    )
+    k = F.col("o_orderkey")
+    txlog.commit(root, base.filter(k % 2 == 0), 1)
+
+    snap1 = txlog.read_snapshot(spark, root, 1)
+    upd = (
+        base.filter((k % 2 == 0) & (k % 10 == 0))
+        .withColumn("total_cents", F.col("total_cents") + F.lit(100))
+        .withColumn("op", F.lit("U"))
+    )
+    dele = base.filter(
+        (k % 2 == 0) & (k % 14 == 0) & (k % 10 != 0)
+    ).withColumn("op", F.lit("D"))
+    ins = base.filter((k % 2 == 1) & (k % 5 == 0)).withColumn(
+        "op", F.lit("I")
+    )
+    merged = merge_into(
+        snap1,
+        upd.unionByName(dele).unionByName(ins),
+        "o_orderkey",
+        ["o_orderstatus", "total_cents"],
+    )
+    audit_bad = (
+        (F.col("total_cents") <= 0)
+        | (~F.col("o_orderstatus").isin("O", "F", "P"))
+        | F.col("o_orderkey").isNull()
+    )
+    if merged.filter(audit_bad).count() == 0:  # WAP gate: clean → publish
+        txlog.rewrite(root, merged, 2)
+
+    snap2 = txlog.read_snapshot(spark, root)
+    poison = (
+        snap2.filter(k % 100 == 0)
+        .withColumn("total_cents", -F.col("total_cents"))
+        .withColumn("op", F.lit("U"))
+    )
+    candidate = merge_into(
+        snap2, poison, "o_orderkey", ["o_orderstatus", "total_cents"]
+    )
+    if candidate.filter(audit_bad).count() == 0:  # fails: never commits
+        txlog.rewrite(root, candidate, 3)
+
+    latest = txlog.latest_version(root)
+
+    def vrow(df: DataFrame, version: int, published: bool) -> DataFrame:
+        return df.agg(
+            F.lit(version).cast("bigint").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("total_cents").cast("bigint").alias("sum_cents"),
+            F.lit(published).alias("published"),
+            F.lit(latest == version).alias("is_latest"),
+        )
+
+    return (
+        vrow(txlog.read_snapshot(spark, root, 1), 1, True)
+        .unionByName(vrow(txlog.read_snapshot(spark, root, 2), 2, True))
+        .unionByName(vrow(candidate, 3, False))
+    )
+
+
+# --------------------------------------------------------------------------
 # zone-map pruning
 # --------------------------------------------------------------------------
 

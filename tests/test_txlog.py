@@ -72,3 +72,54 @@ def test_vacuum_is_idempotent(spark, table):
 def test_empty_log_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         txlog.read_snapshot(spark, str(tmp_path))
+
+
+def test_rewrite_commit_replaces_snapshot_and_preserves_history(spark, table):
+    """plans/txlog.rewrite: the MERGE-writer shape — new content becomes
+    the whole snapshot, priors stay time-travelable until vacuum."""
+    new = spark.createDataFrame([Row(k=99, ver=4)])
+    txlog.rewrite(table, new, 4)
+    assert txlog.read_snapshot(spark, table).count() == 1
+    assert txlog.read_snapshot(spark, table, as_of_version=4).count() == 1
+    # pre-rewrite snapshots unchanged (removes are logical)
+    assert txlog.read_snapshot(spark, table, as_of_version=3).count() == 12
+    assert txlog.read_snapshot(spark, table, as_of_version=2).count() == 6
+    # vacuum now reclaims the superseded deltas; latest stays readable
+    removed = txlog.vacuum(table, retain_from_version=4)
+    assert len(removed) == 3
+    assert txlog.read_snapshot(spark, table).count() == 1
+    with pytest.raises(ValueError, match="vacuum horizon"):
+        txlog.read_snapshot(spark, table, as_of_version=3)
+
+
+def test_merge_txlog_replay_is_idempotent(spark):
+    """op-ext-merge-txlog end-to-end: running the whole MERGE→audit→
+    publish lifecycle twice produces the identical ledger (scratch
+    rebuild = replay after crash), the poison batch never publishes,
+    and v1 time-travel shows the pre-merge state."""
+    from data_warehousing_assignment_spark.registry import all_queries
+    from tests.conftest import SF_SMALL
+
+    q = all_queries()["op-ext-merge-txlog"]
+    first = sorted(map(tuple, q(spark, SF_SMALL).collect()))
+    second = sorted(map(tuple, q(spark, SF_SMALL).collect()))
+    assert first == second
+    rows = {
+        d["version"]: d
+        for d in (
+            dict(
+                zip(
+                    ["version", "n_rows", "sum_cents", "published",
+                     "is_latest"],
+                    tp,
+                )
+            )
+            for tp in first
+        )
+    }
+    assert rows[2]["is_latest"] and rows[2]["published"]
+    assert not rows[3]["published"] and not rows[3]["is_latest"]
+    assert rows[1]["published"] and not rows[1]["is_latest"]
+    # the poison candidate has the same row count as v2 (pure updates)
+    assert rows[3]["n_rows"] == rows[2]["n_rows"]
+    assert rows[3]["sum_cents"] < rows[2]["sum_cents"]
