@@ -161,7 +161,21 @@ def run_suite(spark, qs, names, sf_dir, sf, metric) -> dict:
                 "op-ext-dedup-best-survivor",
                 "op-ext-bpe-learn",  # merge loop collects during build
             )
-            df = qs[name](spark, sf_dir)
+
+            def fresh():
+                """Rebuild bypassing session memos (the dedup-cluster
+                family shares one cached cluster frame per session —
+                correct for production reuse, but a timed rebuild must
+                measure the full pipeline, not a cache hit)."""
+                if eager:
+                    from data_warehousing_assignment_spark import (
+                        registry_extensions as rx,
+                    )
+
+                    rx.clear_dedup_cluster_cache()
+                return qs[name](spark, sf_dir)
+
+            df = fresh()
             # warm-up ×2: JIT, parquet footer cache, broadcast build. Two
             # forces, not one — HotSpot C2 compilation of the generated
             # whole-stage code needs more than one invocation, and the
@@ -174,7 +188,7 @@ def run_suite(spark, qs, names, sf_dir, sf, metric) -> dict:
             ts = []
             for _ in range(N_ITERS):
                 t0 = time.perf_counter()
-                force(qs[name](spark, sf_dir) if eager else df)
+                force(fresh() if eager else df)
                 ts.append(time.perf_counter() - t0)
             mins[name] = round(min(ts), 3)
             medians[name] = round(_median(ts), 3)

@@ -297,3 +297,25 @@ def test_containment_join_random_vs_naive(spark):
             for r in dd.containment_join(df, "doc_id", "s", threshold).collect()
         }
         assert got == naive, f"mismatch at t={threshold}"
+
+
+def test_cluster_family_shares_one_cached_frame(spark):
+    """clusters / survivors / best-survivor / curation-funnel all sit on
+    one session-memoized cluster frame (r8): the memo returns the SAME
+    checkpointed object, and its content equals a fresh uncached
+    near_dup_clusters run (hashes unchanged by the reuse)."""
+    from data_warehousing_assignment_spark import registry_extensions as rx
+    from data_warehousing_assignment_spark.registry import t as _t
+    from tests.conftest import SF_SMALL
+
+    rx.clear_dedup_cluster_cache()
+    a = rx.shared_dedup_clusters(spark, SF_SMALL)
+    b = rx.shared_dedup_clusters(spark, SF_SMALL)
+    assert a is b
+    fresh = dd.near_dup_clusters(
+        _t(spark, SF_SMALL, "documents"), "doc_id", "text",
+        rx._K, rx._BANDS, rx._EDGE_THRESH,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, fresh.collect())
+    )
