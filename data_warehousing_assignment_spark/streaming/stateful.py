@@ -13,6 +13,16 @@ per-key size here is 3 numbers, so state growth is O(distinct users),
 and a production deployment would add state TTL
 (``GroupStateTimeout.ProcessingTimeTimeout``) to bound it. The grouping
 shuffle is the same one the batch aggregate pays.
+
+Successor API: Spark 4's ``transformWithStateInPandas`` (typed state
+variables, timers, TTL) is the upgrade path for this operator, but its
+Python worker requires ``google.protobuf``, absent in this
+environment — probed each round via
+:func:`transform_with_state_available` (re-checked r8: still absent;
+tests/test_stateful.py carries a skip-gated smoke test that activates
+the moment the dependency appears). The ``applyInPandasWithState``
+formulation below is API-stable in 4.x and semantically equivalent for
+this operator's needs.
 """
 
 from __future__ import annotations
@@ -118,4 +128,19 @@ def user_totals_batch(events: DataFrame) -> DataFrame:
             .cast("double")
             .alias("total_value"),
         )
+    )
+
+
+def transform_with_state_available() -> bool:
+    """Feasibility probe for the transformWithStateInPandas successor
+    API: its worker protocol is protobuf-serialized, so the Python
+    side hard-requires google.protobuf. Returns False (with no import
+    side effects) in environments where the API cannot run."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        return False
+    return hasattr(
+        __import__("pyspark.sql", fromlist=["GroupedData"]).GroupedData,
+        "transformWithStateInPandas",
     )

