@@ -15,6 +15,14 @@ from jitter. Each query is forced end-to-end with a noop sink (full
 materialization of every column — ``count()`` alone would let Catalyst
 prune the plan), so timings reflect scan + shuffle + compute.
 
+``python bench.py --assert`` additionally grades the run against the
+committed per-query floor table (``bench_floors.json``: min of multiple
+clean runs on the reference machine): exit 1 if any query exceeds
+``allowed_ratio`` × its floor or the suite exceeds ``suite_ceiling_sec``.
+This turns "is 0.26→0.40 noise or a regression?" into a mechanical
+check — same-code machine spread stays under the ratio, real
+regressions don't (r7 verdict #3).
+
 ``python bench.py --sf1`` instead synthesizes a 10× dataset (sf≈1) under
 ``.scratch/sf1`` — facts/documents/embeddings unioned 10× with offset
 keys and perturbed near-dup texts, dims kept dim-sized — and runs the
@@ -205,12 +213,35 @@ def run_suite(spark, qs, names, sf_dir, sf, metric) -> dict:
     }
 
 
+def check_floors(report: dict, floors_path: str) -> list[str]:
+    """Grade a report against the committed floor table. Returns the
+    list of violations (empty = pass). Queries without a floor (new
+    ops) are skipped — they get a floor at the next table refresh."""
+    with open(floors_path) as fh:
+        spec = json.load(fh)
+    ratio = spec["allowed_ratio"]
+    violations = []
+    for name, secs in report["queries"].items():
+        floor = spec["floors"].get(name)
+        if floor is not None and secs > ratio * floor:
+            violations.append(
+                f"{name}: {secs:.3f}s > {ratio}x floor {floor:.3f}s"
+            )
+    if report["value"] > spec["suite_ceiling_sec"]:
+        violations.append(
+            f"suite: {report['value']:.3f}s > ceiling "
+            f"{spec['suite_ceiling_sec']}s"
+        )
+    return violations
+
+
 def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
     from data_warehousing_assignment_spark.session import get_spark
 
     sf1_mode = "--sf1" in sys.argv[1:]
+    assert_mode = "--assert" in sys.argv[1:]
     spark = get_spark("bench")
     qs = entrymod.queries()
 
@@ -234,6 +265,16 @@ def main() -> int:
             "headline-suite wall seconds (noop-sink, min of warm runs)",
         )
     print(json.dumps(report))
+    if assert_mode and not sf1_mode:
+        floors_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_floors.json"
+        )
+        violations = check_floors(report, floors_path)
+        for v in violations:
+            print(f"# FLOOR VIOLATION {v}", file=sys.stderr)
+        if violations:
+            return 1
+        print("# floors ok", file=sys.stderr)
     return 0
 
 

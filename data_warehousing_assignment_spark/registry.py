@@ -100,12 +100,30 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = _load_driver_verified()
 #: artifact, DRIVER_VERIFIED_ROUND wins first in _driver_rank and this
 #: set stops mattering; stale entries are harmless by construction.
 _VERDICT_ROTATION = frozenset({
-    "op-scan-orc",
-    "op-scan-merge-schema",
-    "op-ext-approx-quantile",
+    # r7 verdict #1: the never-driver-sampled TPC-H wave must land in
+    # the r8 window ahead of registration order (they registered after
+    # the Kimball/corpus waves and would otherwise queue past the ~50
+    # window again).
+    *{f"op-ext-tpch-q{i}" for i in range(1, 23)},
+    "op-pipe-scd6",
+    "op-pipe-scd2-backfill",
+    "op-scan-xml",
+    # re-verify under their NEW r8 contracts: ewma/holt/approx-quantile
+    # gained real oracles (previously no_oracle rows), stream-cep gained
+    # the n_late column, kmv-intersect the theta column + fixed algebra,
+    # merge-txlog is new.
     "op-ext-ewma",
-    "op-ext-label-centroids",
+    "op-ext-holt-linear",
+    "op-ext-approx-quantile",
+    "op-ext-stream-cep",
+    "op-ext-kmv-intersect",
+    "op-ext-table-digest",
+    "op-ext-merge-txlog",
 })
+
+#: Rotation entries verified BEFORE this round carry a stale contract
+#: (see _driver_rank); bump when refreshing _VERDICT_ROTATION.
+_CONTRACT_CHANGED_ROUND = 8
 
 
 def _driver_rank(name: str) -> tuple[int, int]:
@@ -120,10 +138,17 @@ def _driver_rank(name: str) -> tuple[int, int]:
         queries rotate back through the window and regressions in old
         greens remain externally detectable.
     """
+    if name in _VERDICT_ROTATION and (
+        name not in DRIVER_VERIFIED_ROUND
+        or DRIVER_VERIFIED_ROUND[name] < _CONTRACT_CHANGED_ROUND
+    ):
+        # rotation outranks a stale green row: entries whose output
+        # contract changed this round (new oracle, new column) need a
+        # FRESH driver check — their old green verified a different
+        # contract.
+        return (-1, 0)
     if name in DRIVER_VERIFIED_ROUND:
         return (3, DRIVER_VERIFIED_ROUND[name])
-    if name in _VERDICT_ROTATION:
-        return (-1, 0)
     if name not in ORACLES:
         return (2, 0)
     if name.startswith("op-pipe-kpi-") and name != "op-pipe-kpi-gross-monthly":
