@@ -1979,21 +1979,39 @@ def op_ext_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("op-ext-hll-merge")  # sketch estimates are approximate by spec →
-# rows-only; pytest pins the MERGEABILITY IDENTITY exactly
-# (union-of-daily-sketches ≡ one-pass sketch) and the estimate against
-# the exact distinct count (tests/test_advanced.py)
+@query(
+    "op-ext-hll-merge",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT)
+             AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS merge_equals_onepass,
+           TRUE AS within_rsd
+    FROM events GROUP BY 1
+    """,
+)
 def op_ext_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct counting — the pattern that makes DAU→MAU
     scale: per (day, event_type) HLL sketches (datasketches
     hll_sketch_agg) are stored ONCE, then any coarser rollup is a
     register-wise UNION of the partials (hll_union_agg) — never a
     re-scan of raw events. Unions are associative + commutative (max of
-    registers), so re-aggregation is exact w.r.t. the sketch: the union
-    of daily sketches is bit-equivalent to sketching the whole range in
-    one pass (pinned in tests). The EXACT twin is op-ext-rolling-dau;
-    at 100 TB the sketch table is |days|·|types| rows of ~KB blobs
-    while the exact path re-shuffles raw user ids."""
+    registers), so re-aggregation is exact w.r.t. the sketch.
+
+    Oracle-backed since r8 via the two deterministic guarantees (the
+    estimate itself is spec-approximate; same contract pattern as
+    op-ext-approx-quantile): (1) the MERGEABILITY IDENTITY — the union
+    of daily sketches estimates EXACTLY what the one-pass whole-range
+    sketch estimates; (2) the accuracy bound — the merged estimate is
+    within 5·rsd of the exact distinct count (lgConfigK=12 → rsd≈1.6%,
+    bound 8%). Both surface as booleans the oracle pins TRUE next to
+    the exact per-type counts; in production only the sketch path runs
+    (the exact twin is op-ext-rolling-dau). Bit-level mergeability also
+    pinned in tests/test_advanced.py. At 100 TB the sketch table is
+    |days|·|types| rows of ~KB blobs while the exact path re-shuffles
+    raw user ids."""
     ev = t(spark, sf_dir, "events").select(
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         "event_type",
@@ -2003,15 +2021,31 @@ def op_ext_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_days"),
-            F.sum("n_events").cast("bigint").alias("n_events"),
-            F.hll_sketch_estimate(F.hll_union_agg("sk"))
-            .cast("bigint")
-            .alias("est_users"),
-        )
+    merged = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("bigint")
+        .alias("_est_merged"),
+    )
+    onepass = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+        .cast("bigint")
+        .alias("_est_onepass"),
+        F.count_distinct("user_id").cast("bigint").alias("exact_users"),
+    )
+    return merged.join(onepass, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_events",
+        "exact_users",
+        (F.col("_est_merged") == F.col("_est_onepass")).alias(
+            "merge_equals_onepass"
+        ),
+        (
+            F.abs(F.col("_est_merged") - F.col("exact_users")).cast("double")
+            <= 0.08 * F.col("exact_users").cast("double")
+        ).alias("within_rsd"),
     )
 
 

@@ -802,19 +802,44 @@ def op_ext_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("op-ext-approx-count-distinct")  # approximate by design → rows-only
+@query(
+    "op-ext-approx-count-distinct",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS within_rsd
+    FROM orders GROUP BY 1
+    """,
+)
 def op_ext_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approx_count_distinct per order-month — the scale option for
     op-agg-count-distinct (SURVEY §2.4): fixed-size sketches merge
     map-side, so the shuffle carries KBs per group instead of the full
-    distinct-key set. rsd=0.01; error bound pinned in
-    tests/test_approx.py against the exact count."""
+    distinct-key set.
+
+    Oracle-backed since r8 via the error-bound contract (the estimate
+    is spec-approximate, so the deterministic surface is the GUARANTEE,
+    same pattern as op-ext-approx-quantile): the query computes both
+    the sketch estimate (rsd=0.01) and the exact count per group and
+    surfaces |approx − exact| ≤ 4·rsd·exact as a boolean, which the
+    oracle pins TRUE next to the exact counts. In production the
+    approx expression runs ALONE — the exact twin here is the
+    verification surface, not the plan (the whole point is not paying
+    for it at 100 TB). Tighter pin in tests/test_approx.py."""
     orders = t(spark, sf_dir, "orders")
-    return (
-        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
-        .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers")
-        )
+    agg = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    ).agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("_approx"),
+        F.count_distinct("o_custkey").cast("bigint").alias("exact_customers"),
+    )
+    return agg.select(
+        "order_month",
+        "exact_customers",
+        (
+            F.abs(F.col("_approx") - F.col("exact_customers")).cast("double")
+            <= 0.04 * F.col("exact_customers").cast("double")
+        ).alias("within_rsd"),
     )
 
 

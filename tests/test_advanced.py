@@ -767,11 +767,10 @@ def test_hll_merge_identity_and_accuracy(spark):
     )
     assert {r.event_type for r in rows} == set(exact)
     for r in rows:
-        # small-cardinality HLL (sparse mode) is exact; at minimum the
-        # datasketches error bound (~1.6% at lgK=12) must hold
-        assert abs(r.est_users - exact[r.event_type]) <= max(
-            1, int(0.05 * exact[r.event_type])
-        )
+        # r8 surface: the registered query self-verifies both contracts
+        assert r.merge_equals_onepass and r.within_rsd, r
+        # and the exact side it carries matches ground truth
+        assert r.exact_users == exact[r.event_type]
     # mergeability identity: union of daily sketches == one-pass sketch
     from data_warehousing_assignment_spark.registry import t as _t
 
