@@ -119,6 +119,8 @@ _VERDICT_ROTATION = frozenset({
     "op-ext-kmv-intersect",
     "op-ext-table-digest",
     "op-ext-merge-txlog",
+    "op-ext-approx-count-distinct",
+    "op-ext-hll-merge",
 })
 
 #: Rotation entries verified BEFORE this round carry a stale contract
