@@ -484,6 +484,154 @@ def op_ext_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# retrieval evaluation: MRR / NDCG@k over the exact cosine ranking
+# --------------------------------------------------------------------------
+
+_RM_K = 10
+#: fixed-point NDCG discount weights w_r = round(1e9 / log2(r+1)),
+#: computed ONCE in Python and embedded as identical integer literals in
+#: both engines — log2() never runs engine-side, so the metric is exact
+#: integer arithmetic everywhere (same trick as the _sdiv fixed points).
+_RM_W = [round(1e9 / __import__("math").log2(r + 1)) for r in range(1, _RM_K + 1)]
+#: ideal-DCG prefix sums: IDCG for m relevant results in the top-k
+_RM_P = [0]
+for _w in _RM_W:
+    _RM_P.append(_RM_P[-1] + _w)
+
+_RM_DISC_SQL = "CASE rank " + " ".join(
+    f"WHEN {r + 1} THEN {w}" for r, w in enumerate(_RM_W)
+) + " END"
+_RM_IDCG_SQL = "CASE n_rel " + " ".join(
+    f"WHEN {m} THEN {p}" for m, p in enumerate(_RM_P)
+) + " END"
+
+
+@query(
+    "op-ext-retrieval-metrics",
+    oracle=f"""
+    WITH qv AS (
+      SELECT vec_id AS query_id, label AS true_label, {_KNN_QUANT} AS e
+      FROM embeddings WHERE vec_id % 100 = 0
+    ), cv AS (
+      SELECT vec_id AS neighbor_id, {_KNN_QUANT} AS e FROM embeddings
+    ), idx AS (SELECT unnest(range(1, 65)) AS i),
+    dots AS (
+      SELECT q.query_id, c.neighbor_id,
+             CAST(SUM(q.e[idx.i] * c.e[idx.i]) AS BIGINT) AS dot
+      FROM qv q, cv c, idx
+      WHERE q.query_id <> c.neighbor_id
+      GROUP BY 1, 2
+    ), norms AS (
+      SELECT vec_id, CAST(SUM(p) AS BIGINT) AS nrm FROM (
+        SELECT vec_id, e[idx.i] * e[idx.i] AS p
+        FROM (SELECT vec_id, {_KNN_QUANT} AS e FROM embeddings), idx)
+      GROUP BY 1
+    ), top AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT d.query_id, d.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY d.query_id
+                    ORDER BY CAST(d.dot AS DOUBLE)
+                      / (sqrt(CAST(nq.nrm AS DOUBLE))
+                         * sqrt(CAST(nc.nrm AS DOUBLE))) DESC,
+                      d.neighbor_id) AS rank
+        FROM dots d
+        JOIN norms nq ON d.query_id = nq.vec_id
+        JOIN norms nc ON d.neighbor_id = nc.vec_id)
+      WHERE rank <= {_RM_K}
+    ), rel AS (
+      SELECT t.query_id, q.true_label, t.rank,
+             CASE WHEN e.label = q.true_label THEN 1 ELSE 0 END AS is_rel
+      FROM top t
+      JOIN embeddings e ON t.neighbor_id = e.vec_id
+      JOIN qv q ON t.query_id = q.query_id
+    ), per_q AS (
+      SELECT query_id, true_label,
+             MIN(CASE WHEN is_rel = 1 THEN rank END) AS first_rel,
+             CAST(SUM(is_rel * ({_RM_DISC_SQL})) AS BIGINT) AS dcg_x1e9,
+             CAST(SUM(is_rel) AS BIGINT) AS n_rel
+      FROM rel GROUP BY 1, 2
+    )
+    SELECT true_label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_hit,
+           CAST(SUM(COALESCE(1000000000 // first_rel, 0)) AS BIGINT)
+             AS sum_rr_x1e9,
+           CAST(SUM(dcg_x1e9) AS BIGINT) AS sum_dcg_x1e9,
+           CAST(SUM({_RM_IDCG_SQL}) AS BIGINT) AS sum_idcg_x1e9
+    FROM per_q GROUP BY 1
+    """,
+)
+def op_ext_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation — exact MRR and NDCG@10 per label class for
+    the label-retrieval task over the embedding corpus (queries =
+    vec_id%100, relevance = neighbor shares the query's label, ranking
+    = the exact quantized-cosine top-k every ANN op in this repo is
+    anchored to). The metrics every retrieval/RAG pipeline reports
+    before swapping encoders — and the exact ground layer under an
+    approximate variant: rerunning with lsh/ivf_cosine_topk instead of
+    brute force measures THEIR quality drop with the same arithmetic.
+
+    Exactness: the NDCG log2 discounts and IDCG prefix sums are
+    precomputed in Python as ×1e9 integers and embedded as IDENTICAL
+    literals in both engines (log2 never runs engine-side); reciprocal
+    ranks are integer division. Every surfaced column is an exact
+    BIGINT sum. 100 TB: top-k is the documented O(Q·C) exact anchor
+    (IVF/LSH are the scale path); the metric aggregation is two
+    map-side-combined passes over k·|Q| rows."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    topk = sim.brute_force_cosine_topk(emb, queries, k=_RM_K)
+    labels = emb.select("vec_id", "label")
+    truth = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    disc = F.when(F.col("rank") == 1, F.lit(_RM_W[0]))
+    for r in range(2, _RM_K + 1):
+        disc = disc.when(F.col("rank") == r, F.lit(_RM_W[r - 1]))
+    rel = (
+        topk.join(labels, topk["neighbor_id"] == labels["vec_id"])
+        .join(F.broadcast(truth), "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            "rank",
+            (F.col("label") == F.col("true_label")).cast("long").alias(
+                "is_rel"
+            ),
+            disc.alias("_w"),
+        )
+    )
+    idcg = F.when(F.col("n_rel") == 0, F.lit(0))
+    for m in range(1, _RM_K + 1):
+        idcg = idcg.when(F.col("n_rel") == m, F.lit(_RM_P[m]))
+    per_q = rel.groupBy("query_id", "true_label").agg(
+        F.min(F.when(F.col("is_rel") == 1, F.col("rank"))).alias(
+            "first_rel"
+        ),
+        F.sum(F.col("is_rel") * F.col("_w")).cast("bigint").alias(
+            "dcg_x1e9"
+        ),
+        F.sum("is_rel").cast("bigint").alias("n_rel"),
+    )
+    return per_q.groupBy("true_label").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.col("first_rel").isNotNull().cast("long"))
+        .cast("bigint")
+        .alias("n_with_hit"),
+        F.sum(
+            F.coalesce(
+                F.expr("1000000000 div first_rel"), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("sum_rr_x1e9"),
+        F.sum("dcg_x1e9").cast("bigint").alias("sum_dcg_x1e9"),
+        F.sum(idcg).cast("bigint").alias("sum_idcg_x1e9"),
+    )
+
+
+# --------------------------------------------------------------------------
 # robust (MAD) outlier screening
 # --------------------------------------------------------------------------
 

@@ -819,3 +819,64 @@ def test_dp_counts_noise_is_exactly_reproducible(spark):
         )
     # Laplace(1) noise: overwhelmingly within ±8 (P ~ 3e-4 per draw)
     assert all(abs(r.noise) < 8 for r in rows)
+
+
+def test_retrieval_metrics_match_reference_computation(spark):
+    """op-ext-retrieval-metrics vs a from-scratch numpy MRR/NDCG@10 on
+    the real corpus: exact integer equality (the fixed-point discounts
+    are shared constants, the ranking is the same quantized cosine)."""
+    import math
+
+    from data_warehousing_assignment_spark.registry_advanced import (
+        _RM_K,
+        _RM_P,
+        _RM_W,
+    )
+
+    # the shared constants really are round(1e9/log2(r+1)) and prefixes
+    for r in range(1, _RM_K + 1):
+        assert _RM_W[r - 1] == round(1e9 / math.log2(r + 1))
+    assert _RM_P[3] == _RM_W[0] + _RM_W[1] + _RM_W[2]
+
+    rows = _q("op-ext-retrieval-metrics")(spark, SF).collect()
+    assert rows
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = {r["vec_id"]: np.array([math.floor(x * 1e6) for x in r["embedding"]],
+                                  dtype=np.int64) for r in emb}
+    labels = {r["vec_id"]: r["label"] for r in emb}
+    want = {}
+    for qid in vecs:
+        if qid % 100 != 0:
+            continue
+        qv = vecs[qid]
+        scored = []
+        for nid, cv in vecs.items():
+            if nid == qid:
+                continue
+            s = float(qv @ cv) / (
+                math.sqrt(float(qv @ qv)) * math.sqrt(float(cv @ cv))
+            )
+            scored.append((-s, nid))
+        scored.sort()
+        lbl = labels[qid]
+        agg = want.setdefault(lbl, [0, 0, 0, 0, 0])  # nq, hit, rr, dcg, idcg
+        agg[0] += 1
+        first = None
+        n_rel = dcg = 0
+        for rank, (_, nid) in enumerate(scored[:_RM_K], start=1):
+            if labels[nid] == lbl:
+                n_rel += 1
+                dcg += _RM_W[rank - 1]
+                if first is None:
+                    first = rank
+        if first is not None:
+            agg[1] += 1
+            agg[2] += 10**9 // first
+        agg[3] += dcg
+        agg[4] += _RM_P[n_rel]
+    for r in rows:
+        nq, hit, rr, dcg, idcg = want[r["true_label"]]
+        assert (r["n_queries"], r["n_with_hit"], r["sum_rr_x1e9"],
+                r["sum_dcg_x1e9"], r["sum_idcg_x1e9"]) == (
+            nq, hit, rr, dcg, idcg), r["true_label"]
+        assert r["sum_dcg_x1e9"] <= r["sum_idcg_x1e9"]  # NDCG ≤ 1
