@@ -826,14 +826,19 @@ def op_ext_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx expression runs ALONE — the exact twin here is the
     verification surface, not the plan (the whole point is not paying
     for it at 100 TB). Tighter pin in tests/test_approx.py."""
+    # The sketch and the exact count aggregate SEPARATELY and join on
+    # the |months|-sized key: one combined agg would make Spark thread
+    # the 1640-register HLL buffer through the per-(month, custkey)
+    # distinct pre-aggregation — measured 3.6 s vs 0.6 s at sf0.1.
     orders = t(spark, sf_dir, "orders")
-    agg = orders.groupBy(
-        F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
-    ).agg(
-        F.approx_count_distinct("o_custkey", rsd=0.01).alias("_approx"),
-        F.count_distinct("o_custkey").cast("bigint").alias("exact_customers"),
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    approx = orders.groupBy(month).agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("_approx")
     )
-    return agg.select(
+    exact = orders.groupBy(month).agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("exact_customers")
+    )
+    return approx.join(exact, "order_month").select(
         "order_month",
         "exact_customers",
         (
