@@ -2176,13 +2176,19 @@ def op_ext_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("_est_merged"),
     )
+    # one-pass sketch and exact distinct aggregate SEPARATELY, joined
+    # on the |types| key: mixing a sketch agg with COUNT(DISTINCT) in
+    # one .agg threads the sketch buffer through the per-(type, user)
+    # distinct pre-aggregation (the approx-count-distinct r8 lesson)
     onepass = ev.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
         .cast("bigint")
-        .alias("_est_onepass"),
-        F.count_distinct("user_id").cast("bigint").alias("exact_users"),
+        .alias("_est_onepass")
     )
-    return merged.join(onepass, "event_type").select(
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return merged.join(onepass, "event_type").join(exact, "event_type").select(
         "event_type",
         "n_days",
         "n_events",
