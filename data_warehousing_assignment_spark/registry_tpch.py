@@ -1161,3 +1161,110 @@ def op_ext_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# Q7 over bucketed facts — the fact⋈fact shuffle eliminated at the source
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-tpch-q7-bucketed",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l.l_shipdate) AS ship_year,
+           CAST(SUM({_O_REV_C4}) AS BIGINT) AS volume_c4
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def op_ext_tpch_q7_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 with its one wide shuffle ELIMINATED at the storage layer —
+    the production mitigation the plain op-ext-tpch-q7 docstring and
+    its 10× probe point to: both facts are written
+    ``bucketBy(8, orderkey).sortBy(orderkey)`` (pay the partitioning
+    once at write), so the lineitem⋈orders sort-merge join reads bucket
+    i against bucket i with NO exchange on either fact — filters and
+    the broadcast dim joins preserve the bucketed distribution. The
+    only exchange left in the whole plan is the final
+    2-directions×years aggregate. Same oracle as op-ext-tpch-q7: the
+    layout changes the plan, never the answer. Plan pinned in
+    tests/test_tpch.py (SMJ with zero Exchange below it). This is
+    op-ext-bucket-join's mechanism applied to the hardest TPC-H shape —
+    at 100 TB it converts the q7/q21 family from shuffle-bound to
+    scan-bound."""
+    import os
+    import shutil
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for tbl in ("bkt_q7_lineitem", "bkt_q7_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+    li_src = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount",
+    )
+    o_src = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    (
+        li_src.write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("bkt_q7_lineitem")
+    )
+    (
+        o_src.write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("bkt_q7_orders")
+    )
+    both = ("NATION_1", "NATION_2")
+    nat = t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*both))
+    c = (
+        t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nat.select(
+                    "n_nationkey", F.col("n_name").alias("cust_nation")
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nat.select(
+                    "n_nationkey", F.col("n_name").alias("supp_nation")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    li = spark.table("bkt_q7_lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = spark.table("bkt_q7_orders")
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(F.sum(_rev_c4()).alias("volume_c4"))
+    )

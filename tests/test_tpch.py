@@ -278,3 +278,24 @@ def test_q21_orderkey_aggs_are_partial_before_exchange(spark, qs):
     assert "CartesianProduct" not in plan
     # supplier lookup is broadcast, never a wide join
     assert "BroadcastHashJoin" in plan
+
+
+def test_q7_bucketed_eliminates_the_fact_shuffle(spark, qs):
+    """op-ext-tpch-q7-bucketed: both facts bucketBy(orderkey) ⇒ the
+    lineitem⋈orders SMJ reads bucket-to-bucket with ZERO shuffle
+    exchange below it — the only hashpartitioning exchange in the whole
+    plan is the final group-by. The storage-layer fix for the one wide
+    join test_q7_single_wide_shuffle_join_rest_broadcast allows."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # forbid auto-broadcast so the fact join takes the SMJ path it
+    # would at real scale (sf0.001 orders would otherwise broadcast);
+    # the dims stay broadcast via their explicit hints
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(qs["op-ext-tpch-q7-bucketed"](spark, SF_SMALL))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the agg only
+    assert "bkt_q7_lineitem" in plan and "bkt_q7_orders" in plan
+    assert "CartesianProduct" not in plan
