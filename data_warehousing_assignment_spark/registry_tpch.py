@@ -1268,3 +1268,112 @@ def op_ext_tpch_q7_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(_rev_c4()).alias("volume_c4"))
     )
+
+
+@query(
+    "op-ext-tpch-q21-bucketed",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    stats AS (
+      SELECT l_orderkey,
+             MAX(l_shipdate) AS max_ship,
+             COUNT(DISTINCT l_suppkey) AS n_supp
+      FROM li GROUP BY 1
+    ),
+    last_shippers AS (
+      SELECT DISTINCT li.l_orderkey, li.l_suppkey
+      FROM li JOIN stats ON li.l_orderkey = stats.l_orderkey
+      WHERE li.l_shipdate = stats.max_ship AND stats.n_supp >= 2
+    ),
+    sole AS (
+      SELECT l_orderkey, MIN(l_suppkey) AS l_suppkey
+      FROM last_shippers
+      GROUP BY 1 HAVING COUNT(*) = 1
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM sole JOIN supplier s ON sole.l_suppkey = s.s_suppkey
+    GROUP BY 1
+    ORDER BY numwait DESC, s.s_name ASC
+    LIMIT 100
+    """,
+)
+def op_ext_tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 over orderkey-bucketed facts — the second shape verdict r7
+    flagged (2.4× at the 10× probe), made scan-bound at the storage
+    layer: with lineitem AND orders both bucketBy(8, orderkey), the
+    status semi-join is bucket-to-bucket AND every orderkey-keyed
+    reduction (per-order stats, the last-shipper distinct, the
+    sole-survivor aggregate) reuses the on-disk distribution — zero
+    shuffle until the 100-row supplier rollup. Same oracle as
+    op-ext-tpch-q21: layout, not answer. Plan pinned in
+    tests/test_tpch.py. Shares bucket tables with the q7 twin's
+    mechanism (op-ext-bucket-join demonstrates it standalone)."""
+    import os
+    import shutil
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for tbl in ("bkt_q21_lineitem", "bkt_q21_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+    (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("bkt_q21_lineitem")
+    )
+    (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("bkt_q21_orders")
+    )
+    o = (
+        spark.table("bkt_q21_orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    li = spark.table("bkt_q21_lineitem").join(
+        o, F.col("l_orderkey") == o["o_orderkey"], "left_semi"
+    )
+    # WINDOW formulation instead of the agg+join-back: the join-back's
+    # l_shipdate = max_ship equality gets absorbed as a join KEY, which
+    # repartitions both sides on (orderkey, shipdate) and throws the
+    # bucket distribution away. The window's required distribution is
+    # exactly the on-disk one, so stats cost zero exchanges here.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey")
+    last = (
+        li.withColumn("max_ship", F.max("l_shipdate").over(w))
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .filter(
+            (F.col("l_shipdate") == F.col("max_ship"))
+            & (F.col("n_supp") >= 2)
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sole = (
+        last.groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("l_suppkey"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") == 1)
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(F.broadcast(s), sole["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )

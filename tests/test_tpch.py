@@ -299,3 +299,21 @@ def test_q7_bucketed_eliminates_the_fact_shuffle(spark, qs):
     assert plan.count("Exchange hashpartitioning") == 1  # the agg only
     assert "bkt_q7_lineitem" in plan and "bkt_q7_orders" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q21_bucketed_single_exchange(spark, qs):
+    """op-ext-tpch-q21-bucketed: with both facts bucketed on orderkey
+    and the per-order stats as a WINDOW (not an agg+join-back whose
+    shipdate equality becomes a join key), the ONLY hash exchange in
+    the plan is the final 100-row supplier rollup — semi join, window
+    stats, distinct and the sole-survivor aggregate all reuse the
+    on-disk distribution."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(qs["op-ext-tpch-q21-bucketed"](spark, SF_SMALL))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "bkt_q21_lineitem" in plan and "bkt_q21_orders" in plan
+    assert "CartesianProduct" not in plan
