@@ -2135,8 +2135,8 @@ def op_ext_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_days,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-           TRUE AS merge_equals_onepass,
-           TRUE AS within_rsd
+           TRUE AS merged_within_rsd,
+           TRUE AS onepass_within_rsd
     FROM events GROUP BY 1
     """,
 )
@@ -2148,18 +2148,20 @@ def op_ext_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scan of raw events. Unions are associative + commutative (max of
     registers), so re-aggregation is exact w.r.t. the sketch.
 
-    Oracle-backed since r8 via the two deterministic guarantees (the
-    estimate itself is spec-approximate; same contract pattern as
-    op-ext-approx-quantile): (1) the MERGEABILITY IDENTITY — the union
-    of daily sketches estimates EXACTLY what the one-pass whole-range
-    sketch estimates; (2) the accuracy bound — the merged estimate is
-    within 5·rsd of the exact distinct count (lgConfigK=12 → rsd≈1.6%,
-    bound 8%). Both surface as booleans the oracle pins TRUE next to
-    the exact per-type counts; in production only the sketch path runs
-    (the exact twin is op-ext-rolling-dau). Bit-level mergeability also
-    pinned in tests/test_advanced.py. At 100 TB the sketch table is
-    |days|·|types| rows of ~KB blobs while the exact path re-shuffles
-    raw user ids."""
+    Oracle-backed since r8 via the accuracy-bound contract (the
+    estimate itself is spec-approximate; same pattern as
+    op-ext-approx-quantile): BOTH the merged-daily estimate and the
+    one-pass estimate must land within 5·rsd of the exact distinct
+    count (lgConfigK=12 → rsd≈1.6%, bound 8%), surfaced as booleans
+    the oracle pins TRUE next to the exact per-type counts. The
+    stronger merged == one-pass EQUALITY holds only while sketches
+    stay in sparse (exact) mode — the sf0.1 gate caught it drifting
+    at ~20k distinct once dense HLL unions engage (r8), so equality is
+    pinned at small SF in tests/test_advanced.py where it is actually
+    an invariant, not claimed in the oracle. In production only the
+    sketch path runs (the exact twin is op-ext-rolling-dau). At 100 TB
+    the sketch table is |days|·|types| rows of ~KB blobs while the
+    exact path re-shuffles raw user ids."""
     ev = t(spark, sf_dir, "events").select(
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         "event_type",
@@ -2188,18 +2190,19 @@ def op_ext_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").cast("bigint").alias("exact_users")
     )
+    def _within(col: str) -> F.Column:
+        return (
+            F.abs(F.col(col) - F.col("exact_users")).cast("double")
+            <= 0.08 * F.col("exact_users").cast("double")
+        )
+
     return merged.join(onepass, "event_type").join(exact, "event_type").select(
         "event_type",
         "n_days",
         "n_events",
         "exact_users",
-        (F.col("_est_merged") == F.col("_est_onepass")).alias(
-            "merge_equals_onepass"
-        ),
-        (
-            F.abs(F.col("_est_merged") - F.col("exact_users")).cast("double")
-            <= 0.08 * F.col("exact_users").cast("double")
-        ).alias("within_rsd"),
+        _within("_est_merged").alias("merged_within_rsd"),
+        _within("_est_onepass").alias("onepass_within_rsd"),
     )
 
 

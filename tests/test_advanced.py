@@ -767,11 +767,14 @@ def test_hll_merge_identity_and_accuracy(spark):
     )
     assert {r.event_type for r in rows} == set(exact)
     for r in rows:
-        # r8 surface: the registered query self-verifies both contracts
-        assert r.merge_equals_onepass and r.within_rsd, r
+        # r8 surface: the registered query self-verifies both bounds
+        assert r.merged_within_rsd and r.onepass_within_rsd, r
         # and the exact side it carries matches ground truth
         assert r.exact_users == exact[r.event_type]
-    # mergeability identity: union of daily sketches == one-pass sketch
+    # mergeability identity: union of daily sketches == one-pass sketch.
+    # Valid ONLY at this small SF where sketches stay in sparse (exact)
+    # mode — dense HLL unions drift a few counts (observed at sf0.1,
+    # r8), which is why the oracle pins the rsd bound, not equality.
     from data_warehousing_assignment_spark.registry import t as _t
 
     e = _t(spark, SF, "events").select(
