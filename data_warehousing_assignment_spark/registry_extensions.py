@@ -10,10 +10,13 @@ floor-quantized int64 micro-units — all bit-reproducible in DuckDB.
 
 Oracle-less entries (rows-only check, by design): only the
 approximate-by-spec paths — lsh_cosine_topk, ivf_cosine_topk,
-embedding_near_dup_pairs, approx_count_distinct — whose contract is
-approximation quality, pinned by recall/error-bound tests
-(tests/test_similarity.py, test_ivf.py, test_approx.py) rather than SQL
-equivalence. The true readStream paths are exercised in
+embedding_near_dup_pairs — whose contract is approximation quality,
+pinned by recall/error-bound tests (tests/test_similarity.py,
+test_ivf.py) rather than SQL equivalence. approx_count_distinct
+carries an oracle since r8: its registered surface is the
+deterministic error-bound check (|sketch − exact| ≤ 4·rsd·exact
+pinned TRUE next to the exact counts), the same contract pattern as
+op-ext-approx-quantile and op-ext-hll-merge. The true readStream paths are exercised in
 tests/test_streaming.py, test_stateful.py, test_watermark.py,
 test_stream_sink.py, test_stream_dedup.py, test_stream_join.py.
 """
