@@ -90,15 +90,34 @@ def build_ivf_index(
 
     for i in range(n_iters):
         assigned = _assign(vecs, centroids)
+        # Exact integer mean (r8): int64 sum + count, then round-half-
+        # away-from-zero via pure integer arithmetic. The previous
+        # round(avg(v)) accumulated the sum in DOUBLE, whose partition
+        # order is not deterministic — a last-ulp drift could flip the
+        # rounded centroid coordinate and silently change cell
+        # membership between runs. Integer s/n is order-independent,
+        # bit-identical on any engine, and makes the whole index
+        # SQL-oracle-able.
         centroids = (
             assigned.select("cluster", F.posexplode("qvec").alias("pos", "v"))
             .groupBy("cluster", "pos")
-            .agg(F.avg("v").alias("m"))
+            .agg(
+                F.sum("v").cast("bigint").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cluster",
+                "pos",
+                F.expr(
+                    "CASE WHEN s >= 0 THEN (2*s + n) div (2*n)"
+                    " ELSE -((2*(-s) + n) div (2*n)) END"
+                ).alias("m"),
+            )
             .groupBy("cluster")
             .agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: F.round(s["m"]).cast("bigint"),
+                    lambda s: s["m"].cast("bigint"),
                 ).alias("centroid")
             )
         )

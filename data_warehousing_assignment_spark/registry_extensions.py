@@ -372,12 +372,94 @@ def op_ext_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_cosine_topk(emb, queries, k=5)
 
 
-@query("op-ext-ann-lsh")  # approximate by design → rows-only + pytest recall
+def _planes_sql(n_planes: int = 6, dim: int = 64) -> str:
+    """The hyperplane coefficient table as literal VALUES rows — the
+    SAME integers Spark uses (similarity._plane_coeffs is md5-derived
+    and computed driver-side), so DuckDB can replay sign-bucketing
+    exactly; zero hashing runs engine-side on either engine."""
+    from data_warehousing_assignment_spark.operators.similarity import (
+        _plane_coeffs,
+    )
+
+    rows = ", ".join(
+        f"({p}, {list(_plane_coeffs(p, dim))})" for p in range(n_planes)
+    )
+    return f"(VALUES {rows}) planes(p, h)"
+
+
+#: per-vector sign-bucket id: exact int64 plane projections → bit per
+#: plane — the shared head of the LSH ANN and embed-neardup oracles
+_BUCKET_CTES = f"""
+    emb AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+    idx AS (SELECT unnest(range(1, 65)) AS i),
+    proj AS (
+      SELECT emb.vec_id, planes.p,
+             CAST(SUM(emb.v[idx.i] * planes.h[idx.i]) AS BIGINT) AS pr
+      FROM emb, {_planes_sql()}, idx GROUP BY 1, 2
+    ),
+    buck AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN pr > 0 THEN (1::BIGINT << p)
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM proj GROUP BY 1
+    ),
+    nrms AS (
+      SELECT emb.vec_id, CAST(SUM(v[idx.i] * v[idx.i]) AS BIGINT) AS nrm
+      FROM emb, idx GROUP BY 1
+    )"""
+
+
+@query(
+    "op-ext-ann-lsh",
+    oracle=f"""
+    WITH {_BUCKET_CTES},
+    qp AS (
+      SELECT b.vec_id AS query_id,
+             unnest([b.bucket, xor(b.bucket, 1), xor(b.bucket, 2),
+                     xor(b.bucket, 4), xor(b.bucket, 8),
+                     xor(b.bucket, 16), xor(b.bucket, 32)]) AS bucket
+      FROM buck b WHERE b.vec_id % 100 = 0
+    ),
+    cand AS (
+      SELECT qp.query_id, cb.vec_id AS neighbor_id
+      FROM qp JOIN buck cb ON cb.bucket = qp.bucket
+      WHERE cb.vec_id <> qp.query_id
+    ),
+    dots AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(SUM(q.v[idx.i] * n.v[idx.i]) AS BIGINT) AS dot
+      FROM cand c
+      JOIN emb q ON q.vec_id = c.query_id
+      JOIN emb n ON n.vec_id = c.neighbor_id, idx
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.query_id, d.neighbor_id,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.nrm AS DOUBLE))
+                  * sqrt(CAST(nc.nrm AS DOUBLE))) AS score
+      FROM dots d
+      JOIN nrms nq ON d.query_id = nq.vec_id
+      JOIN nrms nc ON d.neighbor_id = nc.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
 def op_ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-k: same output contract as the
-    brute-force baseline, candidates limited to the query's sign bucket.
-    Verified by recall tests (tests/test_similarity.py), not an oracle —
-    approximation quality, not SQL equivalence, is the spec."""
+    """Hyperplane-LSH approximate top-k (self + Hamming-1 multi-probe):
+    same output contract as the brute-force baseline, candidates
+    limited to the probed sign buckets. ORACLE-EXACT since r8, not just
+    recall-pinned: every stage is deterministic — md5-derived integer
+    plane coefficients (embedded as literals in the oracle, zero
+    hashing engine-side), exact int64 projections and dots, strict
+    sign-bit bucketing, and the one proven-stable float divide — so
+    DuckDB replays the ENTIRE approximate pipeline bit-for-bit. Recall
+    vs brute force stays pinned in tests/test_similarity.py; the
+    full-probe twin anchors bucket-machinery ≡ brute force."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return sim.lsh_cosine_topk(emb, queries, k=5)
@@ -397,10 +479,44 @@ def op_ext_ann_lsh_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_cosine_topk(emb, queries, k=5, probe_all=True)
 
 
-@query("op-ext-embed-neardup")  # rows-only: see tests/test_similarity.py
+@query(
+    "op-ext-embed-neardup",
+    oracle=f"""
+    WITH {_BUCKET_CTES},
+    pairs AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM buck a JOIN buck b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(SUM(x.v[idx.i] * y.v[idx.i]) AS BIGINT) AS dot
+      FROM pairs p
+      JOIN emb x ON x.vec_id = p.doc_a
+      JOIN emb y ON y.vec_id = p.doc_b, idx
+      GROUP BY 1, 2
+    )
+    SELECT d.doc_a, d.doc_b,
+           CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.nrm AS DOUBLE))
+                * sqrt(CAST(nb.nrm AS DOUBLE))) AS cosine
+    FROM dots d
+    JOIN nrms na ON d.doc_a = na.vec_id
+    JOIN nrms nb ON d.doc_b = nb.vec_id
+    WHERE CAST(d.dot AS DOUBLE)
+            / (sqrt(CAST(na.nrm AS DOUBLE))
+               * sqrt(CAST(nb.nrm AS DOUBLE))) >= 0.5
+    """,
+)
 def op_ext_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within hyperplane buckets
-    (threshold 0.5 on this synthetic data)."""
+    (threshold 0.5 on this synthetic data). ORACLE-EXACT since r8 (was
+    rows-only): the bucketing, int64 dots and the single float divide
+    replay identically in DuckDB via the literal plane-coefficient
+    table (see op-ext-ann-lsh) — identical expressions give identical
+    doubles, so even the ≥ threshold boundary compares equal. The
+    recall-vs-exact contract (pairs split across buckets) stays pinned
+    against exact_near_dup_pairs in tests/test_similarity.py."""
     return sim.embedding_near_dup_pairs(
         t(spark, sf_dir, "embeddings"), threshold=0.5
     )
@@ -739,12 +855,117 @@ def op_ext_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 from data_warehousing_assignment_spark.operators import ivf as iv  # noqa: E402
 
 
-@query("op-ext-ann-ivf")  # approximate by design → rows-only + pytest recall
+def _ivf_lloyd_round(src_c: str, n: int) -> str:
+    """One unrolled Lloyd round as CTE text: assign every vector to its
+    nearest centroid in ``src_c`` (exact int64 squared-L2, cluster-id
+    tiebreak — similarity to operators/ivf._assign), then recompute each
+    cell's centroid as the exact integer mean (round half away from
+    zero via pure integer arithmetic — operators/ivf.build_ivf_index's
+    r8 formulation, bit-identical in any engine)."""
+    return f"""
+    d{n} AS (
+      SELECT e.vec_id, c.cluster,
+             CAST(SUM((e.v[idx.i] - c.centroid[idx.i])
+                      * (e.v[idx.i] - c.centroid[idx.i])) AS BIGINT) AS dd
+      FROM emb e, {src_c} c, idx GROUP BY 1, 2
+    ),
+    a{n} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dd, cluster) AS rk
+        FROM d{n}) WHERE rk = 1
+    ),
+    u{n} AS (
+      SELECT a.cluster, idx.i AS pos,
+             CAST(SUM(e.v[idx.i]) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM a{n} a JOIN emb e USING (vec_id), idx GROUP BY 1, 2
+    ),
+    c{n + 1} AS (
+      SELECT cluster,
+             list(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                       ELSE -((2 * (-s) + n) // (2 * n)) END
+                  ORDER BY pos) AS centroid
+      FROM u{n} GROUP BY 1
+    )"""
+
+
+@query(
+    "op-ext-ann-ivf",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+    idx AS (SELECT unnest(range(1, 65)) AS i),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+             v AS centroid
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16)
+    ),
+    {_ivf_lloyd_round('c0', 0)},
+    {_ivf_lloyd_round('c1', 1)},
+    dfin AS (
+      SELECT e.vec_id, c.cluster,
+             CAST(SUM((e.v[idx.i] - c.centroid[idx.i])
+                      * (e.v[idx.i] - c.centroid[idx.i])) AS BIGINT) AS dd
+      FROM emb e, c2 c, idx GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT vec_id AS neighbor_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dd, cluster) AS rk
+        FROM dfin) WHERE rk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dd, cluster) AS rk
+        FROM dfin WHERE vec_id % 100 = 0) WHERE rk <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, c.neighbor_id
+      FROM probes p JOIN cells c ON c.cluster = p.cluster
+      WHERE c.neighbor_id <> p.query_id
+    ),
+    nrms AS (
+      SELECT emb.vec_id, CAST(SUM(v[idx.i] * v[idx.i]) AS BIGINT) AS nrm
+      FROM emb, idx GROUP BY 1
+    ),
+    dots AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(SUM(q.v[idx.i] * n.v[idx.i]) AS BIGINT) AS dot
+      FROM cand c
+      JOIN emb q ON q.vec_id = c.query_id
+      JOIN emb n ON n.vec_id = c.neighbor_id, idx
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.query_id, d.neighbor_id,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.nrm AS DOUBLE))
+                  * sqrt(CAST(nc.nrm AS DOUBLE))) AS score
+      FROM dots d
+      JOIN nrms nq ON d.query_id = nq.vec_id
+      JOIN nrms nc ON d.neighbor_id = nc.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
 def op_ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: deterministic k-means cells (2 Lloyd rounds
     of pure DataFrame aggregation), queries probe their 4 nearest of 16
-    cells. Recall vs brute force + full-probe≡exact equivalence are
-    pinned in tests/test_ivf.py."""
+    cells. ORACLE-EXACT since r8 (was rows-only): the r8 exact-integer
+    centroid mean made the index order-independent and bit-reproducible,
+    so the oracle replays the ENTIRE pipeline — seeds, both unrolled
+    Lloyd rounds, final assignment, 4-cell probing, and the top-k with
+    the one proven-stable float divide — and hash-matches. Recall vs
+    brute force + full-probe≡exact equivalence stay pinned in
+    tests/test_ivf.py."""
     corpus = t(spark, sf_dir, "embeddings")
     queries = corpus.filter(F.col("vec_id") % 100 == 0)
     return iv.ivf_cosine_topk(corpus, queries, k=5, n_clusters=16, n_probe=4)
