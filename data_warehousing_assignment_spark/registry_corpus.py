@@ -370,7 +370,77 @@ def op_ext_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("op-ext-semantic-dedup")  # rows-only: pytest pin in tests/test_corpus.py
+def _semantic_dedup_oracle() -> str:
+    """DuckDB replay of the WHOLE SemDeDup pipeline — possible since
+    the r8 exact-integer centroid mean made the IVF k-means
+    bit-reproducible: dynamic k = clamp(n/500, 8, 256), lowest-id
+    seeds, two unrolled Lloyd rounds (registry_extensions'
+    _ivf_lloyd_round — the same CTE text the ANN-IVF oracle uses),
+    final assignment, within-cluster lower-id domination at
+    cosine ≥ 0.5 with the one proven-stable float divide."""
+    from data_warehousing_assignment_spark.registry_extensions import (
+        _QUANT_SQL,
+        _ivf_lloyd_round,
+    )
+
+    return f"""
+    WITH emb AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+    idx AS (SELECT unnest(range(1, 65)) AS i),
+    kk AS (SELECT GREATEST(8, LEAST(256, COUNT(*) // 500)) AS k
+           FROM embeddings),
+    c0 AS (
+      SELECT rn - 1 AS cluster, v AS centroid FROM (
+        SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+        FROM emb)
+      WHERE rn <= (SELECT k FROM kk)
+    ),
+    {_ivf_lloyd_round('c0', 0)},
+    {_ivf_lloyd_round('c1', 1)},
+    dfin AS (
+      SELECT e.vec_id, c.cluster,
+             CAST(SUM((e.v[idx.i] - c.centroid[idx.i])
+                      * (e.v[idx.i] - c.centroid[idx.i])) AS BIGINT) AS dd
+      FROM emb e, c2 c, idx GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dd, cluster) AS rk
+        FROM dfin) WHERE rk = 1
+    ),
+    nrms AS (
+      SELECT emb.vec_id, sqrt(CAST(SUM(v[idx.i] * v[idx.i]) AS BIGINT))
+               AS nrm
+      FROM emb, idx GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM cells a JOIN cells b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT p.id_a, p.id_b,
+             CAST(SUM(x.v[idx.i] * y.v[idx.i]) AS BIGINT) AS dot
+      FROM pairs p
+      JOIN emb x ON x.vec_id = p.id_a
+      JOIN emb y ON y.vec_id = p.id_b, idx
+      GROUP BY 1, 2
+    ),
+    dominated AS (
+      SELECT DISTINCT d.id_b AS vec_id
+      FROM dots d
+      JOIN nrms na ON d.id_a = na.vec_id
+      JOIN nrms nb ON d.id_b = nb.vec_id
+      WHERE CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm) >= 0.5
+    )
+    SELECT c.vec_id, CAST(c.cluster AS BIGINT) AS cluster,
+           dom.vec_id IS NULL AS kept
+    FROM cells c LEFT JOIN dominated dom ON c.vec_id = dom.vec_id
+    """
+
+
+@query("op-ext-semantic-dedup", oracle=_semantic_dedup_oracle())
 def op_ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-bucket the embedding space
     (the deterministic IVF build from operators/ivf.py — seeded by
@@ -382,10 +452,12 @@ def op_ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaling argument; op-ext-embed-neardup-exact is the corpus-wide
     exactness anchor for the same threshold.
 
-    rows-only by design: centroids feed a float k-means whose cluster
-    boundaries can't be replayed in ANSI SQL; semantics are pinned in
-    tests/test_corpus.py by a numpy replay at sf0.001 (exact survivor
-    set equality).
+    ORACLE-EXACT since r8 (was rows-only): the exact-integer centroid
+    mean (operators/ivf.py r8) made the k-means bit-reproducible, so
+    the oracle replays the whole pipeline — dynamic k, seeds, both
+    Lloyd rounds, assignment, within-cluster domination — in DuckDB
+    and hash-matches. The numpy survivor replay at sf0.001 stays in
+    tests/test_corpus.py as the independent third implementation.
 
     Cluster count SCALES with the corpus (k = n/500, floor 8, cap 256)
     — the paper's own requirement: with fixed k the within-cluster
