@@ -121,6 +121,16 @@ _VERDICT_ROTATION = frozenset({
     "op-ext-merge-txlog",
     "op-ext-approx-count-distinct",
     "op-ext-hll-merge",
+    # late-r8: full replay oracles landed for the approximate ANN /
+    # SemDeDup family (previously rows-only) — need fresh hash-checked
+    # driver rows under the new contracts
+    "op-ext-ann-lsh",
+    "op-ext-ann-ivf",
+    "op-ext-embed-neardup",
+    "op-ext-semantic-dedup",
+    "op-ext-retrieval-metrics",
+    "op-ext-tpch-q7-bucketed",
+    "op-ext-tpch-q21-bucketed",
 })
 
 #: Rotation entries verified BEFORE this round carry a stale contract
