@@ -1235,12 +1235,22 @@ def shared_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, _K, _BANDS,
            _EDGE_THRESH)
     df = _CLUSTER_CACHE.get(key)
-    if df is None:
-        df = dd.near_dup_clusters(
-            t(spark, sf_dir, "documents"), "doc_id", "text",
-            _K, _BANDS, _EDGE_THRESH,
-        ).localCheckpoint(eager=True)
-        _CLUSTER_CACHE[key] = df
+    if df is not None:
+        # Liveness probe: a localCheckpoint lives in block-manager
+        # blocks, and anything that unpersists all RDDs (test fixtures,
+        # a memory-pressure sweep) orphans the frame — its lineage is
+        # truncated, so it cannot recompute. One 1-row take proves the
+        # blocks are still there; on failure fall through to rebuild.
+        try:
+            df.take(1)
+            return df
+        except Exception:
+            _CLUSTER_CACHE.pop(key, None)
+    df = dd.near_dup_clusters(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        _K, _BANDS, _EDGE_THRESH,
+    ).localCheckpoint(eager=True)
+    _CLUSTER_CACHE[key] = df
     return df
 
 

@@ -319,3 +319,19 @@ def test_cluster_family_shares_one_cached_frame(spark):
     assert sorted(map(tuple, a.collect())) == sorted(
         map(tuple, fresh.collect())
     )
+
+
+def test_cluster_cache_rebuilds_after_unpersist_sweep(spark):
+    """An unpersist-all sweep (fixtures, memory pressure) orphans the
+    memoized checkpoint — the memo must detect the dead blocks and
+    rebuild instead of failing downstream queries (r8 guard)."""
+    from data_warehousing_assignment_spark import registry_extensions as rx
+    from tests.conftest import SF_SMALL
+
+    rx.clear_dedup_cluster_cache()
+    a = rx.shared_dedup_clusters(spark, SF_SMALL)
+    n = a.count()
+    for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        jrdd.unpersist(True)
+    b = rx.shared_dedup_clusters(spark, SF_SMALL)
+    assert b.count() == n  # rebuilt (or still live) — never a dead frame
