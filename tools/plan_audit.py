@@ -31,6 +31,9 @@ ALLOWED = {
     "op-ext-ann-bruteforce": {"cartesian"},  # scored vs broadcast query set
     # rides the same brute-force broadcast-query cartesian as ann-bruteforce
     "op-ext-knn-classify": {"cartesian"},
+    # exact-ranking ground layer: O(Q·C) brute force BY CONTRACT, like
+    # ann-bruteforce (IVF/LSH rankings drop in for the scale path)
+    "op-ext-retrieval-metrics": {"cartesian"},
     # 1-row count frames crossJoined into each candidate's metrics row
     "op-ext-fk-discovery": {"cartesian"},
     # per-constraint 1-row checked×violations frames
