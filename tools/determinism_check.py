@@ -17,9 +17,13 @@ same way tools/check_local.py does, and compare. AQE stays ON both
 times (production config); the initial widths still differ enough to
 permute every partial-aggregation order.
 
+A second axis, ``--aqe``, compares AQE ON vs OFF at fixed width —
+adaptive re-planning (coalesced partitions, demoted broadcasts, skew
+splits) must also never change answers.
+
 Exclusions (by contract): op-fn-uuid is nondeterministic by definition.
 
-Usage: python tools/determinism_check.py [sf_dir] [only ...]
+Usage: python tools/determinism_check.py [--aqe] [sf_dir] [only ...]
 """
 
 from __future__ import annotations
@@ -40,8 +44,10 @@ def canon(df) -> tuple:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--aqe"]
+    aqe_axis = "--aqe" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as e
     from data_warehousing_assignment_spark.session import get_spark
@@ -59,10 +65,15 @@ def main() -> int:
             print(f"skip  {name}: nondeterministic by contract")
             continue
         t0 = time.time()
+        key, vals = (
+            ("spark.sql.adaptive.enabled", ("true", "false"))
+            if aqe_axis
+            else ("spark.sql.shuffle.partitions", ("32", "7"))
+        )
         try:
-            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            spark.conf.set(key, vals[0])
             a = canon(fn(spark, sf_dir))
-            spark.conf.set("spark.sql.shuffle.partitions", "7")
+            spark.conf.set(key, vals[1])
             b = canon(fn(spark, sf_dir))
         except Exception:
             n_fail += 1
@@ -70,12 +81,13 @@ def main() -> int:
             print(f"FAIL  {name}: raised\n{traceback.format_exc()}")
             continue
         finally:
+            spark.conf.set(key, vals[0])
             spark.conf.set("spark.sql.shuffle.partitions", "32")
         if a != b:
             n_fail += 1
             failures.append(name)
             diff = [(x, y) for x, y in zip(a[1], b[1]) if x != y][:3]
-            print(f"FAIL  {name}: differs across widths; first: {diff}")
+            print(f"FAIL  {name}: differs across {key}; first: {diff}")
         else:
             n_ok += 1
             print(f"ok    {name}: {len(a[1])} rows  [{time.time()-t0:.1f}s]")
