@@ -77,6 +77,11 @@ SF1_HEADLINE = [
     "op-ext-dedup-clusters",    # iterative CC: does convergence hold at 10×?
     "op-ext-range-join",        # bucket-expansion join vs interval fan-out
     "op-ext-decontaminate",     # gram explode + broadcast semi-join
+    # the fact⋈fact shapes over bucketed layout (read-side: the bucketed
+    # write happens at query build, outside the timed force loop —
+    # measuring exactly what a production reader pays)
+    "op-ext-tpch-q7-bucketed",
+    "op-ext-tpch-q21-bucketed",
 ]
 
 #: fact tables replicated in --sf1 synthesis; value = key columns offset
