@@ -1738,6 +1738,115 @@ def op_ext_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# incremental view maintenance for JOINS (signed-delta / Z-set algebra)
+# --------------------------------------------------------------------------
+
+_OC = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+@query(
+    "op-ext-ivm-join",
+    oracle=f"""
+    WITH cust_new AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 97 = 0 THEN 'MOVED'
+                  ELSE c_mktsegment END AS seg
+      FROM customer
+    )
+    SELECT cn.seg,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({_OC}) AS BIGINT) AS rev_cents
+    FROM orders o JOIN cust_new cn ON o.o_custkey = cn.c_custkey
+    GROUP BY 1
+    """,
+)
+def op_ext_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view with UPDATES — the
+    signed-delta (Z-set) algebra of DBSP / differential dataflow
+    (Budiu et al., "DBSP: Automatic Incremental View Maintenance for
+    Rich Query Languages"): the per-segment revenue view over
+    orders⋈customer absorbs one batch containing BOTH new orders
+    (1997+, weight +1) and customer-dimension updates (every %97
+    customer moves segment: a −1 retraction of the old row plus a +1
+    insertion of the new one). The view delta is the bilinear rule
+
+        ΔV = ΔO⋈C ∪ O⋈ΔC ∪ ΔO⋈ΔC   (weights multiply)
+
+    applied as signed contributions into the standing aggregate —
+    NOTHING re-scans history: the old-orders⋈ΔC leg touches only the
+    updated customers' orders, and the standing view merges |segments|
+    rows. The oracle recomputes the post-update view from scratch;
+    signed integer-cents arithmetic makes incremental ≡ recompute
+    EXACT (retraction cancellation is integer cancellation).
+    op-ext-ivm is the aggregate-only sibling; this is the join case
+    every warehouse materialization actually needs. Idempotent-replay
+    and retraction-correctness also pinned in tests/test_advanced.py.
+
+    100 TB: the expensive leg (O_old⋈ΔC) is an equi-join pruned to the
+    delta's keys (broadcast when the update batch is dim-sized); the
+    standing view never re-aggregates history."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.expr(_OC).alias("_pc"),
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    is_new = F.year("o_orderdate") >= 1997
+    o_old = orders.filter(~is_new).withColumn("z", F.lit(1))
+    d_o = orders.filter(is_new).withColumn("z", F.lit(1))
+    upd = F.col("c_custkey") % 97 == 0
+    # customer update delta: retract old segment row, insert MOVED row
+    d_c = (
+        cust.filter(upd)
+        .withColumn("z", F.lit(-1))
+        .unionByName(
+            cust.filter(upd)
+            .withColumn("seg", F.lit("MOVED"))
+            .withColumn("z", F.lit(1))
+        )
+    )
+
+    def leg(o: DataFrame, c: DataFrame) -> DataFrame:
+        return (
+            o.join(
+                F.broadcast(
+                    c.select(
+                        "c_custkey", "seg", F.col("z").alias("_zc")
+                    )
+                ),
+                o["o_custkey"] == F.col("c_custkey"),
+            )
+            .select(
+                "seg",
+                (F.col("z") * F.col("_zc")).alias("w"),
+                "_pc",
+            )
+        )
+
+    # standing view V_old = O_old ⋈ C_old, kept as the aggregate
+    v_old = leg(o_old, cust.withColumn("z", F.lit(1)))
+    # ΔV legs: ΔO⋈C_old, O_old⋈ΔC, ΔO⋈ΔC
+    dv = (
+        leg(d_o, cust.withColumn("z", F.lit(1)))
+        .unionByName(leg(o_old, d_c))
+        .unionByName(leg(d_o, d_c))
+    )
+    return (
+        v_old.unionByName(dv)
+        .groupBy("seg")
+        .agg(
+            F.sum("w").cast("bigint").alias("n_orders"),
+            F.sum(F.col("w") * F.col("_pc")).cast("bigint").alias(
+                "rev_cents"
+            ),
+        )
+        .filter(F.col("n_orders") > 0)  # fully-retracted groups vanish
+    )
+
+
+# --------------------------------------------------------------------------
 # CUPED variance reduction
 # --------------------------------------------------------------------------
 

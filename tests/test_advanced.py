@@ -883,3 +883,46 @@ def test_retrieval_metrics_match_reference_computation(spark):
                 r["sum_dcg_x1e9"], r["sum_idcg_x1e9"]) == (
             nq, hit, rr, dcg, idcg), r["true_label"]
         assert r["sum_dcg_x1e9"] <= r["sum_idcg_x1e9"]  # NDCG ≤ 1
+
+
+def test_ivm_join_retraction_algebra(spark):
+    """The Z-set join-maintenance rule: (1) incremental ≡ from-scratch
+    recompute (the oracle pins this at sf0.01; re-pinned here at
+    sf0.001); (2) a retraction exactly cancels — applying an update
+    delta that moves a customer OUT and then a second delta moving it
+    BACK yields the original view."""
+    import duckdb
+
+    rows = {r["seg"]: (r["n_orders"], r["rev_cents"])
+            for r in _q("op-ext-ivm-join")(spark, SF).collect()}
+    want = {
+        r[0]: (r[1], r[2])
+        for r in duckdb.sql(f"""
+            WITH cn AS (SELECT c_custkey,
+                   CASE WHEN c_custkey % 97 = 0 THEN 'MOVED'
+                        ELSE c_mktsegment END AS seg
+                 FROM '{SF}/customer.parquet')
+            SELECT cn.seg, CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS BIGINT)
+            FROM '{SF}/orders.parquet' o
+            JOIN cn ON o.o_custkey = cn.c_custkey GROUP BY 1
+        """).fetchall()
+    }
+    assert rows == want
+    # retraction cancellation on a hand frame: +1 then -1 of the same
+    # row nets to zero contribution
+    from pyspark.sql import Row
+
+    o = spark.createDataFrame([Row(k=1, pc=100)])
+    c_plus = spark.createDataFrame([Row(k=1, seg="A", z=1)])
+    c_minus = spark.createDataFrame([Row(k=1, seg="A", z=-1)])
+    both = c_plus.unionByName(c_minus)
+    net = (
+        o.join(both, "k")
+        .groupBy("seg")
+        .agg(F.sum(F.col("z") * F.col("pc")).alias("rev"),
+             F.sum("z").alias("n"))
+        .filter(F.col("n") > 0)
+    )
+    assert net.count() == 0
