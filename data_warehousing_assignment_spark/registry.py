@@ -131,6 +131,7 @@ _VERDICT_ROTATION = frozenset({
     "op-ext-retrieval-metrics",
     "op-ext-tpch-q7-bucketed",
     "op-ext-tpch-q21-bucketed",
+    "op-ext-ivm-join",
 })
 
 #: Rotation entries verified BEFORE this round carry a stale contract
