@@ -52,3 +52,24 @@ def test_oracle_query_schema_is_scalar_only(spark, name, fn):
         "pandas canonicalization errors on these; stringify/hash them at "
         "the query boundary (keep the array-native operator internal)"
     )
+
+
+def test_rows_only_set_is_exactly_the_documented_five():
+    """Every registered query carries a DuckDB oracle EXCEPT the five
+    with a structural reason (r8 floor): fn-uuid (nondeterministic by
+    definition), dp-counts (JVM vs libm ln differs in the last ulp —
+    measured), bpe-learn + kcore (iterative, not SQL-expressible),
+    mllib-minhash (independence cross-check; an oracle would defeat
+    it). A new query landing without an oracle, or an oracle being
+    silently dropped, must be a deliberate decision — this test forces
+    the conversation."""
+    import __spark_entry__ as e
+
+    rows_only = set(e.queries()) - set(e.oracle_sql())
+    assert rows_only == {
+        "op-fn-uuid",
+        "op-ext-dp-counts",
+        "op-ext-bpe-learn",
+        "op-ext-kcore",
+        "op-ext-mllib-minhash",
+    }, rows_only
