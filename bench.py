@@ -226,6 +226,18 @@ def check_floors(report: dict, floors_path: str) -> list[str]:
         spec = json.load(fh)
     ratio = spec["allowed_ratio"]
     violations = []
+    # Every floor-listed query MUST be present in the report: run_suite
+    # swallows per-query exceptions ("bench skip"), so a headline query
+    # that regresses into a crash would otherwise vanish from
+    # report["queries"], LOWER the suite sum, and pass --assert with
+    # zero violations — the worst regression class would be invisible
+    # (r8 advice). Missing = fail, loudly.
+    for name in spec["floors"]:
+        if name not in report["queries"]:
+            violations.append(
+                f"{name}: missing from report (crashed or renamed — "
+                f"see '# bench skip' lines on stderr)"
+            )
     for name, secs in report["queries"].items():
         floor = spec["floors"].get(name)
         if floor is not None and secs > ratio * floor:

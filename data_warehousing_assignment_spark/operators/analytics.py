@@ -194,9 +194,22 @@ def ewma(
 
     def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col).reset_index(drop=True)
-        pdf["ewma"] = (
-            pdf[value_col].astype("float64").ewm(alpha=alpha, adjust=False).mean()
-        )
+        # Explicit loop, NOT pandas ewm(adjust=False): ewm internally
+        # computes ((1−α)·y + α·x)/((1−α)+α) and short-circuits when the
+        # running average equals the incoming value — bit-identical to
+        # the plain recurrence for some α/data but not structurally
+        # guaranteed. The loop below IS the documented op sequence
+        # (one multiply each side, one add), so any engine replaying
+        # the recurrence (DuckDB's WITH RECURSIVE oracle) agrees
+        # bit-for-bit for EVERY α, not just the registered 0.3 (r8
+        # advice). Series are calendar-bounded post-aggregate frames,
+        # so the per-group Python loop is thousands of steps, not
+        # billions — the parallelism is across series.
+        x = pdf[value_col].astype("float64").to_list()
+        ys: list[float] = []
+        for v in x:
+            ys.append(v if not ys else alpha * v + (1.0 - alpha) * ys[-1])
+        pdf["ewma"] = ys
         return pdf[[part_col, order_col, value_col, "ewma"]]
 
     return (

@@ -93,8 +93,10 @@ def partition_digest(
     WHERE to do the expensive row-level diff (snapshot_diff). One
     map-side-combined pass per replica; digests are exact integers,
     so any engine computes the identical frame. Per-bucket false-match
-    probability is ~2^-63 per colliding edit pair (the r7 32-bit slice
-    made two offsetting row edits plausibly collide; r8 review).
+    probability is ~2^-60 per colliding edit pair — bounded by the
+    60-bit row-hash width (15 md5 nibbles), not the 2^63 fold modulus
+    (the r7 32-bit slice made two offsetting row edits plausibly
+    collide; r8 review, width corrected r9).
 
     ``key_col`` must be an integral column — range-bucketing a
     non-numeric key would silently collapse every row into one NULL

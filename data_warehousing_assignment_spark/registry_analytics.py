@@ -810,11 +810,12 @@ def op_ext_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA-smoothed daily revenue per return flag (α=0.3, seeded at the
     first day). Oracle-exact since r8: the recurrence
     y_i = α·x_i + (1−α)·y_{i−1} is a linear chain of IEEE-double
-    multiply/adds, and pandas ewm(adjust=False), the literal Python
-    loop, and DuckDB's WITH RECURSIVE all execute the identical op
-    sequence on identical inputs (integer-cents day revenue ÷ 100.0),
-    so the float chains agree bit-for-bit — verified over 2500-step
-    series. Semantics additionally pinned in tests/test_analytics.py
+    multiply/adds, executed as a literal Python loop (r9: replaced
+    pandas ewm(adjust=False), whose internal weighted-average division
+    and equal-value short-circuit made bit-identity data-dependent),
+    so the op sequence matches DuckDB's WITH RECURSIVE replay exactly
+    on identical inputs (integer-cents day revenue ÷ 100.0) for every
+    α — verified over 2500-step series. Semantics additionally pinned in tests/test_analytics.py
     against the literal recurrence. Sequential per series, parallel
     across series (analytics.ewma)."""
     li = t(spark, sf_dir, "lineitem")

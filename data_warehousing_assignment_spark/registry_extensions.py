@@ -1250,6 +1250,14 @@ def shared_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents"), "doc_id", "text",
         _K, _BANDS, _EDGE_THRESH,
     ).localCheckpoint(eager=True)
+    # Evict entries from OTHER applications on insert: keys of dead
+    # sessions can never hit again (appId is in the key) but would pin
+    # their localCheckpoint blocks forever; one live session implies at
+    # most a handful of sf_dir keys, so this bounds the memo to the
+    # current app's working set (r8 advice).
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _CLUSTER_CACHE if k[0] != app]:
+        _CLUSTER_CACHE.pop(k, None)
     _CLUSTER_CACHE[key] = df
     return df
 

@@ -352,15 +352,10 @@ def op_ext_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference warehouse's clustered PK tables (ref
     ``01_create_a_db_*/create_db.sql``). The aggregate after the join
     exchanges only the 5-row segment frame."""
-    # a fresh session may find stale table DIRECTORIES under the
-    # warehouse without catalog entries (LOCATION_ALREADY_EXISTS) —
-    # drop both layers before writing
-    wh = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
-    for tbl in ("bkt_orders", "bkt_customer"):
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+    from data_warehousing_assignment_spark.session import scratch_table
+
+    o_tbl = scratch_table(spark, "bkt_orders")
+    c_tbl = scratch_table(spark, "bkt_customer")
     orders = t(spark, sf_dir, "orders").select(
         "o_custkey",
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)
@@ -373,17 +368,17 @@ def op_ext_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .bucketBy(8, "o_custkey")
         .sortBy("o_custkey")
-        .saveAsTable("bkt_orders")
+        .saveAsTable(o_tbl)
     )
     (
         cust.write.mode("overwrite")
         .format("parquet")
         .bucketBy(8, "c_custkey")
         .sortBy("c_custkey")
-        .saveAsTable("bkt_customer")
+        .saveAsTable(c_tbl)
     )
-    bo = spark.table("bkt_orders")
-    bc = spark.table("bkt_customer")
+    bo = spark.table(o_tbl)
+    bc = spark.table(c_tbl)
     j = bo.join(bc, bo["o_custkey"] == bc["c_custkey"])
     return j.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),

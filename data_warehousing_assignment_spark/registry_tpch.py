@@ -1201,15 +1201,10 @@ def op_ext_tpch_q7_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     op-ext-bucket-join's mechanism applied to the hardest TPC-H shape —
     at 100 TB it converts the q7/q21 family from shuffle-bound to
     scan-bound."""
-    import os
-    import shutil
+    from data_warehousing_assignment_spark.session import scratch_table
 
-    wh = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
-    for tbl in ("bkt_q7_lineitem", "bkt_q7_orders"):
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+    li_tbl = scratch_table(spark, "bkt_q7_lineitem")
+    o_tbl = scratch_table(spark, "bkt_q7_orders")
     li_src = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate",
         "l_extendedprice", "l_discount",
@@ -1218,12 +1213,12 @@ def op_ext_tpch_q7_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (
         li_src.write.mode("overwrite").format("parquet")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("bkt_q7_lineitem")
+        .saveAsTable(li_tbl)
     )
     (
         o_src.write.mode("overwrite").format("parquet")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("bkt_q7_orders")
+        .saveAsTable(o_tbl)
     )
     both = ("NATION_1", "NATION_2")
     nat = t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*both))
@@ -1251,11 +1246,11 @@ def op_ext_tpch_q7_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "supp_nation")
     )
-    li = spark.table("bkt_q7_lineitem").filter(
+    li = spark.table(li_tbl).filter(
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1998-01-01")
     )
-    o = spark.table("bkt_q7_orders")
+    o = spark.table(o_tbl)
     return (
         li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
@@ -1312,35 +1307,30 @@ def op_ext_tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     op-ext-tpch-q21: layout, not answer. Plan pinned in
     tests/test_tpch.py. Shares bucket tables with the q7 twin's
     mechanism (op-ext-bucket-join demonstrates it standalone)."""
-    import os
-    import shutil
+    from data_warehousing_assignment_spark.session import scratch_table
 
-    wh = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
-    for tbl in ("bkt_q21_lineitem", "bkt_q21_orders"):
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+    li_tbl = scratch_table(spark, "bkt_q21_lineitem")
+    o_tbl = scratch_table(spark, "bkt_q21_orders")
     (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_shipdate")
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("bkt_q21_lineitem")
+        .saveAsTable(li_tbl)
     )
     (
         t(spark, sf_dir, "orders")
         .select("o_orderkey", "o_orderstatus")
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("bkt_q21_orders")
+        .saveAsTable(o_tbl)
     )
     o = (
-        spark.table("bkt_q21_orders")
+        spark.table(o_tbl)
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey")
     )
-    li = spark.table("bkt_q21_lineitem").join(
+    li = spark.table(li_tbl).join(
         o, F.col("l_orderkey") == o["o_orderkey"], "left_semi"
     )
     # WINDOW formulation instead of the agg+join-back: the join-back's

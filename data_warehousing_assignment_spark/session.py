@@ -52,6 +52,39 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def scratch_table(spark: SparkSession, base: str) -> str:
+    """Session-scoped catalog table name for rebuild-every-call scratch
+    tables (the bucketed-join demos write real bucketed tables at query
+    build). The name carries the Spark applicationId so two sessions
+    sharing one metastore/warehouse dir can never clobber each other's
+    tables mid-read (r8 advice — the previous fixed global names were a
+    concurrent-session hazard).
+
+    Also clears BOTH stale layers before handing the name out: the
+    catalog entry (DROP TABLE) and, for local filesystem warehouses
+    only, a stale orphaned table DIRECTORY (a killed session can leave
+    the dir without the catalog row → LOCATION_ALREADY_EXISTS on the
+    next write). The warehouse URI is parsed properly rather than
+    string-stripping a 'file:' prefix; on non-file warehouses (hdfs/s3)
+    DROP TABLE is the whole cleanup — Spark owns the remote dir.
+    """
+    import re
+    import shutil
+    from urllib.parse import unquote, urlparse
+
+    app = re.sub(
+        r"[^0-9a-zA-Z]+", "_", spark.sparkContext.applicationId
+    ).strip("_").lower()
+    name = f"{base}_{app}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    parsed = urlparse(wh)
+    if parsed.scheme in ("", "file"):
+        path = unquote(parsed.path) if parsed.scheme else wh
+        shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+    return name
+
+
 def get_spark(
     app_name: str = "data-warehousing-assignment-spark",
     master: str | None = None,
