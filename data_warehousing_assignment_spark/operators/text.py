@@ -347,6 +347,118 @@ def learn_bpe_merges(
     return merges
 
 
+#: Fixed merge table for the BPE APPLY path (op-ext-bpe-apply): the first
+#: 12 merges ``learn_bpe_merges`` produces on the sf0.01 documents corpus
+#: (ranks 1-12, pair counts 4568..1796). Hard-coded BY DESIGN — a BPE
+#: tokenizer's apply step is parameterized by a shipped merge table
+#: (merges.txt inside the tokenizer artifact), independent of the corpus
+#: it is applied to; freezing the table is what makes the apply path a
+#: pure deterministic Column expression with an exact SQL oracle, while
+#: LEARNING stays the driver-loop op (op-ext-bpe-learn, pytest-pinned
+#: against a pure-Python reference).
+BPE_MERGES_V1: tuple[tuple[str, str], ...] = (
+    ("e", "r"), ("e", "▁"), ("n", "▁"), ("er", "▁"), ("o", "w"),
+    ("ow", "▁"), ("o", "r"), ("s", "t"), ("h", "▁"), ("a", "t"),
+    ("l", "u"), ("i", "n"),
+)
+
+#: Only words matching this join the BPE stream — tokens carrying
+#: brackets would alias the '(sym)' encoding below, and real BPE
+#: pre-tokenizers split off punctuation anyway.
+BPE_WORD_RE = "^[a-z0-9]+$"
+
+
+def bpe_apply_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    merges: tuple[tuple[str, str], ...] = BPE_MERGES_V1,
+    eow: str = "▁",
+) -> DataFrame:
+    """Apply a pre-learned BPE merge table and count resulting tokens
+    per document — the ENCODE path of the tokenizer (the part that runs
+    over all 100 TB; learning ran once, offline).
+
+    Encoding trick that keeps the whole operator a single Column
+    expression (zero Python, zero shuffle until the final projection):
+    each word becomes a parenthesized symbol string ``(c)(h)(a)(r)(▁)``,
+    and one merge rule (l, r) → lr is ONE ``replace(s, '(l)(r)',
+    '(lr)')``. Left-to-right non-overlapping replace is exactly the
+    greedy fold ``learn_bpe_merges`` applies per round (a merged symbol
+    can never re-match as the right element of the same rule, and
+    matching resumes after the replacement in both), and the brackets
+    make boundary aliasing impossible — ``(xa)(b)`` never contains
+    ``(a)(b)``. Chaining the replaces in rank order replays the merge
+    rounds; the final symbol count is just the count of '(' left.
+    Spark's ``replace`` and DuckDB's ``replace`` share these exact
+    semantics, so the SQL oracle is byte-identical logic.
+
+    Output per document with ≥1 qualifying word: ``n_words``,
+    ``n_syms_in`` (chars + end-of-word markers = pre-merge symbol
+    count), ``n_bpe_tokens`` (post-merge). All bigint — exact.
+    """
+    toks = F.filter(
+        tokens(text_col), lambda w: w.rlike(BPE_WORD_RE)
+    )
+
+    def encoded_len(w: Column) -> Column:
+        s = F.concat(F.regexp_replace(w, "(.)", "($1)"), F.lit(f"({eow})"))
+        for left, right in merges:
+            s = F.replace(
+                s, F.lit(f"({left})({right})"), F.lit(f"({left}{right})")
+            )
+        return F.length(s) - F.length(F.replace(s, F.lit("("), F.lit("")))
+
+    df = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("_ws")
+    ).filter(F.size("_ws") > 0)
+    return df.select(
+        id_col,
+        F.size("_ws").cast("bigint").alias("n_words"),
+        F.aggregate(
+            "_ws", F.lit(0).cast("bigint"),
+            lambda acc, w: acc + F.length(w) + 1,
+        ).alias("n_syms_in"),
+        F.aggregate(
+            F.transform("_ws", encoded_len),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("n_bpe_tokens"),
+    )
+
+
+def bpe_apply_oracle_sql(
+    merges: tuple[tuple[str, str], ...] = BPE_MERGES_V1,
+    eow: str = "▁",
+) -> str:
+    """DuckDB twin of :func:`bpe_apply_counts` — same parenthesized
+    encoding, same rank-ordered replace chain, composed from the SAME
+    merge constant so the two can never drift."""
+    s = f"regexp_replace(w, '(.)', '(\\1)', 'g') || '({eow})'"
+    for left, right in merges:
+        s = f"replace({s}, '({left})({right})', '({left}{right})')"
+    return f"""
+    WITH words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents WHERE text IS NOT NULL
+      ) WHERE regexp_matches(w, '^[a-z0-9]+$')
+    ),
+    enc AS (
+      SELECT doc_id, length(w) + 1 AS n_in,
+             {s} AS s
+      FROM words
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_in) AS BIGINT) AS n_syms_in,
+           CAST(SUM(length(s) - length(replace(s, '(', ''))) AS BIGINT)
+             AS n_bpe_tokens
+    FROM enc GROUP BY doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # overlapping-window chunking (RAG / training-sequence prep)
 # ---------------------------------------------------------------------------

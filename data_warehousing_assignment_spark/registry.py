@@ -100,43 +100,19 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = _load_driver_verified()
 #: artifact, DRIVER_VERIFIED_ROUND wins first in _driver_rank and this
 #: set stops mattering; stale entries are harmless by construction.
 _VERDICT_ROTATION = frozenset({
-    # r7 verdict #1: the never-driver-sampled TPC-H wave must land in
-    # the r8 window ahead of registration order (they registered after
-    # the Kimball/corpus waves and would otherwise queue past the ~50
-    # window again).
-    *{f"op-ext-tpch-q{i}" for i in range(1, 23)},
-    "op-pipe-scd6",
-    "op-pipe-scd2-backfill",
-    "op-scan-xml",
-    # re-verify under their NEW r8 contracts: ewma/holt/approx-quantile
-    # gained real oracles (previously no_oracle rows), stream-cep gained
-    # the n_late column, kmv-intersect the theta column + fixed algebra,
-    # merge-txlog is new.
+    # r9: the whole r7/r8 backlog (TPC-H wave, Kimball, new-oracle ANN
+    # family) landed green in CORRECTNESS_r08 and expired out of here.
+    # The 46 remaining never-sampled queries need no rotation — they
+    # rank 0/2 by construction and fill the r9 window in registration
+    # order (r8 verdict #1). Only contract changes ride the rotation:
+    # ewma's encode loop was replaced r9 (literal recurrence instead of
+    # pandas ewm) — same oracle, fresh external hash row wanted.
     "op-ext-ewma",
-    "op-ext-holt-linear",
-    "op-ext-approx-quantile",
-    "op-ext-stream-cep",
-    "op-ext-kmv-intersect",
-    "op-ext-table-digest",
-    "op-ext-merge-txlog",
-    "op-ext-approx-count-distinct",
-    "op-ext-hll-merge",
-    # late-r8: full replay oracles landed for the approximate ANN /
-    # SemDeDup family (previously rows-only) — need fresh hash-checked
-    # driver rows under the new contracts
-    "op-ext-ann-lsh",
-    "op-ext-ann-ivf",
-    "op-ext-embed-neardup",
-    "op-ext-semantic-dedup",
-    "op-ext-retrieval-metrics",
-    "op-ext-tpch-q7-bucketed",
-    "op-ext-tpch-q21-bucketed",
-    "op-ext-ivm-join",
 })
 
 #: Rotation entries verified BEFORE this round carry a stale contract
 #: (see _driver_rank); bump when refreshing _VERDICT_ROTATION.
-_CONTRACT_CHANGED_ROUND = 8
+_CONTRACT_CHANGED_ROUND = 9
 
 
 def _driver_rank(name: str) -> tuple[int, int]:

@@ -1570,6 +1570,29 @@ def op_ext_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from data_warehousing_assignment_spark.operators.text import (  # noqa: E402
+    bpe_apply_oracle_sql,
+)
+
+
+@query("op-ext-bpe-apply", oracle=bpe_apply_oracle_sql())
+def op_ext_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE with a pre-learned BPE merge table (text.BPE_MERGES_V1 —
+    the 12 merges op-ext-bpe-learn produces on this corpus, frozen the
+    way a shipped tokenizer freezes merges.txt): per document, the
+    post-merge token count alongside word and pre-merge symbol counts.
+    This is the half of BPE that actually runs at 100 TB — and unlike
+    the learning loop it is a pure Column expression (paren-encoded
+    symbols + one replace() per merge rule, see text.bpe_apply_counts),
+    so it gets a full exact DuckDB oracle where op-ext-bpe-learn is
+    rows-only by nature (r8 verdict #4). Embarrassingly parallel, zero
+    shuffle before the final per-doc projection; the merge table rides
+    in the plan as literals — nothing to broadcast."""
+    from data_warehousing_assignment_spark.operators import text as tx
+
+    return tx.bpe_apply_counts(t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # declarative constraint suite (Deequ-style)
 # --------------------------------------------------------------------------

@@ -1287,7 +1287,46 @@ def op_ext_item_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("op-ext-kcore")  # rows-only: peeling fixpoint has no SQL oracle;
+def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
+    """Bounded-unroll DuckDB twin of the k-core peel: round i+1 keeps
+    edges whose BOTH endpoints have induced degree ≥ k in round i's
+    edge set. A shrinking fixpoint fits no recursive CTE (UNION ALL
+    only grows), but a fixed unroll works because peeling is monotone
+    and idempotent at the fixpoint — any unroll ≥ the convergence
+    depth computes the exact core. 8 rounds carries 8× margin over the
+    measured depth on this graph (the co-purchase graph is already a
+    3-core at sf0.001/0.01/0.1 — the first peel removes nothing;
+    k near the mean degree peels to empty in ≤7 rounds, r9 probe). A
+    corpus needing deeper peeling would under-peel the oracle and
+    hash-FAIL loudly against Spark's run-to-fixpoint loop — the safe
+    failure direction."""
+    # every CTE MATERIALIZED: each round references its predecessor 3×,
+    # so inlining would expand e0 3^rounds times (observed as DuckDB
+    # opening the parquet until fd exhaustion); materialization makes
+    # the cascade linear — exactly like the Spark loop's localCheckpoint
+    parts = ["""e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )"""]
+    for i in range(rounds):
+        parts.append(f"""n{i} AS MATERIALIZED (
+      SELECT n FROM (SELECT u AS n FROM e{i} UNION ALL SELECT v FROM e{i})
+      GROUP BY n HAVING COUNT(*) >= {k}
+    )""")
+        parts.append(f"""e{i + 1} AS MATERIALIZED (
+      SELECT u, v FROM e{i}
+      WHERE u IN (SELECT n FROM n{i}) AND v IN (SELECT n FROM n{i})
+    )""")
+    return f"""
+    WITH {', '.join(parts)}
+    SELECT n AS part_key, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM (SELECT u AS n FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+    GROUP BY n HAVING COUNT(*) >= {k}
+    """
+
+
+@query("op-ext-kcore", oracle=_kcore_oracle())
 def op_ext_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the part co-purchase graph (Seidman 1983): the maximal
     subgraph where every part co-occurs with ≥3 other in-core parts —
@@ -1295,10 +1334,12 @@ def op_ext_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incidental co-purchases (coarser than op-ext-clustering-coef,
     linear instead of O(m^1.5)). graph.k_core peels by the standard
     degree fixpoint — one semi-join + one degree agg per round, rounds
-    bounded by degeneracy depth. rows-only by design (a shrinking
-    fixpoint can't be a DuckDB recursive CTE, which only grows);
-    semantics pinned in tests/test_graph.py by a python peel replay at
-    sf0.001 (exact surviving-node-set equality)."""
+    bounded by degeneracy depth. Oracle-backed since r9 (verdict #5):
+    the peel unrolls to a bounded cascade of filter rounds in plain SQL
+    (_kcore_oracle — exact because unroll depth ≥ convergence depth),
+    so the full (node, in-core degree) frame is hash-provable;
+    semantics additionally pinned in tests/test_graph.py by a python
+    peel replay at sf0.001 (exact surviving-node-set equality)."""
     from data_warehousing_assignment_spark.operators.graph import (
         k_core,
         part_copurchase_edges,

@@ -115,3 +115,55 @@ def test_contamination_short_doc_full_text_fallback(spark):
         for r in contamination_hits(corpus, bench, n=8).collect()
     }
     assert got == {1: 1}
+
+
+def py_bpe_token_count(text: str, merges=tx.BPE_MERGES_V1, eow="▁") -> tuple:
+    """Pure-Python replay of the BPE ENCODE contract: per qualifying
+    word, greedy left-to-right application of each merge rule in rank
+    order (one full pass per rule — the same semantics as one
+    non-overlapping replace())."""
+    words = [
+        w for w in re.split(r"\s+", text.strip().lower())
+        if re.fullmatch(r"[a-z0-9]+", w)
+    ]
+    n_in = 0
+    n_out = 0
+    for w in words:
+        syms = list(w) + [eow]
+        n_in += len(syms)
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        n_out += len(syms)
+    return len(words), n_in, n_out
+
+
+def test_bpe_apply_counts_matches_python_replay(spark):
+    texts = TEXTS + [
+        (4, "lower slower flower tower "),      # chained er/er▁ merges
+        (5, "aaa aa a"),                        # self-overlapping pairs
+        (6, "stat state station in inn"),       # st/at/in interactions
+        (7, "  (brackets) stay OUT 42 ok  "),   # non-alnum words drop
+    ]
+    df = spark.createDataFrame(texts, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.n_words, r.n_syms_in, r.n_bpe_tokens)
+        for r in tx.bpe_apply_counts(df, "doc_id", "text").collect()
+    }
+    for doc_id, text in texts:
+        expect = py_bpe_token_count(text)
+        if expect[0] == 0:
+            assert doc_id not in got, text
+        else:
+            assert got[doc_id] == expect, text
