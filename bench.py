@@ -62,6 +62,24 @@ HEADLINE = [
     "op-ext-salted-join",       # skew-salted equi-join
 ]
 
+# TPC-H headliner suite (``--tpch``): the five hardest shapes from the
+# 22-query extension wave plus the two bucketed fact⋈fact twins —
+# committed floors in bench_floors.json["tpch"] make a perf regression
+# there mechanically visible (r8 verdict #2: the original floor table
+# covered only the 14 headline queries, so a TPC-H plan regression was
+# invisible to --assert). Kept OUT of the driver-run headline suite so
+# the round-over-round headline sum stays comparable; the gate is
+# ``python bench.py --tpch --assert``.
+TPCH_HEADLINE = [
+    "op-ext-tpch-q1",            # widest single-fact agg
+    "op-ext-tpch-q7",            # fact⋈fact + 2-dim directions
+    "op-ext-tpch-q9",            # 5-way join, part filter
+    "op-ext-tpch-q18",           # large-order semi-join + top-k
+    "op-ext-tpch-q21",           # triple lineitem self-correlation
+    "op-ext-tpch-q7-bucketed",   # same shapes over bucketed layout —
+    "op-ext-tpch-q21-bucketed",  # the 100× mitigation, kept honest
+]
+
 # 10×-step probe subset: the shuffle/join/agg shapes whose scaling is the
 # question. op-ext-ann-bruteforce is deliberately absent — it is the
 # documented O(Q·C) exact baseline (100× work at 10× data, by contract);
@@ -218,12 +236,18 @@ def run_suite(spark, qs, names, sf_dir, sf, metric) -> dict:
     }
 
 
-def check_floors(report: dict, floors_path: str) -> list[str]:
+def check_floors(
+    report: dict, floors_path: str, section: str | None = None
+) -> list[str]:
     """Grade a report against the committed floor table. Returns the
     list of violations (empty = pass). Queries without a floor (new
-    ops) are skipped — they get a floor at the next table refresh."""
+    ops) are skipped — they get a floor at the next table refresh.
+    ``section`` selects a nested floor table (e.g. "tpch") instead of
+    the top-level headline one."""
     with open(floors_path) as fh:
         spec = json.load(fh)
+    if section is not None:
+        spec = spec[section]
     ratio = spec["allowed_ratio"]
     violations = []
     # Every floor-listed query MUST be present in the report: run_suite
@@ -258,6 +282,7 @@ def main() -> int:
     from data_warehousing_assignment_spark.session import get_spark
 
     sf1_mode = "--sf1" in sys.argv[1:]
+    tpch_mode = "--tpch" in sys.argv[1:]
     assert_mode = "--assert" in sys.argv[1:]
     spark = get_spark("bench")
     qs = entrymod.queries()
@@ -267,6 +292,11 @@ def main() -> int:
         report = run_suite(
             spark, qs, SF1_HEADLINE, sf_dir, 1.0,
             "scale-probe suite wall seconds (10x synthesized, noop-sink, min of warm runs)",
+        )
+    elif tpch_mode:
+        report = run_suite(
+            spark, qs, TPCH_HEADLINE, SF_DIR, 0.1,
+            "tpch-suite wall seconds (noop-sink, min of warm runs)",
         )
     else:
         sf = None
@@ -286,7 +316,9 @@ def main() -> int:
         floors_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "bench_floors.json"
         )
-        violations = check_floors(report, floors_path)
+        violations = check_floors(
+            report, floors_path, "tpch" if tpch_mode else None
+        )
         for v in violations:
             print(f"# FLOOR VIOLATION {v}", file=sys.stderr)
         if violations:

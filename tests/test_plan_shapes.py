@@ -332,3 +332,20 @@ def test_scd2_backfill_is_window_only_no_selfjoin(spark, qs):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivm_join_delta_legs_stay_broadcast_pruned(spark, qs):
+    """op-ext-ivm-join (r8 verdict #3): the retraction algebra's
+    expensive leg — standing orders ⋈ ΔC — is exactly the delta×state
+    shape that goes superlinear at scale if the delta side ever stops
+    being the broadcast build: a shuffle formulation repartitions ALL
+    standing orders per maintenance batch. Pin every join leg (ΔO⋈C,
+    O⋈ΔC, ΔO⋈ΔC, and the standing-view leg) to BroadcastHashJoin with
+    no sort-merge fallback, and the whole plan to ONE shuffle (the
+    final |segments| aggregate)."""
+    plan = plan_of(qs["op-ext-ivm-join"](spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # single shuffle: the seg-keyed aggregate after the union of legs
+    assert plan.count("Exchange hashpartitioning") == 1
