@@ -607,7 +607,7 @@ def op_ext_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op-ext-stream-session",
     oracle="""
     WITH seq AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        >= INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -615,8 +615,13 @@ def op_ext_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS is_new
       FROM events
     ), sess AS (
+      -- the running sum MUST tie-break on event_id like the lag above:
+      -- with an ORDER BY ts alone, duplicate-ts rows (sf1 synthesis makes
+      -- 10 ts-identical copies per event) land on either side of the ROWS
+      -- frame boundary arbitrarily, splitting one true session in two
+      -- (caught by the r9 sf1 oracle sweep; Spark's session_window was right)
       SELECT user_id, ts, value,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_no
       FROM seq
     )

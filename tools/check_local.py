@@ -71,6 +71,82 @@ def canon_df(pdf):
     return cols, rows
 
 
+# Row counts above this use the DuckDB multiset compare instead of the
+# per-cell Python canonicalizer (iterrows is ~20k rows/s; a 6M-row
+# op-derive output at the synthesized sf1 would take >10 min per SIDE).
+BIG_ROWS = 100_000
+
+
+def _canon_type(duck_type: str) -> str:
+    t = duck_type.upper()
+    if t.startswith(("DECIMAL", "DOUBLE", "FLOAT", "REAL")):
+        return "DOUBLE"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "BIGINT"
+    if t == "BOOLEAN":
+        return "BOOLEAN"
+    if t == "DATE":
+        return "DATE"
+    if t.startswith("TIMESTAMP"):
+        return "TIMESTAMP"
+    if t.endswith("[]") or t.startswith(("LIST", "STRUCT", "MAP")):
+        return "JSON"
+    return "VARCHAR"
+
+
+def compare_big(con, spdf, opdf):
+    """Exact order-insensitive multiset compare of two big frames in DuckDB.
+
+    Matches canon_df semantics: NaN folds to NULL, floats compare
+    bitwise-exact after widening to DOUBLE, ints widen to BIGINT, and
+    DuckDB set ops use IS NOT DISTINCT FROM (NULL==NULL) just like the
+    "<NULL>" sentinel in canon_cell. Returns (ok, message).
+    """
+    cols = sorted(spdf.columns)
+    con.register("__cmp_s", spdf[cols])
+    con.register("__cmp_o", opdf[cols])
+    try:
+        types: dict[str, str] = {}
+        for rel in ("__cmp_s", "__cmp_o"):
+            for cname, ctype, *_ in con.execute(f"DESCRIBE {rel}").fetchall():
+                t = _canon_type(ctype)
+                prev = types.get(cname)
+                # widen: if either side is DOUBLE the compare is DOUBLE
+                if prev is None or prev == t:
+                    types[cname] = t
+                elif {prev, t} == {"BIGINT", "DOUBLE"}:
+                    types[cname] = "DOUBLE"
+                else:
+                    types[cname] = "VARCHAR"
+        exprs = []
+        for c in cols:
+            t = types[c]
+            q = f'"{c}"'
+            if t == "DOUBLE":
+                exprs.append(
+                    f"CASE WHEN isnan(CAST({q} AS DOUBLE)) THEN NULL "
+                    f"ELSE CAST({q} AS DOUBLE) END AS {q}"
+                )
+            elif t == "JSON":
+                exprs.append(f"to_json({q}) AS {q}")
+            else:
+                exprs.append(f"CAST({q} AS {t}) AS {q}")
+        sel = ", ".join(exprs)
+        diff = con.execute(
+            f"(SELECT {sel} FROM __cmp_s EXCEPT ALL SELECT {sel} FROM __cmp_o)"
+            f" UNION ALL "
+            f"(SELECT {sel} FROM __cmp_o EXCEPT ALL SELECT {sel} FROM __cmp_s)"
+            f" LIMIT 3"
+        ).fetchall()
+        if diff:
+            return False, f"values differ (multiset); sample: {diff}"
+        return True, ""
+    finally:
+        con.unregister("__cmp_s")
+        con.unregister("__cmp_o")
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -119,6 +195,32 @@ def main() -> int:
             n_fail += 1
             failures.append(name)
             print(f"FAIL  {name}: duckdb raised\n{traceback.format_exc()}")
+            continue
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            n_fail += 1
+            failures.append(name)
+            print(
+                f"FAIL  {name}: columns {sorted(spdf.columns)}"
+                f" vs {sorted(opdf.columns)}"
+            )
+            continue
+        if max(len(spdf), len(opdf)) > BIG_ROWS:
+            if len(spdf) != len(opdf):
+                n_fail += 1
+                failures.append(name)
+                print(f"FAIL  {name}: rowcount {len(spdf)} vs {len(opdf)}")
+                continue
+            ok, msg = compare_big(con, spdf, opdf)
+            if not ok:
+                n_fail += 1
+                failures.append(name)
+                print(f"FAIL  {name}: {msg}")
+                continue
+            n_pass += 1
+            print(
+                f"ok    {name}: {len(spdf)} rows (duckdb multiset)"
+                f"  [{time.time()-t0:.1f}s]"
+            )
             continue
         scols, srows = canon_df(spdf)
         ocols, orows = canon_df(opdf)
