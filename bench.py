@@ -41,6 +41,7 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_ITERS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5")))
 SF1_DIR = "/root/repo/.scratch/sf1"
+SF10_DIR = "/root/repo/.scratch/sf10"
 
 # Headline set: one per workload family, weighted toward the shapes that
 # dominate at 100 TB (star joins, wide aggs, SCD2 merge, incremental fact
@@ -120,10 +121,14 @@ _SF1_OFFSET = 10_000_000  # > any sf0.1 key, ×10 copies stays in int32
 
 
 def synthesize_sf1(spark, src: str = SF_DIR, dst: str = SF1_DIR, copies: int = 10) -> str:
-    """Materialize a 10× dataset from sf0.1 (idempotent: marker-gated).
+    """Materialize a scaled dataset from sf0.1 (idempotent: marker-gated).
     Document copies get a per-copy text suffix so the corpus is near-dup
     heavy rather than degenerate exact-dup (LSH buckets stress-test
-    realistically instead of collapsing to 10-cliques)."""
+    realistically instead of collapsing to 10-cliques).
+
+    ``copies=100`` with ``dst=SF10_DIR`` gives the 100× step (sf≈10):
+    offset keys stay unique and inside int32 (max original key < 10 M,
+    99 × 10 M + 10 M = 1 B < 2^31)."""
     from pyspark.sql import functions as F
 
     marker = os.path.join(dst, "_SYNTH_OK")
@@ -154,6 +159,11 @@ def synthesize_sf1(spark, src: str = SF_DIR, dst: str = SF1_DIR, copies: int = 1
     with open(marker, "w") as fh:
         fh.write("ok\n")
     return dst
+
+
+def synthesize_sf10(spark) -> str:
+    """100× step (sf≈10): same construction as the 10× set, 100 copies."""
+    return synthesize_sf1(spark, dst=SF10_DIR, copies=100)
 
 
 def force(df) -> int:

@@ -1,7 +1,9 @@
 """Ad-hoc scale probe: time named registry queries at sf0.1 and at the
 bench's synthesized 10× dataset (.scratch/sf1), min of N warm runs each.
+With ``--sf10`` a third leg runs at the synthesized 100× dataset
+(.scratch/sf10) — two decades of scale in one curve.
 
-Usage:  python tools/probe_ops.py [--iters N] name [name ...]
+Usage:  python tools/probe_ops.py [--iters N] [--sf10] name [name ...]
 
 Prints one line per (query, sf) and a final JSON summary; used to record
 the per-wave BASELINE.md scale-probe sections (same method as rounds
@@ -25,12 +27,19 @@ def main() -> int:
     if args and args[0] == "--iters":
         iters = int(args[1])
         args = args[2:]
+    with_sf10 = False
+    if args and args[0] == "--sf10":
+        with_sf10 = True
+        args = args[1:]
     names = args
     from data_warehousing_assignment_spark.session import get_spark
 
     spark = get_spark("probe")
     sf01 = bench.SF_DIR
     sf1 = bench.synthesize_sf1(spark)
+    legs = [("sf0.1", sf01), ("sf1", sf1)]
+    if with_sf10:
+        legs.append(("sf10", bench.synthesize_sf10(spark)))
     from data_warehousing_assignment_spark import registry
 
     qs = registry.all_queries()
@@ -38,7 +47,7 @@ def main() -> int:
     for name in names:
         fn = qs[name]
         out[name] = {}
-        for label, d in (("sf0.1", sf01), ("sf1", sf1)):
+        for label, d in legs:
             bench.force(fn(spark, d))  # warm-up: JIT, broadcast, page cache
             best = min(
                 _timed(bench.force, fn, spark, d) for _ in range(iters)
