@@ -55,6 +55,36 @@ def _assign(corpus: DataFrame, centroids: DataFrame, n_probe: int = 1) -> DataFr
     )
 
 
+def auto_n_clusters(
+    n_corpus: int,
+    n_queries: int,
+    n_probe: int = 4,
+    n_build_passes: int = 3,
+    floor: int = 16,
+) -> int:
+    """Cost-balanced cell count for one build + one query batch.
+
+    Work model (d cancels): the build runs ``n_build_passes`` assignment
+    passes of n·k centroid distances plus Q·k on the query side; probing
+    scores Q·n_probe·(n/k) candidates. Balancing the k and 1/k terms
+    gives k* = sqrt(Q·n_probe·n / (R·n + Q)) ≈ sqrt(Q·n_probe/R) for
+    Q ≪ n. Measured at the synthesized sf10 (1 M vectors, 10 k queries,
+    BASELINE.md r9): fixed k=16 → 80.7 s, this rule's regime (k≈115,
+    probed 64/256 around it: 35.2 s / 56.4 s) — the pinned k=16 in the
+    registered query is the oracle-replay anchor, this is the scale
+    sizing. Clamped to [floor, n/8] so tiny corpora keep meaningful
+    cells."""
+    import math
+
+    r = max(1, n_build_passes)
+    k = int(
+        math.sqrt(
+            max(1.0, n_queries * n_probe * n_corpus / (r * n_corpus + n_queries))
+        )
+    )
+    return max(floor, min(k, max(floor, n_corpus // 8)))
+
+
 def build_ivf_index(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -158,7 +188,7 @@ def ivf_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_clusters: int = 16,
+    n_clusters: int | str = 16,
     n_probe: int = 4,
     index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
@@ -167,9 +197,17 @@ def ivf_cosine_topk(
     contract as brute_force_cosine_topk; recall grows with n_probe
     (n_probe = n_clusters ≡ exact search).
 
+    ``n_clusters="auto"`` sizes the cell count from the corpus/query
+    row counts via :func:`auto_n_clusters` (two scalar count() jobs —
+    the same justified-scalar class as watermark reads).
+
     Pass ``index=(centroids, assignments)`` (from :func:`build_ivf_index`
     or :func:`load_ivf_index`) to reuse a prebuilt index — repeated query
     batches then trigger no k-means stages at all."""
+    if n_clusters == "auto":
+        n_clusters = auto_n_clusters(
+            corpus.count(), queries.count(), n_probe=n_probe
+        )
     centroids, assignments = index if index is not None else build_ivf_index(
         corpus, id_col, vec_col, n_clusters
     )

@@ -96,3 +96,27 @@ def test_saved_index_reuse_skips_kmeans(spark, tmp_path):
         (r.query_id, r.neighbor_id, r.rank) for r in df.collect()
     )
     assert canon(reused) == canon(fresh)
+
+
+def test_auto_n_clusters_cost_model():
+    # k* = sqrt(Q*n_probe*n / (R*n + Q)); sf10 regime (1M corpus, 10k
+    # queries, n_probe=4, 3 passes) must land between the measured
+    # bracketing points 16 (80.7s) and 256 (56.4s), near the 35.2s k=64.
+    k = ivf.auto_n_clusters(1_000_000, 10_000, n_probe=4)
+    assert 64 <= k <= 200
+    # floor: tiny corpora keep the pinned default
+    assert ivf.auto_n_clusters(500, 5) == 16
+    # clamp: never more cells than n/8
+    assert ivf.auto_n_clusters(1_000, 1_000_000, n_probe=16) == 125
+
+
+def test_auto_sizing_end_to_end(spark):
+    corpus = emb(spark).limit(300)
+    queries = corpus.filter(F.col("vec_id") % 50 == 0)
+    out = ivf.ivf_cosine_topk(corpus, queries, k=3, n_clusters="auto")
+    rows = out.collect()
+    assert out.columns == ["query_id", "neighbor_id", "rank", "score"]
+    assert rows and all(1 <= r.rank <= 3 for r in rows)
+    # every query that has neighbors returns a full (or truncated) top-k
+    per_q = {r.query_id for r in rows}
+    assert per_q == {r.vec_id for r in queries.collect()}
