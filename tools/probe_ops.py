@@ -43,24 +43,47 @@ def main() -> int:
     from data_warehousing_assignment_spark import registry
 
     qs = registry.all_queries()
+    # Same split as bench.run_suite: iterative driver-loop ops do their
+    # distributed work EAGERLY at build (timing force(df) alone would
+    # measure a no-op), so they rebuild inside the timer with the
+    # session memo cleared. Everything else builds ONCE and re-forces
+    # the same frame — for lazy queries the build is milliseconds either
+    # way, but for build-side-effect queries (the bucketed twins write
+    # their layout at build) this times the READ path a production
+    # consumer pays, not the one-off amortized write.
+    eager = {
+        "op-ext-dedup-clusters",
+        "op-ext-dedup-survivors",
+        "op-ext-dedup-best-survivor",
+        "op-ext-bpe-learn",
+    }
     out: dict[str, dict[str, float]] = {}
     for name in names:
         fn = qs[name]
         out[name] = {}
         for label, d in legs:
-            bench.force(fn(spark, d))  # warm-up: JIT, broadcast, page cache
-            best = min(
-                _timed(bench.force, fn, spark, d) for _ in range(iters)
-            )
+            if name in eager:
+                def build():
+                    from data_warehousing_assignment_spark import (
+                        registry_extensions as rx,
+                    )
+
+                    rx.clear_dedup_cluster_cache()
+                    return fn(spark, d)
+            else:
+                df = fn(spark, d)
+                build = lambda: df  # noqa: E731 — build-once, force-many
+            bench.force(build())  # warm-up: JIT, broadcast, page cache
+            best = min(_timed(bench.force, build) for _ in range(iters))
             out[name][label] = round(best, 3)
             print(f"{name} {label}: {out[name][label]}s", flush=True)
     print(json.dumps(out))
     return 0
 
 
-def _timed(force, fn, spark, d) -> float:
+def _timed(force, build) -> float:
     t0 = time.perf_counter()
-    force(fn(spark, d))
+    force(build())
     return time.perf_counter() - t0
 
 
