@@ -2382,3 +2382,81 @@ def op_ext_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "released_count"
         ),
     )
+
+
+#: Discrete-Laplace(ε=1) inverse-CDF thresholds on the 16-bit uniform
+#: grid: u16 < T -> k (two-sided geometric with p = e^-1, P(k) ∝ p^|k|;
+#: k < -11 and k > 11 have zero mass at 16-bit resolution). Frozen from
+#: round(CDF(k)·65536); re-derived from math.exp in
+#: tests/test_advanced.py so the constant can't drift from the math.
+_DLAP_T = [
+    (-11, 1), (-10, 2), (-9, 6), (-8, 16), (-7, 44), (-6, 119),
+    (-5, 323), (-4, 878), (-3, 2385), (-2, 6484), (-1, 17625),
+    (0, 47911), (1, 59052), (2, 63151), (3, 64658), (4, 65213),
+    (5, 65417), (6, 65492), (7, 65520), (8, 65530), (9, 65534),
+    (10, 65535),
+]
+
+
+def _dlap_case(u16: str) -> str:
+    branches = " ".join(f"WHEN {u16} < {t} THEN {k}" for k, t in _DLAP_T)
+    return f"CASE {branches} ELSE 11 END"
+
+
+def _dlap_u16_oracle() -> str:
+    h = "md5('dlap:' || CAST(nation_key AS VARCHAR))"
+    nib = "(strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
+    return (
+        "("
+        + " + ".join(
+            nib.format(h=h, i=i + 1) + f" * {16 ** (3 - i)}" for i in range(4)
+        )
+        + ")"
+    )
+
+
+@query(
+    "op-ext-dp-counts-discrete",
+    oracle=f"""
+    WITH counts AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
+             CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM customer GROUP BY 1
+    )
+    SELECT nation_key, true_count,
+           CAST({_dlap_case(_dlap_u16_oracle())} AS BIGINT) AS noise,
+           CAST(true_count + ({_dlap_case(_dlap_u16_oracle())}) AS BIGINT)
+             AS released_count
+    FROM counts
+    """,
+)
+def op_ext_dp_counts_discrete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private count release via the DISCRETE Laplace
+    (two-sided geometric) mechanism — the oracle-exact sibling of
+    op-ext-dp-counts. The continuous version's ln() makes cross-engine
+    bit-identity non-structural; here the inverse-CDF over the same
+    content-addressed 16-bit uniform is a frozen INTEGER threshold
+    ladder (_DLAP_T, the _POIS_T/bootstrap trick applied to DP), so
+    noise and release are pure integer arithmetic — bit-identical on
+    any engine by construction, and integer noise is what production
+    DP systems deploy anyway (the mechanism of Canonne et al.'s
+    discrete-Laplace line of work). Same caveat as op-ext-dp-counts:
+    per-label seeding means the ε budget is per label-set version.
+    One map-side aggregate + a row-local CASE — zero extra shuffles."""
+    c = t(spark, sf_dir, "customer")
+    counts = c.groupBy(
+        F.col("c_nationkey").cast("bigint").alias("nation_key")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+    u16 = (
+        "CAST(conv(substring(md5(concat('dlap:', nation_key)), 1, 4),"
+        " 16, 10) AS INT)"
+    )
+    noise = _dlap_case(u16)
+    return counts.select(
+        "nation_key",
+        "true_count",
+        F.expr(noise).cast("bigint").alias("noise"),
+        (F.col("true_count") + F.expr(noise)).cast("bigint").alias(
+            "released_count"
+        ),
+    )

@@ -824,6 +824,36 @@ def test_dp_counts_noise_is_exactly_reproducible(spark):
     assert all(abs(r.noise) < 8 for r in rows)
 
 
+def test_dp_counts_discrete_ladder_matches_the_math(spark):
+    """The frozen _DLAP_T thresholds must equal round(CDF(k)*65536) of
+    the two-sided geometric with p = e^-1, and the released counts must
+    replay exactly from hashlib + the ladder (integer end-to-end)."""
+    import hashlib
+    import math
+
+    from data_warehousing_assignment_spark.registry_advanced import _DLAP_T
+
+    p = math.exp(-1.0)
+    c0 = (1 - p) / (1 + p)
+    acc, expect = 0.0, []
+    for k in range(-16, 17):
+        acc += c0 * p ** abs(k)
+        t = round(acc * 65536)
+        if 1 <= t <= 65535:
+            expect.append((k, t))
+    assert _DLAP_T == expect
+
+    rows = _q("op-ext-dp-counts-discrete")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        u16 = int(
+            hashlib.md5(f"dlap:{r.nation_key}".encode()).hexdigest()[:4], 16
+        )
+        noise = next((k for k, t in _DLAP_T if u16 < t), 11)
+        assert r.noise == noise
+        assert r.released_count == r.true_count + noise
+
+
 def test_retrieval_metrics_match_reference_computation(spark):
     """op-ext-retrieval-metrics vs a from-scratch numpy MRR/NDCG@10 on
     the real corpus: exact integer equality (the fixed-point discounts
