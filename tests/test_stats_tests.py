@@ -1,0 +1,114 @@
+"""Classical-hypothesis-test operators (round 9b): Welch's t,
+Mann-Whitney U, Gini impurity, cume_dist — each replayed against an
+independent numpy/pure-Python reference on the same sf0.001 inputs.
+The DuckDB oracles prove cross-engine bit-identity; these tests prove
+the STATISTICS are the textbook formulas (an oracle that shared a bug
+with the query would still hash-match)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from data_warehousing_assignment_spark.registry import all_queries
+from tests.conftest import SF_SMALL
+
+
+def _run(spark, name):
+    return all_queries()[name](spark, SF_SMALL).collect()
+
+
+def test_welch_ttest_matches_numpy(spark):
+    [row] = _run(spark, "op-ext-welch-ttest")
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").collect()
+    a = np.array(
+        [r.l_quantity for r in li if r.l_returnflag == "A"], dtype=np.float64
+    )
+    b = np.array(
+        [r.l_quantity for r in li if r.l_returnflag == "R"], dtype=np.float64
+    )
+    assert row.n_a == len(a) and row.n_b == len(b)
+    se_a = a.var(ddof=1) / len(a)
+    se_b = b.var(ddof=1) / len(b)
+    t_ref = (a.mean() - b.mean()) / math.sqrt(se_a + se_b)
+    df_ref = (se_a + se_b) ** 2 / (
+        se_a**2 / (len(a) - 1) + se_b**2 / (len(b) - 1)
+    )
+    assert math.isclose(row.mean_a, a.mean(), rel_tol=1e-12)
+    assert math.isclose(row.t_stat, t_ref, rel_tol=1e-9)
+    assert math.isclose(row.df, df_ref, rel_tol=1e-9)
+    # df must land between min(n-1) and n_a+n_b-2 (Welch bounds)
+    assert min(len(a), len(b)) - 1 <= row.df <= len(a) + len(b) - 2
+
+
+def test_mannwhitney_matches_rank_replay(spark):
+    """Replay U and the tie-corrected z with a literal average-rank
+    assignment (scipy-free)."""
+    [row] = _run(spark, "op-ext-mannwhitney")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").collect()
+    a = [r.value for r in ev if r.event_type == "purchase"]
+    b = [r.value for r in ev if r.event_type == "view"]
+    pooled = sorted([(v, 0) for v in a] + [(v, 1) for v in b])
+    n = len(pooled)
+    # average ranks with ties
+    ranks = {}
+    i = 0
+    tie3 = 0
+    while i < n:
+        j = i
+        while j < n and pooled[j][0] == pooled[i][0]:
+            j += 1
+        t_size = j - i
+        tie3 += t_size**3 - t_size
+        avg = (i + 1 + j) / 2.0  # mean of ranks i+1..j
+        ranks[pooled[i][0]] = avg
+        i = j
+    r_a = sum(ranks[v] for v in a)
+    u_a = r_a - len(a) * (len(a) + 1) / 2.0
+    assert row.n_a == len(a) and row.n_b == len(b)
+    assert row.u2_a == round(2 * u_a)
+    assert row.tie3 == tie3
+    mu = len(a) * len(b) / 2.0
+    var = (
+        len(a)
+        * len(b)
+        / 12.0
+        * ((n + 1) - tie3 / (n * (n - 1)))
+    )
+    z_ref = (u_a - mu) / math.sqrt(var)
+    assert math.isclose(row.z_score, z_ref, rel_tol=1e-9)
+
+
+def test_gini_impurity_bounds_and_replay(spark):
+    rows = _run(spark, "op-ext-gini-impurity")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").collect()
+    from collections import Counter
+
+    by_seg = {}
+    for r in ev:
+        by_seg.setdefault(r.user_id % 8, Counter())[r.event_type] += 1
+    assert len(rows) == len(by_seg)
+    for r in rows:
+        c = by_seg[r.segment]
+        n = sum(c.values())
+        ref = 1.0 - sum(v * v for v in c.values()) / (n * n)
+        assert r.n_events == n and r.n_types == len(c)
+        assert math.isclose(r.gini_impurity, ref, rel_tol=1e-12)
+        # k-class impurity is bounded by 1 - 1/k
+        assert 0.0 <= r.gini_impurity <= 1.0 - 1.0 / len(c) + 1e-12
+
+
+def test_cume_dist_is_rank_over_n(spark):
+    rows = _run(spark, "op-ext-cume-dist")
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r.nation, []).append(r)
+    for nation, rs in by_nation.items():
+        rs.sort(key=lambda r: (r.c_acctbal, r.c_custkey))
+        n = len(rs)
+        for i, r in enumerate(rs):
+            assert math.isclose(r.cd, (i + 1) / n, rel_tol=1e-12)
+        # second_poorest is constant across the partition
+        names = {r.second_poorest for r in rs}
+        assert len(names) == 1
