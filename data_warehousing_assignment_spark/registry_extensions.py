@@ -1031,6 +1031,71 @@ def op_ext_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _winnow_oracle(k: int = tx.ROLL_K, w: int = tx.WINNOW_W) -> str:
+    return f"""
+    WITH h AS (
+      SELECT doc_id, list_transform(
+               range(1, greatest(length(lower(text)) - {k} + 1, 1) + 1),
+               i -> list_reduce(
+                      list_transform(
+                        range(i, least(i + {k} - 1, length(lower(text))) + 1),
+                        p -> CAST(ord(substr(lower(text), CAST(p AS INT), 1))
+                                  AS BIGINT)),
+                      (a, b) -> (a * {tx.ROLL_BASE} + b) % {tx.ROLL_MOD})) AS hs
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(hs) - {w} + 1, 1) + 1),
+               j -> list_min(hs[CAST(j AS INT):CAST(j + {w} - 1 AS INT)])))
+               AS fps
+      FROM h
+    )
+    SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+           CAST(list_min(fps) AS BIGINT) AS fp_min,
+           CAST(list_reduce(fps, (a, b) -> xor(a, b)) AS BIGINT) AS fp_xor
+    FROM m
+    """
+
+
+@query("op-ext-winnow", oracle=_winnow_oracle())
+def op_ext_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed document fingerprints (MOSS): per doc the distinct
+    window-min rolling hashes (k=16 chars, w=4), surfaced as count +
+    min + order-independent XOR fold. Any two documents sharing a
+    substring of ≥ k+w−1 chars share ≥ 1 fingerprint, at ~2/(w+1)
+    selection density — the copy-detection index between "one min per
+    doc" (op-ext-fingerprint-rolling) and "every k-gram"
+    (op-ext-span-dedup). Row-local HOFs, zero shuffle; at 100 TB the
+    posting-list join on the selected fingerprints is the scale path
+    (same banded-join shape as MinHash-LSH). Selection semantics
+    pinned in tests/test_text_ops.py (guarantee + density).
+
+    Two-stage select on purpose: the O(len·k) hash array materializes
+    once per row, then the O(len·w) window-min selection references it
+    by name — inlining one expression tree makes Catalyst re-evaluate
+    the hash build per window position (O(len²·k), measured 237 s →
+    <2 s at sf0.01)."""
+    staged = (
+        docs_t(spark, sf_dir)
+        .select("doc_id", tx.winnow_hashes("text").alias("hs"))
+        .select("doc_id", tx.winnow_select("hs").alias("fps"))
+    )
+    fps = F.col("fps")
+    return staged.select(
+        "doc_id",
+        F.size(fps).cast("bigint").alias("n_fp"),
+        F.array_min(fps).cast("bigint").alias("fp_min"),
+        F.aggregate(
+            fps,
+            F.lit(0).cast("bigint"),
+            lambda a, b: a.bitwiseXOR(b),
+        )
+        .cast("bigint")
+        .alias("fp_xor"),
+    )
+
+
 @query(
     "op-ext-approx-count-distinct",
     oracle="""

@@ -167,3 +167,68 @@ def test_bpe_apply_counts_matches_python_replay(spark):
             assert doc_id not in got, text
         else:
             assert got[doc_id] == expect, text
+
+
+# ---------------------------------------------------------------- winnowing
+
+
+def py_winnow(text: str, k: int = tx.ROLL_K, w: int = tx.WINNOW_W) -> list:
+    """Reference winnowing (Schleimer/Wilkerson/Aiken): window-min over
+    the k-gram rolling hashes, distinct, first-occurrence order."""
+    t = text.lower()
+    n = len(t)
+    hashes = []
+    for i in range(max(n - k + 1, 1)):
+        h = 0
+        for ch in t[i : i + k]:
+            h = (h * tx.ROLL_BASE + ord(ch)) % tx.ROLL_MOD
+        hashes.append(h)
+    mins = [
+        min(hashes[j : j + w]) for j in range(max(len(hashes) - w + 1, 1))
+    ]
+    seen: list = []
+    for m in mins:
+        if m not in seen:
+            seen.append(m)
+    return seen
+
+
+def _spark_winnow(spark, texts):
+    df = spark.createDataFrame(texts, "doc_id int, text string")
+    staged = df.select("doc_id", tx.winnow_hashes("text").alias("hs"))
+    return {
+        r.doc_id: r.fps
+        for r in staged.select(
+            "doc_id", tx.winnow_select("hs").alias("fps")
+        ).collect()
+    }
+
+
+def test_winnow_matches_python_replay(spark):
+    out = _spark_winnow(spark, TEXTS)
+    for doc_id, text in TEXTS:
+        assert out[doc_id] == py_winnow(text), text
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    # SIGMOD'03 theorem: a shared substring of length >= k + w - 1
+    # contributes at least one shared SELECTED fingerprint. Embed the
+    # same (k+w-1)-char core in two otherwise-unrelated documents.
+    core = "zq" * ((tx.ROLL_K + tx.WINNOW_W - 1 + 1) // 2)  # >= k+w-1
+    texts = [
+        (0, "completely unrelated preamble text " + core + " tail one"),
+        (1, core + " a different continuation entirely, nothing shared"),
+    ]
+    out = _spark_winnow(spark, texts)
+    assert set(out[0]) & set(out[1]), "guarantee violated: no shared fp"
+
+
+def test_winnow_density_near_two_over_w_plus_one(spark):
+    # Expected selection density on random-ish text is 2/(w+1); allow a
+    # wide band — the point is "a small fraction, not every k-gram".
+    text = TEXTS[2][1] * 40  # ~2k chars
+    fps = _spark_winnow(spark, [(0, text)])[0]
+    n_positions = len(text) - tx.ROLL_K + 1
+    density = len(fps) / n_positions
+    assert density < 0.75  # far below "all positions"
+    assert len(fps) >= 1
