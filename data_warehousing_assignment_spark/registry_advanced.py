@@ -2142,6 +2142,182 @@ def op_ext_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Hilbert-curve clustering layout (vs Z-order)
+# --------------------------------------------------------------------------
+
+#: Grid is 2^16 per dimension — matches the 16-bit normalization the
+#: Morton op uses, so the two curves bin the SAME quantized points.
+_HILBERT_N = 1 << 16
+
+
+def _hilbert_stage(s: int) -> list[str]:
+    """One descent step of the classic Hilbert xy2d walk (the public
+    Wikipedia/Warren formulation) at scale ``s``, as THREE SQL
+    expressions over columns (x, y, d) — text shared VERBATIM by Spark
+    and DuckDB (only `&`, CASE, + / -, all exact integer ops).
+
+    Per step: the quadrant index is the Gray-ish code (3·rx) XOR ry
+    (spelled as a CASE — DuckDB's ``^`` is POWER, not XOR), d advances
+    by s²·quadrant, and for the lower quadrants (ry=0) the frame is
+    flipped around n−1 when rx=1 (keeps intermediates in [0, n) —
+    nonnegative in both engines) then x/y are swapped. All three
+    expressions read the PREVIOUS stage's columns, so each stage is one
+    projection; the bijectivity + unit-step adjacency of the exact
+    recurrence is property-tested in tests/test_advanced.py."""
+    flip = _HILBERT_N - 1
+    return [
+        f"CASE WHEN (y & {s}) > 0 THEN x "
+        f"WHEN (x & {s}) > 0 THEN {flip} - y ELSE y END AS x",
+        f"CASE WHEN (y & {s}) > 0 THEN y "
+        f"WHEN (x & {s}) > 0 THEN {flip} - x ELSE x END AS y",
+        f"d + CAST({s * s} AS BIGINT) * (CASE "
+        f"WHEN (x & {s}) > 0 AND (y & {s}) > 0 THEN 2 "
+        f"WHEN (x & {s}) > 0 THEN 3 "
+        f"WHEN (y & {s}) > 0 THEN 1 ELSE 0 END) AS d",
+    ]
+
+
+_HILBERT_SCALES = [1 << i for i in range(15, -1, -1)]
+
+
+def _hilbert_sql() -> str:
+    stages = []
+    prev = "h0"
+    for idx, s in enumerate(_HILBERT_SCALES, 1):
+        exprs = ", ".join(_hilbert_stage(s))
+        stages.append(
+            f"h{idx} AS (SELECT ck, day_no, x0, y0, {exprs} FROM {prev})"
+        )
+        prev = f"h{idx}"
+    morton = _morton16("x0", "y0", "duckdb")
+    return f"""
+    WITH raw AS (
+      SELECT CAST(o_custkey AS BIGINT) AS ck,
+             CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+                  AS BIGINT) AS day_no
+      FROM orders
+    ),
+    mx AS (SELECT MAX(ck) AS mck, MAX(day_no) AS mday FROM raw),
+    h0 AS (
+      SELECT ck, day_no,
+             ((ck * 65535) // mck) AS x0, ((day_no * 65535) // mday) AS y0,
+             ((ck * 65535) // mck) AS x, ((day_no * 65535) // mday) AS y,
+             CAST(0 AS BIGINT) AS d
+      FROM raw, mx
+    ),
+    {', '.join(stages)},
+    keys AS (
+      SELECT ck, day_no, d AS hkey, {morton} AS zkey FROM {prev}
+    ),
+    ks AS (
+      SELECT GREATEST(1, (MAX(hkey) + 1) // 64) AS kh,
+             GREATEST(1, (MAX(zkey) + 1) // 64) AS kz
+      FROM keys
+    ),
+    binned AS (
+      SELECT 'hilbert' AS layout, hkey // kh AS file_id, ck, day_no
+      FROM keys, ks
+      UNION ALL
+      SELECT 'zorder' AS layout, zkey // kz AS file_id, ck, day_no
+      FROM keys, ks
+    ),
+    files AS (
+      SELECT layout, file_id, COUNT(*) AS n_rows,
+             MIN(ck) AS ck_lo, MAX(ck) AS ck_hi,
+             MIN(day_no) AS d_lo, MAX(day_no) AS d_hi
+      FROM binned GROUP BY 1, 2
+    )
+    SELECT layout, COUNT(*) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(SUM(ck_hi - ck_lo) AS DOUBLE) / COUNT(*) AS avg_ck_span,
+           CAST(SUM(d_hi - d_lo) AS DOUBLE) / COUNT(*) AS avg_day_span,
+           CAST(SUM(CASE WHEN ck_lo <= 42 AND 42 <= ck_hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS files_hit_ck42
+    FROM files GROUP BY 1
+    """
+
+
+@query("op-ext-hilbert-order", oracle=_hilbert_sql())
+def op_ext_hilbert_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering layout audit — the locality UPGRADE
+    over op-ext-zorder (Delta Lake's Liquid Clustering moved from
+    Z-order to Hilbert for exactly this): both curves bin the same
+    16-bit-normalized (custkey, order-day) points into ~64 files, and
+    the per-file min/max zone maps are rolled up side by side. Morton
+    has unbounded "seam" jumps (consecutive keys can be grid-distant,
+    so file bounding boxes stretch); every Hilbert step is a unit grid
+    move, so file bboxes stay tight and a point predicate on EITHER
+    dimension prunes to fewer files (``files_hit_ck42``).
+
+    The xy2d walk is 16 chained projections of exact integer CASE/&/
+    arithmetic (one per bit, text-shared with the DuckDB oracle via
+    :func:`_hilbert_stage`) — row-local, zero shuffle until the final
+    two-level rollup; the one-row max-stats frames ride broadcast
+    cross-joins exactly like op-ext-zorder. At 100 TB this is a
+    clustered write's sort key: hkey costs 16 projections per row at
+    write time and never at read time. Stage recurrence property-
+    tested (bijective + unit-adjacent) in tests/test_advanced.py."""
+    raw = t(spark, sf_dir, "orders").selectExpr(
+        "CAST(o_custkey AS BIGINT) AS ck",
+        "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)"
+        " AS day_no",
+    )
+    mx = raw.selectExpr("MAX(ck) AS mck", "MAX(day_no) AS mday")
+    pts = raw.crossJoin(F.broadcast(mx)).selectExpr(
+        "ck", "day_no",
+        "((ck * 65535) div mck) AS x0",
+        "((day_no * 65535) div mday) AS y0",
+    ).selectExpr(
+        "ck", "day_no", "x0", "y0",
+        "x0 AS x", "y0 AS y", "CAST(0 AS BIGINT) AS d",
+    )
+    for s in _HILBERT_SCALES:
+        pts = pts.selectExpr(
+            "ck", "day_no", "x0", "y0", *_hilbert_stage(s)
+        )
+    keys = pts.selectExpr(
+        "ck", "day_no", "d AS hkey",
+        _morton16("x0", "y0", "spark") + " AS zkey",
+    )
+    ks = keys.selectExpr(
+        "GREATEST(1L, (MAX(hkey) + 1) div 64) AS kh",
+        "GREATEST(1L, (MAX(zkey) + 1) div 64) AS kz",
+    )
+    kk = keys.crossJoin(F.broadcast(ks))
+    binned = kk.selectExpr(
+        "'hilbert' AS layout", "hkey div kh AS file_id", "ck", "day_no"
+    ).unionByName(
+        kk.selectExpr(
+            "'zorder' AS layout", "zkey div kz AS file_id", "ck", "day_no"
+        )
+    )
+    files = binned.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("ck").alias("ck_lo"),
+        F.max("ck").alias("ck_hi"),
+        F.min("day_no").alias("d_lo"),
+        F.max("day_no").alias("d_hi"),
+    )
+    return files.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        (
+            F.sum(F.col("ck_hi") - F.col("ck_lo")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_ck_span"),
+        (
+            F.sum(F.col("d_hi") - F.col("d_lo")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_day_span"),
+        F.sum(
+            F.when(
+                (F.col("ck_lo") <= 42) & (F.lit(42) <= F.col("ck_hi")), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("files_hit_ck42"),
+    )
+
+
+# --------------------------------------------------------------------------
 # out-of-orderness / late-arrival audit (watermark calibration)
 # --------------------------------------------------------------------------
 

@@ -689,6 +689,59 @@ def test_zorder_layout_improves_custkey_pruning(spark):
     assert z.avg_day_span < 2600
 
 
+def test_hilbert_stage_recurrence_is_bijective_and_unit_adjacent(spark):
+    """Run the EXACT shared-SQL stage recurrence (the text both the
+    Spark op and the DuckDB oracle execute, scaled to a 32×32 grid)
+    over every grid cell and assert the two properties that make a
+    Hilbert curve a Hilbert curve: the index is a bijection onto
+    [0, n²) and consecutive indices are Manhattan-distance-1 grid
+    neighbors (the locality Morton lacks — Morton's seams jump)."""
+    from data_warehousing_assignment_spark import registry_advanced as ra
+
+    bits, n = 5, 32
+    grid = spark.range(n * n).selectExpr(
+        "CAST(id div 32 AS BIGINT) AS x0",
+        "CAST(id % 32 AS BIGINT) AS y0",
+        "CAST(id div 32 AS BIGINT) AS x",
+        "CAST(id % 32 AS BIGINT) AS y",
+        "CAST(0 AS BIGINT) AS d",
+    )
+    # same stage text, flip constant rescaled from 2^16-1 to 2^5-1
+    for s in [1 << i for i in range(bits - 1, -1, -1)]:
+        exprs = [
+            e.replace(str(ra._HILBERT_N - 1), str(n - 1))
+            for e in ra._hilbert_stage(s)
+        ]
+        grid = grid.selectExpr("x0", "y0", *exprs)
+    pos = {r.d: (r.x0, r.y0) for r in grid.collect()}
+    assert sorted(pos) == list(range(n * n))  # bijective onto [0, n²)
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d  # unit steps only
+
+
+def test_hilbert_layout_at_least_matches_zorder_pruning(spark):
+    # sf0.01 on purpose: locality is an asymptotic property — at
+    # sf0.001 each file holds ~27 rows and per-file bboxes are
+    # sampling noise, not curve geometry (measured: hilbert "loses"
+    # there, wins 23% on ck-span at sf0.01 and up).
+    rows = {
+        r.layout: r
+        for r in _q("op-ext-hilbert-order")(
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    assert set(rows) == {"hilbert", "zorder"}
+    h, z = rows["hilbert"], rows["zorder"]
+    assert h.n_rows == z.n_rows  # both layouts hold every row exactly once
+    # Hilbert's unit-step locality: strictly tighter on the seam-heavy
+    # custkey dimension, no worse on the other, same-or-better pruning
+    # for a custkey point predicate.
+    assert h.avg_ck_span < z.avg_ck_span
+    assert h.avg_day_span <= z.avg_day_span * 1.05
+    assert h.files_hit_ck42 <= z.files_hit_ck42
+
+
 # ---------------------------------------------------------- edge inputs
 
 
