@@ -129,6 +129,8 @@ _HOLDBACK_NEW = frozenset({
     "op-ext-cume-dist",
     "op-ext-winnow",
     "op-ext-hilbert-order",
+    "op-ext-spearman",
+    "op-ext-kruskal-wallis",
 })
 
 

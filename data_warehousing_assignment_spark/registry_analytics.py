@@ -1372,3 +1372,265 @@ def op_ext_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.nth_value("c_name", 2).over(wf).alias("second_poorest"),
     )
+
+
+#: Spearman rho from exact int64 sufficient statistics over DOUBLED
+#: centered ranks (cx = 2r̄x − (n+1)); shared verbatim with the oracle.
+_SPEAR_RHO = (
+    "(CAST(scxy AS DOUBLE)"
+    " / (sqrt(CAST(scx2 AS DOUBLE)) * sqrt(CAST(scy2 AS DOUBLE))))"
+)
+
+
+@query(
+    "op-ext-spearman",
+    oracle=f"""
+    WITH rows0 AS (
+      SELECT l_returnflag AS flag, strftime(l_shipdate, '%Y-%m') AS mon,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS y
+      FROM lineitem
+    ),
+    gx AS (
+      SELECT flag, mon, x, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM rows0 GROUP BY 1, 2, 3
+    ),
+    rx AS (
+      SELECT flag, mon, x,
+             CAST(2 * COALESCE(SUM(ct) OVER (PARTITION BY flag, mon
+                     ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + ct + 1 AS BIGINT) AS ar2x
+      FROM gx
+    ),
+    gy AS (
+      SELECT flag, mon, y, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM rows0 GROUP BY 1, 2, 3
+    ),
+    ry AS (
+      SELECT flag, mon, y,
+             CAST(2 * COALESCE(SUM(ct) OVER (PARTITION BY flag, mon
+                     ORDER BY y
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + ct + 1 AS BIGINT) AS ar2y
+      FROM gy
+    ),
+    ns AS (
+      SELECT flag, mon, CAST(COUNT(*) AS BIGINT) AS n
+      FROM rows0 GROUP BY 1, 2
+    ),
+    cent AS (
+      SELECT b.flag, b.mon,
+             rx.ar2x - (ns.n + 1) AS cx, ry.ar2y - (ns.n + 1) AS cy
+      FROM rows0 b
+      JOIN rx ON b.flag = rx.flag AND b.mon = rx.mon AND b.x = rx.x
+      JOIN ry ON b.flag = ry.flag AND b.mon = ry.mon AND b.y = ry.y
+      JOIN ns ON b.flag = ns.flag AND b.mon = ns.mon
+    ),
+    agg AS (
+      SELECT flag, mon, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cx * cy) AS BIGINT) AS scxy,
+             CAST(SUM(cx * cx) AS BIGINT) AS scx2,
+             CAST(SUM(cy * cy) AS BIGINT) AS scy2
+      FROM cent GROUP BY 1, 2
+    )
+    SELECT flag, mon, n, scxy, scx2, scy2,
+           CASE WHEN scx2 = 0 OR scy2 = 0 THEN NULL
+                ELSE {_SPEAR_RHO} END AS rho
+    FROM agg
+    """,
+)
+def op_ext_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (tie-aware, per (returnflag, ship
+    month) group) between line-item quantity and extended price —
+    the monotonic-association test a feature-quality pipeline runs per
+    shard. Ranks never materialize as floats: each group's average
+    ranks come out as the exact integer 2·r̄ = 2·cum_before + ct + 1
+    (the op-ext-mannwhitney prefix-sum trick, but PARTITIONED by group
+    — no single-task window), centering by the exact mean 2r̄ = n+1
+    gives doubled centered ranks whose scale cancels in rho, and the
+    three sufficient sums Σcxcy/Σcx²/Σcy² stay int64 (|c| ≤ n, so each
+    sum ≤ n³ — safe to ~2M rows per GROUP, and groups here are
+    month-sized). One final shared-verbatim IEEE expression
+    (_SPEAR_RHO) → bit-identical cross-engine; constant groups yield
+    NULL, not a 0/0.
+
+    Scale shape: two distinct-value rank frames (map-side-combined
+    group-bys), two equi-joins back on (group, value), one group-by —
+    every shuffle is keyed by the group columns; nothing global."""
+    li = t(spark, sf_dir, "lineitem").selectExpr(
+        "l_returnflag AS flag",
+        "date_format(l_shipdate, 'yyyy-MM') AS mon",
+        "CAST(l_quantity AS BIGINT) AS x",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " AS y",
+    )
+    def ranks(var: str) -> DataFrame:
+        g = li.groupBy("flag", "mon", var).agg(
+            F.count(F.lit(1)).cast("bigint").alias("ct")
+        )
+        w = (
+            Window.partitionBy("flag", "mon")
+            .orderBy(var)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return g.select(
+            "flag",
+            "mon",
+            var,
+            (2 * F.coalesce(F.sum("ct").over(w), F.lit(0))
+             + F.col("ct") + 1)
+            .cast("bigint")
+            .alias(f"ar2{var}"),
+        )
+
+    ns = li.groupBy("flag", "mon").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    cent = (
+        li.join(ranks("x"), ["flag", "mon", "x"])
+        .join(ranks("y"), ["flag", "mon", "y"])
+        .join(F.broadcast(ns), ["flag", "mon"])
+        .select(
+            "flag",
+            "mon",
+            (F.col("ar2x") - (F.col("n") + 1)).alias("cx"),
+            (F.col("ar2y") - (F.col("n") + 1)).alias("cy"),
+        )
+    )
+    agg = cent.groupBy("flag", "mon").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("cx") * F.col("cy")).cast("bigint").alias("scxy"),
+        F.sum(F.col("cx") * F.col("cx")).cast("bigint").alias("scx2"),
+        F.sum(F.col("cy") * F.col("cy")).cast("bigint").alias("scy2"),
+    )
+    return agg.selectExpr(
+        "flag", "mon", "n", "scxy", "scx2", "scy2",
+        f"CASE WHEN scx2 = 0 OR scy2 = 0 THEN NULL"
+        f" ELSE {_SPEAR_RHO} END AS rho",
+    )
+
+
+#: Kruskal-Wallis H over exact int64 rank sums (r2_g = 2·R_g), fixed
+#: three-term order so the float sum is identical cross-engine; the
+#: tie-corrected variant divides by C = 1 − tie3/(n³−n).
+_KW_H = (
+    "((CAST(3 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)))"
+    " * (CAST(r2_a AS DOUBLE) * CAST(r2_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+    " + CAST(r2_b AS DOUBLE) * CAST(r2_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
+    " + CAST(r2_c AS DOUBLE) * CAST(r2_c AS DOUBLE) / CAST(n_c AS DOUBLE))"
+    " - CAST(3 AS DOUBLE) * CAST(n + 1 AS DOUBLE))"
+)
+_KW_C = (
+    "(CAST(1 AS DOUBLE) - CAST(tie3 AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    " - CAST(n AS DOUBLE)))"
+)
+
+
+@query(
+    "op-ext-kruskal-wallis",
+    oracle=f"""
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ic
+      FROM events WHERE event_type IN ('click', 'purchase', 'view')
+    ),
+    g AS (
+      SELECT v, CAST(SUM(ia) AS BIGINT) AS ca,
+             CAST(SUM(ib) AS BIGINT) AS cb,
+             CAST(SUM(ic) AS BIGINT) AS cc,
+             CAST(COUNT(*) AS BIGINT) AS ct
+      FROM s GROUP BY v
+    ),
+    r AS (
+      SELECT ca, cb, cc, ct,
+             CAST(2 * COALESCE(SUM(ct) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + ct + 1 AS BIGINT) AS ar2
+      FROM g
+    ),
+    agg AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(cb) AS BIGINT) AS n_b,
+             CAST(SUM(cc) AS BIGINT) AS n_c,
+             CAST(SUM(ca * ar2) AS BIGINT) AS r2_a,
+             CAST(SUM(cb * ar2) AS BIGINT) AS r2_b,
+             CAST(SUM(cc * ar2) AS BIGINT) AS r2_c,
+             CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS tie3
+      FROM r
+    ),
+    fin AS (
+      SELECT n_a, n_b, n_c, n_a + n_b + n_c AS n,
+             r2_a, r2_b, r2_c, tie3
+      FROM agg
+    )
+    SELECT n_a, n_b, n_c, tie3,
+           {_KW_H} AS h_stat,
+           {_KW_H} / {_KW_C} AS h_tie_corrected
+    FROM fin
+    """,
+)
+def op_ext_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the click/purchase/view event-value
+    populations — the k-group generalization of op-ext-mannwhitney
+    (nonparametric one-way ANOVA), with the exact Σ(t³−t) tie
+    correction. Same rank algebra: aggregate to distinct values first
+    (per-group counts ca/cb/cc map-side combined), one prefix sum over
+    the value-sorted distinct frame gives each tie group's doubled
+    average rank 2r̄ = 2·cum_before + ct + 1, and the doubled rank sums
+    r2_g = Σ c_g·2r̄ feed H = 3/(n(n+1))·Σ r2_g²/n_g − 3(n+1) (the 12/4
+    from doubling folds into the 3). The three r2² terms are summed in
+    a FIXED textual order, so the final IEEE expression (_KW_H/_KW_C,
+    shared verbatim) is bit-identical cross-engine and
+    parallelism-independent — no float ever rides a shuffle.
+
+    Same single-task-window caveat as op-ext-mannwhitney: the prefix
+    sum covers |distinct values| rows only; at 100 TB range-partition
+    it and add per-partition offsets."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase", "view")
+    )
+    ind = {
+        "ca": "click", "cb": "purchase", "cc": "view",
+    }
+    g = ev.groupBy(F.col("value").alias("v")).agg(
+        *[
+            F.sum(F.when(F.col("event_type") == typ, 1).otherwise(0))
+            .cast("bigint")
+            .alias(c)
+            for c, typ in ind.items()
+        ],
+        F.count(F.lit(1)).cast("bigint").alias("ct"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        "ca", "cb", "cc", "ct",
+        (2 * F.coalesce(F.sum("ct").over(w), F.lit(0))
+         + F.col("ct") + 1)
+        .cast("bigint")
+        .alias("ar2"),
+    )
+    agg = r.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+        F.sum("cc").cast("bigint").alias("n_c"),
+        F.sum(F.col("ca") * F.col("ar2")).cast("bigint").alias("r2_a"),
+        F.sum(F.col("cb") * F.col("ar2")).cast("bigint").alias("r2_b"),
+        F.sum(F.col("cc") * F.col("ar2")).cast("bigint").alias("r2_c"),
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct"))
+        .cast("bigint")
+        .alias("tie3"),
+    )
+    fin = agg.selectExpr(
+        "n_a", "n_b", "n_c", "n_a + n_b + n_c AS n",
+        "r2_a", "r2_b", "r2_c", "tie3",
+    )
+    return fin.selectExpr(
+        "n_a", "n_b", "n_c", "tie3",
+        f"{_KW_H} AS h_stat",
+        f"{_KW_H} / {_KW_C} AS h_tie_corrected",
+    )

@@ -112,3 +112,101 @@ def test_cume_dist_is_rank_over_n(spark):
         # second_poorest is constant across the partition
         names = {r.second_poorest for r in rs}
         assert len(names) == 1
+
+
+def test_spearman_matches_rank_replay(spark):
+    """Replay rho per group with literal average-rank assignment and
+    float Pearson-on-ranks (scipy-free); also check the exact-integer
+    invariant Σcx = Σcy = 0 that centering guarantees."""
+    rows = {
+        (r.flag, r.mon): r for r in _run(spark, "op-ext-spearman")
+    }
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").collect()
+    groups = {}
+    for r in li:
+        key = (r.l_returnflag, r.l_shipdate.strftime("%Y-%m"))
+        cents = round(float(r.l_extendedprice) * 100)
+        groups.setdefault(key, []).append((int(r.l_quantity), cents))
+    assert set(rows) == set(groups)
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(vals):
+            j = i
+            while (
+                j < len(vals)
+                and vals[order[j]] == vals[order[i]]
+            ):
+                j += 1
+            avg = (i + 1 + j) / 2.0
+            for k in range(i, j):
+                ranks[order[k]] = avg
+            i = j
+        return ranks
+
+    checked = 0
+    for key, pts in groups.items():
+        row = rows[key]
+        assert row.n == len(pts)
+        rx = avg_ranks([p[0] for p in pts])
+        ry = avg_ranks([p[1] for p in pts])
+        n = len(pts)
+        cx = [2 * r - (n + 1) for r in rx]
+        cy = [2 * r - (n + 1) for r in ry]
+        assert abs(sum(cx)) < 1e-9 and abs(sum(cy)) < 1e-9
+        scxy = sum(a * b for a, b in zip(cx, cy))
+        scx2 = sum(a * a for a in cx)
+        scy2 = sum(b * b for b in cy)
+        assert row.scxy == round(scxy)
+        assert row.scx2 == round(scx2)
+        assert row.scy2 == round(scy2)
+        if scx2 > 0 and scy2 > 0:
+            rho_ref = scxy / math.sqrt(scx2 * scy2)
+            assert math.isclose(row.rho, rho_ref, rel_tol=1e-9), key
+            assert -1.0 - 1e-12 <= row.rho <= 1.0 + 1e-12
+            checked += 1
+    assert checked > 50  # quantity & price are correlated: most groups real
+
+
+def test_kruskal_wallis_matches_rank_replay(spark):
+    """Replay H and the tie-corrected H' with literal pooled average
+    ranks (scipy-free)."""
+    [row] = _run(spark, "op-ext-kruskal-wallis")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").collect()
+    samples = {
+        g: [r.value for r in ev if r.event_type == g]
+        for g in ("click", "purchase", "view")
+    }
+    pooled = sorted(
+        (v, g) for g, vs in samples.items() for v in vs
+    )
+    n = len(pooled)
+    ranks = {}
+    tie3 = 0
+    i = 0
+    while i < n:
+        j = i
+        while j < n and pooled[j][0] == pooled[i][0]:
+            j += 1
+        t_size = j - i
+        tie3 += t_size**3 - t_size
+        ranks[pooled[i][0]] = (i + 1 + j) / 2.0
+        i = j
+    r_sums = {
+        g: sum(ranks[v] for v in vs) for g, vs in samples.items()
+    }
+    h_ref = (
+        12.0 / (n * (n + 1))
+        * sum(r_sums[g] ** 2 / len(samples[g]) for g in samples)
+        - 3.0 * (n + 1)
+    )
+    c_ref = 1.0 - tie3 / float(n**3 - n)
+    assert (row.n_a, row.n_b, row.n_c) == tuple(
+        len(samples[g]) for g in ("click", "purchase", "view")
+    )
+    assert row.tie3 == tie3
+    assert math.isclose(row.h_stat, h_ref, rel_tol=1e-9)
+    assert math.isclose(row.h_tie_corrected, h_ref / c_ref, rel_tol=1e-9)
+    assert row.h_tie_corrected >= row.h_stat  # ties only shrink variance
