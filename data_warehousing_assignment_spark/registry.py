@@ -131,6 +131,7 @@ _HOLDBACK_NEW = frozenset({
     "op-ext-hilbert-order",
     "op-ext-spearman",
     "op-ext-kruskal-wallis",
+    "op-ext-winnow-neardup",
 })
 
 

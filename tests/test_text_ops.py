@@ -232,3 +232,39 @@ def test_winnow_density_near_two_over_w_plus_one(spark):
     density = len(fps) / n_positions
     assert density < 0.75  # far below "all positions"
     assert len(fps) >= 1
+
+
+def py_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(
+                prev[j] + 1, cur[j - 1] + 1,
+                prev[j - 1] + (ca != cb),
+            ))
+        prev = cur
+    return prev[-1]
+
+
+def test_winnow_neardup_pairs_are_verified_near_dups(spark):
+    from data_warehousing_assignment_spark.registry import all_queries
+    from tests.conftest import SF_SMALL
+
+    out = all_queries()["op-ext-winnow-neardup"](spark, SF_SMALL).collect()
+    assert out, "the near-dup-heavy corpus must yield verified pairs"
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(
+            f"{SF_SMALL}/documents.parquet"
+        ).collect()
+    }
+    for r in out:
+        assert r.doc_a < r.doc_b
+        assert r.n_shared >= 3
+        # the registered contract: within 30% relative edit distance
+        a, b = docs[r.doc_a], docs[r.doc_b]
+        assert r.edit_dist * 10 <= 3 * max(len(a), len(b))
+    # spot-check the edit distances against a literal DP replay
+    for r in sorted(out, key=lambda r: (r.doc_a, r.doc_b))[:5]:
+        assert r.edit_dist == py_levenshtein(docs[r.doc_a], docs[r.doc_b])
