@@ -349,3 +349,35 @@ def test_ivm_join_delta_legs_stay_broadcast_pruned(spark, qs):
     assert "CartesianProduct" not in plan
     # single shuffle: the seg-keyed aggregate after the union of legs
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_winnow_neardup_posting_join_is_equi_keyed(spark, qs):
+    """The MOSS candidate join must ride the fp equi-key (hash or
+    sort-merge), never a nested loop, and the hot-fp filter must not
+    reintroduce a count-join (window formulation keeps one build)."""
+    plan = plan_of(qs["op-ext-winnow-neardup"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hilbert_stage_chain_does_not_collapse_or_blow_up(spark, qs):
+    """16 chained projections of multi-reference CASE expressions:
+    if CollapseProject ever merged them, the expression tree grows
+    ~4^16 and the plan string explodes — a cheap canary bounds it."""
+    df = qs["op-ext-hilbert-order"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert len(plan) < 200_000, len(plan)
+    # the only nested-loop shapes allowed are the 1-row max-stats
+    # broadcasts (normalization + bin width) — never a real cartesian
+    assert "CartesianProduct" not in plan
+
+
+def test_winnow_two_stage_projection_survives_optimizer(spark, qs):
+    """op-ext-winnow materializes the O(len·k) hash array once;
+    CollapseProject inlining it into the window-min lambda makes the
+    query O(len²·k) (measured 237 s vs <2 s at sf0.01). The canary:
+    the win_hash aggregate subtree must appear ONCE in the plan."""
+    plan = plan_of(qs["op-ext-winnow"](spark, SF_SMALL))
+    assert plan.count("aggregate(sequence(1,") <= 2, (
+        "hash-build subtree duplicated — two-stage select collapsed"
+    )

@@ -38,6 +38,13 @@ ALLOWED = {
     "op-ext-fk-discovery": {"cartesian"},
     # per-constraint 1-row checked×violations frames
     "op-ext-constraints": {"cartesian"},
+    # 1-row broadcast max-stats frames (normalization + bin width),
+    # same shape as op-ext-zorder's (which broadcasts below the radar)
+    "op-ext-hilbert-order": {"cartesian"},
+    # prefix sum over the |distinct values| frame only — the docstring
+    # carries the 100 TB range-partition note (same as mannwhitney)
+    "op-ext-mannwhitney": {"single-partition window"},
+    "op-ext-kruskal-wallis": {"single-partition window"},
     # 1-row theta frame joined onto the 2-row variant frame
     "op-ext-cuped": {"cartesian"},
     # 1-row positive-balance stats frame (Σbal, n) broadcast onto the
