@@ -37,6 +37,65 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def distributed_ar2(
+    g: DataFrame, v: str = "v", ct: str = "ct", n_buckets: int = 64
+) -> DataFrame:
+    """Doubled tie-group average ranks (``ar2 = 2·cum_before + ct + 1``)
+    over a distinct-value frame WITHOUT a global single-task window —
+    the two-level distributed prefix sum the rank statistics
+    (op-ext-mannwhitney / op-ext-kruskal-wallis) ride at scale, since
+    on continuous data |distinct values| ≈ |rows| and a global ORDER BY
+    window would serialize the whole frame through one task.
+
+    Level 1: value-RANGE bucketing — ``width_bucket`` against the
+    broadcast 1-row min/max stats (value-based, so the assignment is
+    layout-independent; a degenerate min==max frame collapses to
+    bucket 1). Per-bucket prefix sums run under
+    ``PARTITION BY bucket ORDER BY v`` — v is unique in a distinct
+    frame, so every window order is total (determinism rule).
+    Level 2: bucket totals (one tiny aggregate) get their running
+    offsets from a window over ≤ n_buckets+1 rows — bounded by the
+    CONSTANT bucket count, not by the data — and broadcast-join back.
+
+    All arithmetic is exact int64 (counts and their prefix sums); the
+    only float op is the width_bucket boundary test, which affects
+    WHERE a value's prefix is assembled, never the prefix itself."""
+    stats = g.agg(
+        F.min(v).alias("vmin"), F.max(v).alias("vmax")
+    )
+    b = g.crossJoin(F.broadcast(stats)).withColumn(
+        "bkt",
+        F.when(F.col("vmin") == F.col("vmax"), F.lit(1)).otherwise(
+            F.expr(f"width_bucket({v}, vmin, vmax, {n_buckets})")
+        ),
+    ).drop("vmin", "vmax")
+    wloc = (
+        Window.partitionBy("bkt")
+        .orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    loc = b.withColumn(
+        "cumloc", F.coalesce(F.sum(ct).over(wloc), F.lit(0))
+    )
+    tot = loc.groupBy("bkt").agg(F.sum(ct).alias("btot"))
+    woff = (
+        Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = tot.withColumn(
+        "off", F.coalesce(F.sum("btot").over(woff), F.lit(0))
+    ).select("bkt", "off")
+    return (
+        loc.join(F.broadcast(off), "bkt")
+        .withColumn(
+            "ar2",
+            (2 * (F.col("off") + F.col("cumloc")) + F.col(ct) + 1)
+            .cast("bigint"),
+        )
+        .drop("bkt", "cumloc", "off")
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,

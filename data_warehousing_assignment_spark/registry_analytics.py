@@ -1239,12 +1239,11 @@ def op_ext_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared IEEE expression (_MWU_Z) over five exact int64s —
     bit-identical cross-engine.
 
-    Scale note: the prefix sum runs over |distinct values| rows in ONE
-    ordered window (Spark moves that frame to a single task — fine for
-    the ~2-dp-grid cardinality here; at 100 TB you'd range-partition
-    the distinct frame and add per-partition offsets, the standard
-    distributed prefix-sum decomposition, without changing any
-    semantics above)."""
+    Scale shape: event values are near-continuous (|distinct| ≈
+    |rows|), so the prefix sum runs as the two-level DISTRIBUTED
+    decomposition (an.distributed_ar2): value-range buckets →
+    per-bucket ordered prefixes → constant-bounded bucket offsets —
+    no window ever serializes the distinct frame through one task."""
     ev = t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "view")
     )
@@ -1254,18 +1253,7 @@ def op_ext_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ca"),
         F.count(F.lit(1)).cast("bigint").alias("ct"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    r = g.select(
-        "ca",
-        "ct",
-        (
-            2 * F.coalesce(F.sum("ct").over(w), F.lit(0))
-            + F.col("ct")
-            + 1
-        )
-        .cast("bigint")
-        .alias("ar2"),
-    )
+    r = an.distributed_ar2(g).select("ca", "ct", "ar2")
     agg = r.agg(
         F.sum("ca").cast("bigint").alias("n_a"),
         F.sum(F.col("ct") - F.col("ca")).cast("bigint").alias("n_b"),
@@ -1588,9 +1576,9 @@ def op_ext_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared verbatim) is bit-identical cross-engine and
     parallelism-independent — no float ever rides a shuffle.
 
-    Same single-task-window caveat as op-ext-mannwhitney: the prefix
-    sum covers |distinct values| rows only; at 100 TB range-partition
-    it and add per-partition offsets."""
+    Same distributed prefix-sum shape as op-ext-mannwhitney
+    (an.distributed_ar2): the near-continuous value domain never
+    serializes through a single-task window."""
     ev = t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase", "view")
     )
@@ -1606,14 +1594,7 @@ def op_ext_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.count(F.lit(1)).cast("bigint").alias("ct"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    r = g.select(
-        "ca", "cb", "cc", "ct",
-        (2 * F.coalesce(F.sum("ct").over(w), F.lit(0))
-         + F.col("ct") + 1)
-        .cast("bigint")
-        .alias("ar2"),
-    )
+    r = an.distributed_ar2(g).select("ca", "cb", "cc", "ct", "ar2")
     agg = r.agg(
         F.sum("ca").cast("bigint").alias("n_a"),
         F.sum("cb").cast("bigint").alias("n_b"),

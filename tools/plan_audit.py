@@ -41,10 +41,11 @@ ALLOWED = {
     # 1-row broadcast max-stats frames (normalization + bin width),
     # same shape as op-ext-zorder's (which broadcasts below the radar)
     "op-ext-hilbert-order": {"cartesian"},
-    # prefix sum over the |distinct values| frame only — the docstring
-    # carries the 100 TB range-partition note (same as mannwhitney)
-    "op-ext-mannwhitney": {"single-partition window"},
-    "op-ext-kruskal-wallis": {"single-partition window"},
+    # distributed_ar2's CONSTANT-bounded residue: the bucket-offset
+    # window covers ≤ n_buckets+1 rows and the min/max stats frame is
+    # a 1-row broadcast — both independent of data size
+    "op-ext-mannwhitney": {"cartesian", "single-partition window"},
+    "op-ext-kruskal-wallis": {"cartesian", "single-partition window"},
     # 1-row theta frame joined onto the 2-row variant frame
     "op-ext-cuped": {"cartesian"},
     # 1-row positive-balance stats frame (Σbal, n) broadcast onto the
