@@ -37,15 +37,19 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def distributed_ar2(
-    g: DataFrame, v: str = "v", ct: str = "ct", n_buckets: int = 64
+def distributed_prefix(
+    g: DataFrame,
+    v: str,
+    cols: list[str],
+    n_buckets: int = 64,
 ) -> DataFrame:
-    """Doubled tie-group average ranks (``ar2 = 2·cum_before + ct + 1``)
-    over a distinct-value frame WITHOUT a global single-task window —
-    the two-level distributed prefix sum the rank statistics
-    (op-ext-mannwhitney / op-ext-kruskal-wallis) ride at scale, since
-    on continuous data |distinct values| ≈ |rows| and a global ORDER BY
-    window would serialize the whole frame through one task.
+    """INCLUSIVE running sums (``cum_<col>``) of each count column over
+    the value order of ``v``, WITHOUT a global single-task window —
+    the two-level distributed prefix sum that rank/CDF statistics
+    (op-ext-mannwhitney, op-ext-kruskal-wallis, op-ext-auc,
+    op-ext-ks-test) ride at scale: on continuous data
+    |distinct values| ≈ |rows| and a global ORDER BY window would
+    serialize the whole frame through one task.
 
     Level 1: value-RANGE bucketing — ``width_bucket`` against the
     broadcast 1-row min/max stats (value-based, so the assignment is
@@ -53,47 +57,73 @@ def distributed_ar2(
     bucket 1). Per-bucket prefix sums run under
     ``PARTITION BY bucket ORDER BY v`` — v is unique in a distinct
     frame, so every window order is total (determinism rule).
-    Level 2: bucket totals (one tiny aggregate) get their running
+    Level 2: per-bucket totals (one tiny aggregate) get their running
     offsets from a window over ≤ n_buckets+1 rows — bounded by the
     CONSTANT bucket count, not by the data — and broadcast-join back.
 
     All arithmetic is exact int64 (counts and their prefix sums); the
     only float op is the width_bucket boundary test, which affects
     WHERE a value's prefix is assembled, never the prefix itself."""
-    stats = g.agg(
-        F.min(v).alias("vmin"), F.max(v).alias("vmax")
+    stats = g.agg(F.min(v).alias("vmin"), F.max(v).alias("vmax"))
+    b = (
+        g.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "bkt",
+            F.when(F.col("vmin") == F.col("vmax"), F.lit(1)).otherwise(
+                F.expr(f"width_bucket({v}, vmin, vmax, {n_buckets})")
+            ),
+        )
+        .drop("vmin", "vmax")
     )
-    b = g.crossJoin(F.broadcast(stats)).withColumn(
-        "bkt",
-        F.when(F.col("vmin") == F.col("vmax"), F.lit(1)).otherwise(
-            F.expr(f"width_bucket({v}, vmin, vmax, {n_buckets})")
-        ),
-    ).drop("vmin", "vmax")
     wloc = (
         Window.partitionBy("bkt")
         .orderBy(v)
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    loc = b.withColumn(
-        "cumloc", F.coalesce(F.sum(ct).over(wloc), F.lit(0))
+    loc = b
+    for c in cols:
+        loc = loc.withColumn(f"_cum_{c}", F.sum(c).over(wloc))
+    tot = loc.groupBy("bkt").agg(
+        *[F.sum(c).alias(f"_tot_{c}") for c in cols]
     )
-    tot = loc.groupBy("bkt").agg(F.sum(ct).alias("btot"))
-    woff = (
-        Window.orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    woff = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    off = tot.withColumn(
-        "off", F.coalesce(F.sum("btot").over(woff), F.lit(0))
-    ).select("bkt", "off")
-    return (
-        loc.join(F.broadcast(off), "bkt")
-        .withColumn(
-            "ar2",
-            (2 * (F.col("off") + F.col("cumloc")) + F.col(ct) + 1)
-            .cast("bigint"),
+    off = tot.select(
+        "bkt",
+        *[
+            F.coalesce(F.sum(f"_tot_{c}").over(woff), F.lit(0)).alias(
+                f"_off_{c}"
+            )
+            for c in cols
+        ],
+    )
+    out = loc.join(F.broadcast(off), "bkt")
+    for c in cols:
+        out = out.withColumn(
+            f"cum_{c}",
+            (F.col(f"_off_{c}") + F.col(f"_cum_{c}")).cast("bigint"),
         )
-        .drop("bkt", "cumloc", "off")
+    return out.drop(
+        "bkt",
+        *[f"_cum_{c}" for c in cols],
+        *[f"_off_{c}" for c in cols],
     )
+
+
+def distributed_ar2(
+    g: DataFrame, v: str = "v", ct: str = "ct", n_buckets: int = 64
+) -> DataFrame:
+    """Doubled tie-group average ranks over a distinct-value frame,
+    built on :func:`distributed_prefix`:
+    ``ar2 = 2·cum_before + ct + 1 = 2·cum_inclusive − ct + 1`` — also
+    exactly the tie group's ``min(rank) + max(rank)`` (the midrank×2
+    op-ext-auc needs). Exact int64 throughout."""
+    out = distributed_prefix(g, v, [ct], n_buckets)
+    return out.withColumn(
+        "ar2",
+        (2 * F.col(f"cum_{ct}") - F.col(ct) + 1).cast("bigint"),
+    ).drop(f"cum_{ct}")
 
 
 def sessionize(

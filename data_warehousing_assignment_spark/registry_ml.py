@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_warehousing_assignment_spark.operators import analytics as an
 from data_warehousing_assignment_spark.operators.text import tokens
 from data_warehousing_assignment_spark.registry import query, sum_cents, t
 
@@ -518,10 +519,11 @@ def op_ext_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     op-ext-decile-lift, now as the single-number ranking metric.
     Midrank×2 = min(rank)+max(rank) over the tied-score group keeps
     every quantity an exact integer, so auc_ppm is engine-exact where
-    trapezoidal float AUC is not. The global rank window runs over the
-    CUSTOMER DIM (op-ext-ntile's sanction — a fact-scale AUC would
-    pre-aggregate scores to bounded resolution first, same contract as
-    op-ext-histogram)."""
+    trapezoidal float AUC is not — and min(rank)+max(rank) is exactly
+    the doubled average rank an.distributed_ar2 computes, so the rank
+    pass is the two-level DISTRIBUTED prefix sum over the distinct
+    SCORE frame (no global row_number window serializing the scored
+    set through one task; scores are near-continuous cents)."""
     resp = (
         t(spark, sf_dir, "orders")
         .filter(F.year("o_orderdate") == 1997)
@@ -533,31 +535,23 @@ def op_ext_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "customer")
         .join(resp, F.col("c_custkey") == F.col("o_custkey"), "left")
         .select(
-            "c_custkey",
             F.expr(
                 "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
             ).alias("score"),
             F.coalesce("_r", F.lit(0)).alias("y"),
         )
     )
-    rk = s.select(
-        "y",
-        "score",
-        F.row_number().over(Window.orderBy("score", "c_custkey")).alias("rn"),
+    g = s.groupBy("score").agg(
+        F.sum("y").cast("bigint").alias("cp"),
+        F.count(F.lit(1)).cast("bigint").alias("ct"),
     )
-    wsc = Window.partitionBy("score")
-    mid = rk.select(
-        "y",
-        (F.min("rn").over(wsc) + F.max("rn").over(wsc))
-        .cast("bigint")
-        .alias("mr2"),
-    )
-    agg = mid.agg(
-        F.sum(F.when(F.col("y") == 1, F.col("mr2")).otherwise(0))
+    r = an.distributed_ar2(g, v="score")
+    agg = r.agg(
+        F.sum(F.col("cp") * F.col("ar2"))
         .cast("bigint")
         .alias("pos_mr2"),
-        F.sum("y").cast("bigint").alias("p"),
-        F.sum(1 - F.col("y")).cast("bigint").alias("n"),
+        F.sum("cp").cast("bigint").alias("p"),
+        F.sum(F.col("ct") - F.col("cp")).cast("bigint").alias("n"),
     )
     return agg.select(
         F.col("p").alias("n_pos"),
@@ -614,11 +608,10 @@ def op_ext_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     beside the categorical op-ext-chisq: D = max |F₁(v) − F₂(v)| over
     the merged observed support, with each empirical CDF in fixed-point
     ppm (integer floor division — one consistent quantization on both
-    sides; the max of exact integers is exact). The CDF windows run
-    over the MERGED DISTINCT-VALUE frame, not raw orders — at 100 TB
-    values pre-bucket to cents (already bounded) so the frame is
-    value-domain-sized; drift monitoring runs this per
-    partition-pair."""
+    sides; the max of exact integers is exact). Both CDF prefixes run
+    as ONE two-level distributed prefix sum over the merged
+    distinct-value frame (an.distributed_prefix) — near-continuous
+    cent values never serialize through a single-task window."""
     o = t(spark, sf_dir, "orders")
     cents = F.expr(
         "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
@@ -641,12 +634,8 @@ def op_ext_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = pts.groupBy("v").agg(
         F.sum("c1").alias("c1"), F.sum("c2").alias("c2")
     )
-    wcdf = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cdf = merged.select(
-        F.sum("c1").over(wcdf).cast("bigint").alias("cum1"),
-        F.sum("c2").over(wcdf).cast("bigint").alias("cum2"),
+    cdf = an.distributed_prefix(merged, "v", ["c1", "c2"]).select(
+        F.col("cum_c1").alias("cum1"), F.col("cum_c2").alias("cum2")
     )
     return (
         cdf.crossJoin(F.broadcast(na))

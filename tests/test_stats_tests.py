@@ -210,3 +210,61 @@ def test_kruskal_wallis_matches_rank_replay(spark):
     assert math.isclose(row.h_stat, h_ref, rel_tol=1e-9)
     assert math.isclose(row.h_tie_corrected, h_ref / c_ref, rel_tol=1e-9)
     assert row.h_tie_corrected >= row.h_stat  # ties only shrink variance
+
+
+def test_auc_matches_rank_replay(spark):
+    """Replay the midrank AUC with a literal average-rank pass over
+    (score, y) pairs — the distributed prefix formulation must equal
+    the textbook Mann-Whitney AUC exactly (ppm floor division)."""
+    [row] = _run(spark, "op-ext-auc")
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet").collect()
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    resp = {r.o_custkey for r in orders if r.o_orderdate.year == 1997}
+    pts = [
+        (round(float(c.c_acctbal) * 100), 1 if c.c_custkey in resp else 0)
+        for c in cust
+    ]
+    pts.sort()
+    n = len(pts)
+    pos_mr2 = 0
+    i = 0
+    while i < n:
+        j = i
+        while j < n and pts[j][0] == pts[i][0]:
+            j += 1
+        mr2 = (i + 1) + j  # min rank + max rank of the tie group
+        pos_mr2 += mr2 * sum(y for _, y in pts[i:j])
+        i = j
+    p = sum(y for _, y in pts)
+    neg = n - p
+    assert (row.n_pos, row.n_neg) == (p, neg)
+    assert row.auc_ppm == (1_000_000 * (pos_mr2 - p * (p + 1))) // (
+        2 * p * neg
+    )
+
+
+def test_ks_test_matches_cdf_replay(spark):
+    [row] = _run(spark, "op-ext-ks-test")
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    a = sorted(
+        round(float(o.o_totalprice) * 100)
+        for o in orders
+        if o.o_orderdate.year == 1995
+    )
+    b = sorted(
+        round(float(o.o_totalprice) * 100)
+        for o in orders
+        if o.o_orderdate.year == 1996
+    )
+    import bisect
+
+    support = sorted(set(a) | set(b))
+    d = max(
+        abs(
+            (1_000_000 * bisect.bisect_right(a, v)) // len(a)
+            - (1_000_000 * bisect.bisect_right(b, v)) // len(b)
+        )
+        for v in support
+    )
+    assert (row.n_1995, row.n_1996) == (len(a), len(b))
+    assert row.ks_d_ppm == d
