@@ -126,6 +126,56 @@ def distributed_ar2(
     ).drop(f"cum_{ct}")
 
 
+def distributed_ntile(
+    df: DataFrame,
+    value: str,
+    tiebreak: str,
+    n_tiles: int,
+    descending: bool = False,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """NTILE(n) over ``(value ASC|DESC, tiebreak ASC)`` with Spark's
+    exact remainder semantics (first ``n_rows mod n`` tiles get one
+    extra row), computed WITHOUT the global single-task window
+    ``F.ntile`` requires: per-row rank = the distributed prefix sum
+    over the distinct-value frame (:func:`distributed_prefix`) plus a
+    row_number PARTITIONED by value (tie groups only — bounded by tie
+    width, never the data). The tile index is then pure integer
+    arithmetic on (rank, n_rows): the untaken CASE branch divides by
+    zero only when n_rows < n_tiles, where the taken branch already
+    assigned rank-as-tile. Adds a BIGINT ``ntile`` column; ``tiebreak``
+    must be unique within a value group so the order is total
+    (determinism rule)."""
+    v = -F.col(value) if descending else F.col(value)
+    d2 = df.withColumn("_v", v)
+    gb = d2.groupBy("_v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_ct")
+    )
+    base = (
+        distributed_prefix(gb, "_v", ["_ct"], n_buckets)
+        .withColumn("_base", F.col("cum__ct") - F.col("_ct"))
+        .select("_v", "_base")
+    )
+    wir = Window.partitionBy("_v").orderBy(tiebreak)
+    nrow = d2.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    ranked = (
+        d2.join(base, "_v")
+        .withColumn("_rn", F.col("_base") + F.row_number().over(wir))
+        .crossJoin(F.broadcast(nrow))
+    )
+    k = n_tiles
+    out = ranked.withColumn(
+        "ntile",
+        F.expr(
+            f"CAST(CASE WHEN _rn <= (_n % {k}) * (_n div {k} + 1)"
+            f" THEN (_rn - 1) div (_n div {k} + 1) + 1"
+            f" ELSE (_n % {k}) + (_rn - (_n % {k}) * (_n div {k} + 1) - 1)"
+            f" div (_n div {k}) + 1 END AS BIGINT)"
+        ),
+    )
+    return out.drop("_v", "_base", "_rn", "_n")
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,

@@ -293,12 +293,13 @@ def op_ext_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_ext_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Account-balance quartiles via ntile(4) (unique tiebreaker key so
     equal balances land deterministically), summarized per quartile.
-    The global ntile sort is over the customer dim — small relative to
-    facts; for fact-scale quantile bucketing use the histogram /
-    percentile operators instead."""
+    Runs as an.distributed_ntile — the two-level prefix-sum rank plus
+    exact NTILE remainder arithmetic — so no global single-task window
+    exists even when the scored population outgrows a dim."""
     cust = t(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    q = cust.withColumn("quartile", F.ntile(4).over(w).cast("bigint"))
+    q = an.distributed_ntile(
+        cust, "c_acctbal", "c_custkey", 4
+    ).withColumnRenamed("ntile", "quartile")
     return q.groupBy("quartile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.min("c_acctbal").alias("min_bal"),

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_warehousing_assignment_spark.operators import analytics as an
 from data_warehousing_assignment_spark.operators import sketch as sk
 from data_warehousing_assignment_spark.operators.graph import (
     node_degrees,
@@ -1034,12 +1035,11 @@ def op_ext_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     marketing warehouse produces (rank by score, bucket into deciles,
     read cumulative lift): customers scored by account balance,
     response = ordered in 1997. response rate and cumulative lift are
-    fixed-point ppm over exact counts. The ntile runs over the
-    CUSTOMER DIM (same sanction as op-ext-ntile — never raw facts);
-    the cumulative windows run over the 10-row decile frame. At 100 TB
-    the score column comes from a model scoring pass and the decile
-    boundary derivation switches to approx_percentile — documented,
-    same contract."""
+    fixed-point ppm over exact counts. The decile assignment is
+    an.distributed_ntile (two-level prefix-sum rank + exact NTILE
+    remainder arithmetic — no global window even at fact-scale scored
+    populations); the cumulative windows run over the 10-row decile
+    frame only."""
     resp = (
         t(spark, sf_dir, "orders")
         .filter(F.year("o_orderdate") == 1997)
@@ -1053,16 +1053,16 @@ def op_ext_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
         ).alias("bal"),
     )
-    scored = (
-        cust.join(resp, cust["c_custkey"] == resp["o_custkey"], "left")
-        .select(
-            "c_custkey",
-            F.coalesce("_r", F.lit(0)).alias("responded"),
-            F.ntile(10)
-            .over(Window.orderBy(F.desc("bal"), F.asc("c_custkey")))
-            .alias("decile"),
-        )
+    joined = cust.join(
+        resp, cust["c_custkey"] == resp["o_custkey"], "left"
+    ).select(
+        "c_custkey",
+        "bal",
+        F.coalesce("_r", F.lit(0)).alias("responded"),
     )
+    scored = an.distributed_ntile(
+        joined, "bal", "c_custkey", 10, descending=True
+    ).withColumnRenamed("ntile", "decile")
     d = scored.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("responded").cast("bigint").alias("responders"),

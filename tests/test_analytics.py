@@ -293,3 +293,44 @@ def test_holt_linear_matches_literal_recurrence(spark):
             assert math.isclose(gl, lv, rel_tol=1e-12), (k, i)
             assert math.isclose(gt, tr, rel_tol=1e-12), (k, i)
             assert math.isclose(gf, lv + tr, rel_tol=1e-12), (k, i)
+
+
+def test_distributed_ntile_matches_spark_ntile_exactly(spark):
+    """The two-level NTILE must reproduce F.ntile's remainder
+    semantics bit-for-bit on every shape: even split, remainder,
+    n < tiles, heavy ties, descending order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_warehousing_assignment_spark.operators.analytics import (
+        distributed_ntile,
+    )
+
+    cases = [
+        (40, 4, False),   # even split
+        (43, 4, False),   # remainder 3
+        (3, 10, False),   # n < tiles
+        (57, 10, True),   # descending with remainder
+        (64, 7, False),   # coprime
+    ]
+    for n, k, desc in cases:
+        # values with heavy ties (v = id % 9) and a unique tiebreak
+        df = spark.range(n).selectExpr(
+            "CAST(id % 9 AS BIGINT) AS v", "id AS tb"
+        )
+        order = [F.desc("v"), F.asc("tb")] if desc else [
+            F.asc("v"), F.asc("tb")
+        ]
+        expect = {
+            (r.v, r.tb): r.nt
+            for r in df.withColumn(
+                "nt", F.ntile(k).over(Window.orderBy(*order))
+            ).collect()
+        }
+        got = {
+            (r.v, r.tb): r.ntile
+            for r in distributed_ntile(
+                df, "v", "tb", k, descending=desc
+            ).collect()
+        }
+        assert got == expect, (n, k, desc)

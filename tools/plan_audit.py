@@ -78,9 +78,9 @@ ALLOWED = {
     # the idf/length normalization); the ranking window itself is
     # doc_id-partitioned
     "op-ext-bm25": {"cartesian", "single-partition window"},
-    # global ntile over the customer DIM (docstring: fact-scale quantile
-    # bucketing goes through histogram/percentile operators instead)
-    "op-ext-ntile": {"single-partition window"},
+    # distributed_ntile residue: constant-bounded bucket-offset window
+    # + 1-row stats/count broadcasts (the ntile itself is distributed)
+    "op-ext-ntile": {"cartesian", "single-partition window"},
     # global percent_rank/cume_dist over the customer DIM (docstring:
     # inherently single-ordering; never run on raw facts)
     "op-ext-percent-rank": {"single-partition window"},
@@ -117,18 +117,19 @@ ALLOWED = {
     # the union-merge re-rank runs over the two fused 64-hash sketches
     # (≤128 rows — metadata-sized by construction)
     "op-ext-kmv-sketch": {"single-partition window"},
-    # score-ordered ntile over the customer DIM + cumulative windows
-    # over the 10-row decile frame (op-ext-ntile's sanction)
-    "op-ext-decile-lift": {"single-partition window"},
+    # distributed_ntile residue + cumulative windows over the 10-row
+    # decile frame
+    "op-ext-decile-lift": {"cartesian", "single-partition window"},
     # reverse running sum over the post-aggregate tenure-month frame
     # (≤ months-span rows) + 1-row horizon broadcast
     "op-ext-lifetable": {"cartesian", "single-partition window"},
     # rides op-ext-text-classify's sanctioned shapes + |classes|²
     # confusion-matrix broadcast onto the 5-row class frame
     "op-ext-confusion": {"cartesian", "single-partition window"},
-    # global rank window over the customer DIM (op-ext-ntile sanction)
-    "op-ext-auc": {"single-partition window"},
-    # CDF running sums over the merged DISTINCT-VALUE frame + two 1-row
+    # distributed_ar2 residue: constant-bounded bucket-offset window
+    # + 1-row min/max and count broadcasts
+    "op-ext-auc": {"cartesian", "single-partition window"},
+    # distributed_prefix residue (both CDFs in one pass) + two 1-row
     # count broadcasts
     "op-ext-ks-test": {"cartesian", "single-partition window"},
 }
