@@ -285,17 +285,38 @@ def op_ext_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + cume_dist over account balance: both are exact
     rational functions of tie-aware ranks ((rank−1)/(n−1), #≤/n) — the
     one IEEE division lands identically in both engines. Ranked on
-    integer cents so ties group identically. A global ORDER BY window is
-    inherently single-ordering; run it on dimension-sized frames (here:
-    customers), never raw facts."""
+    integer cents so ties group identically. Computed from the
+    two-level distributed prefix sum over the distinct-cent frame
+    (an.distributed_prefix: rank = cum−ct+1, cume = cum) joined back —
+    no global ORDER BY window serializes the population through one
+    task, so the same plan survives fact-scale inputs."""
+    from data_warehousing_assignment_spark.operators import analytics as an
+
     pc = t(spark, sf_dir, "customer").select(
         "c_custkey", (dec("c_acctbal") * 100).cast("bigint").alias("c")
     )
-    w = Window.orderBy("c")
-    return pc.select(
-        "c_custkey",
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
+    g = pc.groupBy("c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct")
+    )
+    pre = an.distributed_prefix(g, "c", ["ct"]).select(
+        "c",
+        (F.col("cum_ct") - F.col("ct") + 1).alias("rnk"),
+        F.col("cum_ct").alias("cum"),
+    )
+    nrow = pc.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        pc.join(pre, "c")
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "c_custkey",
+            (
+                (F.col("rnk") - 1).cast("double")
+                / (F.col("n") - 1).cast("double")
+            ).alias("pr"),
+            (
+                F.col("cum").cast("double") / F.col("n").cast("double")
+            ).alias("cd"),
+        )
     )
 
 

@@ -81,9 +81,9 @@ ALLOWED = {
     # distributed_ntile residue: constant-bounded bucket-offset window
     # + 1-row stats/count broadcasts (the ntile itself is distributed)
     "op-ext-ntile": {"cartesian", "single-partition window"},
-    # global percent_rank/cume_dist over the customer DIM (docstring:
-    # inherently single-ordering; never run on raw facts)
-    "op-ext-percent-rank": {"single-partition window"},
+    # distributed_prefix residue: constant-bounded bucket-offset window
+    # + 1-row stats/count broadcasts (ranks themselves are distributed)
+    "op-ext-percent-rank": {"cartesian", "single-partition window"},
     # ratio-to-report: the unpartitioned window sum runs over the
     # 25-row post-aggregate nation frame, never the fact (docstring)
     "op-ext-share-of-total": {"single-partition window"},
