@@ -1347,15 +1347,24 @@ def op_ext_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_ext_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation — recency/frequency/monetary quartiles per
     customer, the standard marketing-analytics cut. Aggregates are exact
-    (days as integers, money as cents); the three ntile windows run over
-    the post-aggregate CUSTOMER frame (dimension-sized by construction —
-    same global-window sanction as op-ext-ntile; never over raw orders),
-    each with a unique (metric, custkey) total order so quartile
-    boundaries are deterministic. The global max(o_orderdate) anchor
-    joins in as a 1-row broadcast."""
+    (days as integers, money as cents); each score is an independent
+    an.distributed_ntile over a 2-column projection of the
+    post-aggregate customer frame, joined back on custkey — the three
+    stacked GLOBAL sorts the F.ntile formulation needed are gone, so
+    the plan survives a 100M-customer population. The shared base
+    aggregate is caching.pin-ned (scoped persist — the four consumers
+    would otherwise each re-derive it from the orders scan, and column
+    pruning gives each branch a DIFFERENT aggregate plan, so exchange
+    reuse cannot dedup them); the global max(o_orderdate) anchor joins
+    in as a 1-row broadcast. Each ntile order carries a unique
+    (metric, custkey) total order so quartile boundaries are
+    deterministic."""
+    from data_warehousing_assignment_spark import caching
+    from data_warehousing_assignment_spark.operators import analytics as an
+
     o = t(spark, sf_dir, "orders")
     mx = o.agg(F.max("o_orderdate").alias("maxd"))
-    base = (
+    base = caching.pin(
         o.crossJoin(F.broadcast(mx))
         .groupBy("o_custkey")
         .agg(
@@ -1366,17 +1375,33 @@ def op_ext_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_cents("o_totalprice").alias("monetary_cents"),
         )
     )
-    wr = Window.orderBy("recency_days", "o_custkey")
-    wf = Window.orderBy(F.desc("frequency"), "o_custkey")
-    wm = Window.orderBy(F.desc("monetary_cents"), "o_custkey")
-    return base.select(
+    out = base
+    for score, metric, desc in (
+        ("r_score", "recency_days", False),
+        ("f_score", "frequency", True),
+        ("m_score", "monetary_cents", True),
+    ):
+        # ntile's tiebreak column doubles as the join-back key, so each
+        # score frame is exactly (o_custkey, <score>)
+        nt = (
+            an.distributed_ntile(
+                base.select("o_custkey", metric),
+                metric,
+                "o_custkey",
+                4,
+                descending=desc,
+            )
+            .select("o_custkey", F.col("ntile").alias(score))
+        )
+        out = out.join(nt, "o_custkey")
+    return out.select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary_cents",
-        F.ntile(4).over(wr).cast("bigint").alias("r_score"),
-        F.ntile(4).over(wf).cast("bigint").alias("f_score"),
-        F.ntile(4).over(wm).cast("bigint").alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
 
 

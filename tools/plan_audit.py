@@ -92,9 +92,8 @@ ALLOWED = {
     # 1-row corpus-count broadcast for lift's N (same shape as tfidf);
     # the pair join itself is keyed on the order
     "op-ext-assoc-rules": {"cartesian"},
-    # 1-row max-date broadcast anchor + ntile quartiles over the
-    # post-aggregate CUSTOMER frame (dim-sized; same sanction as
-    # op-ext-ntile — never over raw orders)
+    # 1-row max-date broadcast anchor + distributed_ntile residue
+    # (constant-bounded bucket-offset windows, 1-row count broadcasts)
     "op-ext-rfm": {"cartesian", "single-partition window"},
     # junk-dim surrogate numbering runs on the post-distinct flag
     # combination frame (≤ product of flag cardinalities ≈ 10² rows)
