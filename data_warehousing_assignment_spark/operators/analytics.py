@@ -42,6 +42,7 @@ def distributed_prefix(
     v: str,
     cols: list[str],
     n_buckets: int = 64,
+    groups: list[str] | None = None,
 ) -> DataFrame:
     """INCLUSIVE running sums (``cum_<col>``) of each count column over
     the value order of ``v``, WITHOUT a global single-task window —
@@ -63,33 +64,47 @@ def distributed_prefix(
 
     All arithmetic is exact int64 (counts and their prefix sums); the
     only float op is the width_bucket boundary test, which affects
-    WHERE a value's prefix is assembled, never the prefix itself."""
-    stats = g.agg(F.min(v).alias("vmin"), F.max(v).alias("vmax"))
-    b = (
-        g.crossJoin(F.broadcast(stats))
-        .withColumn(
-            "bkt",
-            F.when(F.col("vmin") == F.col("vmax"), F.lit(1)).otherwise(
-                F.expr(f"width_bucket({v}, vmin, vmax, {n_buckets})")
-            ),
+    WHERE a value's prefix is assembled, never the prefix itself.
+
+    With ``groups``, every stage is additionally keyed by the group
+    columns (per-group min/max stats joined back, windows partitioned
+    by (groups, bucket), offsets per group over its ≤ n_buckets+1
+    bucket rows) — a GROUPED prefix sum whose single-task exposure is
+    bounded by the constant bucket count per group, never by group
+    size (op-ext-percentile-cont's shape)."""
+    groups = list(groups or [])
+    if groups:
+        stats = g.groupBy(*groups).agg(
+            F.min(v).alias("vmin"), F.max(v).alias("vmax")
         )
-        .drop("vmin", "vmax")
-    )
+        b = g.join(F.broadcast(stats), groups)
+    else:
+        stats = g.agg(F.min(v).alias("vmin"), F.max(v).alias("vmax"))
+        b = g.crossJoin(F.broadcast(stats))
+    b = b.withColumn(
+        "bkt",
+        F.when(F.col("vmin") == F.col("vmax"), F.lit(1)).otherwise(
+            F.expr(f"width_bucket({v}, vmin, vmax, {n_buckets})")
+        ),
+    ).drop("vmin", "vmax")
     wloc = (
-        Window.partitionBy("bkt")
+        Window.partitionBy(*groups, "bkt")
         .orderBy(v)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     loc = b
     for c in cols:
         loc = loc.withColumn(f"_cum_{c}", F.sum(c).over(wloc))
-    tot = loc.groupBy("bkt").agg(
+    tot = loc.groupBy(*groups, "bkt").agg(
         *[F.sum(c).alias(f"_tot_{c}") for c in cols]
     )
-    woff = Window.orderBy("bkt").rowsBetween(
-        Window.unboundedPreceding, -1
+    woff = (
+        Window.partitionBy(*groups)
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     off = tot.select(
+        *groups,
         "bkt",
         *[
             F.coalesce(F.sum(f"_tot_{c}").over(woff), F.lit(0)).alias(
@@ -98,7 +113,7 @@ def distributed_prefix(
             for c in cols
         ],
     )
-    out = loc.join(F.broadcast(off), "bkt")
+    out = loc.join(F.broadcast(off), groups + ["bkt"])
     for c in cols:
         out = out.withColumn(
             f"cum_{c}",

@@ -794,58 +794,54 @@ def op_ext_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     the interpolated index 0.9·(n−1) splits into integer part k₀ and
     tenths remainder, so the interpolated value ×10 is
     (10−frac)·x[k₀] + frac·x[k₀+1] — pure int64 arithmetic, engine-
-    exact, where float interpolation differs in the last ulp. Same
-    per-group-sort cost family as op-ext-median (the exactness anchor);
-    op-ext-approx-quantile is the 100 TB sketch path. The ranking
-    window orders by (cents, unique line key) so ties break
-    identically in both engines."""
+    exact, where float interpolation differs in the last ulp.
+    op-ext-approx-quantile remains the sketch path, but this exact
+    anchor is now DISTRIBUTED too: the order statistics come from the
+    grouped two-level prefix sum over the distinct (flag, cents) frame
+    (an.distributed_prefix with groups=[flag] — row index i falls in
+    the tie group where cum−ct < i ≤ cum), so no per-flag sort ever
+    serializes a flag's rows through one task. A tie group containing
+    both x[k₀] and x[k₀+1] contributes (10−f)·c + f·c = 10c, matching
+    the oracle's per-row formulation exactly."""
+    from data_warehousing_assignment_spark.operators import analytics as an
+
     li = t(spark, sf_dir, "lineitem")
     cents = F.expr(
         "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
     )
-    wflag = Window.partitionBy("flag")
-    c = li.select(
-        F.col("l_returnflag").alias("flag"),
-        cents.alias("cents"),
-        "l_orderkey",
-        "l_linenumber",
-    ).select(
-        "flag",
-        "cents",
-        F.row_number()
-        .over(
-            Window.partitionBy("flag").orderBy(
-                "cents", "l_orderkey", "l_linenumber"
-            )
-        )
-        .alias("rn"),
-        F.count(F.lit(1)).over(wflag).alias("n"),
+    d = (
+        li.select(F.col("l_returnflag").alias("flag"), cents.alias("cents"))
+        .groupBy("flag", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
     )
+    pre = an.distributed_prefix(d, "cents", ["ct"], groups=["flag"])
     k = (
-        c.select("flag", "n")
-        .distinct()
+        d.groupBy("flag")
+        .agg(F.sum("ct").cast("bigint").alias("n"))
         .select(
             "flag",
+            "n",
             F.expr("(9 * (n - 1)) div 10").alias("k0"),
             F.expr("(9 * (n - 1)) % 10").alias("frac10"),
         )
     )
+    j = pre.join(F.broadcast(k), "flag")
+    lo_hit = (F.col("cum_ct") - F.col("ct") < F.col("k0") + 1) & (
+        F.col("k0") + 1 <= F.col("cum_ct")
+    )
+    hi_hit = (
+        (F.col("frac10") > 0)
+        & (F.col("cum_ct") - F.col("ct") < F.col("k0") + 2)
+        & (F.col("k0") + 2 <= F.col("cum_ct"))
+    )
     return (
-        c.join(k, "flag")
-        .filter(
-            (F.col("rn") >= F.col("k0") + 1) & (F.col("rn") <= F.col("k0") + 2)
-        )
+        j.filter(lo_hit | hi_hit)
         .groupBy("flag", "n")
         .agg(
             F.sum(
-                F.when(
-                    F.col("rn") == F.col("k0") + 1,
-                    (10 - F.col("frac10")) * F.col("cents"),
-                )
-                .when(
-                    (F.col("rn") == F.col("k0") + 2) & (F.col("frac10") > 0),
-                    F.col("frac10") * F.col("cents"),
-                )
+                F.when(lo_hit, (10 - F.col("frac10")) * F.col("cents"))
+                .otherwise(0)
+                + F.when(hi_hit, F.col("frac10") * F.col("cents"))
                 .otherwise(0)
             )
             .cast("bigint")
