@@ -132,6 +132,7 @@ _HOLDBACK_NEW = frozenset({
     "op-ext-spearman",
     "op-ext-kruskal-wallis",
     "op-ext-winnow-neardup",
+    "op-ext-histogram-equidepth",
 })
 
 

@@ -467,6 +467,82 @@ def op_ext_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "op-ext-histogram-equidepth",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS v
+      FROM orders
+    ),
+    d AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS ct FROM base GROUP BY 1),
+    c AS (
+      SELECT v, ct,
+             CAST(SUM(ct) OVER (ORDER BY v) AS BIGINT) AS cum
+      FROM d
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+    -- a distinct value v is boundary i iff 10·cum_before < i·n ≤ 10·cum
+    hits AS (
+      SELECT CAST(unnest(range((10 * (cum - ct)) // n + 1,
+                               (10 * cum) // n + 1)) AS BIGINT)
+               AS boundary_idx,
+             v AS boundary_cents, cum AS cum_rows, n
+      FROM c, nn
+      WHERE (10 * (cum - ct)) // n + 1 <= (10 * cum) // n
+    )
+    SELECT boundary_idx, boundary_cents, cum_rows, n FROM hits
+    """,
+)
+def op_ext_histogram_equidepth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Equi-DEPTH histogram boundaries over order totals — the
+    optimizer-statistics artifact (ANALYZE TABLE's quantile sketch,
+    here exact): boundary i (1..10) is the smallest value whose
+    cumulative row count reaches i·n/10. Complements the equi-WIDTH
+    op-ext-histogram: depth boundaries adapt to skew, width bins don't.
+
+    The boundary test is row-LOCAL over the distinct-value frame: v is
+    boundary i exactly when 10·cum_before < i·n ≤ 10·cum, so each row
+    emits its crossed indices from one integer sequence (no rank join,
+    no top-k) — and the cumulative counts come from the two-level
+    distributed prefix sum (an.distributed_prefix), so nothing
+    serializes through a single task however continuous the value
+    domain. All arithmetic exact int64; boundary 10 is the max value
+    by construction."""
+    base = t(spark, sf_dir, "orders").select(
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("v")
+    )
+    d = base.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct")
+    )
+    pre = an.distributed_prefix(d, "v", ["ct"])
+    nn = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    c = pre.crossJoin(F.broadcast(nn)).select(
+        "v", "ct", F.col("cum_ct").alias("cum"), "n"
+    )
+    lo = F.expr("(10 * (cum - ct)) div n + 1")
+    hi = F.expr("(10 * cum) div n")
+    return (
+        c.where(lo <= hi)
+        .select(
+            F.explode(F.sequence(lo, hi)).alias("boundary_idx"),
+            F.col("v").alias("boundary_cents"),
+            F.col("cum").alias("cum_rows"),
+            "n",
+        )
+        .select(
+            F.col("boundary_idx").cast("bigint").alias("boundary_idx"),
+            "boundary_cents",
+            "cum_rows",
+            "n",
+        )
+    )
+
+
+@query(
     "op-ext-winsorize",
     oracle=f"""
     WITH pc AS (SELECT l_returnflag, {_CENTS} AS c, l_extendedprice

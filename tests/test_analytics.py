@@ -334,3 +334,28 @@ def test_distributed_ntile_matches_spark_ntile_exactly(spark):
             ).collect()
         }
         assert got == expect, (n, k, desc)
+
+
+def test_equidepth_boundaries_match_sorted_replay(spark):
+    from data_warehousing_assignment_spark.registry import all_queries
+    from tests.conftest import SF_SMALL
+
+    rows = {
+        r.boundary_idx: r
+        for r in all_queries()["op-ext-histogram-equidepth"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    vs = sorted(round(float(o.o_totalprice) * 100) for o in orders)
+    n = len(vs)
+    assert set(rows) == set(range(1, 11))
+    for i in range(1, 11):
+        # smallest value whose cumulative count reaches i*n/10:
+        # index ceil(i*n/10) in 1-based sorted order
+        target = -(-i * n // 10)
+        assert rows[i].boundary_cents == vs[target - 1], i
+        assert rows[i].n == n
+    assert rows[10].boundary_cents == vs[-1]  # top boundary is the max
+    bounds = [rows[i].boundary_cents for i in range(1, 11)]
+    assert bounds == sorted(bounds)  # non-decreasing

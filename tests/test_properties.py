@@ -443,3 +443,62 @@ def test_cusum_prefix_min_identity(spark, xs):
     for r, x in zip(out, xs):
         s = max(0, s + x)
         assert r["cusum"] == s
+
+
+# ---------------------------------------------------- distributed prefix
+
+prefix_values = st.lists(
+    st.tuples(
+        st.integers(min_value=-(10**9), max_value=10**9),  # value
+        st.integers(min_value=1, max_value=50),            # count
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@SPARK_SETTINGS
+@given(prefix_values, st.integers(min_value=1, max_value=7))
+def test_distributed_prefix_matches_sorted_replay(spark, pts, n_buckets):
+    """For ANY distinct-value frame and ANY bucket count the two-level
+    prefix sum must equal the literal sorted running sum — bucket
+    boundaries (the only float step) may move rows between levels but
+    never change the prefix."""
+    from data_warehousing_assignment_spark.operators.analytics import (
+        distributed_prefix,
+    )
+
+    df = spark.createDataFrame(pts, "v long, ct long")
+    got = {
+        r.v: r.cum_ct
+        for r in distributed_prefix(df, "v", ["ct"], n_buckets).collect()
+    }
+    run = 0
+    for v, ct in sorted(pts):
+        run += ct
+        assert got[v] == run, (v, n_buckets)
+
+
+@SPARK_SETTINGS
+@given(prefix_values, st.integers(min_value=2, max_value=3))
+def test_distributed_prefix_grouped_matches_per_group_replay(
+    spark, pts, n_groups
+):
+    from data_warehousing_assignment_spark.operators.analytics import (
+        distributed_prefix,
+    )
+
+    rows = [(v % n_groups, v, ct) for v, ct in pts]
+    df = spark.createDataFrame(rows, "g long, v long, ct long")
+    got = {
+        (r.g, r.v): r.cum_ct
+        for r in distributed_prefix(
+            df, "v", ["ct"], n_buckets=3, groups=["g"]
+        ).collect()
+    }
+    for g in set(r[0] for r in rows):
+        run = 0
+        for gg, v, ct in sorted(r for r in rows if r[0] == g):
+            run += ct
+            assert got[(g, v)] == run, (g, v)
