@@ -133,6 +133,7 @@ _HOLDBACK_NEW = frozenset({
     "op-ext-kruskal-wallis",
     "op-ext-winnow-neardup",
     "op-ext-histogram-equidepth",
+    "op-ext-spatial-nn",
 })
 
 

@@ -2318,6 +2318,138 @@ def op_ext_hilbert_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# grid-bucketed spatial nearest-neighbor join
+# --------------------------------------------------------------------------
+
+#: 20-bit integer coordinate space; cells of 2^16 → a 16×16 grid.
+_GEO_BITS_HEX = 5          # 5 hex nibbles = 20 bits
+_GEO_CELL = 1 << 16
+
+
+def _coord_spark(salt: str, key: str) -> str:
+    return (
+        f"CAST(conv(substring(md5('{salt}:' || CAST({key} AS STRING)),"
+        f" 1, {_GEO_BITS_HEX}), 16, 10) AS BIGINT)"
+    )
+
+
+def _coord_sql(salt: str, key: str) -> str:
+    h = f"md5('{salt}:' || CAST({key} AS VARCHAR))"
+    nib = "(strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
+    terms = " + ".join(
+        nib.format(h=h, i=i + 1) + f" * {16 ** (_GEO_BITS_HEX - 1 - i)}"
+        for i in range(_GEO_BITS_HEX)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+@query(
+    "op-ext-spatial-nn",
+    oracle=f"""
+    WITH cust AS (
+      SELECT c_custkey,
+             {_coord_sql('gx', 'c_custkey')} AS xc,
+             {_coord_sql('gy', 'c_custkey')} AS yc
+      FROM customer
+    ),
+    supp AS (
+      SELECT s_suppkey,
+             {_coord_sql('gx', 's_suppkey')} AS xs,
+             {_coord_sql('gy', 's_suppkey')} AS ys
+      FROM supplier
+    ),
+    probes AS (
+      SELECT c.c_custkey, c.xc, c.yc,
+             (c.xc // {_GEO_CELL}) + dxy.dx AS pcx,
+             (c.yc // {_GEO_CELL}) + dxy.dy AS pcy
+      FROM cust c, (SELECT dx, dy
+                    FROM range(-1, 2) t1(dx), range(-1, 2) t2(dy)) dxy
+    ),
+    cand AS (
+      SELECT p.c_custkey,
+             s.s_suppkey,
+             (p.xc - s.xs) * (p.xc - s.xs)
+               + (p.yc - s.ys) * (p.yc - s.ys) AS dist2
+      FROM probes p
+      JOIN supp s ON p.pcx = (s.xs // {_GEO_CELL})
+                 AND p.pcy = (s.ys // {_GEO_CELL})
+    ),
+    ranked AS (
+      SELECT c_custkey, s_suppkey, dist2,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY dist2, s_suppkey) AS rn
+      FROM cand
+    )
+    SELECT c_custkey, s_suppkey AS nn_suppkey, CAST(dist2 AS BIGINT)
+             AS dist2
+    FROM ranked WHERE rn = 1
+    """,
+)
+def op_ext_spatial_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial nearest-neighbor join — the scale shape
+    every geo engine uses (geohash/S2 cell bucketing): each customer
+    probes its 3×3 cell neighborhood and takes the closest supplier by
+    exact integer distance² (planar; sin/cos-based haversine is NOT
+    bit-guaranteed cross-engine, squared integer deltas are). The
+    contract is bounded-radius NN — the standard grid-join guarantee:
+    the true nearest neighbor is found whenever it lies within one
+    cell width; customers with an empty neighborhood drop out.
+
+    Coordinates are md5-derived 20-bit integers (same
+    content-addressed-literal trick as the LSH hyperplanes — the
+    testdata ships no geo columns, and deriving them from keys keeps
+    the operator deterministic and the oracle exact). Candidate cost
+    is 9·(suppliers per cell) per customer — Σ cell² like every
+    banded join, never |cust|×|supp|; the final pick is a
+    customer-partitioned top-1 (WindowGroupLimit), no global window.
+    Tie-break (dist2, suppkey) keeps the pick total-ordered."""
+    cust = t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        f"{_coord_spark('gx', 'c_custkey')} AS xc",
+        f"{_coord_spark('gy', 'c_custkey')} AS yc",
+    )
+    supp = t(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey",
+        f"{_coord_spark('gx', 's_suppkey')} AS xs",
+        f"{_coord_spark('gy', 's_suppkey')} AS ys",
+    ).selectExpr(
+        "s_suppkey", "xs", "ys",
+        f"xs div {_GEO_CELL} AS scx",
+        f"ys div {_GEO_CELL} AS scy",
+    )
+    offsets = spark.range(9).selectExpr(
+        "CAST(id div 3 AS BIGINT) - 1 AS dx",
+        "CAST(id % 3 AS BIGINT) - 1 AS dy",
+    )
+    probes = cust.crossJoin(F.broadcast(offsets)).selectExpr(
+        "c_custkey", "xc", "yc",
+        f"xc div {_GEO_CELL} + dx AS pcx",
+        f"yc div {_GEO_CELL} + dy AS pcy",
+    )
+    cand = probes.join(
+        supp,
+        (F.col("pcx") == F.col("scx")) & (F.col("pcy") == F.col("scy")),
+    ).select(
+        "c_custkey",
+        "s_suppkey",
+        (
+            (F.col("xc") - F.col("xs")) * (F.col("xc") - F.col("xs"))
+            + (F.col("yc") - F.col("ys")) * (F.col("yc") - F.col("ys"))
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("dist2", "s_suppkey")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            F.col("s_suppkey").alias("nn_suppkey"),
+            F.col("dist2").cast("bigint").alias("dist2"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # out-of-orderness / late-arrival audit (watermark calibration)
 # --------------------------------------------------------------------------
 

@@ -1009,3 +1009,54 @@ def test_ivm_join_retraction_algebra(spark):
         .filter(F.col("n") > 0)
     )
     assert net.count() == 0
+
+
+def test_spatial_nn_matches_bruteforce_within_neighborhood(spark):
+    """Replay the bounded-radius contract in Python: for every matched
+    customer the reported supplier is the (dist2, suppkey)-min among
+    suppliers in the 3x3 cell neighborhood; unmatched customers truly
+    have an empty neighborhood."""
+    import hashlib
+
+    from data_warehousing_assignment_spark import registry_advanced as ra
+
+    out = {
+        r.c_custkey: (r.nn_suppkey, r.dist2)
+        for r in _q("op-ext-spatial-nn")(spark, SF).collect()
+    }
+
+    def coord(salt, key):
+        h = hashlib.md5(f"{salt}:{key}".encode()).hexdigest()
+        return int(h[: ra._GEO_BITS_HEX], 16)
+
+    cust = [
+        r.c_custkey
+        for r in spark.read.parquet(f"{SF}/customer.parquet").collect()
+    ]
+    supp = [
+        r.s_suppkey
+        for r in spark.read.parquet(f"{SF}/supplier.parquet").collect()
+    ]
+    cells = {}
+    for s in supp:
+        xs, ys = coord("gx", s), coord("gy", s)
+        cells.setdefault(
+            (xs // ra._GEO_CELL, ys // ra._GEO_CELL), []
+        ).append((s, xs, ys))
+    n_matched = 0
+    for c in cust:
+        xc, yc = coord("gx", c), coord("gy", c)
+        cx, cy = xc // ra._GEO_CELL, yc // ra._GEO_CELL
+        best = None
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for s, xs, ys in cells.get((cx + dx, cy + dy), []):
+                    d2 = (xc - xs) ** 2 + (yc - ys) ** 2
+                    if best is None or (d2, s) < best:
+                        best = (d2, s)
+        if best is None:
+            assert c not in out, c
+        else:
+            n_matched += 1
+            assert out[c] == (best[1], best[0]), c
+    assert n_matched == len(out) > 0
