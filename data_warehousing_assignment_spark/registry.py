@@ -134,6 +134,8 @@ _HOLDBACK_NEW = frozenset({
     "op-ext-winnow-neardup",
     "op-ext-histogram-equidepth",
     "op-ext-spatial-nn",
+    "op-ext-spatial-range",
+    "op-ext-wilcoxon-signed-rank",
 })
 
 

@@ -2449,6 +2449,95 @@ def op_ext_spatial_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Range-join radius: half a cell, so every in-range partner is in the
+#: 3×3 neighborhood — the probe is COMPLETE and the join exact.
+_GEO_R = _GEO_CELL // 2
+
+
+@query(
+    "op-ext-spatial-range",
+    oracle=f"""
+    WITH cust AS (
+      SELECT c_custkey,
+             {_coord_sql('gx', 'c_custkey')} AS xc,
+             {_coord_sql('gy', 'c_custkey')} AS yc
+      FROM customer
+    ),
+    supp AS (
+      SELECT s_suppkey,
+             {_coord_sql('gx', 's_suppkey')} AS xs,
+             {_coord_sql('gy', 's_suppkey')} AS ys
+      FROM supplier
+    ),
+    probes AS (
+      SELECT c.c_custkey, c.xc, c.yc,
+             (c.xc // {_GEO_CELL}) + dxy.dx AS pcx,
+             (c.yc // {_GEO_CELL}) + dxy.dy AS pcy
+      FROM cust c, (SELECT dx, dy
+                    FROM range(-1, 2) t1(dx), range(-1, 2) t2(dy)) dxy
+    )
+    SELECT p.c_custkey, s.s_suppkey,
+           CAST((p.xc - s.xs) * (p.xc - s.xs)
+                + (p.yc - s.ys) * (p.yc - s.ys) AS BIGINT) AS dist2
+    FROM probes p
+    JOIN supp s ON p.pcx = (s.xs // {_GEO_CELL})
+               AND p.pcy = (s.ys // {_GEO_CELL})
+    WHERE (p.xc - s.xs) * (p.xc - s.xs)
+          + (p.yc - s.ys) * (p.yc - s.ys) <= {_GEO_R * _GEO_R}
+    """,
+)
+def op_ext_spatial_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT spatial range join (all customer-supplier pairs within
+    radius R) — unlike the bounded-radius NN (op-ext-spatial-nn), this
+    contract is complete: R is half a cell width, so every partner
+    within R is guaranteed inside the 3×3 probed neighborhood (the
+    standard grid-join radius≤cell proof). Same md5-derived integer
+    coordinates and exact distance² filter; candidate cost stays
+    9·(suppliers per cell) per customer; each (c, s) pair appears at
+    most once because a supplier lives in exactly one cell. Output is
+    the pair list with its exact integer distance² — the shape a
+    delivery-assignment or geo-dedup pipeline consumes."""
+    cust = t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        f"{_coord_spark('gx', 'c_custkey')} AS xc",
+        f"{_coord_spark('gy', 'c_custkey')} AS yc",
+    )
+    supp = t(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey",
+        f"{_coord_spark('gx', 's_suppkey')} AS xs",
+        f"{_coord_spark('gy', 's_suppkey')} AS ys",
+    ).selectExpr(
+        "s_suppkey", "xs", "ys",
+        f"xs div {_GEO_CELL} AS scx",
+        f"ys div {_GEO_CELL} AS scy",
+    )
+    offsets = spark.range(9).selectExpr(
+        "CAST(id div 3 AS BIGINT) - 1 AS dx",
+        "CAST(id % 3 AS BIGINT) - 1 AS dy",
+    )
+    probes = cust.crossJoin(F.broadcast(offsets)).selectExpr(
+        "c_custkey", "xc", "yc",
+        f"xc div {_GEO_CELL} + dx AS pcx",
+        f"yc div {_GEO_CELL} + dy AS pcy",
+    )
+    d2 = (F.col("xc") - F.col("xs")) * (F.col("xc") - F.col("xs")) + (
+        F.col("yc") - F.col("ys")
+    ) * (F.col("yc") - F.col("ys"))
+    return (
+        probes.join(
+            supp,
+            (F.col("pcx") == F.col("scx"))
+            & (F.col("pcy") == F.col("scy")),
+        )
+        .where(d2 <= _GEO_R * _GEO_R)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            d2.cast("bigint").alias("dist2"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # out-of-orderness / late-arrival audit (watermark calibration)
 # --------------------------------------------------------------------------

@@ -1692,3 +1692,125 @@ def op_ext_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_KW_H} AS h_stat",
         f"{_KW_H} / {_KW_C} AS h_tie_corrected",
     )
+
+
+#: Wilcoxon signed-rank z over exact int64 doubled rank sums
+#: (w2_pos = 2·W⁺): z = (4W⁺ − n(n+1)) / (4σ) with the tie-corrected
+#: 16σ² = (2n(n+1)(2n+1) − tie3)/3 folded into one shared expression.
+#: The variance product runs in DOUBLE (exact int casts, fixed order —
+#: 2n(n+1)(2n+1) would overflow int64 past n ≈ 1.3e6).
+_WSR_Z = (
+    "(CAST(2 * w2_pos - n * (n + 1) AS DOUBLE)"
+    " / sqrt((CAST(2 AS DOUBLE) * CAST(n AS DOUBLE)"
+    " * CAST(n + 1 AS DOUBLE) * CAST(2 * n + 1 AS DOUBLE)"
+    " - CAST(tie3 AS DOUBLE)) / CAST(3 AS DOUBLE)))"
+)
+
+
+@query(
+    "op-ext-wilcoxon-signed-rank",
+    oracle=f"""
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 1995
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  ELSE 0 END) AS BIGINT) AS c95,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  ELSE 0 END) AS BIGINT) AS c96,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 1995
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n95,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n96
+      FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+      GROUP BY 1
+    ),
+    d AS (
+      SELECT c96 - c95 AS diff FROM per
+      WHERE n95 > 0 AND n96 > 0 AND c96 <> c95
+    ),
+    g AS (
+      SELECT abs(diff) AS ad, CAST(COUNT(*) AS BIGINT) AS ct,
+             CAST(SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cp
+      FROM d GROUP BY 1
+    ),
+    r AS (
+      SELECT ct, cp,
+             CAST(2 * COALESCE(SUM(ct) OVER (ORDER BY ad
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + ct + 1 AS BIGINT) AS ar2
+      FROM g
+    ),
+    agg AS (
+      SELECT CAST(SUM(ct) AS BIGINT) AS n,
+             CAST(SUM(cp) AS BIGINT) AS n_pos,
+             CAST(SUM(cp * ar2) AS BIGINT) AS w2_pos,
+             CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS tie3
+      FROM r
+    )
+    SELECT n AS n_pairs, n_pos, w2_pos, tie3, {_WSR_Z} AS z_score
+    FROM agg
+    """,
+)
+def op_ext_wilcoxon_signed_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wilcoxon signed-rank test — the PAIRED complement to
+    op-ext-mannwhitney (unpaired) and op-ext-kruskal-wallis (k-group):
+    did per-customer order revenue shift between 1995 and 1996 for
+    customers active in both years? Zero differences drop (standard
+    practice); |diff| ranks come out as exact doubled average ranks
+    via the distributed prefix sum (an.distributed_ar2 — cent-valued
+    differences are near-continuous, so |distinct| ≈ |pairs| and a
+    global window would serialize), and W⁺ rides the rank-sum
+    identity as the exact integer 2·W⁺ = Σ over positive diffs of ar2. The
+    tie-corrected normal z is ONE shared IEEE expression (_WSR_Z)
+    over four exact int64s — the variance product is computed in
+    DOUBLE in a fixed order (it would pass int64 past n ≈ 1.3e6) so
+    it is still bit-identical cross-engine."""
+    o = t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    )
+    cents = F.expr(
+        "CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+    )
+    y = F.year("o_orderdate")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.when(y == 1995, cents).otherwise(0))
+        .cast("bigint")
+        .alias("c95"),
+        F.sum(F.when(y == 1996, cents).otherwise(0))
+        .cast("bigint")
+        .alias("c96"),
+        F.sum(F.when(y == 1995, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n95"),
+        F.sum(F.when(y == 1996, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n96"),
+    )
+    d = per.filter(
+        (F.col("n95") > 0)
+        & (F.col("n96") > 0)
+        & (F.col("c96") != F.col("c95"))
+    ).select((F.col("c96") - F.col("c95")).alias("diff"))
+    g = d.groupBy(F.abs("diff").alias("ad")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct"),
+        F.sum(F.when(F.col("diff") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cp"),
+    )
+    r = an.distributed_ar2(g, v="ad").select("ct", "cp", "ar2")
+    agg = r.agg(
+        F.sum("ct").cast("bigint").alias("n"),
+        F.sum("cp").cast("bigint").alias("n_pos"),
+        F.sum(F.col("cp") * F.col("ar2")).cast("bigint").alias("w2_pos"),
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct"))
+        .cast("bigint")
+        .alias("tie3"),
+    )
+    return agg.selectExpr(
+        "n AS n_pairs", "n_pos", "w2_pos", "tie3",
+        f"{_WSR_Z} AS z_score",
+    )

@@ -1060,3 +1060,44 @@ def test_spatial_nn_matches_bruteforce_within_neighborhood(spark):
             n_matched += 1
             assert out[c] == (best[1], best[0]), c
     assert n_matched == len(out) > 0
+
+
+def test_spatial_range_join_is_complete_and_exact(spark):
+    """Brute-force replay: the grid join must return EXACTLY the pairs
+    with dist² ≤ R² — completeness follows from R ≤ cell width (every
+    in-range partner sits in the 3×3 neighborhood)."""
+    import hashlib
+
+    from data_warehousing_assignment_spark import registry_advanced as ra
+
+    got = {
+        (r.c_custkey, r.s_suppkey): r.dist2
+        for r in _q("op-ext-spatial-range")(spark, SF).collect()
+    }
+
+    def coord(salt, key):
+        h = hashlib.md5(f"{salt}:{key}".encode()).hexdigest()
+        return int(h[: ra._GEO_BITS_HEX], 16)
+
+    cust = [
+        r.c_custkey
+        for r in spark.read.parquet(f"{SF}/customer.parquet").collect()
+    ]
+    supp = [
+        (s, coord("gx", s), coord("gy", s))
+        for s in (
+            r.s_suppkey
+            for r in spark.read.parquet(
+                f"{SF}/supplier.parquet"
+            ).collect()
+        )
+    ]
+    expect = {}
+    r2 = ra._GEO_R * ra._GEO_R
+    for c in cust:
+        xc, yc = coord("gx", c), coord("gy", c)
+        for s, xs, ys in supp:
+            d2 = (xc - xs) ** 2 + (yc - ys) ** 2
+            if d2 <= r2:
+                expect[(c, s)] = d2
+    assert got == expect and expect

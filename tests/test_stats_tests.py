@@ -268,3 +268,46 @@ def test_ks_test_matches_cdf_replay(spark):
     )
     assert (row.n_1995, row.n_1996) == (len(a), len(b))
     assert row.ks_d_ppm == d
+
+
+def test_wilcoxon_signed_rank_matches_rank_replay(spark):
+    """Replay W+ and the tie-corrected z with literal average ranks
+    over |diff| (scipy-free)."""
+    [row] = _run(spark, "op-ext-wilcoxon-signed-rank")
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    per = {}
+    for o in orders:
+        yr = o.o_orderdate.year
+        if yr in (1995, 1996):
+            c = per.setdefault(o.o_custkey, [0, 0, 0, 0])
+            cents = round(float(o.o_totalprice) * 100)
+            if yr == 1995:
+                c[0] += cents; c[2] += 1
+            else:
+                c[1] += cents; c[3] += 1
+    diffs = [
+        c96 - c95
+        for c95, c96, n95, n96 in per.values()
+        if n95 > 0 and n96 > 0 and c95 != c96
+    ]
+    srt = sorted(abs(d) for d in diffs)
+    n = len(diffs)
+    ranks = {}
+    tie3 = 0
+    i = 0
+    while i < n:
+        j = i
+        while j < n and srt[j] == srt[i]:
+            j += 1
+        t_size = j - i
+        tie3 += t_size**3 - t_size
+        ranks[srt[i]] = (i + 1 + j) / 2.0
+        i = j
+    w_pos = sum(ranks[abs(d)] for d in diffs if d > 0)
+    assert row.n_pairs == n
+    assert row.n_pos == sum(1 for d in diffs if d > 0)
+    assert row.w2_pos == round(2 * w_pos)
+    assert row.tie3 == tie3
+    sigma = math.sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - tie3 / 48.0)
+    z_ref = (w_pos - n * (n + 1) / 4.0) / sigma
+    assert math.isclose(row.z_score, z_ref, rel_tol=1e-9)
