@@ -136,6 +136,8 @@ _HOLDBACK_NEW = frozenset({
     "op-ext-spatial-nn",
     "op-ext-spatial-range",
     "op-ext-wilcoxon-signed-rank",
+    "op-ext-mcnemar",
+    "op-ext-friedman",
 })
 
 

@@ -1814,3 +1814,254 @@ def op_ext_wilcoxon_signed_rank(
         "n AS n_pairs", "n_pos", "w2_pos", "tie3",
         f"{_WSR_Z} AS z_score",
     )
+
+
+@query(
+    "op-ext-mcnemar",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END)
+               AS a95,
+             MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END)
+               AS a96
+      FROM orders GROUP BY 1
+    ),
+    cust AS (
+      SELECT c.c_custkey,
+             COALESCE(p.a95, 0) AS a95, COALESCE(p.a96, 0) AS a96
+      FROM customer c LEFT JOIN per p ON c.c_custkey = p.o_custkey
+    ),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN a95 = 0 AND a96 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n00,
+        CAST(SUM(CASE WHEN a95 = 0 AND a96 = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n01,
+        CAST(SUM(CASE WHEN a95 = 1 AND a96 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n10,
+        CAST(SUM(CASE WHEN a95 = 1 AND a96 = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n11
+      FROM cust
+    )
+    SELECT n00, n01, n10, n11,
+           CASE WHEN n01 + n10 = 0 THEN NULL
+                ELSE CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1)
+                          AS DOUBLE) / CAST(n01 + n10 AS DOUBLE) END
+             AS chi2_cc
+    FROM agg
+    """,
+)
+def op_ext_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on paired binary outcomes — did the set of
+    ACTIVE customers change between 1995 and 1996? The 2×2 concordance
+    table over the full customer dim (activity flags via one
+    map-side-combined MAX aggregate + a broadcast-friendly left join)
+    and the continuity-corrected statistic (|b−c|−1)²/(b+c) as ONE
+    IEEE division over exact int64 cells — the discordant-pair test a
+    churn pipeline runs. Degenerate no-discordance case yields NULL,
+    not 0/0. Completes the paired-binary corner of the test family
+    (welch/mannwhitney: unpaired continuous; wilcoxon: paired
+    continuous; chisq: unpaired categorical)."""
+    per = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.when(F.year("o_orderdate") == 1995, 1).otherwise(0)
+            ).alias("a95"),
+            F.max(
+                F.when(F.year("o_orderdate") == 1996, 1).otherwise(0)
+            ).alias("a96"),
+        )
+    )
+    cust = (
+        t(spark, sf_dir, "customer")
+        .join(per, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            F.coalesce("a95", F.lit(0)).alias("a95"),
+            F.coalesce("a96", F.lit(0)).alias("a96"),
+        )
+    )
+    agg = cust.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("a95") == i) & (F.col("a96") == j), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"n{i}{j}")
+            for i in (0, 1)
+            for j in (0, 1)
+        ]
+    )
+    return agg.selectExpr(
+        "n00", "n01", "n10", "n11",
+        "CASE WHEN n01 + n10 = 0 THEN NULL"
+        " ELSE CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1)"
+        " AS DOUBLE) / CAST(n01 + n10 AS DOUBLE) END AS chi2_cc",
+    )
+
+
+#: Friedman χ² for k=3 over doubled within-block rank sums:
+#: χ² = ΣR2_j²/(4n) − 12n; tie correction C = 1 − tie3/(24n).
+_FRIED = (
+    "((CAST(r2_95 AS DOUBLE) * CAST(r2_95 AS DOUBLE)"
+    " + CAST(r2_96 AS DOUBLE) * CAST(r2_96 AS DOUBLE)"
+    " + CAST(r2_97 AS DOUBLE) * CAST(r2_97 AS DOUBLE))"
+    " / (CAST(4 AS DOUBLE) * CAST(n AS DOUBLE))"
+    " - CAST(12 AS DOUBLE) * CAST(n AS DOUBLE))"
+)
+_FRIED_C = (
+    "(CAST(1 AS DOUBLE) - CAST(tie3 AS DOUBLE)"
+    " / (CAST(24 AS DOUBLE) * CAST(n AS DOUBLE)))"
+)
+
+
+@query(
+    "op-ext-friedman",
+    oracle=f"""
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 1995
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  ELSE 0 END) AS BIGINT) AS c95,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  ELSE 0 END) AS BIGINT) AS c96,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 1997
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  ELSE 0 END) AS BIGINT) AS c97,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 1995
+                  THEN 1 ELSE 0 END) AS BIGINT) AS k95,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+                  THEN 1 ELSE 0 END) AS BIGINT) AS k96,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 1997
+                  THEN 1 ELSE 0 END) AS BIGINT) AS k97
+      FROM orders WHERE year(o_orderdate) IN (1995, 1996, 1997)
+      GROUP BY 1
+    ),
+    blocks AS (
+      SELECT o_custkey, c95, c96, c97 FROM per
+      WHERE k95 > 0 AND k96 > 0 AND k97 > 0
+    ),
+    melt AS (
+      SELECT o_custkey, 1995 AS yr, c95 AS v FROM blocks
+      UNION ALL
+      SELECT o_custkey, 1996, c96 FROM blocks
+      UNION ALL
+      SELECT o_custkey, 1997, c97 FROM blocks
+    ),
+    rk AS (
+      SELECT o_custkey, yr,
+             CAST(2 * rank() OVER (PARTITION BY o_custkey ORDER BY v)
+                  + COUNT(*) OVER (PARTITION BY o_custkey, v) - 1
+                  AS BIGINT) AS ar2
+      FROM melt
+    ),
+    ties AS (
+      SELECT CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS tie3
+      FROM (SELECT COUNT(*) AS ct FROM melt GROUP BY o_custkey, v)
+    ),
+    agg AS (
+      SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN yr = 1995 THEN ar2 ELSE 0 END)
+                  AS BIGINT) AS r2_95,
+             CAST(SUM(CASE WHEN yr = 1996 THEN ar2 ELSE 0 END)
+                  AS BIGINT) AS r2_96,
+             CAST(SUM(CASE WHEN yr = 1997 THEN ar2 ELSE 0 END)
+                  AS BIGINT) AS r2_97
+      FROM rk
+    )
+    SELECT n, r2_95, r2_96, r2_97, tie3,
+           {_FRIED} AS chi2,
+           CASE WHEN tie3 = 24 * n THEN NULL
+                ELSE {_FRIED} / {_FRIED_C} END AS chi2_tied
+    FROM agg, ties
+    """,
+)
+def op_ext_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test — the k-group PAIRED rank test (blocks =
+    customers active in all of 1995/1996/1997, treatments = the three
+    years, response = annual revenue in exact cents): did revenue
+    ranks shift across years within customers? Within-block doubled
+    average ranks come from two block-partitioned windows
+    (2·rank + tie_count − 1 ≡ min+max rank — partitions are k=3 rows,
+    never data-scaled), the three rank sums fold in fixed order, and
+    χ² = ΣR2_j²/(4n) − 12n with the tie correction 1 − tie3/(24n) is
+    ONE shared IEEE expression over exact int64s (products in DOUBLE —
+    R2² passes int64 near n ≈ 5e8). The all-tied degenerate block set
+    (C = 0) yields NULL rather than 0/0. Rounds out the family:
+    kruskal-wallis is its unpaired sibling, wilcoxon its k=2 case."""
+    o = t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996, 1997)
+    )
+    cents = F.expr("CAST(o_totalprice AS DECIMAL(18,2)) * 100")
+    y = F.year("o_orderdate")
+    per = o.groupBy("o_custkey").agg(
+        *[
+            F.sum(F.when(y == yr, cents).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{yr % 100}")
+            for yr in (1995, 1996, 1997)
+        ],
+        *[
+            F.sum(F.when(y == yr, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"k{yr % 100}")
+            for yr in (1995, 1996, 1997)
+        ],
+    )
+    blocks = per.filter(
+        (F.col("k95") > 0) & (F.col("k96") > 0) & (F.col("k97") > 0)
+    )
+    melt = blocks.select(
+        "o_custkey",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(yr).alias("yr"),
+                        F.col(f"c{yr % 100}").alias("v"),
+                    )
+                    for yr in (1995, 1996, 1997)
+                ]
+            )
+        ).alias("t"),
+    ).select("o_custkey", "t.yr", "t.v")
+    wr = Window.partitionBy("o_custkey").orderBy("v")
+    we = Window.partitionBy("o_custkey", "v")
+    rk = melt.select(
+        "o_custkey",
+        "yr",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(we) - 1)
+        .cast("bigint")
+        .alias("ar2"),
+    )
+    ties = (
+        melt.groupBy("o_custkey", "v")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .agg(
+            F.sum(
+                F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct")
+            )
+            .cast("bigint")
+            .alias("tie3")
+        )
+    )
+    agg = rk.agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n"),
+        *[
+            F.sum(F.when(F.col("yr") == yr, F.col("ar2")).otherwise(0))
+            .cast("bigint")
+            .alias(f"r2_{yr % 100}")
+            for yr in (1995, 1996, 1997)
+        ],
+    )
+    return agg.crossJoin(F.broadcast(ties)).selectExpr(
+        "n", "r2_95", "r2_96", "r2_97", "tie3",
+        f"{_FRIED} AS chi2",
+        f"CASE WHEN tie3 = 24 * n THEN NULL"
+        f" ELSE {_FRIED} / {_FRIED_C} END AS chi2_tied",
+    )

@@ -311,3 +311,67 @@ def test_wilcoxon_signed_rank_matches_rank_replay(spark):
     sigma = math.sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - tie3 / 48.0)
     z_ref = (w_pos - n * (n + 1) / 4.0) / sigma
     assert math.isclose(row.z_score, z_ref, rel_tol=1e-9)
+
+
+def test_mcnemar_matches_table_replay(spark):
+    [row] = _run(spark, "op-ext-mcnemar")
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet").collect()
+    act95 = {o.o_custkey for o in orders if o.o_orderdate.year == 1995}
+    act96 = {o.o_custkey for o in orders if o.o_orderdate.year == 1996}
+    table = {(0, 0): 0, (0, 1): 0, (1, 0): 0, (1, 1): 0}
+    for c in cust:
+        table[
+            (int(c.c_custkey in act95), int(c.c_custkey in act96))
+        ] += 1
+    assert (row.n00, row.n01, row.n10, row.n11) == (
+        table[(0, 0)], table[(0, 1)], table[(1, 0)], table[(1, 1)]
+    )
+    b, c_ = table[(1, 0)], table[(0, 1)]
+    assert math.isclose(
+        row.chi2_cc, (abs(b - c_) - 1) ** 2 / (b + c_), rel_tol=1e-12
+    )
+
+
+def test_friedman_matches_rank_replay(spark):
+    [row] = _run(spark, "op-ext-friedman")
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    per = {}
+    for o in orders:
+        yr = o.o_orderdate.year
+        if yr in (1995, 1996, 1997):
+            per.setdefault(o.o_custkey, {1995: 0, 1996: 0, 1997: 0})
+            per[o.o_custkey][yr] += round(float(o.o_totalprice) * 100)
+    per = {
+        c: v
+        for c, v in per.items()
+        if all(
+            any(
+                o.o_custkey == c and o.o_orderdate.year == yr
+                for o in orders
+            )
+            for yr in (1995, 1996, 1997)
+        )
+    }
+    n = len(per)
+    r2 = {1995: 0, 1996: 0, 1997: 0}
+    tie3 = 0
+    for c, v in per.items():
+        vals = sorted(v.values())
+        for yr in (1995, 1996, 1997):
+            lo = 1 + sum(1 for x in vals if x < v[yr])
+            hi = sum(1 for x in vals if x <= v[yr])
+            r2[yr] += lo + hi  # min rank + max rank = doubled avg rank
+        from collections import Counter
+
+        for t_size in Counter(vals).values():
+            tie3 += t_size**3 - t_size
+    assert row.n == n and row.tie3 == tie3
+    assert (row.r2_95, row.r2_96, row.r2_97) == (
+        r2[1995], r2[1996], r2[1997]
+    )
+    chi2 = sum(x * x for x in r2.values()) / (4.0 * n) - 12.0 * n
+    assert math.isclose(row.chi2, chi2, rel_tol=1e-9)
+    assert math.isclose(
+        row.chi2_tied, chi2 / (1 - tie3 / (24.0 * n)), rel_tol=1e-9
+    )
