@@ -138,6 +138,7 @@ _HOLDBACK_NEW = frozenset({
     "op-ext-wilcoxon-signed-rank",
     "op-ext-mcnemar",
     "op-ext-friedman",
+    "op-ext-jonckheere",
 })
 
 

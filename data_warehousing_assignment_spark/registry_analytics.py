@@ -2065,3 +2065,114 @@ def op_ext_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CASE WHEN tie3 = 24 * n THEN NULL"
         f" ELSE {_FRIED} / {_FRIED_C} END AS chi2_tied",
     )
+
+
+#: Jonckheere-Terpstra z over the exact doubled statistic j2 = 2J:
+#: z = (2·j2 − (n² − Σn_g²)) / (4·σ), tie-free σ² =
+#: [n²(2n+3) − Σ n_g²(2n_g+3)]/72 in fixed-order DOUBLE.
+_JT_NUM = "CAST(2 * j2 - (n * n - (na * na + nb * nb + nc * nc)) AS DOUBLE)"
+_JT_VAR = (
+    "((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    " * CAST(2 * n + 3 AS DOUBLE)"
+    " - CAST(na AS DOUBLE) * CAST(na AS DOUBLE)"
+    " * CAST(2 * na + 3 AS DOUBLE)"
+    " - CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)"
+    " * CAST(2 * nb + 3 AS DOUBLE)"
+    " - CAST(nc AS DOUBLE) * CAST(nc AS DOUBLE)"
+    " * CAST(2 * nc + 3 AS DOUBLE)) / CAST(72 AS DOUBLE))"
+)
+_JT_Z = f"({_JT_NUM} / (CAST(4 AS DOUBLE) * sqrt({_JT_VAR})))"
+
+
+@query(
+    "op-ext-jonckheere",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS v,
+             year(o_orderdate) AS yr
+      FROM orders WHERE year(o_orderdate) IN (1995, 1996, 1997)
+    ),
+    g AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ca,
+             CAST(SUM(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cb,
+             CAST(SUM(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cc
+      FROM s GROUP BY 1
+    ),
+    p AS (
+      SELECT ca, cb, cc,
+             CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_ca,
+             CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_cb
+      FROM g
+    ),
+    agg AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na,
+             CAST(SUM(cb) AS BIGINT) AS nb,
+             CAST(SUM(cc) AS BIGINT) AS nc,
+             CAST(SUM(cb * (2 * cum_ca - ca)
+                      + cc * (2 * cum_ca - ca)
+                      + cc * (2 * cum_cb - cb)) AS BIGINT) AS j2
+      FROM p
+    ),
+    fin AS (SELECT na, nb, nc, na + nb + nc AS n, j2 FROM agg)
+    SELECT na AS n_1995, nb AS n_1996, nc AS n_1997, j2,
+           {_JT_Z} AS z_score
+    FROM fin
+    """,
+)
+def op_ext_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere–Terpstra ordered-alternative trend test — is order
+    value stochastically INCREASING across 1995 → 1996 → 1997? (The
+    directional k-group test Kruskal-Wallis can't express: KW only
+    detects "some group differs".) J sums the Mann-Whitney U of every
+    ordered group pair; per distinct value the tie-aware doubled
+    contribution is c_later·(2·cum_earlier − c_earlier), so the whole
+    statistic is ONE aggregate over the distinct-value frame whose
+    cumulative per-group counts come from a single 3-column
+    distributed prefix pass (an.distributed_prefix — no global
+    window). j2 = 2J is exact int64; the z normalization uses the
+    standard tie-free variance (documented approximation — cent
+    values make ties negligible) in fixed-order DOUBLE, shared
+    verbatim with the oracle."""
+    o = t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996, 1997)
+    )
+    y = F.year("o_orderdate")
+    g = o.groupBy(
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("v")
+    ).agg(
+        *[
+            F.sum(F.when(y == yr, 1).otherwise(0))
+            .cast("bigint")
+            .alias(c)
+            for c, yr in (("ca", 1995), ("cb", 1996), ("cc", 1997))
+        ]
+    )
+    p = an.distributed_prefix(g, "v", ["ca", "cb"]).select(
+        "ca", "cb", "cc",
+        F.col("cum_ca").alias("cum_ca"),
+        F.col("cum_cb").alias("cum_cb"),
+    )
+    agg = p.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.sum("cc").cast("bigint").alias("nc"),
+        F.sum(
+            F.col("cb") * (2 * F.col("cum_ca") - F.col("ca"))
+            + F.col("cc") * (2 * F.col("cum_ca") - F.col("ca"))
+            + F.col("cc") * (2 * F.col("cum_cb") - F.col("cb"))
+        )
+        .cast("bigint")
+        .alias("j2"),
+    )
+    fin = agg.selectExpr("na", "nb", "nc", "na + nb + nc AS n", "j2")
+    return fin.selectExpr(
+        "na AS n_1995", "nb AS n_1996", "nc AS n_1997", "j2",
+        f"{_JT_Z} AS z_score",
+    )

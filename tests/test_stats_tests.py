@@ -375,3 +375,39 @@ def test_friedman_matches_rank_replay(spark):
     assert math.isclose(
         row.chi2_tied, chi2 / (1 - tie3 / (24.0 * n)), rel_tol=1e-9
     )
+
+
+def test_jonckheere_matches_pairwise_replay(spark):
+    """Replay 2J as the literal tie-aware pairwise count
+    (2·#(earlier < later) + #(equal)) over all ordered year pairs,
+    and the z against the textbook tie-free closed form."""
+    [row] = _run(spark, "op-ext-jonckheere")
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    by_year = {1995: [], 1996: [], 1997: []}
+    for o in orders:
+        if o.o_orderdate.year in by_year:
+            by_year[o.o_orderdate.year].append(
+                round(float(o.o_totalprice) * 100)
+            )
+    import bisect
+
+    j2 = 0
+    for yi, yj in ((1995, 1996), (1995, 1997), (1996, 1997)):
+        a = sorted(by_year[yi])
+        for x in by_year[yj]:
+            lt = bisect.bisect_left(a, x)
+            eq = bisect.bisect_right(a, x) - lt
+            j2 += 2 * lt + eq
+    ns = {yr: len(v) for yr, v in by_year.items()}
+    n = sum(ns.values())
+    assert (row.n_1995, row.n_1996, row.n_1997) == (
+        ns[1995], ns[1996], ns[1997]
+    )
+    assert row.j2 == j2
+    var = (
+        n * n * (2 * n + 3)
+        - sum(m * m * (2 * m + 3) for m in ns.values())
+    ) / 72.0
+    z_ref = (j2 / 2.0 - (n * n - sum(m * m for m in ns.values())) / 4.0
+             ) / math.sqrt(var)
+    assert math.isclose(row.z_score, z_ref, rel_tol=1e-9)
