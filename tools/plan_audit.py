@@ -131,6 +131,18 @@ ALLOWED = {
     # distributed_prefix residue (both CDFs in one pass) + two 1-row
     # count broadcasts
     "op-ext-ks-test": {"cartesian", "single-partition window"},
+    # distributed_ar2/_prefix residue (constant-bounded bucket-offset
+    # window, 1-row stats broadcasts) — same shape as mannwhitney
+    "op-ext-wilcoxon-signed-rank": {"cartesian", "single-partition window"},
+    "op-ext-jonckheere": {"cartesian", "single-partition window"},
+    "op-ext-histogram-equidepth": {"cartesian", "single-partition window"},
+    # within-block (3-row) rank windows + the 1-row tie3 broadcast;
+    # the only unpartitioned frame is the single agg row
+    "op-ext-friedman": {"cartesian", "single-partition window"},
+    # 9-row broadcast probe-offset frame crossJoined onto customers
+    # (the cell join itself is a 2-column equi join)
+    "op-ext-spatial-nn": {"cartesian"},
+    "op-ext-spatial-range": {"cartesian"},
 }
 
 
