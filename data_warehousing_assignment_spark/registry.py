@@ -139,6 +139,8 @@ _HOLDBACK_NEW = frozenset({
     "op-ext-mcnemar",
     "op-ext-friedman",
     "op-ext-jonckheere",
+    "op-ext-page-trend",
+    "op-ext-cochran-q",
 })
 
 

@@ -2176,3 +2176,208 @@ def op_ext_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
         "na AS n_1995", "nb AS n_1996", "nc AS n_1997", "j2",
         f"{_JT_Z} AS z_score",
     )
+
+
+#: Page's L for k=3 over the doubled statistic l2 = 2L:
+#: z = (l2 − 24n) / (2·√(2n)) — E[L] = 12n, Var[L] = 2n at k=3.
+_PAGE_Z = (
+    "(CAST(l2 - 24 * n AS DOUBLE)"
+    " / (CAST(2 AS DOUBLE) * sqrt(CAST(2 AS DOUBLE)"
+    " * CAST(n AS DOUBLE))))"
+)
+
+
+@query(
+    "op-ext-page-trend",
+    oracle=f"""
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 1995
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  ELSE 0 END) AS BIGINT) AS c95,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  ELSE 0 END) AS BIGINT) AS c96,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 1997
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  ELSE 0 END) AS BIGINT) AS c97,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 1995
+                  THEN 1 ELSE 0 END) AS BIGINT) AS k95,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+                  THEN 1 ELSE 0 END) AS BIGINT) AS k96,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 1997
+                  THEN 1 ELSE 0 END) AS BIGINT) AS k97
+      FROM orders WHERE year(o_orderdate) IN (1995, 1996, 1997)
+      GROUP BY 1
+    ),
+    blocks AS (
+      SELECT o_custkey, c95, c96, c97 FROM per
+      WHERE k95 > 0 AND k96 > 0 AND k97 > 0
+    ),
+    melt AS (
+      SELECT o_custkey, 1 AS j, c95 AS v FROM blocks
+      UNION ALL SELECT o_custkey, 2, c96 FROM blocks
+      UNION ALL SELECT o_custkey, 3, c97 FROM blocks
+    ),
+    rk AS (
+      SELECT o_custkey, j,
+             CAST(2 * rank() OVER (PARTITION BY o_custkey ORDER BY v)
+                  + COUNT(*) OVER (PARTITION BY o_custkey, v) - 1
+                  AS BIGINT) AS ar2
+      FROM melt
+    ),
+    agg AS (
+      SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n,
+             CAST(SUM(j * ar2) AS BIGINT) AS l2
+      FROM rk
+    )
+    SELECT n, l2, {_PAGE_Z} AS z_score FROM agg
+    """,
+)
+def op_ext_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's trend test — the PAIRED ordered-alternative sibling of
+    op-ext-jonckheere (and the directional refinement of
+    op-ext-friedman): within each customer-block, do revenue ranks
+    trend UP across 1995 → 1996 → 1997? L weights each treatment's
+    rank sum by its position (L = Σ j·R_j), carried as the exact
+    doubled integer l2 = Σ j·ar2 from the same 3-row block-partitioned
+    rank windows Friedman uses; the z normalization (E[L] = 12n,
+    Var[L] = 2n at k=3, tie-free — documented approximation, ties in
+    exact cents are negligible) is one shared IEEE expression."""
+    o = t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996, 1997)
+    )
+    cents = F.expr("CAST(o_totalprice AS DECIMAL(18,2)) * 100")
+    y = F.year("o_orderdate")
+    per = o.groupBy("o_custkey").agg(
+        *[
+            F.sum(F.when(y == yr, cents).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{yr % 100}")
+            for yr in (1995, 1996, 1997)
+        ],
+        *[
+            F.sum(F.when(y == yr, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"k{yr % 100}")
+            for yr in (1995, 1996, 1997)
+        ],
+    )
+    blocks = per.filter(
+        (F.col("k95") > 0) & (F.col("k96") > 0) & (F.col("k97") > 0)
+    )
+    melt = blocks.select(
+        "o_custkey",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.col(f"c{yr % 100}").alias("v"),
+                    )
+                    for j, yr in ((1, 1995), (2, 1996), (3, 1997))
+                ]
+            )
+        ).alias("s"),
+    ).select("o_custkey", "s.j", "s.v")
+    wr = Window.partitionBy("o_custkey").orderBy("v")
+    we = Window.partitionBy("o_custkey", "v")
+    rk = melt.select(
+        "o_custkey",
+        "j",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(we) - 1)
+        .cast("bigint")
+        .alias("ar2"),
+    )
+    agg = rk.agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n"),
+        F.sum(F.col("j") * F.col("ar2")).cast("bigint").alias("l2"),
+    )
+    return agg.selectExpr("n", "l2", f"{_PAGE_Z} AS z_score")
+
+
+@query(
+    "op-ext-cochran-q",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END)
+               AS a95,
+             MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END)
+               AS a96,
+             MAX(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END)
+               AS a97
+      FROM orders GROUP BY 1
+    ),
+    cust AS (
+      SELECT COALESCE(p.a95, 0) AS a95, COALESCE(p.a96, 0) AS a96,
+             COALESCE(p.a97, 0) AS a97
+      FROM customer c LEFT JOIN per p ON c.c_custkey = p.o_custkey
+    ),
+    agg AS (
+      SELECT CAST(SUM(a95) AS BIGINT) AS g95,
+             CAST(SUM(a96) AS BIGINT) AS g96,
+             CAST(SUM(a97) AS BIGINT) AS g97,
+             CAST(SUM(a95 + a96 + a97) AS BIGINT) AS sl,
+             CAST(SUM((a95 + a96 + a97) * (a95 + a96 + a97))
+                  AS BIGINT) AS sl2
+      FROM cust
+    )
+    SELECT g95, g96, g97, sl, sl2,
+           CASE WHEN 3 * sl - sl2 = 0 THEN NULL
+                ELSE CAST(2 * (3 * (g95 * g95 + g96 * g96 + g97 * g97)
+                               - (g95 + g96 + g97)
+                                 * (g95 + g96 + g97)) AS DOUBLE)
+                     / CAST(3 * sl - sl2 AS DOUBLE) END AS q_stat
+    FROM agg
+    """,
+)
+def op_ext_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q — the k-group PAIRED BINARY test (McNemar's k=3
+    generalization): did the customer activity RATE shift across
+    1995/1996/1997? Q = (k−1)(k·ΣG_j² − (ΣG_j)²)/(k·ΣL_i − ΣL_i²)
+    over the per-year column totals G_j and per-customer row totals
+    L_i — ONE map-side-combined aggregate produces all five exact
+    int64 sufficient statistics, and Q is one shared IEEE division
+    (all-concordant degenerate data yields NULL). Completes the test
+    matrix: every cell of paired/unpaired × binary/continuous ×
+    2/k-group × ordered now has an exact operator."""
+    per = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.year("o_orderdate") == yr, 1).otherwise(0)
+                ).alias(f"a{yr % 100}")
+                for yr in (1995, 1996, 1997)
+            ]
+        )
+    )
+    cust = (
+        t(spark, sf_dir, "customer")
+        .join(per, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            *[
+                F.coalesce(f"a{yr % 100}", F.lit(0)).alias(
+                    f"a{yr % 100}"
+                )
+                for yr in (1995, 1996, 1997)
+            ]
+        )
+    )
+    row_tot = F.col("a95") + F.col("a96") + F.col("a97")
+    agg = cust.agg(
+        F.sum("a95").cast("bigint").alias("g95"),
+        F.sum("a96").cast("bigint").alias("g96"),
+        F.sum("a97").cast("bigint").alias("g97"),
+        F.sum(row_tot).cast("bigint").alias("sl"),
+        F.sum(row_tot * row_tot).cast("bigint").alias("sl2"),
+    )
+    return agg.selectExpr(
+        "g95", "g96", "g97", "sl", "sl2",
+        "CASE WHEN 3 * sl - sl2 = 0 THEN NULL"
+        " ELSE CAST(2 * (3 * (g95 * g95 + g96 * g96 + g97 * g97)"
+        " - (g95 + g96 + g97) * (g95 + g96 + g97)) AS DOUBLE)"
+        " / CAST(3 * sl - sl2 AS DOUBLE) END AS q_stat",
+    )

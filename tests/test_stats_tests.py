@@ -411,3 +411,55 @@ def test_jonckheere_matches_pairwise_replay(spark):
     z_ref = (j2 / 2.0 - (n * n - sum(m * m for m in ns.values())) / 4.0
              ) / math.sqrt(var)
     assert math.isclose(row.z_score, z_ref, rel_tol=1e-9)
+
+
+def test_page_trend_matches_rank_replay(spark):
+    [row] = _run(spark, "op-ext-page-trend")
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    per = {}
+    years = {}
+    for o in orders:
+        yr = o.o_orderdate.year
+        if yr in (1995, 1996, 1997):
+            per.setdefault(o.o_custkey, {1995: 0, 1996: 0, 1997: 0})
+            per[o.o_custkey][yr] += round(float(o.o_totalprice) * 100)
+            years.setdefault(o.o_custkey, set()).add(yr)
+    per = {
+        c: v for c, v in per.items()
+        if years[c] == {1995, 1996, 1997}
+    }
+    n = len(per)
+    l2 = 0
+    for v in per.values():
+        vals = sorted(v.values())
+        for j, yr in ((1, 1995), (2, 1996), (3, 1997)):
+            lo = 1 + sum(1 for x in vals if x < v[yr])
+            hi = sum(1 for x in vals if x <= v[yr])
+            l2 += j * (lo + hi)
+    assert row.n == n and row.l2 == l2
+    z_ref = (l2 - 24 * n) / (2 * math.sqrt(2 * n))
+    assert math.isclose(row.z_score, z_ref, rel_tol=1e-9)
+
+
+def test_cochran_q_matches_table_replay(spark):
+    [row] = _run(spark, "op-ext-cochran-q")
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet").collect()
+    act = {
+        yr: {o.o_custkey for o in orders if o.o_orderdate.year == yr}
+        for yr in (1995, 1996, 1997)
+    }
+    g = {yr: 0 for yr in act}
+    sl = sl2 = 0
+    for c in cust:
+        flags = [int(c.c_custkey in act[yr]) for yr in (1995, 1996, 1997)]
+        for yr, f_ in zip((1995, 1996, 1997), flags):
+            g[yr] += f_
+        li = sum(flags)
+        sl += li
+        sl2 += li * li
+    assert (row.g95, row.g96, row.g97, row.sl, row.sl2) == (
+        g[1995], g[1996], g[1997], sl, sl2
+    )
+    num = 2 * (3 * sum(x * x for x in g.values()) - sum(g.values()) ** 2)
+    assert math.isclose(row.q_stat, num / (3 * sl - sl2), rel_tol=1e-12)

@@ -139,6 +139,8 @@ ALLOWED = {
     # within-block (3-row) rank windows + the 1-row tie3 broadcast;
     # the only unpartitioned frame is the single agg row
     "op-ext-friedman": {"cartesian", "single-partition window"},
+    # same 3-row block rank windows as friedman (no tie3 broadcast)
+    "op-ext-page-trend": {"single-partition window"},
     # 9-row broadcast probe-offset frame crossJoined onto customers
     # (the cell join itself is a 2-column equi join)
     "op-ext-spatial-nn": {"cartesian"},
