@@ -1151,16 +1151,19 @@ def op_ext_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded-join shape as MinHash-LSH but substring-anchored: catches
     contiguous plagiarism/boilerplate MinHash's bag-of-shingles can
     dilute away."""
+    from data_warehousing_assignment_spark.caching import pin
+
     docs = docs_t(spark, sf_dir)
     post = (
         docs.select("doc_id", tx.winnow_hashes("text").alias("hs"))
         .select("doc_id", F.explode(tx.winnow_select("hs")).alias("fp"))
     )
-    # df-filter via a window, not a count-join: ONE pass over the
-    # O(len·k) hash build and ONE fp-shuffle that the self-join below
-    # then reuses (ReusedExchange) instead of rebuilding the postings
-    # per branch.
-    pf = (
+    # df-filter via a window, not a count-join, and PIN the filtered
+    # postings: the self-join's two sides would otherwise each rebuild
+    # the O(len·k) hash chain (AQE's broadcast conversion defeats
+    # ReusedExchange at small SF, and the build dominates the query).
+    # The pinned frame is (doc_id, fp) pairs only — ~16 bytes/row.
+    pf = pin(
         post.withColumn(
             "df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
         )
