@@ -141,6 +141,7 @@ _HOLDBACK_NEW = frozenset({
     "op-ext-jonckheere",
     "op-ext-page-trend",
     "op-ext-cochran-q",
+    "op-ext-spatial-knn",
 })
 
 

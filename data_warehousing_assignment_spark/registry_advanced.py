@@ -2449,6 +2449,103 @@ def op_ext_spatial_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "op-ext-spatial-knn",
+    oracle=f"""
+    WITH cust AS (
+      SELECT c_custkey,
+             {_coord_sql('gx', 'c_custkey')} AS xc,
+             {_coord_sql('gy', 'c_custkey')} AS yc
+      FROM customer
+    ),
+    supp AS (
+      SELECT s_suppkey,
+             {_coord_sql('gx', 's_suppkey')} AS xs,
+             {_coord_sql('gy', 's_suppkey')} AS ys
+      FROM supplier
+    ),
+    probes AS (
+      SELECT c.c_custkey, c.xc, c.yc,
+             (c.xc // {_GEO_CELL}) + dxy.dx AS pcx,
+             (c.yc // {_GEO_CELL}) + dxy.dy AS pcy
+      FROM cust c, (SELECT dx, dy
+                    FROM range(-1, 2) t1(dx), range(-1, 2) t2(dy)) dxy
+    ),
+    cand AS (
+      SELECT p.c_custkey, s.s_suppkey,
+             (p.xc - s.xs) * (p.xc - s.xs)
+               + (p.yc - s.ys) * (p.yc - s.ys) AS dist2
+      FROM probes p
+      JOIN supp s ON p.pcx = (s.xs // {_GEO_CELL})
+                 AND p.pcy = (s.ys // {_GEO_CELL})
+    ),
+    ranked AS (
+      SELECT c_custkey, s_suppkey, dist2,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY dist2, s_suppkey) AS rn
+      FROM cand
+    )
+    SELECT c_custkey, CAST(rn AS BIGINT) AS rnk, s_suppkey,
+           CAST(dist2 AS BIGINT) AS dist2
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def op_ext_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed k-NN (k=3) — the retrieval shape of the spatial
+    family: same 3×3 bounded-radius contract as op-ext-spatial-nn but
+    returning the three closest suppliers per customer with their
+    ranks, the form a geo-recommendation or assignment pipeline
+    consumes. The per-customer top-3 is a WindowGroupLimit pushdown
+    (rank filter right after the window — only k rows per customer
+    survive the stage); tie-break (dist2, suppkey) keeps ranks
+    total-ordered and both engines identical."""
+    cust = t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        f"{_coord_spark('gx', 'c_custkey')} AS xc",
+        f"{_coord_spark('gy', 'c_custkey')} AS yc",
+    )
+    supp = t(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey",
+        f"{_coord_spark('gx', 's_suppkey')} AS xs",
+        f"{_coord_spark('gy', 's_suppkey')} AS ys",
+    ).selectExpr(
+        "s_suppkey", "xs", "ys",
+        f"xs div {_GEO_CELL} AS scx",
+        f"ys div {_GEO_CELL} AS scy",
+    )
+    offsets = spark.range(9).selectExpr(
+        "CAST(id div 3 AS BIGINT) - 1 AS dx",
+        "CAST(id % 3 AS BIGINT) - 1 AS dy",
+    )
+    probes = cust.crossJoin(F.broadcast(offsets)).selectExpr(
+        "c_custkey", "xc", "yc",
+        f"xc div {_GEO_CELL} + dx AS pcx",
+        f"yc div {_GEO_CELL} + dy AS pcy",
+    )
+    cand = probes.join(
+        supp,
+        (F.col("pcx") == F.col("scx")) & (F.col("pcy") == F.col("scy")),
+    ).select(
+        "c_custkey",
+        "s_suppkey",
+        (
+            (F.col("xc") - F.col("xs")) * (F.col("xc") - F.col("xs"))
+            + (F.col("yc") - F.col("ys")) * (F.col("yc") - F.col("ys"))
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("dist2", "s_suppkey")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "c_custkey",
+            F.col("rn").cast("bigint").alias("rnk"),
+            "s_suppkey",
+            F.col("dist2").cast("bigint").alias("dist2"),
+        )
+    )
+
+
 #: Range-join radius: half a cell, so every in-range partner is in the
 #: 3×3 neighborhood — the probe is COMPLETE and the join exact.
 _GEO_R = _GEO_CELL // 2

@@ -1101,3 +1101,49 @@ def test_spatial_range_join_is_complete_and_exact(spark):
             if d2 <= r2:
                 expect[(c, s)] = d2
     assert got == expect and expect
+
+
+def test_spatial_knn_matches_bruteforce_within_neighborhood(spark):
+    """Top-3 replay of the bounded-radius contract: ranks, neighbors
+    and distances must equal the (dist2, suppkey)-sorted prefix of the
+    3x3 neighborhood candidates."""
+    import hashlib
+
+    from data_warehousing_assignment_spark import registry_advanced as ra
+
+    got = {}
+    for r in _q("op-ext-spatial-knn")(spark, SF).collect():
+        got.setdefault(r.c_custkey, []).append(
+            (r.rnk, r.s_suppkey, r.dist2)
+        )
+
+    def coord(salt, key):
+        h = hashlib.md5(f"{salt}:{key}".encode()).hexdigest()
+        return int(h[: ra._GEO_BITS_HEX], 16)
+
+    cust = [
+        r.c_custkey
+        for r in spark.read.parquet(f"{SF}/customer.parquet").collect()
+    ]
+    cells = {}
+    for r in spark.read.parquet(f"{SF}/supplier.parquet").collect():
+        s = r.s_suppkey
+        xs, ys = coord("gx", s), coord("gy", s)
+        cells.setdefault(
+            (xs // ra._GEO_CELL, ys // ra._GEO_CELL), []
+        ).append((s, xs, ys))
+    for c in cust:
+        xc, yc = coord("gx", c), coord("gy", c)
+        cx, cy = xc // ra._GEO_CELL, yc // ra._GEO_CELL
+        cand = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for s, xs, ys in cells.get((cx + dx, cy + dy), []):
+                    cand.append(
+                        ((xc - xs) ** 2 + (yc - ys) ** 2, s)
+                    )
+        expect = [
+            (i + 1, s, d2)
+            for i, (d2, s) in enumerate(sorted(cand)[:3])
+        ]
+        assert sorted(got.get(c, [])) == expect, c

@@ -145,6 +145,7 @@ ALLOWED = {
     # (the cell join itself is a 2-column equi join)
     "op-ext-spatial-nn": {"cartesian"},
     "op-ext-spatial-range": {"cartesian"},
+    "op-ext-spatial-knn": {"cartesian"},
 }
 
 
