@@ -100,29 +100,12 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = _load_driver_verified()
 #: artifact, DRIVER_VERIFIED_ROUND wins first in _driver_rank and this
 #: set stops mattering; stale entries are harmless by construction.
 _VERDICT_ROTATION = frozenset({
-    # r9: the whole r7/r8 backlog (TPC-H wave, Kimball, new-oracle ANN
-    # family) landed green in CORRECTNESS_r08 and expired out of here.
-    # The 46 remaining never-sampled queries need no rotation — they
-    # rank 0/2 by construction and fill the r9 window in registration
-    # order (r8 verdict #1). Only contract changes ride the rotation:
-    # ewma's encode loop was replaced r9 (literal recurrence instead of
-    # pandas ewm) — same oracle, fresh external hash row wanted.
-    "op-ext-ewma",
-})
-
-#: Rotation entries verified BEFORE this round carry a stale contract
-#: (see _driver_rank); bump when refreshing _VERDICT_ROTATION.
-_CONTRACT_CHANGED_ROUND = 9
-
-#: Ops registered AFTER this round's driver window was already exactly
-#: full (r9: 48 never-sampled + 1 rotation + 1 oldest-green = the whole
-#: 50-slot window). A brand-new rank-0 entry would displace a query the
-#: judge explicitly asked to see drained (r8 verdict #1), so
-#: new-this-round ops hold back to rank 2.5 — they ride behind every
-#: pre-existing never-sampled query and become the natural front of the
-#: NEXT round's window once the backlog is empty. Self-expiring like
-#: _VERDICT_ROTATION: a green driver row promotes them to rank 3.
-_HOLDBACK_NEW = frozenset({
+    # r10: the r9 verdict's "Next round #1" — drain the never-sampled
+    # round-9 wave (stats tests, spatial joins, winnowing, layout ops)
+    # to zero. These were _HOLDBACK_NEW last round (rank 2.5); promoting
+    # them to rank -1 guarantees no op registered THIS round can displace
+    # them from the driver window. Self-expiring once CORRECTNESS_r10
+    # records them (ewma expired out this way after r9).
     "op-ext-mannwhitney",
     "op-ext-welch-ttest",
     "op-ext-gini-impurity",
@@ -142,6 +125,25 @@ _HOLDBACK_NEW = frozenset({
     "op-ext-page-trend",
     "op-ext-cochran-q",
     "op-ext-spatial-knn",
+})
+
+#: Rotation entries verified BEFORE this round carry a stale contract
+#: (see _driver_rank); bump when refreshing _VERDICT_ROTATION.
+_CONTRACT_CHANGED_ROUND = 10
+
+#: Ops registered AFTER this round's driver window was already exactly
+#: full (r9: 48 never-sampled + 1 rotation + 1 oldest-green = the whole
+#: 50-slot window). A brand-new rank-0 entry would displace a query the
+#: judge explicitly asked to see drained (r8 verdict #1), so
+#: new-this-round ops hold back to rank 2.5 — they ride behind every
+#: pre-existing never-sampled query and become the natural front of the
+#: NEXT round's window once the backlog is empty. Self-expiring like
+#: _VERDICT_ROTATION: a green driver row promotes them to rank 3.
+_HOLDBACK_NEW: frozenset[str] = frozenset({
+    # r10: empty at round start — the 19 r9 holdbacks moved up to
+    # _VERDICT_ROTATION (the judge's explicit drain ask). New ops
+    # registered this round rank 0 behind the rotation, which is fine:
+    # 19 rotation + new ops still fit the 50-slot window.
 })
 
 
