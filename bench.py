@@ -293,6 +293,19 @@ def check_floors(
         report["queries"][n] for n in spec["floors"]
         if n in report["queries"]
     )
+    # Canary-pair tier (r9 verdict #5): the 2.6x absolute ratio could
+    # hide a persistent ~2x SINGLE-query regression (and the share tier
+    # only fires together with the absolute one). Grade each query's
+    # time RELATIVE to a pinned, never-touched canary query in the SAME
+    # run: uniform host weather moves both ends of the pair and cancels;
+    # a plan regression moves one end only. Tighter multiplier than the
+    # absolute tier can afford, because the pair is noise-immune by
+    # construction; still retriable (main() re-measures query AND canary
+    # together), so a one-sided host spike has to reproduce to fail.
+    canary = spec.get("canary")
+    canary_ratio = spec.get("canary_ratio")
+    canary_t = report["queries"].get(canary) if canary else None
+    canary_floor = spec["floors"].get(canary) if canary else None
     for name, secs in report["queries"].items():
         floor = spec["floors"].get(name)
         if floor is None:
@@ -308,10 +321,25 @@ def check_floors(
                     f"{floor:.3f}s AND share {share:.3f} > "
                     f"{share_ratio}x floor-share {floor_share:.3f}"
                 )
+                continue
         elif abs_bad:
             violations.append(
                 f"{name}: {secs:.3f}s > {ratio}x floor {floor:.3f}s"
             )
+            continue
+        if (
+            canary_ratio
+            and name != canary
+            and canary_t
+            and canary_floor
+        ):
+            rel = (secs / canary_t) / (floor / canary_floor)
+            if rel > canary_ratio:
+                violations.append(
+                    f"{name}: pair-ratio {rel:.2f} vs canary "
+                    f"{canary} > {canary_ratio}x (canary-relative "
+                    f"regression; host noise moves both ends)"
+                )
     if report["value"] > spec["suite_ceiling_sec"]:
         violations.append(
             f"suite: {report['value']:.3f}s > ceiling "
@@ -332,16 +360,26 @@ def main() -> int:
     qs = entrymod.queries()
 
     if sf1_mode:
+        if assert_mode:
+            # bench_floors.json floors are measured at SF_DIR — a floor
+            # check (and its per-query retry) against 10x data would be
+            # meaningless, so reject the combination outright rather
+            # than silently skipping the assert (r9 advice).
+            print("# --sf1 --assert is not supported: floors are "
+                  "SF_DIR-scale", file=sys.stderr)
+            return 2
         sf_dir = synthesize_sf1(spark)
         report = run_suite(
             spark, qs, SF1_HEADLINE, sf_dir, 1.0,
             "scale-probe suite wall seconds (10x synthesized, noop-sink, min of warm runs)",
         )
+        suite_names, suite_sf_dir = SF1_HEADLINE, sf_dir
     elif tpch_mode:
         report = run_suite(
             spark, qs, TPCH_HEADLINE, SF_DIR, 0.1,
             "tpch-suite wall seconds (noop-sink, min of warm runs)",
         )
+        suite_names, suite_sf_dir = TPCH_HEADLINE, SF_DIR
     else:
         sf = None
         try:
@@ -355,6 +393,7 @@ def main() -> int:
             spark, qs, HEADLINE, SF_DIR, sf,
             "headline-suite wall seconds (noop-sink, min of warm runs)",
         )
+        suite_names, suite_sf_dir = HEADLINE, SF_DIR
     print(json.dumps(report))
     if assert_mode and not sf1_mode:
         floors_path = os.path.join(
@@ -375,15 +414,25 @@ def main() -> int:
             if "missing" not in v and not v.startswith("suite")
         ]
         if retriable:
+            # re-measure the canary alongside the violators: canary-pair
+            # violations need BOTH ends of the pair from the same
+            # (retry) run — a stale fast canary from the original run
+            # would keep an innocent query's pair ratio inflated
+            with open(floors_path) as fh:
+                _spec = json.load(fh)
+            _canary = (_spec[section] if section else _spec).get("canary")
+            if _canary and _canary not in retriable:
+                retriable.append(_canary)
             print(
                 f"# retrying {len(retriable)} floor violation(s) to"
                 " separate host spikes from regressions",
                 file=sys.stderr,
             )
-            names = TPCH_HEADLINE if tpch_mode else HEADLINE
+            # thread the ORIGINAL suite's names and sf_dir so the retry
+            # re-measures the exact workload that violated (r9 advice)
             retry = run_suite(
-                spark, qs, [n for n in names if n in retriable],
-                SF_DIR, report.get("sf"), "retry",
+                spark, qs, [n for n in suite_names if n in retriable],
+                suite_sf_dir, report.get("sf"), "retry",
             )
             merged = dict(report)
             merged["queries"] = dict(report["queries"])

@@ -71,7 +71,16 @@ def distributed_prefix(
     by (groups, bucket), offsets per group over its ≤ n_buckets+1
     bucket rows) — a GROUPED prefix sum whose single-task exposure is
     bounded by the constant bucket count per group, never by group
-    size (op-ext-percentile-cont's shape)."""
+    size (op-ext-percentile-cont's shape).
+
+    NULL handling (r9 advice): a NULL ``v`` gets bucket 0 — it prefixes
+    BEFORE every non-null value, i.e. the declared order is NULLS FIRST,
+    matching Spark's ascending-window default, so behavior equals the
+    single-task ``ORDER BY v`` window the oracles replay (previously
+    width_bucket(NULL) → NULL bkt silently dropped such rows at the
+    offset equi-join). Group KEYS must be non-null (precondition): the
+    stats/offset equi-joins drop NULL group keys, and every caller
+    groups by engineered non-null columns."""
     groups = list(groups or [])
     if groups:
         stats = g.groupBy(*groups).agg(
@@ -83,9 +92,9 @@ def distributed_prefix(
         b = g.crossJoin(F.broadcast(stats))
     b = b.withColumn(
         "bkt",
-        F.when(F.col("vmin") == F.col("vmax"), F.lit(1)).otherwise(
-            F.expr(f"width_bucket({v}, vmin, vmax, {n_buckets})")
-        ),
+        F.when(F.col(v).isNull(), F.lit(0))  # NULLS FIRST, see docstring
+        .when(F.col("vmin") == F.col("vmax"), F.lit(1))
+        .otherwise(F.expr(f"width_bucket({v}, vmin, vmax, {n_buckets})")),
     ).drop("vmin", "vmax")
     wloc = (
         Window.partitionBy(*groups, "bkt")

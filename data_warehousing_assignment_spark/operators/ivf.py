@@ -204,13 +204,18 @@ def ivf_cosine_topk(
     Pass ``index=(centroids, assignments)`` (from :func:`build_ivf_index`
     or :func:`load_ivf_index`) to reuse a prebuilt index — repeated query
     batches then trigger no k-means stages at all."""
-    if n_clusters == "auto":
-        n_clusters = auto_n_clusters(
-            corpus.count(), queries.count(), n_probe=n_probe
+    if index is not None:
+        # prebuilt index fixes the cell count — resolving "auto" here
+        # would burn two count() jobs for a value that's never used
+        centroids, assignments = index
+    else:
+        if n_clusters == "auto":
+            n_clusters = auto_n_clusters(
+                corpus.count(), queries.count(), n_probe=n_probe
+            )
+        centroids, assignments = build_ivf_index(
+            corpus, id_col, vec_col, n_clusters
         )
-    centroids, assignments = index if index is not None else build_ivf_index(
-        corpus, id_col, vec_col, n_clusters
-    )
     # persist (scope-owned): the cell lists feed the probe join; run under
     # cache_scope() — or save_ivf_index for cross-job reuse — to release.
     cells = pin(

@@ -68,6 +68,7 @@ def scratch_table(spark: SparkSession, base: str) -> str:
     string-stripping a 'file:' prefix; on non-file warehouses (hdfs/s3)
     DROP TABLE is the whole cleanup — Spark owns the remote dir.
     """
+    import glob
     import re
     import shutil
     from urllib.parse import unquote, urlparse
@@ -76,12 +77,25 @@ def scratch_table(spark: SparkSession, base: str) -> str:
         r"[^0-9a-zA-Z]+", "_", spark.sparkContext.applicationId
     ).strip("_").lower()
     name = f"{base}_{app}"
+    # Sweep stale SIBLINGS too (r9 advice): app-suffixed names mean a dead
+    # session's lineitem-sized scratch tables would otherwise accumulate in
+    # the shared warehouse forever. Anything matching {base}_* that is not
+    # the live session's name is by construction abandoned — the suffix
+    # exists only to protect tables mid-read within a LIVE session.
+    try:
+        for row in spark.sql(f"SHOW TABLES LIKE '{base}_*'").collect():
+            stale = row.tableName
+            if stale != name:
+                spark.sql(f"DROP TABLE IF EXISTS {stale}")
+    except Exception:
+        pass  # catalog quirk — stale siblings are a leak, not a correctness issue
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     parsed = urlparse(wh)
     if parsed.scheme in ("", "file"):
         path = unquote(parsed.path) if parsed.scheme else wh
-        shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+        for stale_dir in glob.glob(os.path.join(path, f"{base}_*")):
+            shutil.rmtree(stale_dir, ignore_errors=True)
     return name
 
 

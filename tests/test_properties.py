@@ -502,3 +502,25 @@ def test_distributed_prefix_grouped_matches_per_group_replay(
         for gg, v, ct in sorted(r for r in rows if r[0] == g):
             run += ct
             assert got[(g, v)] == run, (g, v)
+
+
+@SPARK_SETTINGS
+@given(prefix_values, st.integers(min_value=1, max_value=7))
+def test_distributed_prefix_null_value_prefixes_first(spark, pts, n_buckets):
+    """A NULL v must be KEPT and prefix BEFORE every non-null value
+    (declared NULLS FIRST order, r9 advice) — not silently dropped by a
+    NULL width_bucket assignment."""
+    from data_warehousing_assignment_spark.operators.analytics import (
+        distributed_prefix,
+    )
+
+    rows = [(None, 7)] + [(int(v), int(ct)) for v, ct in pts]
+    df = spark.createDataFrame(rows, "v long, ct long")
+    out = distributed_prefix(df, "v", ["ct"], n_buckets).collect()
+    assert len(out) == len(rows)  # the NULL row survives
+    got = {r.v: r.cum_ct for r in out}
+    assert got[None] == 7  # NULLS FIRST: nothing precedes it
+    run = 7
+    for v, ct in sorted(pts):
+        run += ct
+        assert got[v] == run, (v, n_buckets)
