@@ -79,6 +79,7 @@ TPCH_HEADLINE = [
     "op-ext-tpch-q21",           # triple lineitem self-correlation
     "op-ext-tpch-q7-bucketed",   # same shapes over bucketed layout —
     "op-ext-tpch-q21-bucketed",  # the 100× mitigation, kept honest
+    "op-ext-tpch-q9-bucketed",   # r10: q9 was the worst 100× ratio (4.1×)
 ]
 
 # 10×-step probe subset: the shuffle/join/agg shapes whose scaling is the

@@ -9,6 +9,7 @@ documents table regardless of cluster size. No Python UDFs anywhere.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -219,6 +220,55 @@ def winnow_select(hashes: Column | str, w: int = WINNOW_W) -> Column:
     sel_starts = F.sequence(F.lit(1), F.greatest(nh - w + 1, F.lit(1)))
     mins = F.transform(sel_starts, lambda j: F.array_min(F.slice(hs, j, w)))
     return F.array_distinct(mins)
+
+
+def winnow_fps_np(col: Column | str, k: int = ROLL_K, w: int = WINNOW_W) -> Column:
+    """Winnowed fingerprints (= ``winnow_select(winnow_hashes(text))``
+    up to element order) as ONE Arrow-batched pandas UDF — the measured
+    fast path for the winnow family: the HOF formulation evaluates
+    O(len·k) interpreted Catalyst expressions per row (8.3 s of the
+    16 s op-ext-winnow-neardup floor at sf0.1); here the k accumulation
+    steps are k numpy passes vectorized across ALL window positions of
+    a row (C speed, exact same int64 arithmetic: acc·257 + codepoint
+    mod 2³¹−1, codepoints via utf-32 so non-ASCII matches ord()/ascii()).
+    Returns the distinct selected mins SORTED (np.unique) — every
+    consumer (count/min/xor fold, explode→posting join) is
+    order-insensitive, pinned equal to the HOF twin in
+    tests/test_text_ops.py. Row-local, zero shuffle, same oracle."""
+    import numpy as np
+
+    c = F.col(col) if isinstance(col, str) else col
+
+    @F.pandas_udf("array<long>")
+    def _fps(texts: pd.Series) -> pd.Series:
+        out = []
+        for s in texts:
+            codes = np.frombuffer(
+                (s or "").lower().encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            n = codes.size
+            if n <= k:
+                # one truncated full-length window (the HOF's clamp)
+                h = np.int64(0)
+                for cc in codes:
+                    h = (h * ROLL_BASE + cc) % ROLL_MOD
+                out.append([int(h)])
+                continue
+            m = n - k + 1
+            h = np.zeros(m, dtype=np.int64)
+            for j in range(k):
+                h = (h * ROLL_BASE + codes[j : j + m]) % ROLL_MOD
+            if m >= w:
+                mm = m - w + 1
+                mins = h[:mm].copy()
+                for j in range(1, w):
+                    np.minimum(mins, h[j : j + mm], out=mins)
+            else:
+                mins = h.min(keepdims=True)
+            out.append(np.unique(mins).tolist())
+        return pd.Series(out)
+
+    return _fps(c)
 
 
 def doc_fingerprint(col: Column | str, n: int = 3) -> Column:

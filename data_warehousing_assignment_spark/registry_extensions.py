@@ -896,16 +896,16 @@ def _ivf_lloyd_round(src_c: str, n: int) -> str:
     )"""
 
 
-@query(
-    "op-ext-ann-ivf",
-    oracle=f"""
+def _ivf_oracle(c0_sql: str) -> str:
+    """Full IVF pipeline replay (seeds → 2 unrolled Lloyd rounds → final
+    assignment → 4-cell probing → top-5) with the SEED CTE injected, so
+    the anchor (pinned k=16) and the scaled variant (data-derived k)
+    share one verbatim body — only how many lowest-id seed vectors enter
+    ``c0`` differs."""
+    return f"""
     WITH emb AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
     idx AS (SELECT unnest(range(1, 65)) AS i),
-    c0 AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
-             v AS centroid
-      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16)
-    ),
+    {c0_sql},
     {_ivf_lloyd_round('c0', 0)},
     {_ivf_lloyd_round('c1', 1)},
     dfin AS (
@@ -959,7 +959,17 @@ def _ivf_lloyd_round(src_c: str, n: int) -> str:
                ORDER BY score DESC, neighbor_id) AS rank
           FROM scored)
     WHERE rank <= 5
-    """,
+    """
+
+
+@query(
+    "op-ext-ann-ivf",
+    oracle=_ivf_oracle("""
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+             v AS centroid
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16)
+    )"""),
 )
 def op_ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: deterministic k-means cells (2 Lloyd rounds
@@ -987,6 +997,49 @@ def op_ext_ann_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = t(spark, sf_dir, "embeddings")
     queries = corpus.filter(F.col("vec_id") % 100 == 0)
     return iv.ivf_cosine_topk(corpus, queries, k=5, n_clusters=16, n_probe=16)
+
+
+@query(
+    "op-ext-ann-ivf-scaled",
+    oracle=_ivf_oracle("""
+    kk AS (
+      SELECT GREATEST(CAST(16 AS BIGINT), LEAST(
+               CAST(FLOOR(SQRT(GREATEST(CAST(1 AS DOUBLE),
+                        CAST(q * 4 * n AS DOUBLE)
+                          / CAST(3 * n + q AS DOUBLE)))) AS BIGINT),
+               GREATEST(CAST(16 AS BIGINT), n // 8))) AS k
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN vec_id % 100 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS q
+            FROM emb)
+    ),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+             v AS centroid
+      FROM (SELECT vec_id, v,
+                   ROW_NUMBER() OVER (ORDER BY vec_id) AS rk FROM emb)
+      WHERE rk <= (SELECT k FROM kk)
+    )"""),
+)
+def op_ext_ann_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF at the COST-BALANCED cell count (r9 verdict #2): same pipeline
+    as op-ext-ann-ivf but n_clusters sized from the data via
+    operators/ivf.auto_n_clusters — k* = floor(sqrt(Q·n_probe·n/(R·n+Q)))
+    clamped to [16, n/8], so probe work per query stays ~n/k = O(sqrt n)
+    instead of the anchor's fixed-16-cell n/16 (measured sf10: k=16 →
+    80.7 s vs k≈115 → 35.2 s, BASELINE.md r9 probe). The oracle derives
+    the SAME k from the data in exact SQL (BIGINT counts → one
+    correctly-rounded double divide + sqrt, both IEEE-identical to
+    python's math.sqrt on int/int true division since the operands stay
+    < 2^53) and replays seeds, both Lloyd rounds, probing, and top-k
+    verbatim through the shared _ivf_oracle body. The pinned-k anchor
+    stays registered for replayability; THIS op is the operating point
+    you'd run at 100 TB."""
+    corpus = t(spark, sf_dir, "embeddings")
+    queries = corpus.filter(F.col("vec_id") % 100 == 0)
+    return iv.ivf_cosine_topk(
+        corpus, queries, k=5, n_clusters="auto", n_probe=4
+    )
 
 
 @query(
@@ -1080,15 +1133,15 @@ def op_ext_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same banded-join shape as MinHash-LSH). Selection semantics
     pinned in tests/test_text_ops.py (guarantee + density).
 
-    Two-stage select on purpose: the O(len·k) hash array materializes
-    once per row, then the O(len·w) window-min selection references it
-    by name — inlining one expression tree makes Catalyst re-evaluate
-    the hash build per window position (O(len²·k), measured 237 s →
-    <2 s at sf0.01)."""
-    staged = (
-        docs_t(spark, sf_dir)
-        .select("doc_id", tx.winnow_hashes("text").alias("hs"))
-        .select("doc_id", tx.winnow_select("hs").alias("fps"))
+    r10: the fingerprint build rides tx.winnow_fps_np — the Arrow-batched
+    numpy twin of winnow_hashes→winnow_select (pinned element-equal in
+    tests/test_text_ops.py) — because the interpreted HOF chain was the
+    dominant term of the winnow family's floor (8.3 s of 16 s at sf0.1;
+    the numpy passes vectorize the same exact int64 arithmetic across
+    window positions). Still two-stage: the UDF result materializes once,
+    the three folds reference it by name."""
+    staged = docs_t(spark, sf_dir).select(
+        "doc_id", tx.winnow_fps_np("text").alias("fps")
     )
     fps = F.col("fps")
     return staged.select(
@@ -1154,9 +1207,8 @@ def op_ext_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_warehousing_assignment_spark.caching import pin
 
     docs = docs_t(spark, sf_dir)
-    post = (
-        docs.select("doc_id", tx.winnow_hashes("text").alias("hs"))
-        .select("doc_id", F.explode(tx.winnow_select("hs")).alias("fp"))
+    post = docs.select(
+        "doc_id", F.explode(tx.winnow_fps_np("text")).alias("fp")
     )
     # df-filter via a window, not a count-join, and PIN the filtered
     # postings: the self-join's two sides would otherwise each rebuild
@@ -1182,23 +1234,49 @@ def op_ext_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_shared") >= _WN_MINSH)
     )
     txt = docs.select("doc_id", "text")
-    ed = F.levenshtein(F.col("ta.text"), F.col("tb.text"))
-    return (
+    # Early-exit verify (r9 verdict #4): the 3-arg levenshtein stops at
+    # a band of width T = the 30% rule at the CORPUS max length — every
+    # true survivor has ed ≤ 0.3·maxlen(pair) ≤ T so its distance comes
+    # back exact, and every -1 (band exceeded) provably fails the
+    # per-pair test anyway. O(T·min(la,lb)) per pair instead of
+    # O(la·lb); the one scalar read is the justified watermark class.
+    max_len = int(
+        docs.agg(F.max(F.length("text")).alias("m")).first()["m"]
+    )
+    # Banded verify: the 3-arg levenshtein stops at T = the 30% rule at
+    # the corpus max length — every true survivor has ed ≤
+    # 0.3·maxlen(pair) ≤ T so its distance comes back exact, and every
+    # -1 (band exceeded) provably fails the per-pair test anyway.
+    # Negative result recorded so nobody re-tries it: a LADDER of
+    # per-pair-proportional literal thresholds measured 11.8 s vs this
+    # uniform band's 11.5 s at sf1 — banded DP costs len·min(2T+1, len)
+    # and a 30% RELATIVE threshold gives 2T+1 ≈ 0.6·len, so the band
+    # never gets narrow enough to prune (a fixed T=60 would — 6.7 s —
+    # but isn't contract-safe). Equality fast path first: exact copies
+    # cost one O(len) compare, not the DP. The one scalar read is the
+    # justified watermark class.
+    maxl = F.greatest(F.length("ta.text"), F.length("tb.text"))
+    ed = F.when(F.col("ta.text") == F.col("tb.text"), F.lit(0)).otherwise(
+        F.levenshtein(
+            F.col("ta.text"), F.col("tb.text"), (3 * max_len) // 10 + 1
+        )
+    )
+    scored = (
         pairs.join(
             txt.alias("ta"), pairs.doc_a == F.col("ta.doc_id")
         )
         .join(txt.alias("tb"), pairs.doc_b == F.col("tb.doc_id"))
-        .where(
-            ed * 10
-            <= 3 * F.greatest(
-                F.length("ta.text"), F.length("tb.text")
-            )
-        )
+        # stage the distance so filter + output share ONE evaluation
         .select(
             "doc_a", "doc_b", "n_shared",
             ed.cast("bigint").alias("edit_dist"),
+            maxl.alias("_maxlen"),
         )
     )
+    return scored.where(
+        (F.col("edit_dist") >= 0)
+        & (F.col("edit_dist") * 10 <= 3 * F.col("_maxlen"))
+    ).select("doc_a", "doc_b", "n_shared", "edit_dist")
 
 
 @query(

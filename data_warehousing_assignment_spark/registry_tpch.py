@@ -881,9 +881,7 @@ def op_ext_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "op-ext-tpch-q9",
-    oracle=f"""
+_Q9_ORACLE = f"""
     SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
            CAST(SUM({_O_REV_C4}
                     - CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) * 100
@@ -895,8 +893,10 @@ def op_ext_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@query("op-ext-tpch-q9", oracle=_Q9_ORACLE)
 def op_ext_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 (Product Type Profit), partsupp-adapted: profit per
     supplier nation per order year on ECONOMY-type parts, where cost =
@@ -1366,4 +1366,67 @@ def op_ext_tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(100)
+    )
+
+
+@query("op-ext-tpch-q9-bucketed", oracle=_Q9_ORACLE)
+def op_ext_tpch_q9_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 over orderkey-bucketed facts (r9 verdict #3): the plain twin's
+    one fact-fact shuffle (lineitem⋈orders) was the worst remaining
+    TPC-H scale ratio — 4.1× time at the 100× (sf10) probe. Both facts
+    written ``bucketBy(32, orderkey).sortBy(orderkey)``: the broadcast
+    dim joins (part/supplier/nation) preserve the bucketed
+    distribution, so the orders sort-merge join reads bucket i against
+    bucket i with NO exchange on either fact — the only shuffle left is
+    the nations×years final aggregate. Same oracle as op-ext-tpch-q9:
+    layout, not answer. Plan pinned in tests/test_tpch.py (SMJ with
+    zero Exchange below it).
+
+    32 buckets, not the q7/q21 twins' 8: a bucketed SMJ runs ONE task
+    per bucket (Spark can't split a bucket), so bucket count caps the
+    read parallelism — measured at sf10, 8 buckets starved the box
+    (3.32 s vs plain q9's 2.49 s); 32 restores full-width reads. The
+    100 TB sizing rule: buckets ≈ executor-cores × a small multiple,
+    fixed at table-design time."""
+    from data_warehousing_assignment_spark.session import scratch_table
+
+    li_tbl = scratch_table(spark, "bkt_q9_lineitem")
+    o_tbl = scratch_table(spark, "bkt_q9_orders")
+    (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+            "l_discount", "l_quantity",
+        )
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(32, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(li_tbl)
+    )
+    (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(32, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(o_tbl)
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey",
+        F.expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("retail_c"),
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    li = spark.table(li_tbl)
+    o = spark.table(o_tbl)
+    profit = _rev_c4() - F.col("retail_c") * _qty_c()
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("bigint").alias("profit_c4"))
     )

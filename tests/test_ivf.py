@@ -120,3 +120,34 @@ def test_auto_sizing_end_to_end(spark):
     # every query that has neighbors returns a full (or truncated) top-k
     per_q = {r.query_id for r in rows}
     assert per_q == {r.vec_id for r in queries.collect()}
+
+
+def test_scaled_oracle_k_matches_auto_n_clusters():
+    """The op-ext-ann-ivf-scaled oracle derives k in SQL (kk CTE); it
+    must equal operators/ivf.auto_n_clusters bit-for-bit across regimes
+    (tiny → floor clamp, sf1-ish, sf10-ish, n/8 clamp) or the replay
+    diverges exactly when the parameterization matters."""
+    import duckdb
+
+    sql = """
+    SELECT GREATEST(CAST(16 AS BIGINT), LEAST(
+             CAST(FLOOR(SQRT(GREATEST(CAST(1 AS DOUBLE),
+                      CAST(q * 4 * n AS DOUBLE)
+                        / CAST(3 * n + q AS DOUBLE)))) AS BIGINT),
+             GREATEST(CAST(16 AS BIGINT), n // 8))) AS k
+    FROM (SELECT CAST(? AS BIGINT) AS n, CAST(? AS BIGINT) AS q)
+    """
+    cases = [
+        (500, 5),
+        (6000, 60),
+        (50_000, 500),
+        (500_000, 5_000),
+        (1_000_000, 10_000),
+        (1_000, 1_000_000),
+        (128, 1),
+    ]
+    con = duckdb.connect()
+    for n, q in cases:
+        got = con.execute(sql, [n, q]).fetchone()[0]
+        want = ivf.auto_n_clusters(n, q, n_probe=4)
+        assert got == want, (n, q, got, want)

@@ -373,11 +373,13 @@ def test_hilbert_stage_chain_does_not_collapse_or_blow_up(spark, qs):
 
 
 def test_winnow_two_stage_projection_survives_optimizer(spark, qs):
-    """op-ext-winnow materializes the O(len·k) hash array once;
-    CollapseProject inlining it into the window-min lambda makes the
-    query O(len²·k) (measured 237 s vs <2 s at sf0.01). The canary:
-    the win_hash aggregate subtree must appear ONCE in the plan."""
+    """op-ext-winnow builds fingerprints ONCE (r10: one Arrow-batched
+    numpy UDF; before that, a staged HOF chain). The canary: exactly
+    one python-eval node in the plan — three folds referencing the fps
+    column must not triple the build — and no interpreted HOF hash
+    chain left behind."""
     plan = plan_of(qs["op-ext-winnow"](spark, SF_SMALL))
-    assert plan.count("aggregate(sequence(1,") <= 2, (
-        "hash-build subtree duplicated — two-stage select collapsed"
+    assert plan.count("ArrowEvalPython") == 1, plan.count("ArrowEvalPython")
+    assert "aggregate(sequence(1," not in plan, (
+        "interpreted HOF hash build leaked back into the np path"
     )

@@ -5,7 +5,10 @@ from __future__ import annotations
 
 import re
 
+from pyspark.sql import functions as F
+
 from data_warehousing_assignment_spark.operators import text as tx
+from tests.conftest import SF_SMALL
 
 PY_RE = re.compile(r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+")
 
@@ -208,6 +211,38 @@ def test_winnow_matches_python_replay(spark):
     out = _spark_winnow(spark, TEXTS)
     for doc_id, text in TEXTS:
         assert out[doc_id] == py_winnow(text), text
+
+
+def test_winnow_np_twin_matches_hof(spark):
+    """tx.winnow_fps_np (the Arrow-batched fast path the registry ops
+    ride since r10) must select exactly the HOF chain's fingerprints —
+    element equality up to order (np returns them sorted) — on the
+    python-replay fixtures AND the real sf0.001 corpus."""
+    df = spark.createDataFrame(TEXTS, "doc_id int, text string")
+    got = {
+        r.doc_id: sorted(r.fps)
+        for r in df.select(
+            "doc_id", tx.winnow_fps_np("text").alias("fps")
+        ).collect()
+    }
+    for doc_id, text in TEXTS:
+        assert got[doc_id] == sorted(py_winnow(text)), text
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    hof = (
+        docs.select("doc_id", tx.winnow_hashes("text").alias("hs"))
+        .select(
+            "doc_id", F.array_sort(tx.winnow_select("hs")).alias("fps")
+        )
+    )
+    np_ = docs.select("doc_id", tx.winnow_fps_np("text").alias("fps"))
+    mism = (
+        hof.alias("h")
+        .join(np_.alias("n"), "doc_id")
+        .where(F.col("h.fps") != F.col("n.fps"))
+        .count()
+    )
+    assert mism == 0
 
 
 def test_winnow_shared_substring_guarantee(spark):

@@ -317,3 +317,32 @@ def test_q21_bucketed_single_exchange(spark, qs):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "bkt_q21_lineitem" in plan and "bkt_q21_orders" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q9_bucketed_eliminates_the_fact_shuffle(spark, qs):
+    """op-ext-tpch-q9-bucketed: with lineitem AND orders bucketBy
+    (orderkey), the dims broadcast via hints and the fact SMJ reading
+    bucket-to-bucket, the ONLY hash exchange left is the nations×years
+    final aggregate (r9 verdict #3 — q9 was the worst remaining TPC-H
+    scale ratio, 4.1x at the 100x probe)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(qs["op-ext-tpch-q9-bucketed"](spark, SF_SMALL))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the agg only
+    assert "bkt_q9_lineitem" in plan and "bkt_q9_orders" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_bucketed_matches_plain(spark, qs):
+    """Layout, not answer: the bucketed twin returns exactly the plain
+    twin's rows."""
+    canon = lambda df: sorted(
+        (r.nation, r.o_year, r.profit_c4) for r in df.collect()
+    )
+    assert canon(qs["op-ext-tpch-q9-bucketed"](spark, SF_SMALL)) == canon(
+        qs["op-ext-tpch-q9"](spark, SF_SMALL)
+    )

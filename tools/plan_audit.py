@@ -63,6 +63,8 @@ ALLOWED = {
     "op-ext-zorder": {"cartesian"},
     # k-means assign: corpus × broadcast n_clusters centroids (k tiny)
     "op-ext-ann-ivf": {"cartesian"},
+    # same centroid-assign cartesian, auto-sized k (still ≪ n, broadcast)
+    "op-ext-ann-ivf-scaled": {"cartesian"},
     # new-members numbering after the anti-join: dim-sized by construction
     "op-pipe-dim-upsert": {"cartesian", "single-partition window"},
     # same k-means centroid-assign cartesian as op-ext-ann-ivf, full probe
