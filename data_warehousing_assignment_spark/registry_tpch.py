@@ -1190,9 +1190,11 @@ def op_ext_tpch_q7_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 with its one wide shuffle ELIMINATED at the storage layer —
     the production mitigation the plain op-ext-tpch-q7 docstring and
     its 10× probe point to: both facts are written
-    ``bucketBy(8, orderkey).sortBy(orderkey)`` (pay the partitioning
-    once at write), so the lineitem⋈orders sort-merge join reads bucket
-    i against bucket i with NO exchange on either fact — filters and
+    ``bucketBy(32, orderkey).sortBy(orderkey)`` (pay the partitioning
+    once at write; 32 not 8 since r10 — bucket count caps bucketed-SMJ
+    read parallelism, measured sf10 1.74 s → 1.16 s), so the
+    lineitem⋈orders sort-merge join reads bucket i against bucket i
+    with NO exchange on either fact — filters and
     the broadcast dim joins preserve the bucketed distribution. The
     only exchange left in the whole plan is the final
     2-directions×years aggregate. Same oracle as op-ext-tpch-q7: the
@@ -1212,12 +1214,12 @@ def op_ext_tpch_q7_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_src = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     (
         li_src.write.mode("overwrite").format("parquet")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .bucketBy(32, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable(li_tbl)
     )
     (
         o_src.write.mode("overwrite").format("parquet")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .bucketBy(32, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable(o_tbl)
     )
     both = ("NATION_1", "NATION_2")
@@ -1299,7 +1301,9 @@ def op_ext_tpch_q7_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_ext_tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 over orderkey-bucketed facts — the second shape verdict r7
     flagged (2.4× at the 10× probe), made scan-bound at the storage
-    layer: with lineitem AND orders both bucketBy(8, orderkey), the
+    layer: with lineitem AND orders both bucketBy(32, orderkey) (32
+    not 8 since r10 — bucket count caps read parallelism, measured
+    sf10 4.74 s → 2.39 s), the
     status semi-join is bucket-to-bucket AND every orderkey-keyed
     reduction (per-order stats, the last-shipper distinct, the
     sole-survivor aggregate) reuses the on-disk distribution — zero
@@ -1315,14 +1319,14 @@ def op_ext_tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_shipdate")
         .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .bucketBy(32, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable(li_tbl)
     )
     (
         t(spark, sf_dir, "orders")
         .select("o_orderkey", "o_orderstatus")
         .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .bucketBy(32, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable(o_tbl)
     )
     o = (

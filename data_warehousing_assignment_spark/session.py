@@ -71,6 +71,7 @@ def scratch_table(spark: SparkSession, base: str) -> str:
     import glob
     import re
     import shutil
+    import time
     from urllib.parse import unquote, urlparse
 
     app = re.sub(
@@ -94,8 +95,22 @@ def scratch_table(spark: SparkSession, base: str) -> str:
     parsed = urlparse(wh)
     if parsed.scheme in ("", "file"):
         path = unquote(parsed.path) if parsed.scheme else wh
+        own = os.path.join(path, name)
+        shutil.rmtree(own, ignore_errors=True)
+        # stale-sibling sweep with an AGE guard: a sibling dir younger
+        # than this is plausibly a CONCURRENT session's live table —
+        # deleting it mid-read is exactly the clobber the app suffix
+        # exists to prevent; older ones are dead sessions' leaks.
+        cutoff = 6 * 3600
+        now = time.time()
         for stale_dir in glob.glob(os.path.join(path, f"{base}_*")):
-            shutil.rmtree(stale_dir, ignore_errors=True)
+            if stale_dir == own:
+                continue
+            try:
+                if now - os.path.getmtime(stale_dir) > cutoff:
+                    shutil.rmtree(stale_dir, ignore_errors=True)
+            except OSError:
+                pass
     return name
 
 

@@ -115,3 +115,52 @@ def test_gross_single_query_regression_trips_absolute_and_share():
         v.startswith(victim) and "floor" in v and "pair" not in v
         for v in violations
     ), violations
+
+
+def test_scratch_table_sweeps_dead_siblings_keeps_live_ones(tmp_path):
+    """scratch_table (r9 advice): app-suffixed scratch tables from DEAD
+    sessions must be swept from the warehouse, but a FRESH sibling dir
+    is plausibly a concurrent session's live table — deleting it
+    mid-read is the clobber the suffix exists to prevent. Pure-python
+    via a stub session."""
+    import os
+    import time as _t
+
+    from data_warehousing_assignment_spark.session import scratch_table
+
+    class _Conf:
+        def __init__(self, wh):
+            self.wh = wh
+
+        def get(self, k, d=None):
+            return self.wh
+
+    class _SC:
+        applicationId = "local-123"
+
+    class _Spark:
+        def __init__(self, wh):
+            self.conf = _Conf(wh)
+            self.sparkContext = _SC()
+
+        def sql(self, q):
+            class _R:
+                def collect(self):
+                    return []
+
+            return _R()
+
+    wh = str(tmp_path)
+    old = os.path.join(wh, "bkt_x_deadapp")
+    os.makedirs(old)
+    os.utime(old, (_t.time() - 7 * 3600,) * 2)
+    fresh = os.path.join(wh, "bkt_x_liveapp")
+    os.makedirs(fresh)
+    own = os.path.join(wh, "bkt_x_local_123")
+    os.makedirs(own)
+
+    name = scratch_table(_Spark(wh), "bkt_x")
+    assert name == "bkt_x_local_123"
+    assert not os.path.exists(old)  # dead sibling swept
+    assert os.path.exists(fresh)  # possibly-live sibling kept
+    assert not os.path.exists(own)  # own name always cleared
