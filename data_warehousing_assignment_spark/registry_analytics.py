@@ -2381,3 +2381,95 @@ def op_ext_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         " - (g95 + g96 + g97) * (g95 + g96 + g97)) AS DOUBLE)"
         " / CAST(3 * sl - sl2 AS DOUBLE) END AS q_stat",
     )
+
+
+# --------------------------------------------------------------------------
+# one-way ANOVA F (round 10 — the classic parametric k-group mean test,
+# completing the matrix cell next to Kruskal-Wallis's rank version)
+# --------------------------------------------------------------------------
+
+#: Σ sx_g²/n_g — the between-groups raw term. Shared VERBATIM with the
+#: oracle (welch rules: a FIXED parenthesized IEEE chain over exact
+#: int64 sufficient statistics; sx² multiplies as DOUBLE because the
+#: int64 square would overflow near sf100).
+_ANOVA_BG = (
+    "(CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+    " + CAST(sx_n AS DOUBLE) * CAST(sx_n AS DOUBLE) / CAST(n_n AS DOUBLE)"
+    " + CAST(sx_r AS DOUBLE) * CAST(sx_r AS DOUBLE) / CAST(n_r AS DOUBLE))"
+)
+_ANOVA_SSB = (
+    f"({_ANOVA_BG}"
+    " - CAST(sx_a + sx_n + sx_r AS DOUBLE)"
+    " * CAST(sx_a + sx_n + sx_r AS DOUBLE)"
+    " / CAST(n_a + n_n + n_r AS DOUBLE))"
+)
+_ANOVA_SSW = f"(CAST(sxx_a + sxx_n + sxx_r AS DOUBLE) - {_ANOVA_BG})"
+_ANOVA_F = (
+    f"(({_ANOVA_SSB} / CAST(2 AS DOUBLE))"
+    f" / ({_ANOVA_SSW} / CAST(n_a + n_n + n_r - 3 AS DOUBLE)))"
+)
+
+_ANOVA_FINAL = f"""
+    SELECT n_a + n_n + n_r AS n_total,
+           CAST(2 AS BIGINT) AS df_between,
+           CAST(n_a + n_n + n_r - 3 AS BIGINT) AS df_within,
+           {_ANOVA_SSB} AS ss_between,
+           {_ANOVA_SSW} AS ss_within,
+           {_ANOVA_F} AS f_stat
+"""
+
+
+@query(
+    "op-ext-anova",
+    oracle=f"""
+    WITH q AS (
+      SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem
+    ),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN f = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN f = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_n,
+        CAST(SUM(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+        CAST(SUM(CASE WHEN f = 'A' THEN q ELSE 0 END) AS BIGINT) AS sx_a,
+        CAST(SUM(CASE WHEN f = 'N' THEN q ELSE 0 END) AS BIGINT) AS sx_n,
+        CAST(SUM(CASE WHEN f = 'R' THEN q ELSE 0 END) AS BIGINT) AS sx_r,
+        CAST(SUM(CASE WHEN f = 'A' THEN q * q ELSE 0 END) AS BIGINT) AS sxx_a,
+        CAST(SUM(CASE WHEN f = 'N' THEN q * q ELSE 0 END) AS BIGINT) AS sxx_n,
+        CAST(SUM(CASE WHEN f = 'R' THEN q * q ELSE 0 END) AS BIGINT) AS sxx_r
+      FROM q
+    )
+    {_ANOVA_FINAL}
+    FROM agg
+    """,
+)
+def op_ext_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test of line-item quantity across the three
+    return-flag populations (A/N/R) — the classic parametric k-group
+    mean comparison, the cell of the test matrix Kruskal-Wallis covers
+    nonparametrically and Welch covers for k=2. One map-side-combined
+    pass produces the 9 exact int64 sufficient statistics (n, Σx, Σx²
+    per group) pivoted into ONE row, so every downstream float op is a
+    fixed parenthesized chain (no float SUM whose order could differ) —
+    SSB, SSW, and F are shared verbatim with the oracle
+    (_ANOVA_SSB/_ANOVA_SSW/_ANOVA_F). At 100 TB the shuffle carries one
+    9-column row."""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    agg = li.agg(
+        *[
+            F.sum(F.when(F.col("l_returnflag") == g, e).otherwise(0))
+            .cast("bigint")
+            .alias(f"{p}_{g.lower()}")
+            for p, e in (("n", F.lit(1)), ("sx", q), ("sxx", q * q))
+            for g in ("A", "N", "R")
+        ]
+    )
+    return agg.selectExpr(
+        "n_a + n_n + n_r AS n_total",
+        "CAST(2 AS BIGINT) AS df_between",
+        "CAST(n_a + n_n + n_r - 3 AS BIGINT) AS df_within",
+        f"{_ANOVA_SSB} AS ss_between",
+        f"{_ANOVA_SSW} AS ss_within",
+        f"{_ANOVA_F} AS f_stat",
+    )

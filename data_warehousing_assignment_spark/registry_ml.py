@@ -654,3 +654,121 @@ def op_ext_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_1995", "n_1996", "ks_d_ppm")
     )
+
+
+# --------------------------------------------------------------------------
+# ML feature-engineering encoders (round 10)
+# --------------------------------------------------------------------------
+
+#: shared verbatim with the oracle — one IEEE divide over exact int64
+#: sufficient statistics; groups of one encode NULL (no ELSE branch).
+_LOO_EXPR = (
+    "CASE WHEN n > 1 THEN CAST(s - y_c AS DOUBLE)"
+    " / CAST(n - 1 AS DOUBLE) END"
+)
+
+
+@query(
+    "op-ext-target-encode",
+    oracle=f"""
+    WITH y AS (
+      SELECT o_orderkey, o_orderpriority AS prio,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y_c
+      FROM orders
+    ),
+    g AS (
+      SELECT prio, CAST(SUM(y_c) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM y GROUP BY 1
+    )
+    SELECT o_orderkey, prio, {_LOO_EXPR} AS loo_mean_c
+    FROM y JOIN g USING (prio)
+    """,
+)
+def op_ext_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of a categorical feature — the
+    standard leakage-safe encoder for tree/linear models: each row's
+    category value is replaced by the mean target of OTHER rows in its
+    category, (Σy_c − y_i)/(n_c − 1), so a row never sees its own label
+    (plain mean encoding leaks the target; LOO is the fix). Exact
+    int64 cents through the aggregate; the single divide is shared
+    verbatim with the oracle (_LOO_EXPR — groups of one encode NULL).
+    Spark-first shape: one tiny groupBy (|categories| rows) broadcast
+    back onto the fact — NO per-category window, so nothing is
+    single-task at 100 TB."""
+    y = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("y_c"),
+    )
+    g = y.groupBy("prio").agg(
+        F.sum("y_c").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return y.join(F.broadcast(g), "prio").select(
+        "o_orderkey", "prio", F.expr(_LOO_EXPR).alias("loo_mean_c")
+    )
+
+
+#: md5-nibble helpers shared as TEXT shape with the DuckDB twin below —
+#: content-addressed hashing is the only cross-engine-identical hash
+#: (same rule as text.hash_bucket / the SimHash oracle).
+def _fh_bucket_sql(expr: str) -> str:
+    h = f"md5('fh:' || {expr})"
+    nib = "(strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
+    b = f"({nib.format(h=h, i=1)} * 16 + {nib.format(h=h, i=2)})"
+    return f"({b} % 64)"
+
+
+def _fh_sign_sql(expr: str) -> str:
+    h = f"md5('fh:' || {expr})"
+    nib3 = f"(strpos('0123456789abcdef', substring({h}, 3, 1)) - 1)"
+    return f"(CASE WHEN {nib3} % 2 = 0 THEN 1 ELSE -1 END)"
+
+
+@query(
+    "op-ext-feature-hash",
+    oracle=f"""
+    WITH feats AS (
+      SELECT 'seg=' || c_mktsegment AS f FROM customer
+      UNION ALL
+      SELECT 'nat=' || CAST(c_nationkey AS VARCHAR) AS f FROM customer
+    )
+    SELECT CAST({_fh_bucket_sql('f')} AS BIGINT) AS bucket,
+           CAST(SUM({_fh_sign_sql('f')}) AS BIGINT) AS signed_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_feats
+    FROM feats GROUP BY 1
+    """,
+)
+def op_ext_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al., ICML'09 — sklearn's
+    HashingVectorizer/FeatureHasher): categorical features map into a
+    FIXED 64-bucket space via a content hash, with a second hash bit
+    choosing ±1 so colliding features cancel in expectation instead of
+    piling up — the standard way to one-hot unbounded vocabularies
+    without a fitted dictionary (new categories at inference need no
+    re-fit, and the feature matrix width is independent of cardinality:
+    exactly what a 100 TB training pipeline needs). md5-derived bucket
+    and sign (bit-identical cross-engine, same rule as hash-split);
+    explode + one map-side-combined 64-group aggregate."""
+    cust = t(spark, sf_dir, "customer")
+    feats = cust.select(
+        F.explode(
+            F.array(
+                F.concat(F.lit("seg="), F.col("c_mktsegment")),
+                F.concat(F.lit("nat="), F.col("c_nationkey").cast("string")),
+            )
+        ).alias("f")
+    )
+    h = F.md5(F.concat(F.lit("fh:"), F.col("f")))
+    nib = lambda i: F.instr(  # noqa: E731
+        F.lit("0123456789abcdef"), F.substring(h, i, 1)
+    ) - F.lit(1)
+    bucket = ((nib(1) * 16 + nib(2)) % 64).cast("bigint")
+    sign = F.when(nib(3) % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    return feats.groupBy(bucket.alias("bucket")).agg(
+        F.sum(sign).cast("bigint").alias("signed_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+    )

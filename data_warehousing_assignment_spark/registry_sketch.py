@@ -355,6 +355,83 @@ def op_ext_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: V = sqrt((χ²) / (N · min(r−1, c−1))) over the exact-int χ²·10⁶ —
+#: shared verbatim with the oracle (one divide + sqrt, IEEE-identical).
+_CRAMERS_V = (
+    "sqrt((CAST(chi2_x1e6 AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    " / (CAST(n_obs AS DOUBLE) * CAST(minrc AS DOUBLE)))"
+)
+
+
+@query(
+    "op-ext-cramers-v",
+    oracle=f"""
+    WITH o AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+                      CAST(COUNT(*) AS BIGINT) AS obs
+               FROM customer GROUP BY 1, 2),
+    r AS (SELECT seg, CAST(SUM(obs) AS BIGINT) AS rt FROM o GROUP BY 1),
+    c AS (SELECT nat, CAST(SUM(obs) AS BIGINT) AS ct FROM o GROUP BY 1),
+    nn AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o),
+    cells AS (
+      SELECT o.obs * nn.n - r.rt * c.ct AS delta, r.rt, c.ct, nn.n
+      FROM o JOIN r USING (seg) JOIN c USING (nat) CROSS JOIN nn
+    ),
+    stat AS (
+      SELECT (SELECT n FROM nn) AS n_obs,
+             (SELECT CAST(LEAST(COUNT(DISTINCT seg) - 1,
+                                COUNT(DISTINCT nat) - 1) AS BIGINT) FROM o)
+               AS minrc,
+             CAST(SUM(CAST(floor(((CAST(delta AS DOUBLE)
+                     * CAST(delta AS DOUBLE))
+                     / ((CAST(n AS DOUBLE) * CAST(rt AS DOUBLE))
+                        * CAST(ct AS DOUBLE))) * 1000000.0) AS BIGINT))
+                  AS BIGINT) AS chi2_x1e6
+      FROM cells
+    )
+    SELECT n_obs, minrc, chi2_x1e6, {_CRAMERS_V} AS cramers_v
+    FROM stat
+    """,
+)
+def op_ext_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the segment×nation association —
+    the [0, 1]-normalized companion to op-ext-chisq (a huge-N χ² is
+    always "significant"; V says whether the association is MATERIAL,
+    which is what a drift monitor should alert on). Same exact-int
+    contingency machinery as chisq (per-cell contributions floored to
+    int64 before the order-independent integer sum); the one new float
+    step — divide by N·min(r−1, c−1), then sqrt — is shared verbatim
+    with the oracle (_CRAMERS_V)."""
+    cust = t(spark, sf_dir, "customer")
+    o = cust.groupBy(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    r = o.groupBy("seg").agg(F.sum("obs").alias("rt"))
+    c = o.groupBy("nat").agg(F.sum("obs").alias("ct"))
+    nn = o.agg(F.sum("obs").alias("n"))
+    cells = o.join(r, "seg").join(c, "nat").crossJoin(F.broadcast(nn))
+    contrib = F.expr(
+        "CAST(floor(((CAST(obs * n - rt * ct AS DOUBLE)"
+        " * CAST(obs * n - rt * ct AS DOUBLE))"
+        " / ((CAST(n AS DOUBLE) * CAST(rt AS DOUBLE))"
+        " * CAST(ct AS DOUBLE))) * 1000000.0D) AS BIGINT)"
+    )
+    dims = o.agg(
+        F.expr(
+            "CAST(LEAST(COUNT(DISTINCT seg) - 1, COUNT(DISTINCT nat) - 1)"
+            " AS BIGINT)"
+        ).alias("minrc")
+    )
+    return (
+        nn.select(F.col("n").alias("n_obs"))
+        .crossJoin(dims)
+        .crossJoin(
+            cells.agg(F.sum(contrib).cast("bigint").alias("chi2_x1e6"))
+        )
+        .selectExpr("n_obs", "minrc", "chi2_x1e6", f"{_CRAMERS_V} AS cramers_v")
+    )
+
+
 # --------------------------------------------------------------------------
 # seasonal (day-of-week) anomaly screen
 # --------------------------------------------------------------------------

@@ -463,3 +463,108 @@ def test_cochran_q_matches_table_replay(spark):
     )
     num = 2 * (3 * sum(x * x for x in g.values()) - sum(g.values()) ** 2)
     assert math.isclose(row.q_stat, num / (3 * sl - sl2), rel_tol=1e-12)
+
+
+def test_anova_matches_numpy(spark):
+    """One-way F replayed with literal numpy group sums — the textbook
+    SSB/SSW/F decomposition, plus the identity check SSB + SSW = SST."""
+    [row] = _run(spark, "op-ext-anova")
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").collect()
+    groups = {}
+    for r in li:
+        groups.setdefault(r.l_returnflag, []).append(float(r.l_quantity))
+    assert set(groups) == {"A", "N", "R"}
+    xs = [np.array(v) for v in groups.values()]
+    n = sum(len(x) for x in xs)
+    grand = sum(x.sum() for x in xs) / n
+    ssb = sum(len(x) * (x.mean() - grand) ** 2 for x in xs)
+    ssw = sum(((x - x.mean()) ** 2).sum() for x in xs)
+    f_ref = (ssb / 2) / (ssw / (n - 3))
+    assert row.n_total == n
+    assert row.df_between == 2 and row.df_within == n - 3
+    assert math.isclose(row.ss_between, ssb, rel_tol=1e-9)
+    assert math.isclose(row.ss_within, ssw, rel_tol=1e-9)
+    assert math.isclose(row.f_stat, f_ref, rel_tol=1e-9)
+    sst = sum(((x - grand) ** 2).sum() for x in xs)
+    assert math.isclose(row.ss_between + row.ss_within, sst, rel_tol=1e-9)
+
+
+def test_cramers_v_matches_replay(spark):
+    """V replayed from a literal contingency table; bounded in [0, 1]
+    and consistent with op-ext-chisq's statistic."""
+    [row] = _run(spark, "op-ext-cramers-v")
+    [chi] = _run(spark, "op-ext-chisq")
+    assert row.chi2_x1e6 == chi.chi2_x1e6  # same floored-int machinery
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet").collect()
+    from collections import Counter
+
+    obs = Counter((r.c_mktsegment, r.c_nationkey) for r in cust)
+    rt = Counter()
+    ct = Counter()
+    for (s, c), o in obs.items():
+        rt[s] += o
+        ct[c] += o
+    n = sum(obs.values())
+    chi2 = sum(
+        (o - rt[s] * ct[c] / n) ** 2 / (rt[s] * ct[c] / n)
+        for (s, c), o in obs.items()
+    )
+    minrc = min(len(rt) - 1, len(ct) - 1)
+    v_ref = math.sqrt(chi2 / (n * minrc))
+    # the engine floors per-cell contributions to 1e-6 before summing,
+    # so compare at that granularity
+    assert abs(row.cramers_v - v_ref) < 1e-3
+    assert 0.0 <= row.cramers_v <= 1.0
+    assert row.minrc == minrc and row.n_obs == n
+
+
+def test_target_encode_loo_replay(spark):
+    """Leave-one-out encoding replayed literally: every row's encoding
+    equals the mean of the OTHER rows' targets in its category — and
+    NEVER equals the plain category mean when that mean differs from
+    the row's own value (the leakage the LOO form removes)."""
+    rows = _run(spark, "op-ext-target-encode")
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    cents = {
+        r.o_orderkey: round(float(r.o_totalprice) * 100) for r in orders
+    }
+    by_prio = {}
+    for r in orders:
+        by_prio.setdefault(r.o_orderpriority, []).append(r.o_orderkey)
+    got = {r.o_orderkey: r.loo_mean_c for r in rows}
+    assert len(got) == len(orders)
+    for prio, keys in by_prio.items():
+        s = sum(cents[k] for k in keys)
+        n = len(keys)
+        for k in keys:
+            if n == 1:
+                assert got[k] is None
+            else:
+                assert math.isclose(
+                    got[k], (s - cents[k]) / (n - 1), rel_tol=1e-12
+                )
+
+
+def test_feature_hash_replay_and_shape(spark):
+    """Hashing-trick buckets/signs replayed with hashlib.md5; bucket
+    space bounded to 64 and total feature mass = 2 features per row."""
+    import hashlib
+
+    rows = _run(spark, "op-ext-feature-hash")
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet").collect()
+    feats = [f"seg={r.c_mktsegment}" for r in cust] + [
+        f"nat={r.c_nationkey}" for r in cust
+    ]
+    alpha = "0123456789abcdef"
+    ref_sum = {}
+    ref_n = {}
+    for f in feats:
+        h = hashlib.md5(("fh:" + f).encode()).hexdigest()
+        b = (alpha.index(h[0]) * 16 + alpha.index(h[1])) % 64
+        s = 1 if alpha.index(h[2]) % 2 == 0 else -1
+        ref_sum[b] = ref_sum.get(b, 0) + s
+        ref_n[b] = ref_n.get(b, 0) + 1
+    got = {r.bucket: (r.signed_sum, r.n_feats) for r in rows}
+    assert got == {b: (ref_sum[b], ref_n[b]) for b in ref_n}
+    assert all(0 <= b < 64 for b in got)
+    assert sum(n for _, n in got.values()) == len(feats)

@@ -106,6 +106,8 @@ ALLOWED = {
     # 1-row metric frames crossJoined into the single audit row
     "op-ext-bloom-semi": {"cartesian"},
     "op-ext-chisq": {"cartesian"},
+    # same 1-row stat-frame crossjoins as chisq, plus the V final select
+    "op-ext-cramers-v": {"cartesian"},
     "op-ext-triangle-count": {"cartesian"},
     # 5-row class frame + 1-row vocab-size frame broadcast onto tokens
     # (the 1-row aggs surface as SinglePartition exchanges beside the
