@@ -2473,3 +2473,82 @@ def op_ext_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_ANOVA_SSW} AS ss_within",
         f"{_ANOVA_F} AS f_stat",
     )
+
+
+@query(
+    "op-ext-brown-forsythe",
+    oracle=f"""
+    WITH q AS (
+      SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem
+    ),
+    med AS (
+      SELECT f, CAST(quantile_cont(q, 0.5) * 2 AS BIGINT) AS med2
+      FROM q GROUP BY 1
+    ),
+    z AS (
+      SELECT q.f, ABS(2 * q.q - med.med2) AS q
+      FROM q JOIN med USING (f)
+    ),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN f = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN f = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_n,
+        CAST(SUM(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+        CAST(SUM(CASE WHEN f = 'A' THEN q ELSE 0 END) AS BIGINT) AS sx_a,
+        CAST(SUM(CASE WHEN f = 'N' THEN q ELSE 0 END) AS BIGINT) AS sx_n,
+        CAST(SUM(CASE WHEN f = 'R' THEN q ELSE 0 END) AS BIGINT) AS sx_r,
+        CAST(SUM(CASE WHEN f = 'A' THEN q * q ELSE 0 END) AS BIGINT) AS sxx_a,
+        CAST(SUM(CASE WHEN f = 'N' THEN q * q ELSE 0 END) AS BIGINT) AS sxx_n,
+        CAST(SUM(CASE WHEN f = 'R' THEN q * q ELSE 0 END) AS BIGINT) AS sxx_r
+      FROM z
+    )
+    {_ANOVA_FINAL}
+    FROM agg
+    """,
+)
+def op_ext_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test of variance EQUALITY across the return-flag
+    groups — the scale/dispersion axis the location tests (anova,
+    kruskal-wallis, welch) don't cover, in its median-centered form
+    (robust to non-normality, unlike mean-centered Levene). Statistic =
+    the one-way F on z_ij = |x_ij − median_g|; computed here on the
+    2×-scaled integers z2 = |2x − med2| so everything stays EXACT int64
+    (an even-count median is a .5 — doubling it is the same frozen-
+    integer trick as the rank machinery; F is scale-invariant so
+    F(z2) ≡ F(z) up to the shared-verbatim IEEE chain, and ss_between/
+    ss_within are reported on the z2 scale by contract). The group
+    median is Spark's EXACT percentile aggregate — safe at 100 TB here
+    because quantity has a ~50-value domain (the aggregate carries
+    per-value counts, not rows); reuses _ANOVA_FINAL verbatim."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("f"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    med = li.groupBy("f").agg(
+        F.expr("CAST(percentile(q, 0.5) * 2 AS BIGINT)").alias("med2")
+    )
+    z = li.join(F.broadcast(med), "f").select(
+        "f", F.abs(2 * F.col("q") - F.col("med2")).alias("q")
+    )
+    agg = z.agg(
+        *[
+            F.sum(F.when(F.col("f") == g, e).otherwise(0))
+            .cast("bigint")
+            .alias(f"{p}_{g.lower()}")
+            for p, e in (
+                ("n", F.lit(1)),
+                ("sx", F.col("q")),
+                ("sxx", F.col("q") * F.col("q")),
+            )
+            for g in ("A", "N", "R")
+        ]
+    )
+    return agg.selectExpr(
+        "n_a + n_n + n_r AS n_total",
+        "CAST(2 AS BIGINT) AS df_between",
+        "CAST(n_a + n_n + n_r - 3 AS BIGINT) AS df_within",
+        f"{_ANOVA_SSB} AS ss_between",
+        f"{_ANOVA_SSW} AS ss_within",
+        f"{_ANOVA_F} AS f_stat",
+    )

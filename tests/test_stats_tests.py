@@ -568,3 +568,31 @@ def test_feature_hash_replay_and_shape(spark):
     assert got == {b: (ref_sum[b], ref_n[b]) for b in ref_n}
     assert all(0 <= b < 64 for b in got)
     assert sum(n for _, n in got.values()) == len(feats)
+
+
+def test_brown_forsythe_matches_numpy(spark):
+    """Median-centered Levene replayed literally (scipy's levene with
+    center='median'): F on |x − med_g|, here on the 2x-scaled exact
+    integers (F is scale-invariant)."""
+    [row] = _run(spark, "op-ext-brown-forsythe")
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").collect()
+    groups = {}
+    for r in li:
+        groups.setdefault(r.l_returnflag, []).append(float(r.l_quantity))
+    zs = []
+    for v in groups.values():
+        x = np.array(v)
+        zs.append(np.abs(2 * x - 2 * np.median(x)))  # the op's 2x scale
+    n = sum(len(z) for z in zs)
+    grand = sum(z.sum() for z in zs) / n
+    ssb = sum(len(z) * (z.mean() - grand) ** 2 for z in zs)
+    ssw = sum(((z - z.mean()) ** 2).sum() for z in zs)
+    f_ref = (ssb / 2) / (ssw / (n - 3))
+    assert row.n_total == n
+    assert math.isclose(row.f_stat, f_ref, rel_tol=1e-9)
+    # scale invariance: the UNscaled F matches too
+    zs1 = [z / 2.0 for z in zs]
+    grand1 = sum(z.sum() for z in zs1) / n
+    ssb1 = sum(len(z) * (z.mean() - grand1) ** 2 for z in zs1)
+    ssw1 = sum(((z - z.mean()) ** 2).sum() for z in zs1)
+    assert math.isclose(row.f_stat, (ssb1 / 2) / (ssw1 / (n - 3)), rel_tol=1e-9)
