@@ -243,8 +243,15 @@ def winnow_fps_np(col: Column | str, k: int = ROLL_K, w: int = WINNOW_W) -> Colu
     def _fps(texts: pd.Series) -> pd.Series:
         out = []
         for s in texts:
+            if s is None:
+                # HOF twin: lower(NULL) → NULL hashes → NULL fps; the
+                # old `(s or "")` coercion fabricated fingerprint [0]
+                # for NULL text and would have joined all NULL-text
+                # docs as near-dup candidates (r10 review)
+                out.append(None)
+                continue
             codes = np.frombuffer(
-                (s or "").lower().encode("utf-32-le"), dtype=np.uint32
+                s.lower().encode("utf-32-le"), dtype=np.uint32
             ).astype(np.int64)
             n = codes.size
             if n <= k:

@@ -2418,6 +2418,33 @@ _ANOVA_FINAL = f"""
            {_ANOVA_F} AS f_stat
 """
 
+_ANOVA_FINAL_EXPRS = [
+    "n_a + n_n + n_r AS n_total",
+    "CAST(2 AS BIGINT) AS df_between",
+    "CAST(n_a + n_n + n_r - 3 AS BIGINT) AS df_within",
+    f"{_ANOVA_SSB} AS ss_between",
+    f"{_ANOVA_SSW} AS ss_within",
+    f"{_ANOVA_F} AS f_stat",
+]
+
+
+def _three_group_stats(fq: DataFrame) -> DataFrame:
+    """The 9 exact-int64 sufficient statistics (n, Σx, Σx² per A/N/R
+    group) pivoted into ONE row from an (f, q) frame — shared by
+    op-ext-anova and op-ext-brown-forsythe so the stat matrix can't
+    drift between them. One map-side-combined pass; at 100 TB the
+    shuffle carries one 9-column row."""
+    q = F.col("q")
+    return fq.agg(
+        *[
+            F.sum(F.when(F.col("f") == g, e).otherwise(0))
+            .cast("bigint")
+            .alias(f"{p}_{g.lower()}")
+            for p, e in (("n", F.lit(1)), ("sx", q), ("sxx", q * q))
+            for g in ("A", "N", "R")
+        ]
+    )
+
 
 @query(
     "op-ext-anova",
@@ -2454,25 +2481,11 @@ def op_ext_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     SSB, SSW, and F are shared verbatim with the oracle
     (_ANOVA_SSB/_ANOVA_SSW/_ANOVA_F). At 100 TB the shuffle carries one
     9-column row."""
-    li = t(spark, sf_dir, "lineitem")
-    q = F.col("l_quantity").cast("bigint")
-    agg = li.agg(
-        *[
-            F.sum(F.when(F.col("l_returnflag") == g, e).otherwise(0))
-            .cast("bigint")
-            .alias(f"{p}_{g.lower()}")
-            for p, e in (("n", F.lit(1)), ("sx", q), ("sxx", q * q))
-            for g in ("A", "N", "R")
-        ]
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("f"),
+        F.col("l_quantity").cast("bigint").alias("q"),
     )
-    return agg.selectExpr(
-        "n_a + n_n + n_r AS n_total",
-        "CAST(2 AS BIGINT) AS df_between",
-        "CAST(n_a + n_n + n_r - 3 AS BIGINT) AS df_within",
-        f"{_ANOVA_SSB} AS ss_between",
-        f"{_ANOVA_SSW} AS ss_within",
-        f"{_ANOVA_F} AS f_stat",
-    )
+    return _three_group_stats(li).selectExpr(*_ANOVA_FINAL_EXPRS)
 
 
 @query(
@@ -2531,24 +2544,4 @@ def op_ext_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = li.join(F.broadcast(med), "f").select(
         "f", F.abs(2 * F.col("q") - F.col("med2")).alias("q")
     )
-    agg = z.agg(
-        *[
-            F.sum(F.when(F.col("f") == g, e).otherwise(0))
-            .cast("bigint")
-            .alias(f"{p}_{g.lower()}")
-            for p, e in (
-                ("n", F.lit(1)),
-                ("sx", F.col("q")),
-                ("sxx", F.col("q") * F.col("q")),
-            )
-            for g in ("A", "N", "R")
-        ]
-    )
-    return agg.selectExpr(
-        "n_a + n_n + n_r AS n_total",
-        "CAST(2 AS BIGINT) AS df_between",
-        "CAST(n_a + n_n + n_r - 3 AS BIGINT) AS df_within",
-        f"{_ANOVA_SSB} AS ss_between",
-        f"{_ANOVA_SSW} AS ss_within",
-        f"{_ANOVA_F} AS f_stat",
-    )
+    return _three_group_stats(z).selectExpr(*_ANOVA_FINAL_EXPRS)

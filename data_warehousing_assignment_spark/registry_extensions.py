@@ -999,15 +999,25 @@ def op_ext_ann_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iv.ivf_cosine_topk(corpus, queries, k=5, n_clusters=16, n_probe=16)
 
 
+#: SQL twin of operators/ivf.auto_n_clusters(n, q, n_probe=4) — ONE
+#: source of truth shared by the op-ext-ann-ivf-scaled oracle and the
+#: parity test (tests/test_ivf.py), so the formula can't drift between
+#: them. The {n} / {q} placeholders are SQL expressions for the corpus
+#: and query counts (BIGINT).
+IVF_KK_EXPR = (
+    "GREATEST(CAST(16 AS BIGINT), LEAST("
+    " CAST(FLOOR(SQRT(GREATEST(CAST(1 AS DOUBLE),"
+    " CAST({q} * 4 * {n} AS DOUBLE)"
+    " / CAST(3 * {n} + {q} AS DOUBLE)))) AS BIGINT),"
+    " GREATEST(CAST(16 AS BIGINT), {n} // 8)))"
+)
+
+
 @query(
     "op-ext-ann-ivf-scaled",
-    oracle=_ivf_oracle("""
+    oracle=_ivf_oracle(f"""
     kk AS (
-      SELECT GREATEST(CAST(16 AS BIGINT), LEAST(
-               CAST(FLOOR(SQRT(GREATEST(CAST(1 AS DOUBLE),
-                        CAST(q * 4 * n AS DOUBLE)
-                          / CAST(3 * n + q AS DOUBLE)))) AS BIGINT),
-               GREATEST(CAST(16 AS BIGINT), n // 8))) AS k
+      SELECT {IVF_KK_EXPR.format(n='n', q='q')} AS k
       FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(CASE WHEN vec_id % 100 = 0
                                  THEN 1 ELSE 0 END) AS BIGINT) AS q
@@ -1234,27 +1244,22 @@ def op_ext_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_shared") >= _WN_MINSH)
     )
     txt = docs.select("doc_id", "text")
-    # Early-exit verify (r9 verdict #4): the 3-arg levenshtein stops at
-    # a band of width T = the 30% rule at the CORPUS max length — every
-    # true survivor has ed ≤ 0.3·maxlen(pair) ≤ T so its distance comes
-    # back exact, and every -1 (band exceeded) provably fails the
-    # per-pair test anyway. O(T·min(la,lb)) per pair instead of
-    # O(la·lb); the one scalar read is the justified watermark class.
-    max_len = int(
-        docs.agg(F.max(F.length("text")).alias("m")).first()["m"]
-    )
-    # Banded verify: the 3-arg levenshtein stops at T = the 30% rule at
-    # the corpus max length — every true survivor has ed ≤
-    # 0.3·maxlen(pair) ≤ T so its distance comes back exact, and every
-    # -1 (band exceeded) provably fails the per-pair test anyway.
-    # Negative result recorded so nobody re-tries it: a LADDER of
-    # per-pair-proportional literal thresholds measured 11.8 s vs this
-    # uniform band's 11.5 s at sf1 — banded DP costs len·min(2T+1, len)
-    # and a 30% RELATIVE threshold gives 2T+1 ≈ 0.6·len, so the band
-    # never gets narrow enough to prune (a fixed T=60 would — 6.7 s —
-    # but isn't contract-safe). Equality fast path first: exact copies
-    # cost one O(len) compare, not the DP. The one scalar read is the
-    # justified watermark class.
+    # Banded verify (r9 verdict #4): the 3-arg levenshtein stops at
+    # T = the 30% rule at the CORPUS max length — every true survivor
+    # has ed ≤ 0.3·maxlen(pair) ≤ T so its distance comes back exact,
+    # and every -1 (band exceeded) provably fails the per-pair test
+    # anyway. Negative result recorded so nobody re-tries it: a LADDER
+    # of per-pair-proportional literal thresholds measured 11.8 s vs
+    # this uniform band's 11.5 s at sf1 — banded DP costs
+    # len·min(2T+1, len) and a 30% RELATIVE threshold gives
+    # 2T+1 ≈ 0.6·len, so the band never gets narrow enough to prune (a
+    # fixed T=60 would — 6.7 s — but isn't contract-safe). Equality
+    # fast path first: exact copies cost one O(len) compare, not the
+    # DP. The one scalar read is the justified watermark class; on an
+    # empty/all-NULL corpus the max is None and there are no pairs to
+    # verify, so any threshold works — use 0.
+    m = docs.agg(F.max(F.length("text")).alias("m")).first()["m"]
+    max_len = int(m) if m is not None else 0
     maxl = F.greatest(F.length("ta.text"), F.length("tb.text"))
     ed = F.when(F.col("ta.text") == F.col("tb.text"), F.lit(0)).otherwise(
         F.levenshtein(

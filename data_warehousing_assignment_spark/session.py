@@ -78,18 +78,6 @@ def scratch_table(spark: SparkSession, base: str) -> str:
         r"[^0-9a-zA-Z]+", "_", spark.sparkContext.applicationId
     ).strip("_").lower()
     name = f"{base}_{app}"
-    # Sweep stale SIBLINGS too (r9 advice): app-suffixed names mean a dead
-    # session's lineitem-sized scratch tables would otherwise accumulate in
-    # the shared warehouse forever. Anything matching {base}_* that is not
-    # the live session's name is by construction abandoned — the suffix
-    # exists only to protect tables mid-read within a LIVE session.
-    try:
-        for row in spark.sql(f"SHOW TABLES LIKE '{base}_*'").collect():
-            stale = row.tableName
-            if stale != name:
-                spark.sql(f"DROP TABLE IF EXISTS {stale}")
-    except Exception:
-        pass  # catalog quirk — stale siblings are a leak, not a correctness issue
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     parsed = urlparse(wh)
@@ -97,10 +85,16 @@ def scratch_table(spark: SparkSession, base: str) -> str:
         path = unquote(parsed.path) if parsed.scheme else wh
         own = os.path.join(path, name)
         shutil.rmtree(own, ignore_errors=True)
-        # stale-sibling sweep with an AGE guard: a sibling dir younger
-        # than this is plausibly a CONCURRENT session's live table —
-        # deleting it mid-read is exactly the clobber the app suffix
-        # exists to prevent; older ones are dead sessions' leaks.
+        # Stale-SIBLING sweep (r9 advice: app-suffixed names leak a dead
+        # session's lineitem-sized tables into the warehouse forever),
+        # with an AGE guard: a sibling dir younger than the cutoff is
+        # plausibly a CONCURRENT session's LIVE table — deleting it
+        # mid-read is exactly the clobber the app suffix exists to
+        # prevent; older ones are dead sessions' leaks. The catalog
+        # entry is dropped ONLY for dirs the age guard let us remove
+        # (same rule for both layers — an unconditional catalog DROP of
+        # every {base}_* sibling would clobber a live shared-metastore
+        # session the same way).
         cutoff = 6 * 3600
         now = time.time()
         for stale_dir in glob.glob(os.path.join(path, f"{base}_*")):
@@ -109,6 +103,12 @@ def scratch_table(spark: SparkSession, base: str) -> str:
             try:
                 if now - os.path.getmtime(stale_dir) > cutoff:
                     shutil.rmtree(stale_dir, ignore_errors=True)
+                    tbl = os.path.basename(stale_dir)
+                    if re.fullmatch(r"[a-z0-9_]+", tbl):
+                        try:
+                            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+                        except Exception:
+                            pass  # leak, not a correctness issue
             except OSError:
                 pass
     return name

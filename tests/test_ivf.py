@@ -129,12 +129,12 @@ def test_scaled_oracle_k_matches_auto_n_clusters():
     diverges exactly when the parameterization matters."""
     import duckdb
 
-    sql = """
-    SELECT GREATEST(CAST(16 AS BIGINT), LEAST(
-             CAST(FLOOR(SQRT(GREATEST(CAST(1 AS DOUBLE),
-                      CAST(q * 4 * n AS DOUBLE)
-                        / CAST(3 * n + q AS DOUBLE)))) AS BIGINT),
-             GREATEST(CAST(16 AS BIGINT), n // 8))) AS k
+    from data_warehousing_assignment_spark.registry_extensions import (
+        IVF_KK_EXPR,
+    )
+
+    sql = f"""
+    SELECT {IVF_KK_EXPR.format(n='n', q='q')} AS k
     FROM (SELECT CAST(? AS BIGINT) AS n, CAST(? AS BIGINT) AS q)
     """
     cases = [

@@ -239,10 +239,29 @@ def test_winnow_np_twin_matches_hof(spark):
     mism = (
         hof.alias("h")
         .join(np_.alias("n"), "doc_id")
-        .where(F.col("h.fps") != F.col("n.fps"))
+        # null-safe inequality: a plain != is NULL (not true) when one
+        # side is NULL, which would hide a NULL-handling divergence
+        .where(~F.col("h.fps").eqNullSafe(F.col("n.fps")))
         .count()
     )
     assert mism == 0
+
+
+def test_winnow_np_null_text_yields_null_not_zero(spark):
+    """NULL text must produce NULL fingerprints (the HOF/oracle
+    behavior), never the fabricated [0] that would join every NULL-text
+    doc as a near-dup candidate."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "some real text here")], "doc_id int, text string"
+    )
+    rows = {
+        r.doc_id: r.fps
+        for r in df.select(
+            "doc_id", tx.winnow_fps_np("text").alias("fps")
+        ).collect()
+    }
+    assert rows[1] is None
+    assert rows[2]  # non-null text still fingerprints
 
 
 def test_winnow_shared_substring_guarantee(spark):
