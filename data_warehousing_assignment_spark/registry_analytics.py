@@ -2545,3 +2545,97 @@ def op_ext_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f", F.abs(2 * F.col("q") - F.col("med2")).alias("q")
     )
     return _three_group_stats(z).selectExpr(*_ANOVA_FINAL_EXPRS)
+
+
+# --------------------------------------------------------------------------
+# paired Student's t (round 10 — the parametric twin of the Wilcoxon
+# signed-rank cell: paired × continuous)
+# --------------------------------------------------------------------------
+
+#: t = mean(d) / sqrt(var(d)/n) over exact int64 (n, Σd, Σd²) — shared
+#: verbatim with the oracle (welch rules). BIGINT→DOUBLE casts are the
+#: correctly-rounded IEEE conversion in BOTH engines (the r7 last-ulp
+#: trap is only 128-bit DECIMAL/HUGEINT→double, which this op avoids by
+#: truncating diffs to whole dollars — see the docstring).
+_PAIRED_T = (
+    "((CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))"
+    " / sqrt(((CAST(sdd AS DOUBLE)"
+    " - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))"
+    " / CAST(n - 1 AS DOUBLE)) / CAST(n AS DOUBLE)))"
+)
+
+
+@query(
+    "op-ext-paired-ttest",
+    oracle=f"""
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 1995
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  ELSE 0 END) AS BIGINT) AS c95,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  ELSE 0 END) AS BIGINT) AS c96,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 1995
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n95,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n96
+      FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+      GROUP BY 1
+    ),
+    d AS (
+      SELECT (c96 - c95) // 10000 AS d
+      FROM per WHERE n95 > 0 AND n96 > 0
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d) AS BIGINT) AS sd,
+             CAST(SUM(d * d) AS BIGINT) AS sdd
+      FROM d
+    )
+    SELECT n AS n_pairs,
+           CAST(n - 1 AS BIGINT) AS df,
+           CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS mean_d,
+           {_PAIRED_T} AS t_stat
+    FROM agg
+    """,
+)
+def op_ext_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired Student's t-test on per-customer 1995→1996 spend change —
+    the PARAMETRIC twin of op-ext-wilcoxon-signed-rank's matrix cell
+    (paired × continuous), on the same customer-year pairing. Unlike
+    Wilcoxon, zero differences are KEPT (the t-test has no zero-drop
+    rule). Differences are truncated to $100 units ((c96−c95)//10000,
+    toward zero identically in both engines) so Σd² stays inside exact
+    int64: dollar units measured 2.0e19 at the synthesized sf10 —
+    past int64 — where $100 units leave ~180× headroom. t is
+    scale-invariant up to this documented
+    truncation, and every cast in the final closed form is the
+    correctly-rounded BIGINT→DOUBLE conversion, never a 128-bit
+    decimal. One groupBy(custkey) + one 3-stat aggregate; at 100 TB
+    the shuffle carries |customers| rows then one 3-column row."""
+    o = t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    )
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    y95 = F.year("o_orderdate") == 1995
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.when(y95, cents).otherwise(0)).cast("bigint").alias("c95"),
+        F.sum(F.when(~y95, cents).otherwise(0)).cast("bigint").alias("c96"),
+        F.sum(F.when(y95, 1).otherwise(0)).cast("bigint").alias("n95"),
+        F.sum(F.when(~y95, 1).otherwise(0)).cast("bigint").alias("n96"),
+    )
+    d = per.filter((F.col("n95") > 0) & (F.col("n96") > 0)).select(
+        F.expr("(c96 - c95) div 10000").alias("d")
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sdd"),
+    )
+    return agg.selectExpr(
+        "n AS n_pairs",
+        "CAST(n - 1 AS BIGINT) AS df",
+        "CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS mean_d",
+        f"{_PAIRED_T} AS t_stat",
+    )

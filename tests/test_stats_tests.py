@@ -596,3 +596,34 @@ def test_brown_forsythe_matches_numpy(spark):
     ssb1 = sum(len(z) * (z.mean() - grand1) ** 2 for z in zs1)
     ssw1 = sum(((z - z.mean()) ** 2).sum() for z in zs1)
     assert math.isclose(row.f_stat, (ssb1 / 2) / (ssw1 / (n - 3)), rel_tol=1e-9)
+
+
+def test_paired_ttest_matches_numpy(spark):
+    """Paired t replayed literally on the same customer-year pairing
+    ($100-truncated diffs, zeros kept — unlike Wilcoxon)."""
+    [row] = _run(spark, "op-ext-paired-ttest")
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    per = {}
+    for r in orders:
+        y = r.o_orderdate.year
+        if y in (1995, 1996):
+            c = per.setdefault(r.o_custkey, [0, 0, 0, 0])
+            cents = round(float(r.o_totalprice) * 100)
+            if y == 1995:
+                c[0] += cents
+                c[2] += 1
+            else:
+                c[1] += cents
+                c[3] += 1
+    ds = [
+        (c96 - c95) // 10000  # trunc toward zero, like div/'//'
+        if (c96 - c95) >= 0
+        else -((c95 - c96) // 10000)
+        for c95, c96, n95, n96 in per.values()
+        if n95 > 0 and n96 > 0
+    ]
+    d = np.array(ds, dtype=np.float64)
+    assert row.n_pairs == len(d) and row.df == len(d) - 1
+    t_ref = d.mean() / math.sqrt(d.var(ddof=1) / len(d))
+    assert math.isclose(row.mean_d, d.mean(), rel_tol=1e-12)
+    assert math.isclose(row.t_stat, t_ref, rel_tol=1e-9)
