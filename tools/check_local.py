@@ -95,56 +95,104 @@ def _canon_type(duck_type: str) -> str:
     return "VARCHAR"
 
 
-def compare_big(con, spdf, opdf):
-    """Exact order-insensitive multiset compare of two big frames in DuckDB.
+def _multiset_diff(con, rel_s: str, rel_o: str, cols):
+    """Canonicalized EXCEPT ALL both ways between two DuckDB relations.
 
-    Matches canon_df semantics: NaN folds to NULL, floats compare
-    bitwise-exact after widening to DOUBLE, ints widen to BIGINT, and
-    DuckDB set ops use IS NOT DISTINCT FROM (NULL==NULL) just like the
-    "<NULL>" sentinel in canon_cell. Returns (ok, message).
-    """
+    canon_df semantics: NaN folds to NULL, floats compare bitwise-exact
+    after widening to DOUBLE, ints widen to BIGINT, mismatched types
+    fall back to VARCHAR, list/struct cells go through to_json. Returns
+    (ok, message)."""
+    types: dict[str, str] = {}
+    for rel in (rel_s, rel_o):
+        for cname, ctype, *_ in con.execute(f"DESCRIBE {rel}").fetchall():
+            t = _canon_type(ctype)
+            prev = types.get(cname)
+            # widen: if either side is DOUBLE the compare is DOUBLE
+            if prev is None or prev == t:
+                types[cname] = t
+            elif {prev, t} == {"BIGINT", "DOUBLE"}:
+                types[cname] = "DOUBLE"
+            else:
+                types[cname] = "VARCHAR"
+    exprs = []
+    for c in cols:
+        t = types[c]
+        q = f'"{c}"'
+        if t == "DOUBLE":
+            exprs.append(
+                f"CASE WHEN isnan(CAST({q} AS DOUBLE)) THEN NULL "
+                f"ELSE CAST({q} AS DOUBLE) END AS {q}"
+            )
+        elif t == "JSON":
+            exprs.append(f"to_json({q}) AS {q}")
+        else:
+            exprs.append(f"CAST({q} AS {t}) AS {q}")
+    sel = ", ".join(exprs)
+    diff = con.execute(
+        f"(SELECT {sel} FROM {rel_s} EXCEPT ALL SELECT {sel} FROM {rel_o})"
+        f" UNION ALL "
+        f"(SELECT {sel} FROM {rel_o} EXCEPT ALL SELECT {sel} FROM {rel_s})"
+        f" LIMIT 3"
+    ).fetchall()
+    if diff:
+        return False, f"values differ (multiset); sample: {diff}"
+    return True, ""
+
+
+def compare_big(con, spdf, opdf):
+    """Exact order-insensitive multiset compare of two big COLLECTED
+    frames in DuckDB (see _multiset_diff for semantics)."""
     cols = sorted(spdf.columns)
     con.register("__cmp_s", spdf[cols])
     con.register("__cmp_o", opdf[cols])
     try:
-        types: dict[str, str] = {}
-        for rel in ("__cmp_s", "__cmp_o"):
-            for cname, ctype, *_ in con.execute(f"DESCRIBE {rel}").fetchall():
-                t = _canon_type(ctype)
-                prev = types.get(cname)
-                # widen: if either side is DOUBLE the compare is DOUBLE
-                if prev is None or prev == t:
-                    types[cname] = t
-                elif {prev, t} == {"BIGINT", "DOUBLE"}:
-                    types[cname] = "DOUBLE"
-                else:
-                    types[cname] = "VARCHAR"
-        exprs = []
-        for c in cols:
-            t = types[c]
-            q = f'"{c}"'
-            if t == "DOUBLE":
-                exprs.append(
-                    f"CASE WHEN isnan(CAST({q} AS DOUBLE)) THEN NULL "
-                    f"ELSE CAST({q} AS DOUBLE) END AS {q}"
-                )
-            elif t == "JSON":
-                exprs.append(f"to_json({q}) AS {q}")
-            else:
-                exprs.append(f"CAST({q} AS {t}) AS {q}")
-        sel = ", ".join(exprs)
-        diff = con.execute(
-            f"(SELECT {sel} FROM __cmp_s EXCEPT ALL SELECT {sel} FROM __cmp_o)"
-            f" UNION ALL "
-            f"(SELECT {sel} FROM __cmp_o EXCEPT ALL SELECT {sel} FROM __cmp_s)"
-            f" LIMIT 3"
-        ).fetchall()
-        if diff:
-            return False, f"values differ (multiset); sample: {diff}"
-        return True, ""
+        return _multiset_diff(con, "__cmp_s", "__cmp_o", cols)
     finally:
         con.unregister("__cmp_s")
         con.unregister("__cmp_o")
+
+
+def compare_huge(con, sdf, oracle_sql: str):
+    """NO-COLLECT compare for results too big for the driver
+    (spark.driver.maxResultSize): the Spark side spills to a temp
+    parquet directory that DuckDB reads directly, and the whole
+    count + schema + multiset check runs inside DuckDB — nothing
+    data-sized ever crosses the Python driver. This is also the shape
+    a 100 TB verification would take (engine writes, verifier reads).
+    Returns (ok, message)."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="cmp_huge_")
+    try:
+        sdf.write.mode("overwrite").parquet(tmp)
+        con.execute(
+            "CREATE OR REPLACE TEMP VIEW __cmp_s AS "
+            f"SELECT * FROM '{tmp}/*.parquet'"
+        )
+        con.execute(
+            f"CREATE OR REPLACE TEMP VIEW __cmp_o AS {oracle_sql}"
+        )
+        s_cols = sorted(
+            r[0] for r in con.execute("DESCRIBE __cmp_s").fetchall()
+        )
+        o_cols = sorted(
+            r[0] for r in con.execute("DESCRIBE __cmp_o").fetchall()
+        )
+        if s_cols != o_cols:
+            return False, f"columns {s_cols} vs {o_cols}"
+        n_s = con.execute("SELECT COUNT(*) FROM __cmp_s").fetchone()[0]
+        n_o = con.execute("SELECT COUNT(*) FROM __cmp_o").fetchone()[0]
+        if n_s != n_o:
+            return False, f"rowcount {n_s} vs {n_o}"
+        ok, msg = _multiset_diff(con, "__cmp_s", "__cmp_o", s_cols)
+        if ok:
+            return True, f"{n_s} rows (duckdb multiset, parquet spill)"
+        return ok, msg
+    finally:
+        con.execute("DROP VIEW IF EXISTS __cmp_s")
+        con.execute("DROP VIEW IF EXISTS __cmp_o")
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main() -> int:
@@ -181,9 +229,32 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             spdf = sdf.toPandas()
         except Exception:
+            err = traceback.format_exc()
+            if "maxResultSize" in err and name in oracles:
+                # result too big to collect (a data-sized projection at
+                # a large SF) — compare via parquet spill entirely
+                # inside DuckDB instead of through the driver
+                try:
+                    ok, msg = compare_huge(con, sdf, oracles[name])
+                except Exception:
+                    n_fail += 1
+                    failures.append(name)
+                    print(
+                        f"FAIL  {name}: huge-compare raised\n"
+                        f"{traceback.format_exc()}"
+                    )
+                    continue
+                if ok:
+                    n_pass += 1
+                    print(f"ok    {name}: {msg}  [{time.time()-t0:.1f}s]")
+                else:
+                    n_fail += 1
+                    failures.append(name)
+                    print(f"FAIL  {name}: {msg}")
+                continue
             n_fail += 1
             failures.append(name)
-            print(f"FAIL  {name}: spark raised\n{traceback.format_exc()}")
+            print(f"FAIL  {name}: spark raised\n{err}")
             continue
         if name not in oracles:
             n_rows_only += 1
