@@ -185,19 +185,56 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.0,
+    size_prefilter: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs: join each
     side's (deduplicated) shingle array onto the pair, then row-local
     array_intersect / union sizes — integer counts, one IEEE division.
 
     Verification stage of the dedup pipeline: cost O(|candidates|), and
-    candidates come from LSH, so the full pipeline never goes quadratic."""
+    candidates come from LSH, so the full pipeline never goes quadratic.
+
+    ``size_prefilter`` (r10 verdict #4) inserts a PROVABLY no-loss
+    length-ratio gate before the array join: J(A,B) = |A∩B|/|A∪B| ≤
+    min(|A|,|B|)/max(|A|,|B|) (numerator ≤ the smaller set, denominator
+    ≥ the larger), so any pair with min/max < threshold cannot reach it
+    and may skip the full intersect. The gate joins ONLY int sizes onto
+    the candidate frame (8 bytes/side vs the full shingle arrays), then
+    the arrays join on survivors. The 1e-9 epsilon matches the PPJoin
+    prefix guard: IEEE drift in threshold·max can only ADMIT a boundary
+    pair (re-checked exactly by the verify), never drop one.
+
+    MEASURED NEGATIVE at the synthesized sf10 (BASELINE.md, r11): the
+    LSH candidates are 99.93 % true edges at θ=0.5 (27.05 M cands →
+    27.03 M verified edges — mutated-copy corpora give LSH very high
+    precision), so the gate can prune at most 0.07 % of pairs while
+    adding two extra joins over the 27 M-pair frame. Default stays OFF;
+    the option exists for corpora where LSH precision is genuinely low
+    (short docs, tiny band counts)."""
     sh = pin(  # joined twice (a- and b-side) — don't shingle twice
         scale_out(df.select(id_col, text_col)).select(
             F.col(id_col).alias("_id"),
             F.array_distinct(word_shingles(tokens(text_col), n)).alias("_sh"),
         )
     )
+    if size_prefilter and threshold > 0:
+        sz = sh.select("_id", F.size("_sh").alias("_n"))
+        candidates = (
+            candidates.join(
+                sz.select(F.col("_id").alias("doc_a"), F.col("_n").alias("_na")),
+                "doc_a",
+            )
+            .join(
+                sz.select(F.col("_id").alias("doc_b"), F.col("_n").alias("_nb")),
+                "doc_b",
+            )
+            .filter(
+                F.least("_na", "_nb").cast("double")
+                >= F.lit(threshold) * F.greatest("_na", "_nb").cast("double")
+                - F.lit(1e-9)
+            )
+            .select("doc_a", "doc_b")
+        )
     a = sh.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

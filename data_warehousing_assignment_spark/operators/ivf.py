@@ -77,11 +77,16 @@ def auto_n_clusters(
     import math
 
     r = max(1, n_build_passes)
-    k = int(
-        math.sqrt(
-            max(1.0, n_queries * n_probe * n_corpus / (r * n_corpus + n_queries))
-        )
-    )
+    # Round EXACTLY like the SQL twin (registry_extensions.IVF_KK_EXPR):
+    # numerator and denominator are each rounded to double BEFORE the
+    # divide. A bare int/int here would divide exact arbitrary-precision
+    # ints with ONE rounding, which can flip FLOOR(SQRT(...)) by 1 once
+    # q·n_probe·n exceeds 2^53 (r10 advice). Domain limit shared with
+    # the SQL: exact while q·n_probe·n < 2^63 (BIGINT product bound);
+    # beyond that the SQL side would overflow first.
+    num = float(n_queries * n_probe * n_corpus)
+    den = float(r * n_corpus + n_queries)
+    k = int(math.sqrt(max(1.0, num / den)))
     return max(floor, min(k, max(floor, n_corpus // 8)))
 
 

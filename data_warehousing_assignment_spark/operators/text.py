@@ -234,7 +234,19 @@ def winnow_fps_np(col: Column | str, k: int = ROLL_K, w: int = WINNOW_W) -> Colu
     Returns the distinct selected mins SORTED (np.unique) — every
     consumer (count/min/xor fold, explode→posting join) is
     order-insensitive, pinned equal to the HOF twin in
-    tests/test_text_ops.py. Row-local, zero shuffle, same oracle."""
+    tests/test_text_ops.py. Row-local, zero shuffle, same oracle.
+
+    Case-mapping precondition (r10 advice): this twin uses Python
+    ``str.lower()`` while the HOF twin uses JVM ``lower()`` — measured
+    IDENTICAL on full simple-case Unicode including the classic traps
+    (U+0130 İ → i + combining dot, Greek final sigma), pinned by the
+    non-ASCII rows in tests/test_text_ops.py::
+    test_winnow_np_twin_matches_hof. The DuckDB ORACLE's ``lower()``
+    however maps U+0130 → plain 'i' and never emits final sigma, so
+    ORACLE equality (not engine self-consistency) holds only for text
+    avoiding those two code points — true of the pinned testdata corpus
+    (ASCII); any divergence on future corpora surfaces as a test/oracle
+    failure, not silent wrong answers."""
     import numpy as np
 
     c = F.col(col) if isinstance(col, str) else col

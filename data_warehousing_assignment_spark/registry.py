@@ -100,36 +100,73 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = _load_driver_verified()
 #: artifact, DRIVER_VERIFIED_ROUND wins first in _driver_rank and this
 #: set stops mattering; stale entries are harmless by construction.
 _VERDICT_ROTATION = frozenset({
-    # r10: the r9 verdict's "Next round #1" — drain the never-sampled
-    # round-9 wave (stats tests, spatial joins, winnowing, layout ops)
-    # to zero. These were _HOLDBACK_NEW last round (rank 2.5); promoting
-    # them to rank -1 guarantees no op registered THIS round can displace
-    # them from the driver window. Self-expiring once CORRECTNESS_r10
-    # records them (ewma expired out this way after r9).
-    "op-ext-mannwhitney",
-    "op-ext-welch-ttest",
-    "op-ext-gini-impurity",
-    "op-ext-cume-dist",
-    "op-ext-winnow",
-    "op-ext-hilbert-order",
-    "op-ext-spearman",
-    "op-ext-kruskal-wallis",
-    "op-ext-winnow-neardup",
-    "op-ext-histogram-equidepth",
-    "op-ext-spatial-nn",
-    "op-ext-spatial-range",
-    "op-ext-wilcoxon-signed-rank",
-    "op-ext-mcnemar",
-    "op-ext-friedman",
-    "op-ext-jonckheere",
-    "op-ext-page-trend",
-    "op-ext-cochran-q",
-    "op-ext-spatial-knn",
+    # r11: the r10 verdict's "Next round #1" — the §2 core surface's
+    # latest driver-sampled rows date to r03–r05, five rounds stale
+    # while the code kept moving. Re-cycle the reference-parity ops
+    # (registry_io sinks/scans, all pipelines + KPI views, and the
+    # highest-traffic registry_core ops) through the r11 window.
+    # 46 entries — deliberately under the ~50-slot window so new r11
+    # ops (rank 0) still get external rows this round. The remaining
+    # ~31 registry_core fn/pred ops roll into the r12 rotation.
+    # Three entries double as contract changes this round: the two
+    # anti-join oracles are now date-restricted (non-empty results,
+    # r10 verdict #2) and op-fn-uuid moved to a structural oracle
+    # (r10 verdict #6).
+    # registry_io (§2 sources/sinks/views):
+    "op-scan-excel",
+    "op-scan-csv-seed",
+    "op-sink-jdbc-replace",
+    "op-sink-jdbc-append",
+    "op-sink-insert-select",
+    "op-view-create",
+    "op-materializations",
+    "op-join-anti",
+    # registry_pipelines (§2 warehouse pipelines + the 8 KPI views):
+    "op-pipe-scd2",
+    "op-pipe-dim-upsert",
+    "op-pipe-fact-incr",
+    "op-pipe-snapshot",
+    "op-pipe-impute",
+    "op-join-left-fill",
+    "op-join-update",
+    "op-pipe-dq",
+    "op-pipe-audit",
+    "op-pipe-kpi-headcount",
+    "op-pipe-kpi-resignations",
+    "op-pipe-kpi-avg-salary",
+    "op-pipe-kpi-gross-monthly",
+    "op-pipe-kpi-net-monthly-dept",
+    "op-pipe-kpi-net-by-type",
+    "op-pipe-kpi-downtime-by-process",
+    "op-pipe-kpi-downtime-by-dept",
+    # registry_core (§2 relational core — joins/aggs/windows first;
+    # the contract-changed trio included):
+    "op-pred-not-exists",
+    "op-pred-left-null",
+    "op-fn-uuid",
+    "op-pred-not-in",
+    "op-join-inner-fk",
+    "op-join-inner-star",
+    "op-join-left",
+    "op-agg-count-distinct",
+    "op-agg-sum-round",
+    "op-agg-avg-round",
+    "op-agg-groupby-mean",
+    "op-agg-count-star",
+    "op-agg-scalar-max",
+    "op-project",
+    "op-derive",
+    "op-filter-eq",
+    "op-distinct",
+    "op-dup-capture",
+    "op-win-rownumber-key",
+    "op-sort",
+    "op-union-distinct",
 })
 
 #: Rotation entries verified BEFORE this round carry a stale contract
 #: (see _driver_rank); bump when refreshing _VERDICT_ROTATION.
-_CONTRACT_CHANGED_ROUND = 10
+_CONTRACT_CHANGED_ROUND = 11
 
 #: Ops registered AFTER this round's driver window was already exactly
 #: full (r9: 48 never-sampled + 1 rotation + 1 oldest-green = the whole

@@ -186,14 +186,24 @@ def op_pred_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op-pred-not-exists",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00')
     """,
 )
 def op_pred_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated NOT EXISTS (ref B3_load_fin_facts.sql:84-94) → left_anti."""
+    """Correlated NOT EXISTS (ref B3_load_fin_facts.sql:84-94) → left_anti.
+
+    The right side is restricted to a date window so the anti result is
+    non-empty on the testdata (every customer has SOME order, so the
+    unrestricted form compared 0 = 0 rows — trivially green, r10 verdict).
+    1995-07-01 splits customers ~1:1 at every SF (68/150 at sf0.001,
+    723/1500 at sf0.01, 7132/15000 at sf0.1)."""
     cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.to_timestamp(F.lit("1995-07-01")))
+        .select(F.col("o_custkey").alias("c_custkey"))
     )
     return anti_join(cust, orders, ["c_custkey"]).select("c_custkey", "c_name")
 
@@ -225,7 +235,8 @@ def op_pred_distinct_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p.p_partkey, p.p_name
     FROM part p
-    LEFT JOIN (SELECT DISTINCT l_partkey FROM lineitem) l
+    LEFT JOIN (SELECT DISTINCT l_partkey FROM lineitem
+               WHERE l_shipdate < TIMESTAMP '1995-07-01 00:00:00') l
       ON p.p_partkey = l.l_partkey
     WHERE l.l_partkey IS NULL
     """,
@@ -233,9 +244,19 @@ def op_pred_distinct_from(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_pred_left_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT JOIN ... IS NULL anti idiom (ref B3_load_fin_facts.sql:42-45),
     kept as a literal left join + null filter (Catalyst rewrites it to an
-    anti join anyway — same physical plan as op-pred-not-exists)."""
+    anti join anyway — same physical plan as op-pred-not-exists).
+
+    The lineitem side is restricted to early shipments so the result is
+    non-empty (every part ships at least once, so the unrestricted form
+    compared 0 = 0 — trivially green, r10 verdict): 32/200 parts at
+    sf0.001, 243/2000 at sf0.01, 2222/20000 at sf0.1."""
     part = t(spark, sf_dir, "part")
-    ordered = t(spark, sf_dir, "lineitem").select("l_partkey").distinct()
+    ordered = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") < F.to_timestamp(F.lit("1995-07-01")))
+        .select("l_partkey")
+        .distinct()
+    )
     return (
         part.join(ordered, part.p_partkey == ordered.l_partkey, "left")
         .filter(F.col("l_partkey").isNull())
@@ -1197,12 +1218,38 @@ def op_fn_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("event_id", F.coalesce(nulled, F.lit(0.0)).alias("value_filled"))
 
 
-@query("op-fn-uuid")  # nondeterministic by design → rows-only check
+@query(
+    "op-fn-uuid",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) AS n_distinct,
+           COUNT(*) AS n_len36,
+           COUNT(*) AS n_rfc4122
+    FROM documents
+    """,
+)
 def op_fn_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """uuid() job ids (ref combined_dw_schema.sql:122, A2_hr_etl.py:11).
-    Inherently nondeterministic → no oracle; driver checks rows only."""
+
+    The VALUES are nondeterministic, but the STRUCTURE is not (r10
+    verdict #6): every generated id must be 36 chars, RFC-4122 version 4
+    with variant bits 10 (char 20 ∈ [89ab]), and per-row unique. The op
+    generates one uuid() per document and returns the structural summary,
+    which the oracle predicts exactly from COUNT(*) — so a broken
+    generator (dupes, wrong version/variant, wrong shape) hash-fails
+    instead of riding a rows-only check."""
     docs = t(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.expr("uuid()").alias("job_id"))
+    ids = docs.select(F.expr("uuid()").alias("job_id"))
+    v4 = (
+        r"^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}"
+        r"-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+    )
+    return ids.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("job_id").alias("n_distinct"),
+        F.sum((F.length("job_id") == 36).cast("bigint")).alias("n_len36"),
+        F.sum(F.col("job_id").rlike(v4).cast("bigint")).alias("n_rfc4122"),
+    )
 
 
 @query(

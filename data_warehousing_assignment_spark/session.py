@@ -97,12 +97,30 @@ def scratch_table(spark: SparkSession, base: str) -> str:
         # session the same way).
         cutoff = 6 * 3600
         now = time.time()
+        # Heartbeat OUR OWN sibling dirs for this base: directory mtime
+        # does not refresh while a table is merely being READ, so a
+        # long-lived session would look "stale" to a concurrent
+        # session's sweep after 6h even though it is alive (r10 advice).
+        # Touching every {base}_{app} dir belonging to THIS applicationId
+        # on each reuse keeps live tables out of siblings' cutoffs.
+        for own_dir in glob.glob(os.path.join(path, f"*_{app}")):
+            try:
+                os.utime(own_dir, None)
+            except OSError:
+                pass
         for stale_dir in glob.glob(os.path.join(path, f"{base}_*")):
             if stale_dir == own:
                 continue
             try:
                 if now - os.path.getmtime(stale_dir) > cutoff:
                     shutil.rmtree(stale_dir, ignore_errors=True)
+                    if os.path.exists(stale_dir):
+                        # rmtree(ignore_errors=True) silently failed
+                        # (permissions, concurrent writer) — the data
+                        # dir is still there, so the catalog entry must
+                        # stay too or the owner loses its table while
+                        # the files remain (r10 advice).
+                        continue
                     tbl = os.path.basename(stale_dir)
                     if re.fullmatch(r"[a-z0-9_]+", tbl):
                         try:

@@ -86,6 +86,46 @@ def test_ngram_jaccard_values(spark):
     assert out[(0, 2)] == 0.0  # no shared shingles
 
 
+def test_ngram_jaccard_size_prefilter_is_lossless(spark):
+    """The length-ratio gate (r10 verdict #4) must never change the
+    verified pair set: J ≥ θ ⟹ min(|A|,|B|)/max(|A|,|B|) ≥ θ, so
+    prefilter on/off are provably identical — pinned here on the real
+    sf0.001 corpus through the full LSH→verify chain, including a
+    boundary θ exactly at a pair's size ratio (the epsilon's job)."""
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    cands = dd.minhash_lsh_candidates(docs, "doc_id", "text", 12, 4)
+    for theta in (0.5, 0.8):
+        off = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dd.ngram_jaccard_pairs(
+                docs, cands, "doc_id", "text", threshold=theta
+            ).collect()
+        }
+        on = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dd.ngram_jaccard_pairs(
+                docs, cands, "doc_id", "text",
+                threshold=theta, size_prefilter=True,
+            ).collect()
+        }
+        assert on == off, (theta, len(on), len(off))
+    # constructed boundary: sizes 2 vs 4 at θ=0.5 — ratio EXACTLY θ and
+    # the pair's true J(={2 shared}/{4}) = 0.5 must survive the gate
+    rows = [
+        (10, "alpha beta gamma delta"),          # shingles: 2 (3-grams)
+        (11, "alpha beta gamma delta east f"),   # shingles: 4, superset
+    ]
+    bdf = spark.createDataFrame(rows, "doc_id int, text string")
+    bc = spark.createDataFrame([(10, 11)], "doc_a int, doc_b int")
+    got = dd.ngram_jaccard_pairs(
+        bdf, bc, "doc_id", "text", threshold=0.5, size_prefilter=True
+    ).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in got] == [(10, 11, 0.5)]
+
+
 def test_simhash_near_dups_have_small_hamming_distance(spark):
     fps = {
         r.doc_id: r.simhash

@@ -145,6 +145,15 @@ def test_scaled_oracle_k_matches_auto_n_clusters():
         (1_000_000, 10_000),
         (1_000, 1_000_000),
         (128, 1),
+        # >2^53 product regimes (r10 advice): q·4·n exceeds double's
+        # exact-integer range, so BOTH sides must round numerator and
+        # denominator to double separately before dividing or
+        # FLOOR(SQRT(...)) can flip by 1. Kept below the shared 2^63
+        # BIGINT domain limit documented in auto_n_clusters.
+        (2**40, 2**20),
+        (2**45, 2**15),
+        (10**12 + 7, 10**6 + 3),
+        (2**52 + 1, 2**8 + 1),
     ]
     con = duckdb.connect()
     for n, q in cases:

@@ -218,7 +218,18 @@ def test_winnow_np_twin_matches_hof(spark):
     ride since r10) must select exactly the HOF chain's fingerprints —
     element equality up to order (np returns them sorted) — on the
     python-replay fixtures AND the real sf0.001 corpus."""
-    df = spark.createDataFrame(TEXTS, "doc_id int, text string")
+    # non-ASCII rows (r10 advice): Python str.lower() vs JVM lower()
+    # can in principle diverge on one-to-many case maps — these pin the
+    # classic traps (U+0130 İ, ß, Greek final sigma, combining marks)
+    # so any divergence fails HERE, not as a production oracle mismatch
+    unicode_rows = [
+        (100, "İSTANBUL city on the Bosphorus strait"),
+        (101, "Straße und Gasse lang genug für Fenster"),
+        (102, "ΣΟΦΟΣ ΛΟΓΟΣ wisdom words ending in sigma"),
+        (103, "Ñandú corre rápido por el camino largo"),
+    ]
+    all_texts = TEXTS + unicode_rows
+    df = spark.createDataFrame(all_texts, "doc_id int, text string")
     got = {
         r.doc_id: sorted(r.fps)
         for r in df.select(
@@ -227,6 +238,19 @@ def test_winnow_np_twin_matches_hof(spark):
     }
     for doc_id, text in TEXTS:
         assert got[doc_id] == sorted(py_winnow(text)), text
+    hof_u = {
+        r.doc_id: sorted(r.fps)
+        for r in df.filter(F.col("doc_id") >= 100)
+        .select(
+            "doc_id",
+            F.array_sort(
+                tx.winnow_select(tx.winnow_hashes("text"))
+            ).alias("fps"),
+        )
+        .collect()
+    }
+    for doc_id, text in unicode_rows:
+        assert got[doc_id] == hof_u[doc_id], (text, "np vs HOF lower() drift")
 
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
     hof = (

@@ -225,12 +225,15 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        sdf = None  # bound only if fn() returned — eager actions inside
+        # fn() (e.g. a .first()) can raise BEFORE sdf exists, and the
+        # huge-compare fallback must not NameError over it (r10 advice)
         try:
             sdf = fn(spark, sf_dir)
             spdf = sdf.toPandas()
         except Exception:
             err = traceback.format_exc()
-            if "maxResultSize" in err and name in oracles:
+            if "maxResultSize" in err and name in oracles and sdf is not None:
                 # result too big to collect (a data-sized projection at
                 # a large SF) — compare via parquet spill entirely
                 # inside DuckDB instead of through the driver

@@ -21,7 +21,9 @@ A second axis, ``--aqe``, compares AQE ON vs OFF at fixed width —
 adaptive re-planning (coalesced partitions, demoted broadcasts, skew
 splits) must also never change answers.
 
-Exclusions (by contract): op-fn-uuid is nondeterministic by definition.
+Exclusions (by contract): none since r11 — op-fn-uuid now returns a
+structural summary (counts) that IS run-to-run deterministic even though
+the underlying uuid values are not.
 
 Usage: python tools/determinism_check.py [--aqe] [sf_dir] [only ...]
 """
@@ -34,7 +36,7 @@ import traceback
 
 sys.path.insert(0, "/root/repo")
 
-NONDETERMINISTIC_BY_CONTRACT = {"op-fn-uuid"}
+NONDETERMINISTIC_BY_CONTRACT: set[str] = set()
 
 
 def canon(df) -> tuple:
