@@ -29,6 +29,10 @@ keys and perturbed near-dup texts, dims kept dim-sized — and runs the
 scale-probe subset on it. This is the "does the plan survive a 10×
 step?" check: shapes that only look scale-safe at 600 k rows (widening
 shuffles, bucket blowups) show up here before they show up on a cluster.
+``--sf1 --assert`` grades that run against the dedicated
+``bench_floors.json["sf1"]`` section (floors measured AT sf1, r10
+verdict #9) — a 10× scale regression fails mechanically, with the same
+share / canary-pair / reproduce-to-fail retry tiers as the sf0.1 gates.
 """
 
 from __future__ import annotations
@@ -102,6 +106,12 @@ SF1_HEADLINE = [
     # measuring exactly what a production reader pays)
     "op-ext-tpch-q7-bucketed",
     "op-ext-tpch-q21-bucketed",
+    # r11 (r10 verdict #9) — the remaining scale-sensitive shapes, now
+    # floor-asserted at 10× so a scale regression fails mechanically:
+    "op-ext-tpch-q9-bucketed",   # the worst pre-bucketing 100× ratio
+    "op-ext-ann-ivf-scaled",     # cost-balanced k — the ANN scale path
+    "op-ext-winnow",             # O(len·k) fingerprint build (numpy UDF)
+    "op-ext-winnow-neardup",     # posting join + banded edit verify
 ]
 
 #: fact tables replicated in --sf1 synthesis; value = key columns offset
@@ -361,14 +371,6 @@ def main() -> int:
     qs = entrymod.queries()
 
     if sf1_mode:
-        if assert_mode:
-            # bench_floors.json floors are measured at SF_DIR — a floor
-            # check (and its per-query retry) against 10x data would be
-            # meaningless, so reject the combination outright rather
-            # than silently skipping the assert (r9 advice).
-            print("# --sf1 --assert is not supported: floors are "
-                  "SF_DIR-scale", file=sys.stderr)
-            return 2
         sf_dir = synthesize_sf1(spark)
         report = run_suite(
             spark, qs, SF1_HEADLINE, sf_dir, 1.0,
@@ -396,11 +398,16 @@ def main() -> int:
         )
         suite_names, suite_sf_dir = HEADLINE, SF_DIR
     print(json.dumps(report))
-    if assert_mode and not sf1_mode:
+    if assert_mode:
         floors_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "bench_floors.json"
         )
-        section = "tpch" if tpch_mode else None
+        # --sf1 --assert grades against the dedicated 10×-scale floor
+        # section (r10 verdict #9) — floors measured AT sf1, so the
+        # r9-advice objection (SF_DIR-scale floors vs 10× data) no
+        # longer applies; the per-query retry threads the sf1 suite
+        # names and synthesized dir like any other section.
+        section = "sf1" if sf1_mode else ("tpch" if tpch_mode else None)
         violations = check_floors(report, floors_path, section)
         # Per-query retry: the r9 host shows NON-uniform noise spikes
         # (one query 5x slow for a whole 5-iter window with identical

@@ -1261,22 +1261,52 @@ def op_ext_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = docs.agg(F.max(F.length("text")).alias("m")).first()["m"]
     max_len = int(m) if m is not None else 0
     maxl = F.greatest(F.length("ta.text"), F.length("tb.text"))
-    ed = F.when(F.col("ta.text") == F.col("tb.text"), F.lit(0)).otherwise(
-        F.levenshtein(
-            F.col("ta.text"), F.col("tb.text"), (3 * max_len) // 10 + 1
-        )
-    )
-    scored = (
+    # Two-stage band ladder (r10 verdict #5): banded DP costs
+    # len·min(2T+1, len) regardless of the TRUE distance, and the
+    # corpus-wide T ≈ 0.3·maxlen gives a band that never prunes (the
+    # r10 negative result). But near-dup pairs are mutated COPIES —
+    # most true distances are small — so stage 1 runs the narrow
+    # FIXED band T₁=64 (the 64-bit-word band of the Myers automaton;
+    # 2T₁+1=129 cells/row vs ~0.6·len) over every pair, and only the
+    # -1s (proven ed > 64) pay the full corpus band in stage 2. This
+    # is the contract-safe form of r10's "fixed T=60 would be 6.7 s":
+    # CASE only falls through to the wide band when the narrow one
+    # PROVED the distance exceeds it, so outputs are bit-identical to
+    # the single full-band evaluation (measurement in BASELINE.md r11).
+    # The two chained selects keep each levenshtein single-evaluation
+    # (the r9 staging lesson); CASE WHEN branches evaluate lazily per
+    # row, so stage 2 runs only on stage-1 misses.
+    ed_narrow = F.when(
+        F.col("ta.text") == F.col("tb.text"), F.lit(0)
+    ).otherwise(F.levenshtein(F.col("ta.text"), F.col("tb.text"), 64))
+    full_t = (3 * max_len) // 10 + 1
+    # Rung 0 — O(1) length lower bound: ed ≥ |len_a − len_b|, so a pair
+    # whose length GAP alone breaks the 30% rule can never survive the
+    # final filter; drop it before any DP runs. Exact-integer test,
+    # provably lossless (dropped pairs are exactly ones the final
+    # `edit_dist·10 ≤ 3·maxlen` would discard).
+    dlen = F.abs(F.length("ta.text") - F.length("tb.text"))
+    staged = (
         pairs.join(
             txt.alias("ta"), pairs.doc_a == F.col("ta.doc_id")
         )
         .join(txt.alias("tb"), pairs.doc_b == F.col("tb.doc_id"))
-        # stage the distance so filter + output share ONE evaluation
+        .where(dlen * 10 <= 3 * maxl)
         .select(
             "doc_a", "doc_b", "n_shared",
-            ed.cast("bigint").alias("edit_dist"),
+            F.col("ta.text").alias("_ta"),
+            F.col("tb.text").alias("_tb"),
+            ed_narrow.cast("bigint").alias("_e64"),
             maxl.alias("_maxlen"),
         )
+    )
+    ed = F.when(F.col("_e64") >= 0, F.col("_e64")).otherwise(
+        F.levenshtein(F.col("_ta"), F.col("_tb"), full_t).cast("bigint")
+    )
+    scored = staged.select(
+        "doc_a", "doc_b", "n_shared",
+        ed.alias("edit_dist"),
+        "_maxlen",
     )
     return scored.where(
         (F.col("edit_dist") >= 0)

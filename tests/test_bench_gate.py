@@ -164,3 +164,48 @@ def test_scratch_table_sweeps_dead_siblings_keeps_live_ones(tmp_path):
     assert not os.path.exists(old)  # dead sibling swept
     assert os.path.exists(fresh)  # possibly-live sibling kept
     assert not os.path.exists(own)  # own name always cleared
+
+
+def test_scratch_table_heartbeats_own_dirs_across_bases(tmp_path):
+    """r10 advice: directory mtime does not refresh on READ, so a
+    session alive past the sweep cutoff would look stale to a
+    concurrent session. Every scratch_table call must touch ALL of this
+    applicationId's scratch dirs (any base), keeping a long-lived
+    session's live tables out of siblings' 6h cutoffs."""
+    import os
+    import time as _t
+
+    from data_warehousing_assignment_spark.session import scratch_table
+
+    class _Conf:
+        def __init__(self, wh):
+            self.wh = wh
+
+        def get(self, k, d=None):
+            return self.wh
+
+    class _SC:
+        applicationId = "local-123"
+
+    class _Spark:
+        def __init__(self, wh):
+            self.conf = _Conf(wh)
+            self.sparkContext = _SC()
+
+        def sql(self, q):
+            class _R:
+                def collect(self):
+                    return []
+
+            return _R()
+
+    wh = str(tmp_path)
+    # a DIFFERENT base owned by the SAME app, "stale" by mtime (built
+    # 7h ago, still being read) — the heartbeat must refresh it
+    other = os.path.join(wh, "bkt_y_local_123")
+    os.makedirs(other)
+    os.utime(other, (_t.time() - 7 * 3600,) * 2)
+
+    scratch_table(_Spark(wh), "bkt_x")
+    assert os.path.exists(other)
+    assert _t.time() - os.path.getmtime(other) < 60  # heartbeaten
