@@ -1025,3 +1025,164 @@ def op_ext_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _chunk_docs d, LATERAL overlap_chunks(d.text) c
         """
     )
+
+
+# --------------------------------------------------------------------------
+# corpus mixture + budget selection (round 11)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-mix-weights",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, CAST(len({_TOKS}) AS BIGINT) AS n_tok
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    g AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM d GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt,
+                   CAST(COUNT(*) AS BIGINT) AS k FROM g)
+    SELECT g.source, g.n_docs, g.n_tokens,
+           (1000000 * g.n_tokens) // tot.tt AS natural_ppm,
+           (1000000 * tot.tt) // (tot.k * g.n_tokens) AS weight_ppm,
+           LEAST((1000000 * tot.tt) // (tot.k * g.n_tokens),
+                 1000000) AS keep_ppm,
+           ((1000000 * tot.tt) // (tot.k * g.n_tokens) + 999999)
+             // 1000000 AS epochs
+    FROM g CROSS JOIN tot
+    """,
+)
+def op_ext_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture solver: per-source sampling weights that move the
+    corpus token distribution to a UNIFORM target across sources — the
+    standard knob multilingual/multi-domain training runs expose (cf.
+    the temperature-sampled mixtures of mC4/XLM-R and the hand-set
+    domain weights of The Pile; uniform is temperature → ∞). For each
+    source: weight = target_share / natural_share = T/(k·t_i) in exact
+    ppm (one int64 floor-divide, shared verbatim with the oracle),
+    keep_ppm caps the DOWN-sampled sources' Bernoulli rate at 1e6, and
+    epochs = ceil(weight) is the duplication factor an UP-sampled
+    source needs before its own keep-rate filter. Spark-first shape:
+    one map-side-combined groupBy to |sources| rows, totals broadcast
+    back — nothing data-sized shuffles, trivially 100 TB-safe."""
+    d = t(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    ).select("source", F.size(tokens("text")).cast("long").alias("n_tok"))
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    tot = g.agg(
+        F.sum("n_tokens").cast("long").alias("tt"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    w = "(1000000 * tt) div (k * n_tokens)"
+    return g.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "n_tokens",
+        F.expr("(1000000 * n_tokens) div tt").alias("natural_ppm"),
+        F.expr(w).alias("weight_ppm"),
+        F.expr(f"least({w}, 1000000)").alias("keep_ppm"),
+        F.expr(f"({w} + 999999) div 1000000").alias("epochs"),
+    )
+
+
+@query(
+    "op-ext-token-budget-select",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_dist
+      FROM documents WHERE len({_TOKS}) > 0
+    ),
+    q AS (
+      SELECT doc_id, n_tok,
+             (1000000 * n_dist) // n_tok AS quality_ppm
+      FROM d
+    ),
+    tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) // 4 AS budget FROM q),
+    c AS (
+      SELECT *, CAST(SUM(n_tok) OVER (ORDER BY quality_ppm DESC, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM q
+    )
+    SELECT doc_id, n_tok AS n_tokens, quality_ppm
+    FROM c CROSS JOIN tot WHERE c.cum <= tot.budget
+    """,
+)
+def op_ext_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data selection: keep the highest-quality documents
+    whose cumulative token count fits a global budget (25% of corpus
+    tokens) — the select-under-budget step every curated pretraining
+    mix runs after scoring (cf. DSIR / QuRating-style selection). The
+    quality score is the type-token ratio in exact ppm (repetition
+    penalty; integer floor-divide shared verbatim with the oracle),
+    ties broken by doc_id.
+
+    The oracle states the spec as ONE global ordered prefix-sum — a
+    single-task window no 100 TB plan should run. The engine
+    decomposes it exactly: (1) groupBy quality bucket → per-bucket
+    token sums (≤1e6+1 tiny rows), (2) a driver-safe cumsum over that
+    tiny bucket table finds the THRESHOLD bucket, (3) every doc in a
+    strictly-better bucket is selected with no window at all, and (4)
+    only the boundary bucket's docs pay a doc_id-ordered cumsum,
+    partitioned to that one bucket. The only serial work is one
+    bucket's membership — the same boundary-bucket shape as
+    op-ext-histogram-equidepth — and steps 1/3 are plain
+    map-side-combined aggregates. Selected set is provably identical
+    to the naive global window (greedy prefix is bucket-monotone)."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("l")
+    ).where(F.size("l") > 0)
+    q = docs.select(
+        "doc_id",
+        F.size("l").cast("long").alias("n_tok"),
+        F.expr(
+            "(1000000 * CAST(size(array_distinct(l)) AS BIGINT))"
+            " div CAST(size(l) AS BIGINT)"
+        ).alias("quality_ppm"),
+    )
+    buckets = q.groupBy("quality_ppm").agg(
+        F.sum("n_tok").cast("long").alias("b_tok")
+    )
+    w = Window.orderBy(F.col("quality_ppm").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # tiny frame: <= distinct quality values (<= 1e6+1 rows) — the
+    # documented dims-sized single-partition window pattern
+    bcum = buckets.select(
+        "quality_ppm", "b_tok", F.sum("b_tok").over(w).alias("b_cum")
+    )
+    budget_row = q.agg(
+        (F.sum("n_tok").cast("long") / F.lit(4)).cast("long").alias("budget")
+    )
+    marked = bcum.crossJoin(F.broadcast(budget_row)).select(
+        "quality_ppm",
+        (F.col("b_cum") <= F.col("budget")).alias("whole"),
+        (F.col("b_cum") - F.col("b_tok")).alias("cum_before"),
+        "budget",
+    )
+    # strictly-better buckets: selected wholesale, no window
+    whole = q.join(
+        F.broadcast(marked.where("whole").select("quality_ppm")),
+        "quality_ppm",
+    ).select("doc_id", F.col("n_tok").alias("n_tokens"), "quality_ppm")
+    # boundary bucket: the first bucket whose cumulative sum exceeds
+    # the budget — its docs compete for the remaining budget in doc_id
+    # order. Exactly one such bucket (b_cum is strictly increasing).
+    edge_key = marked.where(
+        (~F.col("whole")) & (F.col("cum_before") <= F.col("budget"))
+    ).select("quality_ppm", "cum_before", "budget")
+    wb = Window.partitionBy("quality_ppm").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    edge = (
+        q.join(F.broadcast(edge_key), "quality_ppm")
+        .withColumn("cum_in", F.sum("n_tok").over(wb))
+        .where(F.col("cum_before") + F.col("cum_in") <= F.col("budget"))
+        .select("doc_id", F.col("n_tok").alias("n_tokens"), "quality_ppm")
+    )
+    return whole.unionByName(edge)

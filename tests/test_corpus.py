@@ -206,3 +206,75 @@ def test_mllib_minhash_recall_vs_exact_jaccard(spark):
     for (a, b), jsim in got.items():
         if (a, b) in truth:
             assert abs(jsim - truth[(a, b)]) < 0.05
+
+
+def test_mix_weights_python_replay(spark):
+    """Recomputes every mix-weights column from raw tokenized docs in
+    plain Python ints; mass-balance invariant: sum over sources of
+    n_tokens * keep_ppm * epochs >= uniform target share for every
+    source (each source can reach T/k tokens after epochs+keep)."""
+    from data_warehousing_assignment_spark.registry_corpus import (
+        op_ext_mix_weights,
+    )
+
+    rows = {r["source"]: r for r in op_ext_mix_weights(spark, SF).collect()}
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .where(F.length(F.trim("text")) > 0)
+        .select("source", F.size(F.split(F.lower(F.trim("text")), r"\s+"))
+                .cast("long").alias("n"))
+        .collect()
+    )
+    agg: dict[str, list[int]] = {}
+    for r in docs:
+        a = agg.setdefault(r["source"], [0, 0])
+        a[0] += 1
+        a[1] += r["n"]
+    tt = sum(v[1] for v in agg.values())
+    k = len(agg)
+    assert set(rows) == set(agg)
+    for s, (nd, nt) in agg.items():
+        got = rows[s]
+        w = (1_000_000 * tt) // (k * nt)
+        assert got["n_docs"] == nd and got["n_tokens"] == nt
+        assert got["natural_ppm"] == (1_000_000 * nt) // tt
+        assert got["weight_ppm"] == w
+        assert got["keep_ppm"] == min(w, 1_000_000)
+        assert got["epochs"] == (w + 999_999) // 1_000_000
+        # after `epochs` duplications filtered at keep_ppm, the source's
+        # expected tokens reach >= target share (ppm floor slack aside)
+        assert got["epochs"] * got["keep_ppm"] * nt >= w * nt
+
+
+def test_token_budget_select_matches_naive_prefix(spark):
+    """The bucket-decomposed engine selection must equal the naive
+    globally-ordered greedy prefix computed in Python."""
+    from data_warehousing_assignment_spark.registry_corpus import (
+        op_ext_token_budget_select,
+    )
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["quality_ppm"])
+        for r in op_ext_token_budget_select(spark, SF).collect()
+    }
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("l"))
+        .where(F.size("l") > 0)
+        .select("doc_id", F.size("l").cast("long").alias("n"),
+                F.size(F.array_distinct("l")).cast("long").alias("d"))
+        .collect()
+    )
+    scored = sorted(
+        ((1_000_000 * r["d"]) // r["n"], r["doc_id"], r["n"]) for r in docs
+    )
+    budget = sum(n for _, _, n in scored) // 4
+    want = {}
+    cum = 0
+    for q, doc, n in sorted(scored, key=lambda x: (-x[0], x[1])):
+        cum += n
+        if cum > budget:
+            break
+        want[doc] = (n, q)
+    assert got == want
+    assert want, "budget selection must be non-empty on the corpus"

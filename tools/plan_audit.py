@@ -150,6 +150,13 @@ ALLOWED = {
     "op-ext-spatial-nn": {"cartesian"},
     "op-ext-spatial-range": {"cartesian"},
     "op-ext-spatial-knn": {"cartesian"},
+    # 1-row corpus-totals frame (T tokens, k sources) broadcast onto
+    # the |sources|-row aggregate — same shape as tfidf's N broadcast
+    "op-ext-mix-weights": {"cartesian"},
+    # 1-row budget broadcast + the boundary-bucket decomposition's two
+    # tiny windows: bucket-table cumsum (≤1e6+1 rows by construction)
+    # and the single threshold bucket's doc_id cumsum (docstring)
+    "op-ext-token-budget-select": {"cartesian", "single-partition window"},
 }
 
 
