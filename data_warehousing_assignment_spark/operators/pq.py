@@ -1,0 +1,307 @@
+"""Product quantization (PQ) — memory-compressed ANN scoring
+(extension surface, SURVEY.md §7.5 — no reference counterpart).
+
+Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+Search" (TPAMI 2011): split each d-dim vector into M orthogonal
+subspaces of d/M dims, k-means each subspace to K codewords, and store
+every corpus vector as M small codes. A query is answered with
+asymmetric distance computation (ADC): one M×K lookup table of exact
+query-subvector · codeword dot products, then each candidate's
+approximate dot product is the sum of M table lookups — no float
+touches the original corpus vectors at query time.
+
+Why this is THE 100 TB ANN operating point: a 64-dim float corpus is
+256 B/vector; PQ codes with M=8, K=16 are 8 small ints (8 B packed, a
+32× compression), so a 1000-executor cluster keeps the whole candidate
+index in memory where the raw vectors would spill. IVF supplies the
+candidate cut (probe n_probe of n_clusters cells), PQ supplies the
+per-candidate memory/bandwidth cut — composed here exactly as
+IVF-ADC in the paper (§ IV.A, non-residual variant).
+
+Determinism contract (same as operators/ivf.py): no RNG anywhere —
+subspace codebooks seed from the K lowest-id vectors' subvectors, Lloyd
+rounds use exact int64 squared-L2 assignment (code-id tiebreak) and the
+exact integer round-half-away-from-zero mean, over vectors quantized to
+integer micro-units. Every stage is therefore bit-reproducible and the
+whole pipeline (IVF cells + PQ codebooks + ADC + top-k) replays in
+ANSI SQL as a DuckDB oracle; the single IEEE divide in the final score
+has an identical operand order in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_warehousing_assignment_spark.caching import pin
+from data_warehousing_assignment_spark.operators.ivf import (
+    _assign,
+    build_ivf_index,
+)
+from data_warehousing_assignment_spark.operators.similarity import (
+    int_dot,
+    quantize,
+)
+
+PQ_M = 8  # subspaces (d=64 → 8 dims each)
+PQ_DSUB = 8  # dims per subspace
+PQ_K = 64  # codewords per subspace — codes fit 6 bits
+# Operating point measured on the synthetic corpus (sf0.001, IVF 4/16
+# probing, rerank=25): K=16 → recall@5 0.12, K=64 → 0.48 — exactly the
+# IVF-exact ceiling on the same candidates, i.e. the ADC shortlist no
+# longer loses anything the cells kept. K=256 measured no better (the
+# corpus is near-uniform; inter-NN gaps are already resolved at 6
+# bits), so the codes stay 6 bits instead of the paper's default 8.
+
+
+def subvectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(_id, m, sv): quantized micro-unit subvector slices, one row per
+    (vector, subspace). Row-local explode — no shuffle."""
+    return (
+        df.select(F.col(id_col).alias("_id"), quantize(vec_col).alias("_qv"))
+        .withColumn(
+            "m", F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1)))
+        )
+        .select(
+            "_id",
+            "m",
+            F.expr(f"slice(_qv, m * {PQ_DSUB} + 1, {PQ_DSUB})").alias("sv"),
+        )
+    )
+
+
+def _sub_l2sq(a, b):
+    """Exact int64 squared-L2 between two quantized subvectors."""
+    diff = F.zip_with(a, b, lambda x, y: x - y)
+    return F.aggregate(
+        F.transform(diff, lambda d: d * d),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _nearest_code(sv_df: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """(_id, m, sv, code): each subvector's nearest codeword in its OWN
+    subspace (exact integer distance, code-id tiebreak). The codebook is
+    M·K rows — always broadcast; the window partitions by (_id, m), the
+    finest key in the pipeline, so the rank never concentrates."""
+    scored = sv_df.join(F.broadcast(codebooks), "m").select(
+        "_id", "m", "sv", "code", _sub_l2sq(F.col("sv"), F.col("cw")).alias("_d")
+    )
+    w = Window.partitionBy("_id", "m").orderBy("_d", "code")
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_d", "_rk")
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 2,
+) -> DataFrame:
+    """Train the M per-subspace codebooks: (m, code, cw).
+
+    Seeds: the PQ_K lowest-id vectors' subvectors (code = id rank), so
+    every subspace seeds from the same K rows — the SQL oracle derives
+    the identical seed set with one LIMIT. Each Lloyd round is one
+    broadcast-join argmin + one map-side-combined integer-mean agg;
+    nothing data-sized crosses the driver."""
+    sv = pin(subvectors(corpus, id_col, vec_col))
+    low = (
+        corpus.select(F.col(id_col).alias("_id"))
+        .orderBy("_id")
+        .limit(PQ_K)
+        .select(
+            "_id",
+            (F.row_number().over(Window.orderBy("_id")) - 1).alias("code"),
+        )
+    )
+    codebooks = sv.join(F.broadcast(low), "_id").select(
+        "m", "code", F.col("sv").alias("cw")
+    )
+    for _ in range(n_iters):
+        assigned = _nearest_code(sv, codebooks)
+        codebooks = (
+            assigned.select("m", "code", F.posexplode("sv").alias("pos", "v"))
+            .groupBy("m", "code", "pos")
+            .agg(
+                F.sum("v").cast("bigint").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "m",
+                "code",
+                "pos",
+                F.expr(
+                    "CASE WHEN s >= 0 THEN (2*s + n) div (2*n)"
+                    " ELSE -((2*(-s) + n) div (2*n)) END"
+                ).alias("mv"),
+            )
+            .groupBy("m", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                    lambda s: s["mv"].cast("bigint"),
+                ).alias("cw")
+            )
+        )
+    return codebooks
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(_id, m, code): the M-byte PQ representation of every vector —
+    the ONLY per-corpus-row state the query path ever reads."""
+    sv = subvectors(corpus, id_col, vec_col)
+    return _nearest_code(sv, codebooks).select("_id", "m", "code")
+
+
+def ivf_pq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    rerank: int = 25,
+) -> DataFrame:
+    """IVF-ADC+R approximate cosine top-k (Jégou et al. §V): IVF cells
+    bound the candidate set (n_probe/n_clusters of the corpus per
+    query), ADC ranks every candidate from M integer table lookups
+    instead of a d-dim float dot product, and only the ADC top-``rerank``
+    shortlist is re-scored EXACTLY against the raw vectors. Output
+    contract matches brute_force_cosine_topk / ivf_cosine_topk:
+    (query_id, neighbor_id, rank, score) with exact cosine scores.
+
+    Scale shape: codebooks and the per-query LUT are O(M·K) and
+    O(Q·M·K) — broadcast-sized; the candidate scan carries (id, m,
+    code) ints only; raw vectors are touched for just Q·rerank rows at
+    query time (a semi-join fetch), so the memory-bandwidth term the
+    compression exists to kill stays killed. ``rerank=0`` disables the
+    re-rank and returns raw ADC scores (score = dot̃(q,x)/(‖q‖·‖x̃‖),
+    with ‖x̃‖² = Σₘ‖cwₘ‖² exact by subspace orthogonality)."""
+    centroids, assignments = build_ivf_index(corpus, id_col, vec_col, n_clusters)
+    codebooks = pin(pq_codebooks(corpus, id_col, vec_col))
+    codes = pin(pq_encode(corpus, codebooks, id_col, vec_col))
+
+    # candidates: queries probe their n_probe nearest IVF cells
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(vec_col).alias("qvec")
+    )
+    probes = _assign(q, centroids, n_probe=n_probe).select(
+        "query_id", "qvec", "cluster"
+    )
+    cand = (
+        assignments.select(
+            F.col(id_col).alias("neighbor_id"), "cluster"
+        )
+        .join(F.broadcast(probes.select("query_id", "cluster")), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+
+    # ADC lookup table: exact query subvector · codeword, all M·K cells
+    qsv = subvectors(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        "query_id",
+        vec_col,
+    ).select(F.col("_id").alias("query_id"), "m", "sv")
+    lut = qsv.join(F.broadcast(codebooks), "m").select(
+        "query_id",
+        "m",
+        "code",
+        int_dot(F.col("sv"), F.col("cw")).alias("dot"),
+    )
+
+    # reconstruction norms (exact): ‖x̃‖² = Σₘ ‖cw_{m,code_m(x)}‖²
+    cw_nrm = codebooks.select(
+        "m", "code", int_dot(F.col("cw"), F.col("cw")).alias("nn")
+    )
+    xnrm = (
+        codes.join(F.broadcast(cw_nrm), ["m", "code"])
+        .groupBy("_id")
+        .agg(F.sum("nn").cast("bigint").alias("nx"))
+        .select(F.col("_id").alias("neighbor_id"), "nx")
+    )
+    qn = q.select(
+        "query_id", int_dot(F.col("qvec"), F.col("qvec")).alias("nq")
+    )
+
+    adc = (
+        cand.join(
+            codes.select(F.col("_id").alias("neighbor_id"), "m", "code"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dot").cast("bigint").alias("adot"))
+    )
+    scored = (
+        adc.join(F.broadcast(qn), "query_id")
+        .join(xnrm, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("nq"),
+            (
+                F.col("adot").cast("double")
+                / (
+                    F.sqrt(F.col("nq").cast("double"))
+                    * F.sqrt(F.col("nx").cast("double"))
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id")
+    )
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", "neighbor_id", F.col("rank").cast("int"), "score"
+            )
+        )
+    shortlist = (
+        scored.withColumn("_ar", F.row_number().over(w))
+        .filter(F.col("_ar") <= rerank)
+        .select("query_id", "neighbor_id", "nq")
+    )
+    # exact re-rank: fetch raw vectors for the Q·rerank shortlist only
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("cv")
+    )
+    exact = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                int_dot(F.col("qvec"), F.col("cv")).cast("double")
+                / (
+                    F.sqrt(F.col("nq").cast("double"))
+                    * F.sqrt(
+                        int_dot(F.col("cv"), F.col("cv")).cast("double")
+                    )
+                )
+            ).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int"), "score")
+    )

@@ -858,6 +858,7 @@ def op_ext_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from data_warehousing_assignment_spark.operators import ivf as iv  # noqa: E402
+from data_warehousing_assignment_spark.operators import pq as pqm  # noqa: E402
 
 
 def _ivf_lloyd_round(src_c: str, n: int) -> str:
@@ -896,12 +897,13 @@ def _ivf_lloyd_round(src_c: str, n: int) -> str:
     )"""
 
 
-def _ivf_oracle(c0_sql: str) -> str:
-    """Full IVF pipeline replay (seeds → 2 unrolled Lloyd rounds → final
-    assignment → 4-cell probing → top-5) with the SEED CTE injected, so
-    the anchor (pinned k=16) and the scaled variant (data-derived k)
-    share one verbatim body — only how many lowest-id seed vectors enter
-    ``c0`` differs."""
+def _ivf_cand_ctes(c0_sql: str) -> str:
+    """The IVF candidate-generation CTE chain (seeds → 2 unrolled Lloyd
+    rounds → final assignment → 4-cell probing → ``cand(query_id,
+    neighbor_id)``) with the SEED CTE injected — shared verbatim by the
+    exact-scoring IVF oracles (:func:`_ivf_oracle`) and the ADC-scoring
+    IVF-PQ oracle, so the candidate set provably cannot drift between
+    the exact and compressed operating points."""
     return f"""
     WITH emb AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
     idx AS (SELECT unnest(range(1, 65)) AS i),
@@ -932,7 +934,17 @@ def _ivf_oracle(c0_sql: str) -> str:
       SELECT p.query_id, c.neighbor_id
       FROM probes p JOIN cells c ON c.cluster = p.cluster
       WHERE c.neighbor_id <> p.query_id
-    ),
+    )"""
+
+
+def _ivf_oracle(c0_sql: str) -> str:
+    """Full IVF pipeline replay (candidate CTEs from
+    :func:`_ivf_cand_ctes` → exact dot/norm scoring → top-5) — the
+    anchor (pinned k=16) and the scaled variant (data-derived k) share
+    one verbatim body; only how many lowest-id seed vectors enter
+    ``c0`` differs."""
+    return f"""
+    {_ivf_cand_ctes(c0_sql)},
     nrms AS (
       SELECT emb.vec_id, CAST(SUM(v[idx.i] * v[idx.i]) AS BIGINT) AS nrm
       FROM emb, idx GROUP BY 1
@@ -1049,6 +1061,322 @@ def op_ext_ann_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = corpus.filter(F.col("vec_id") % 100 == 0)
     return iv.ivf_cosine_topk(
         corpus, queries, k=5, n_clusters="auto", n_probe=4
+    )
+
+
+def _pq_lloyd_round(n: int) -> str:
+    """One unrolled PQ Lloyd round as CTE text — the per-SUBSPACE twin
+    of :func:`_ivf_lloyd_round`: every (vector, subspace) row assigns to
+    its nearest codeword in codebook ``p{n}`` (exact int64 squared-L2,
+    code-id tiebreak), then each (m, code) cell recomputes its codeword
+    as the exact integer round-half-away-from-zero mean into ``p{n+1}``
+    — bit-identical to operators/pq.pq_codebooks in any engine."""
+    return f"""
+    pd{n} AS (
+      SELECT s.vec_id, s.m, c.code,
+             CAST(SUM((s.sv[i8.i] - c.cw[i8.i])
+                      * (s.sv[i8.i] - c.cw[i8.i])) AS BIGINT) AS dd
+      FROM sv s JOIN p{n} c USING (m), i8 GROUP BY 1, 2, 3
+    ),
+    pa{n} AS (
+      SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dd, code) AS rk
+        FROM pd{n}) WHERE rk = 1
+    ),
+    pu{n} AS (
+      SELECT a.m, a.code, i8.i AS pos,
+             CAST(SUM(s.sv[i8.i]) AS BIGINT) AS s2,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pa{n} a JOIN sv s ON s.vec_id = a.vec_id AND s.m = a.m, i8
+      GROUP BY 1, 2, 3
+    ),
+    p{n + 1} AS (
+      SELECT m, code,
+             list(CASE WHEN s2 >= 0 THEN (2 * s2 + n) // (2 * n)
+                       ELSE -((2 * (-s2) + n) // (2 * n)) END
+                  ORDER BY pos) AS cw
+      FROM pu{n} GROUP BY 1, 2
+    )"""
+
+
+_PQ_ORACLE = f"""
+    {_ivf_cand_ctes('''
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+             v AS centroid
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16)
+    )''')},
+    i8 AS (SELECT unnest(range(1, 9)) AS i),
+    sv AS (
+      SELECT vec_id, msp.m, v[msp.m * 8 + 1 : msp.m * 8 + 8] AS sv
+      FROM emb, (SELECT unnest(range(0, 8)) AS m) msp
+    ),
+    plow AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+      FROM (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 64)
+    ),
+    p0 AS (
+      SELECT s.m, l.code, s.sv AS cw FROM sv s JOIN plow l USING (vec_id)
+    ),
+    {_pq_lloyd_round(0)},
+    {_pq_lloyd_round(1)},
+    pdf AS (
+      SELECT s.vec_id, s.m, c.code,
+             CAST(SUM((s.sv[i8.i] - c.cw[i8.i])
+                      * (s.sv[i8.i] - c.cw[i8.i])) AS BIGINT) AS dd
+      FROM sv s JOIN p2 c USING (m), i8 GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dd, code) AS rk
+        FROM pdf) WHERE rk = 1
+    ),
+    cwn AS (
+      SELECT m, code, CAST(SUM(cw[i8.i] * cw[i8.i]) AS BIGINT) AS nn
+      FROM p2, i8 GROUP BY 1, 2
+    ),
+    xnrm AS (
+      SELECT c.vec_id, CAST(SUM(w.nn) AS BIGINT) AS nx
+      FROM codes c JOIN cwn w USING (m, code) GROUP BY 1
+    ),
+    lut AS (
+      SELECT s.vec_id AS query_id, s.m, c.code,
+             CAST(SUM(s.sv[i8.i] * c.cw[i8.i]) AS BIGINT) AS dot
+      FROM sv s JOIN p2 c USING (m), i8
+      WHERE s.vec_id % 100 = 0 GROUP BY 1, 2, 3
+    ),
+    qn AS (
+      SELECT vec_id, CAST(SUM(v[idx.i] * v[idx.i]) AS BIGINT) AS nq
+      FROM emb, idx WHERE vec_id % 100 = 0 GROUP BY 1
+    ),
+    adc AS (
+      SELECT cd.query_id, cd.neighbor_id, CAST(SUM(l.dot) AS BIGINT) AS adot
+      FROM cand cd
+      JOIN codes c ON c.vec_id = cd.neighbor_id
+      JOIN lut l ON l.query_id = cd.query_id
+               AND l.m = c.m AND l.code = c.code
+      GROUP BY 1, 2
+    ),
+    pscored AS (
+      SELECT a.query_id, a.neighbor_id,
+             CAST(a.adot AS DOUBLE)
+               / (sqrt(CAST(q.nq AS DOUBLE))
+                  * sqrt(CAST(x.nx AS DOUBLE))) AS score
+      FROM adc a
+      JOIN qn q ON q.vec_id = a.query_id
+      JOIN xnrm x ON x.vec_id = a.neighbor_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, neighbor_id) AS ar
+        FROM pscored) WHERE ar <= 25
+    ),
+    edots AS (
+      SELECT s.query_id, s.neighbor_id,
+             CAST(SUM(qv.v[idx.i] * nv.v[idx.i]) AS BIGINT) AS dot
+      FROM short s
+      JOIN emb qv ON qv.vec_id = s.query_id
+      JOIN emb nv ON nv.vec_id = s.neighbor_id, idx
+      GROUP BY 1, 2
+    ),
+    enrm AS (
+      SELECT vec_id, CAST(SUM(v[idx.i] * v[idx.i]) AS BIGINT) AS nrm
+      FROM emb, idx GROUP BY 1
+    ),
+    escored AS (
+      SELECT d.query_id, d.neighbor_id,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(n1.nrm AS DOUBLE))
+                  * sqrt(CAST(n2.nrm AS DOUBLE))) AS score
+      FROM edots d
+      JOIN enrm n1 ON d.query_id = n1.vec_id
+      JOIN enrm n2 ON d.neighbor_id = n2.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id) AS rank
+          FROM escored)
+    WHERE rank <= 5
+    """
+
+
+@query("op-ext-ann-ivf-pq", oracle=_PQ_ORACLE)
+def op_ext_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC+R approximate top-k (Jégou et al., TPAMI 2011,
+    non-residual variant with re-ranking, §V): the SAME candidate cut
+    as op-ext-ann-ivf (k-means cells, probe 4 of 16), but candidates
+    are RANKED from product-quantized codes — 8 subspaces × 64
+    codewords, so each corpus vector is 8 six-bit codes (6 B packed vs
+    the 256 B float row, ~42×) and a query ranks a candidate with 8
+    integer LUT lookups instead of a 64-dim dot product; only the ADC
+    top-25 shortlist is re-scored exactly against raw vectors. This is
+    the memory-bound 100 TB operating point: at a billion vectors the
+    PQ code table fits executor RAM where raw vectors cannot, and raw
+    vectors are touched for Q·25 rows at query time, never scanned.
+    Codebooks train with the same deterministic exact-integer Lloyd
+    machinery as the IVF cells (seeds = 64 lowest-id vectors'
+    subvectors, 2 rounds), so the oracle replays EVERYTHING — cells,
+    probes, per-subspace codebooks, codes, ADC tables, reconstruction
+    norms, shortlist, exact re-rank, and the top-5 — and hash-matches;
+    the candidate CTEs are shared verbatim with the exact-scoring IVF
+    oracles (_ivf_cand_ctes). Recall vs brute force (0.48 = the IVF
+    candidate ceiling on this corpus) and the compression contract are
+    pinned in tests/test_pq.py."""
+    corpus = t(spark, sf_dir, "embeddings")
+    queries = corpus.filter(F.col("vec_id") % 100 == 0)
+    return pqm.ivf_pq_cosine_topk(
+        corpus, queries, k=5, n_clusters=16, n_probe=4
+    )
+
+
+_RRF_ORACLE = f"""
+    {_ivf_cand_ctes('''
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+             v AS centroid
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16)
+    )''')},
+    nrms AS (
+      SELECT emb.vec_id, CAST(SUM(v[idx.i] * v[idx.i]) AS BIGINT) AS nrm
+      FROM emb, idx GROUP BY 1
+    ),
+    dots AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(SUM(q.v[idx.i] * n.v[idx.i]) AS BIGINT) AS dot
+      FROM cand c
+      JOIN emb q ON q.vec_id = c.query_id
+      JOIN emb n ON n.vec_id = c.neighbor_id, idx
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.query_id, d.neighbor_id, d.dot,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.nrm AS DOUBLE))
+                  * sqrt(CAST(nc.nrm AS DOUBLE))) AS cos
+      FROM dots d
+      JOIN nrms nq ON d.query_id = nq.vec_id
+      JOIN nrms nc ON d.neighbor_id = nc.vec_id
+    ),
+    ra AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS r
+      FROM scored
+    ),
+    rb AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY dot DESC, neighbor_id) AS r
+      FROM scored
+    ),
+    contrib AS (
+      SELECT query_id, neighbor_id, 1000000 // (60 + r) AS c
+      FROM ra WHERE r <= 20
+      UNION ALL
+      SELECT query_id, neighbor_id, 1000000 // (60 + r) AS c
+      FROM rb WHERE r <= 20
+    ),
+    fused AS (
+      SELECT query_id, neighbor_id, CAST(SUM(c) AS BIGINT) AS rrf_micro
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rrf_micro,
+           CAST(rank AS INT) AS fused_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY rrf_micro DESC, neighbor_id) AS rank
+          FROM fused)
+    WHERE rank <= 10
+    """
+
+
+@query("op-ext-rank-fusion", oracle=_RRF_ORACLE)
+def op_ext_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    merge two retrieval rankings into one list by summing 1/(60+rank)
+    over the rankings each candidate appears in — the standard
+    hybrid-retrieval combiner (lexical + dense, or here: cosine vs raw
+    inner-product, which disagree exactly where vector norms differ).
+    Both rankings run over the SAME IVF candidate set (the shared
+    _ivf_cand_ctes — one scoring pass computes dot and cosine, two
+    windows rank them), so the op inherits the ANN family's scale
+    shape: candidates are n_probe/n_clusters of the corpus per query,
+    and the fusion itself touches only 2·20 rank rows per query. RRF
+    contributions are exact integer micro-units (1e6 // (60+r) — no
+    float sums to drift), so the fused ordering is engine-exact."""
+    from data_warehousing_assignment_spark.caching import pin
+
+    corpus = t(spark, sf_dir, "embeddings")
+    queries = corpus.filter(F.col("vec_id") % 100 == 0)
+    centroids, assignments = iv.build_ivf_index(
+        corpus, "vec_id", "embedding", 16
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        sim.quantize("embedding").alias("qvec"),
+    )
+    probes = iv._assign(q, centroids, n_probe=4).select(
+        "query_id", "qvec", "cluster"
+    )
+    cells = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        sim.quantize("embedding").alias("cv"),
+    ).join(
+        assignments.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+    )
+    dot = sim.int_dot(F.col("qvec"), F.col("cv"))
+    nq = F.sqrt(sim.int_dot(F.col("qvec"), F.col("qvec")).cast("double"))
+    nc = F.sqrt(sim.int_dot(F.col("cv"), F.col("cv")).cast("double"))
+    scored = (
+        cells.join(F.broadcast(probes), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot.alias("dot"),
+            (dot.cast("double") / (nq * nc)).alias("cos"),
+        )
+    )
+    scored = pin(scored)  # two ranking windows read one scoring pass
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.col("neighbor_id")
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        F.desc("dot"), F.col("neighbor_id")
+    )
+    contrib = (
+        scored.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") <= 20)
+        .select("query_id", "neighbor_id", F.expr("1000000 div (60 + r)").alias("c"))
+        .unionAll(
+            scored.withColumn("r", F.row_number().over(wb))
+            .filter(F.col("r") <= 20)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.expr("1000000 div (60 + r)").alias("c"),
+            )
+        )
+    )
+    fused = contrib.groupBy("query_id", "neighbor_id").agg(
+        F.sum("c").cast("bigint").alias("rrf_micro")
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.col("neighbor_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rrf_micro",
+            F.col("fused_rank").cast("int"),
+        )
     )
 
 

@@ -1,0 +1,147 @@
+"""Product quantization: codebook exactness vs a numpy Lloyd replay,
+training monotonicity, compression contract, and IVF-PQ recall vs the
+exact brute-force baseline."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from data_warehousing_assignment_spark.operators import pq
+from data_warehousing_assignment_spark.operators.similarity import (
+    brute_force_cosine_topk,
+)
+from tests.conftest import SF_SMALL
+
+
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+
+def _np_codebooks(vecs: dict[int, np.ndarray], n_iters: int = 2):
+    """Independent numpy replay of pq_codebooks' exact-integer Lloyd:
+    micro-unit quantize → per-subspace seed from the PQ_K lowest ids →
+    assign by exact squared-L2 (code tiebreak) → integer round-half-
+    away-from-zero mean."""
+    ids = sorted(vecs)
+    q = {
+        i: np.floor(np.asarray(vecs[i], dtype=np.float64) * 1e6).astype(
+            np.int64
+        )
+        for i in ids
+    }
+    books = {}  # m -> {code: np.array dsub}
+    for m in range(pq.PQ_M):
+        lo, hi = m * pq.PQ_DSUB, (m + 1) * pq.PQ_DSUB
+        sub = {i: q[i][lo:hi] for i in ids}
+        cb = {c: sub[ids[c]].copy() for c in range(pq.PQ_K)}
+        for _ in range(n_iters):
+            assign = {}
+            for i in ids:
+                best = min(
+                    cb, key=lambda c: (int(((sub[i] - cb[c]) ** 2).sum()), c)
+                )
+                assign[i] = best
+            nxt = {}
+            for c in set(assign.values()):
+                members = [sub[i] for i in ids if assign[i] == c]
+                s = np.sum(members, axis=0, dtype=np.int64)
+                n = len(members)
+                mean = np.where(
+                    s >= 0, (2 * s + n) // (2 * n), -((2 * (-s) + n) // (2 * n))
+                )
+                nxt[c] = mean.astype(np.int64)
+            cb = nxt
+        books[m] = cb
+    return books
+
+
+def test_codebooks_match_numpy_replay(spark):
+    corpus = emb(spark).limit(150)  # > PQ_K seeds, small enough to replay
+    rows = corpus.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.array(r.embedding) for r in rows}
+    expected = _np_codebooks(vecs)
+    got = {
+        (r.m, r.code): list(r.cw)
+        for r in pq.pq_codebooks(corpus).collect()
+    }
+    exp_flat = {
+        (m, c): list(map(int, cw))
+        for m, cb in expected.items()
+        for c, cw in cb.items()
+    }
+    assert got == exp_flat
+
+
+def test_training_reduces_quantization_error(spark):
+    """Lloyd monotonicity on exact integers: total squared quantization
+    error after 2 rounds must not exceed the seed codebook's error."""
+    corpus = emb(spark)
+    sv = pq.subvectors(corpus, "vec_id", "embedding")
+
+    def total_err(codebooks):
+        assigned = pq._nearest_code(sv, codebooks).join(
+            F.broadcast(codebooks), ["m", "code"]
+        )
+        return (
+            assigned.select(
+                pq._sub_l2sq(F.col("sv"), F.col("cw")).alias("e")
+            )
+            .agg(F.sum("e"))
+            .first()[0]
+        )
+
+    seeds = pq.pq_codebooks(corpus, n_iters=0)
+    trained = pq.pq_codebooks(corpus, n_iters=2)
+    assert total_err(trained) <= total_err(seeds)
+
+
+def test_codes_are_compact_and_total(spark):
+    """Every vector gets exactly PQ_M codes, each in [0, PQ_K) — the
+    32x-compression contract (8 small ints per 64-dim float vector)."""
+    corpus = emb(spark)
+    books = pq.pq_codebooks(corpus)
+    codes = pq.pq_encode(corpus, books)
+    n = corpus.count()
+    assert codes.count() == n * pq.PQ_M
+    assert codes.select("_id").distinct().count() == n
+    bad = codes.filter(
+        (F.col("code") < 0) | (F.col("code") >= pq.PQ_K)
+    ).count()
+    assert bad == 0
+
+
+def test_ivf_pq_recall_matches_ivf_exact(spark):
+    """The loss budget: IVF-ADC+R must recover the IVF-EXACT result on
+    its own candidate ceiling — i.e. the ADC shortlist + re-rank loses
+    nothing the cells kept. Measured on sf0.001: both at recall@5 0.48
+    vs brute force (the 4/16-probe candidate ceiling; K=16 ADC without
+    re-rank scored 0.12). Pinned as: pq recall ≥ ivf-exact recall."""
+    from data_warehousing_assignment_spark.operators import ivf
+
+    corpus = emb(spark)
+    queries = corpus.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_cosine_topk(corpus, queries, k=5).collect()
+    }
+    ivf_exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf.ivf_cosine_topk(
+            corpus, queries, k=5, n_clusters=16, n_probe=4
+        ).collect()
+    }
+    approx = pq.ivf_pq_cosine_topk(corpus, queries, k=5).collect()
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    assert len(got) == len(exact)  # 5 per query, no self-matches
+    recall_pq = len(got & exact) / len(exact)
+    recall_ivf = len(ivf_exact & exact) / len(exact)
+    assert recall_pq >= recall_ivf
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(x.rank for x in rs)
+        assert ranks == [1, 2, 3, 4, 5]
+        scores = [x.score for x in sorted(rs, key=lambda x: x.rank)]
+        assert scores == sorted(scores, reverse=True)

@@ -1,0 +1,37 @@
+"""Reciprocal-rank fusion: output contract + fusion semantics (a
+candidate ranked by BOTH lists must outscore one the second list
+dropped, when their best single-list ranks are equal)."""
+
+from __future__ import annotations
+
+from data_warehousing_assignment_spark.registry_extensions import (
+    op_ext_rank_fusion,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_rank_fusion_contract(spark):
+    rows = op_ext_rank_fusion(spark, SF_SMALL).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    max_single = 1_000_000 // 61  # best possible one-list contribution
+    for q, rs in by_q.items():
+        ranks = sorted(x.fused_rank for x in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= 10
+        # fused ordering is by rrf_micro desc
+        srt = sorted(rs, key=lambda x: x.fused_rank)
+        scores = [x.rrf_micro for x in srt]
+        assert scores == sorted(scores, reverse=True)
+        # two-list membership dominates: every score is within the
+        # arithmetic bounds of 1..2 contributions
+        for x in rs:
+            assert 1_000_000 // (60 + 20) <= x.rrf_micro <= 2 * max_single
+    # the top fused hit for at least one query must combine two lists
+    # (score above the single-list maximum) — cosine and dot agree on
+    # the strongest neighbors, so fusion actually fuses
+    assert any(
+        max(x.rrf_micro for x in rs) > max_single for rs in by_q.values()
+    )
