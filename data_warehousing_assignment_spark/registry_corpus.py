@@ -625,8 +625,13 @@ def op_ext_importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              string_agg(CAST(doc_id AS VARCHAR), ','
                         ORDER BY doc_id) AS postings
       FROM bg GROUP BY 1
+    ),
+    band AS (
+      SELECT GREATEST(CAST(50 AS BIGINT),
+                      CAST(COUNT(*) AS BIGINT) // 100) AS hi
+      FROM documents
     )
-    SELECT term, df, postings FROM ix WHERE df BETWEEN 2 AND 50
+    SELECT term, df, postings FROM ix, band WHERE df BETWEEN 2 AND band.hi
     """,
 )
 def op_ext_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -668,7 +673,21 @@ def op_ext_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("postings"),
     )
-    return ix.filter(F.col("df").between(2, 50))
+    # the band's upper edge scales with corpus size (max(50, n_docs/100))
+    # so the "discriminative" cut stays non-degenerate as df counts grow
+    # with the corpus: an absolute df<=50 empties on any corpus whose
+    # every term is shared ~n/5000 times (observed at the 100x synthesis:
+    # 0 rows = a trivially-green oracle, the r10-verdict evidence gap).
+    # At sf0.01 (500 docs) the bound resolves to 50 — output unchanged.
+    band = docs.agg(
+        F.greatest(
+            F.lit(50).cast("bigint"),
+            F.expr("CAST(COUNT(*) AS BIGINT) div 100"),
+        ).alias("hi")
+    )
+    return ix.crossJoin(F.broadcast(band)).filter(
+        (F.col("df") >= 2) & (F.col("df") <= F.col("hi"))
+    ).select("term", "df", "postings")
 
 
 # --------------------------------------------------------------------------

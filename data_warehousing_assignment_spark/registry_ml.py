@@ -772,3 +772,158 @@ def op_ext_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(sign).cast("bigint").alias("signed_sum"),
         F.count(F.lit(1)).cast("bigint").alias("n_feats"),
     )
+
+
+# --------------------------------------------------------------------------
+# calibration: expected-calibration-error bins (round 11)
+# --------------------------------------------------------------------------
+
+_ECE_QUANT = (
+    "list_transform(embedding, x -> "
+    "CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+)
+
+
+@query(
+    "op-ext-calibration-ece",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, label, {_ECE_QUANT} AS v FROM embeddings),
+    idx AS (SELECT unnest(range(1, 65)) AS i),
+    cent AS (
+      SELECT label, idx.i AS pos,
+             CAST(SUM(v[idx.i]) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM emb, idx GROUP BY 1, 2
+    ),
+    cvec AS (
+      SELECT label AS clabel,
+             list(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                       ELSE -((2 * (-s) + n) // (2 * n)) END
+                  ORDER BY pos) AS c
+      FROM cent GROUP BY 1
+    ),
+    dd AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             CAST(SUM((e.v[idx.i] - c.c[idx.i])
+                      * (e.v[idx.i] - c.c[idx.i])) AS BIGINT) AS d
+      FROM emb e, cvec c, idx GROUP BY 1, 2, 3
+    ),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY d, clabel) AS r
+      FROM dd
+    ),
+    pr AS (
+      SELECT a.vec_id, a.label, a.clabel AS pred,
+             a.d // 1000 AS d1, b.d // 1000 AS d2
+      FROM rk a JOIN rk b USING (vec_id) WHERE a.r = 1 AND b.r = 2
+    ),
+    sc AS (
+      SELECT CASE WHEN label = pred THEN 1 ELSE 0 END AS ok,
+             CASE WHEN d1 + d2 = 0 THEN 500000
+                  ELSE (1000000 * d2) // (d1 + d2) END AS conf_ppm
+      FROM pr
+    )
+    SELECT LEAST((conf_ppm - 500000) // 100000, 4) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           (1000000 * CAST(SUM(ok) AS BIGINT)) // COUNT(*) AS acc_ppm,
+           CAST(SUM(conf_ppm) AS BIGINT) // COUNT(*) AS avg_conf_ppm,
+           abs((1000000 * CAST(SUM(ok) AS BIGINT)) // COUNT(*)
+               - CAST(SUM(conf_ppm) AS BIGINT) // COUNT(*)) AS gap_ppm
+    FROM sc GROUP BY 1
+    """,
+)
+def op_ext_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected-calibration-error bins (Guo et al., "On Calibration of
+    Modern Neural Networks", ICML 2017): bucket a classifier's
+    predictions by confidence and compare each bucket's MEAN confidence
+    to its ACTUAL accuracy — the per-bin |acc − conf| gaps are the ECE
+    summands (weight n_b/N to get the scalar). The classifier under
+    test is nearest-centroid over the embeddings (exact-integer
+    centroid means, the ivf.build_ivf_index formulation, one argmin
+    over |labels| broadcast centroids); its confidence is the margin
+    ratio d₂/(d₁+d₂) ∈ [0.5, 1] over milli-scaled integer distances
+    (the `// 1000` keeps 1e6·d₂ inside int64 — raw d can reach 2.6e14
+    — and is applied identically in both engines, so the ratio stays
+    engine-exact), binned into five equal-width ppm buckets. Everything
+    is integer floor-divide arithmetic — no ln/exp/softmax to drift
+    cross-engine. Scale shape: one broadcast-centroid argmin pass
+    (row-local), one 5-group map-side-combined aggregate; nothing
+    data-sized shuffles."""
+    from data_warehousing_assignment_spark.operators.ivf import _l2sq
+    from data_warehousing_assignment_spark.operators.similarity import (
+        quantize,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", quantize("embedding").alias("qv")
+    )
+    cvec = (
+        emb.select("label", F.posexplode("qv").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum("v").cast("bigint").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            F.expr(
+                "CASE WHEN s >= 0 THEN (2*s + n) div (2*n)"
+                " ELSE -((2*(-s) + n) div (2*n)) END"
+            ).alias("mv"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda st: st["mv"].cast("bigint"),
+            ).alias("c")
+        )
+        .select(F.col("label").alias("clabel"), "c")
+    )
+    dd = emb.crossJoin(F.broadcast(cvec)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        _l2sq(F.col("qv"), F.col("c")).alias("d"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "clabel")
+    rk = dd.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 2)
+    pr = (
+        rk.filter(F.col("r") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("clabel").alias("pred"),
+            F.expr("d div 1000").alias("d1"),
+        )
+        .join(
+            rk.filter(F.col("r") == 2).select(
+                "vec_id", F.expr("d div 1000").alias("d2")
+            ),
+            "vec_id",
+        )
+    )
+    sc = pr.select(
+        F.when(F.col("label") == F.col("pred"), 1).otherwise(0).alias("ok"),
+        F.expr(
+            "CASE WHEN d1 + d2 = 0 THEN 500000"
+            " ELSE (1000000 * d2) div (d1 + d2) END"
+        ).alias("conf_ppm"),
+    )
+    return sc.groupBy(
+        F.expr("least((conf_ppm - 500000) div 100000, 4)").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr(
+            "(1000000 * CAST(SUM(ok) AS BIGINT)) div COUNT(*)"
+        ).alias("acc_ppm"),
+        F.expr("CAST(SUM(conf_ppm) AS BIGINT) div COUNT(*)").alias(
+            "avg_conf_ppm"
+        ),
+        F.expr(
+            "abs((1000000 * CAST(SUM(ok) AS BIGINT)) div COUNT(*)"
+            " - CAST(SUM(conf_ppm) AS BIGINT) div COUNT(*))"
+        ).alias("gap_ppm"),
+    )
