@@ -112,6 +112,7 @@ SF1_HEADLINE = [
     "op-ext-ann-ivf-scaled",     # cost-balanced k — the ANN scale path
     "op-ext-winnow",             # O(len·k) fingerprint build (numpy UDF)
     "op-ext-winnow-neardup",     # posting join + banded edit verify
+    "op-ext-ann-ivf-pq",         # r11: the memory-bound ANN path (ADC+R)
 ]
 
 #: fact tables replicated in --sf1 synthesis; value = key columns offset

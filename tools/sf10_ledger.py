@@ -10,13 +10,23 @@ SF10_SWEEP.json at the repo root; ``--mark <round> <batch> op...``
 records a fresh green check_local run.
 
 Exclusion classes (all ORACLE-cost — the engine side of each has its
-own sf1/sf10 probe; documented in BASELINE.md round 10):
+own sf1/sf10 probe; documented in BASELINE.md rounds 10-11):
   pair-oracle   O(n²) all-pairs ground truth (brute-force anchors) —
                 infeasible in any engine at 500k docs / 1M vectors.
   hof-replay    O(len·k) DuckDB list-HOF replays run effectively
                 single-threaded (>15 min observed at 500k docs).
   graph-cte     recursive-CTE label propagation over the 27M-edge
                 near-dup graph (>50 min observed, killed twice).
+  join-blowup   iterated/enumerated full-graph join replays — DuckDB
+                materializes each unrolled round: pagerank (3 rounds
+                over the ~30M-edge bipartite expansion; 58 GB RSS +
+                >200 GB spill, then raised), clustering-coef
+                (per-node triangle enumeration; OOM at 65-90 GB),
+                semantic-dedup (k=n/500-means replay + within-bucket
+                pairs at 500k docs; OOM ~86 GB). All measured r11.
+  hash-explode  O(rows·B) content-hash explode replay: bootstrap-ci's
+                60M rows × 6 md5 × 48 Poisson replicates = 2.9B-row
+                intermediate (killed at 45 min / 31 GB, r11).
   rows-only     no oracle by documented nature (see
                 tests/test_registry_guard.py).
 
@@ -154,6 +164,12 @@ EXCLUSIONS = {
     "op-ext-dedup-clusters": "graph-cte",
     "op-ext-dedup-survivors": "graph-cte",
     "op-ext-dedup-best-survivor": "graph-cte",
+    # iterated/enumerated full-graph join replays (r11 measured).
+    "op-ext-pagerank": "join-blowup",
+    "op-ext-clustering-coef": "join-blowup",
+    "op-ext-semantic-dedup": "join-blowup",
+    # content-hash explode replay (r11 measured).
+    "op-ext-bootstrap-ci": "hash-explode",
     # rows-only by documented nature (no oracle at ANY sf).
     "op-ext-dp-counts": "rows-only",
     "op-ext-bpe-learn": "rows-only",
