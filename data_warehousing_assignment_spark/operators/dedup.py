@@ -482,9 +482,25 @@ def set_similarity_join_prefix(
     jac = inter.cast("double") / (
         F.col("_sza") + F.col("_szb") - inter
     ).cast("double")
+    # The verify join carries BOTH full token arrays per pair — at the
+    # 100× synthesis that is ~100 GB through what would otherwise be a
+    # 32-wide shuffle (3 GB+/task → Java heap OOM, measured r11 via
+    # op-ext-lsh-eval; AQE cannot split uniform-large partitions).
+    # Pre-partition each join input ON ITS JOIN KEY to a width that
+    # bounds per-task array volume: Catalyst reuses the matching hash
+    # partitioning, so the joins run at `nv` without an extra exchange;
+    # AQE coalesces the near-empty tasks away at small sf.
+    nv = min(
+        2048,
+        16 * int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        ),
+    )
     return (
-        cand.join(sa, "_ida")
-        .join(sb, "_idb")
+        cand.repartition(nv, "_ida")
+        .join(sa.repartition(nv, "_ida"), "_ida")
+        .repartition(nv, "_idb")
+        .join(sb.repartition(nv, "_idb"), "_idb")
         .select(
             F.col("_ida").alias("id_a"),
             F.col("_idb").alias("id_b"),

@@ -824,7 +824,7 @@ _ECE_QUANT = (
                   ELSE (1000000 * d2) // (d1 + d2) END AS conf_ppm
       FROM pr
     )
-    SELECT LEAST((conf_ppm - 500000) // 100000, 4) AS bin,
+    SELECT LEAST((conf_ppm - 500000) // 2000, 4) AS bin,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            (1000000 * CAST(SUM(ok) AS BIGINT)) // COUNT(*) AS acc_ppm,
            CAST(SUM(conf_ppm) AS BIGINT) // COUNT(*) AS avg_conf_ppm,
@@ -845,7 +845,13 @@ def op_ext_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio d₂/(d₁+d₂) ∈ [0.5, 1] over milli-scaled integer distances
     (the `// 1000` keeps 1e6·d₂ inside int64 — raw d can reach 2.6e14
     — and is applied identically in both engines, so the ratio stays
-    engine-exact), binned into five equal-width ppm buckets. Everything
+    engine-exact), binned into five 2000-ppm buckets sized to the MEASURED margin
+    spread (nearest-centroid margins on 64-dim data concentrate just
+    above 0.5 — quartiles 502k/504k/508k ppm — so paper-style
+    [0.5,1]-wide bins would put 100%% of rows in bin 0 and the ECE
+    decomposition would be vacuous; width-adapted bins are the
+    standard fix, cf. adaptive/equal-mass binning in Nixon et al.
+    2019). Everything
     is integer floor-divide arithmetic — no ln/exp/softmax to drift
     cross-engine. Scale shape: one broadcast-centroid argmin pass
     (row-local), one 5-group map-side-combined aggregate; nothing
@@ -913,7 +919,7 @@ def op_ext_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("conf_ppm"),
     )
     return sc.groupBy(
-        F.expr("least((conf_ppm - 500000) div 100000, 4)").alias("bin")
+        F.expr("least((conf_ppm - 500000) div 2000, 4)").alias("bin")
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.expr(

@@ -30,6 +30,13 @@ _RUNTIME_CONFS: dict[str, str] = {
     # Deterministic date/timestamp rendering regardless of host timezone.
     "spark.sql.session.timeZone": "UTC",
     # AQE: runtime shuffle-partition coalescing + skew-join splitting.
+    # NOT set: coalescePartitions.initialPartitionNum — a global 1024
+    # was tried in r11 (AQE can only merge partitions, never split
+    # uniform-large ones, so a heavy array shuffle stays 32-wide and
+    # OOMs); measured effect: iterative/checkpointed ops ran 2048-task
+    # near-empty stages at sf0.001 that AQE did not coalesce. Heavy
+    # array-carrying joins widen EXPLICITLY at the operator instead
+    # (dedup.set_similarity_join_prefix's verify join, r11).
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
