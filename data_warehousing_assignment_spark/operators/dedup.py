@@ -415,6 +415,120 @@ def simhash_neardup_pairs(
     )
 
 
+def _sign_bit_votes(agg, lo_j: int) -> Column:
+    """Assemble one signed-int64 half of a wide SimHash from 64 vote
+    columns ``_v{lo_j}.._v{lo_j+63}``: bits 0-62 add their power of two;
+    bit 63 adds −2⁶³ (two's complement — +2⁶³ doesn't exist in int64).
+    Both engines share the representation, so xor/bit_count agree."""
+    half = None
+    for k in range(63):
+        bit = F.when(
+            F.col(f"_v{lo_j + k}") > 0, F.lit(1 << k).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        half = bit if half is None else half + bit
+    sign = F.when(
+        F.col(f"_v{lo_j + 63}") > 0,
+        F.lit(-9223372036854775808).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return half + sign
+
+
+def simhash128(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """128-bit SimHash as two signed int64 halves (``lo``, ``hi``) —
+    md5 supplies all 32 nibbles, so this is :func:`simhash` with the
+    full hash instead of its first 48 bits. Same plan shape: one
+    explode + one wide (128-column) map-side-combined aggregation,
+    a single shuffle keyed by doc id."""
+    tok = scale_out(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
+    ).withColumn("_h", F.md5("_tok"))
+    votes = [
+        F.sum(
+            F.when(
+                _hex_nibble(F.col("_h"), j // 4)
+                .bitwiseAND(F.lit(1 << (j % 4))) > 0,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"_v{j}")
+        for j in range(128)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    return agg.select(
+        F.col(id_col),
+        _sign_bit_votes(agg, 0).alias("lo"),
+        _sign_bit_votes(agg, 64).alias("hi"),
+    )
+
+
+def simhash_neardup_pairs_wide(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SCALE twin of :func:`simhash_neardup_pairs`: same banded
+    pigeonhole (4 bands, d ≤ 3 flips leave ≥ 1 band clean) over a
+    128-bit fingerprint, so each band key is 32 bits — 2³² buckets
+    instead of the 48-bit version's 2¹². Band-join cost is
+    Σ_bucket |bucket|² with buckets ≈ min(n, 2³²): the 12-bit bands
+    saturate at a few thousand buckets and go O(n²/4096) — measured
+    r11 at the 100× synthesis (500k docs → ~250M candidates, 58 GB of
+    shuffle spill, disk-full); 32-bit bands keep collisions
+    content-driven (true near-dups plus 2⁻³²-rate noise) at any
+    realistic corpus size. Hamming is over the full 128 bits
+    (bit_count of both xor'd halves), so this is a DIFFERENT (finer)
+    fingerprint than the 48-bit op — the 48-bit op stays the pinned
+    small-scale anchor; this is the 100 TB operating point.
+
+    Returns ``(doc_a, doc_b, hamming)`` with doc_a < doc_b."""
+    fp = pin(simhash128(df, id_col, text_col))
+    band_vals = F.array(
+        F.col("lo").bitwiseAND(F.lit(4294967295).cast("bigint")),
+        F.shiftright(F.col("lo"), 32)
+        .bitwiseAND(F.lit(4294967295).cast("bigint")),
+        F.col("hi").bitwiseAND(F.lit(4294967295).cast("bigint")),
+        F.shiftright(F.col("hi"), 32)
+        .bitwiseAND(F.lit(4294967295).cast("bigint")),
+    )
+    keyed = fp.select(
+        F.col(id_col), F.posexplode(band_vals).alias("_band", "_val")
+    )
+    cand = (
+        keyed.alias("x")
+        .join(
+            keyed.alias("y"),
+            (F.col("x._band") == F.col("y._band"))
+            & (F.col("x._val") == F.col("y._val"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("doc_a"),
+            F.col(f"y.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = fp.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("lo").alias("_la"),
+        F.col("hi").alias("_hia"),
+    )
+    b = fp.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("lo").alias("_lb"),
+        F.col("hi").alias("_hib"),
+    )
+    ham = (
+        F.bit_count(F.col("_la").bitwiseXOR(F.col("_lb")))
+        + F.bit_count(F.col("_hia").bitwiseXOR(F.col("_hib")))
+    ).cast("bigint")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def set_similarity_join_prefix(
     docs: DataFrame,
     id_col: str,
@@ -489,10 +603,15 @@ def set_similarity_join_prefix(
     # Pre-partition each join input ON ITS JOIN KEY to a width that
     # bounds per-task array volume: Catalyst reuses the matching hash
     # partitioning, so the joins run at `nv` without an extra exchange;
-    # AQE coalesces the near-empty tasks away at small sf.
+    # AQE coalesces the near-empty tasks away at small sf. 64× the
+    # shuffle width (not 16×): the r11 sf10 re-run showed 512 tasks
+    # still hold ~200 MB of pair+array rows each — × the 32 concurrent
+    # task slots that is 6.4 GB of simultaneously-live join rows, over
+    # the 8 g local heap; 2048 tasks put ~50 MB in flight per slot, and
+    # on a real cluster the same math bounds per-executor pressure.
     nv = min(
-        2048,
-        16 * int(
+        4096,
+        64 * int(
             docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         ),
     )

@@ -2639,3 +2639,442 @@ def op_ext_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS mean_d",
         f"{_PAIRED_T} AS t_stat",
     )
+
+
+# --------------------------------------------------------------------------
+# robust trend tests (Mann-Kendall / Theil-Sen) + Anderson-Darling
+# --------------------------------------------------------------------------
+
+#: monthly revenue cents per customer nation — the shared bounded series
+#: both trend tests run on. BOUNDED BY CONSTRUCTION: |nations| = 25 and
+#: |months| is fixed by the calendar span of o_orderdate (~80), so the
+#: per-group pair count (~80²/2) is a CONSTANT w.r.t. data volume — the
+#: O(Σ n_g²) self-join is linear in |groups| and survives 100× with the
+#: same plan (more rows only make the per-cell SUMs bigger).
+_MK_PER_SQL = """
+      SELECT c.c_nationkey AS nk,
+             CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate)
+                  AS BIGINT) AS m,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+"""
+
+#: Mann-Kendall z with continuity correction — ONE shared IEEE
+#: expression tree over the exact integer inputs s (the S statistic)
+#: and var18 (18·Var[S], exact int64: n ≤ months ≈ 80 per group).
+_MK_Z = (
+    "(CASE WHEN var18 <= 0 OR s = 0 THEN 0.0"
+    " WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)"
+    " / sqrt(CAST(var18 AS DOUBLE) / 18.0)"
+    " ELSE CAST(s + 1 AS DOUBLE)"
+    " / sqrt(CAST(var18 AS DOUBLE) / 18.0) END)"
+)
+
+
+def _mk_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _MK_PER_SQL (nk, m, v) — one fact-scale join +
+    groupBy; the result is a nations×months frame (~2,000 rows)."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("m"),
+        F.expr("CAST(o_totalprice AS DECIMAL(18,2)) * 100").alias("_c"),
+    )
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    return (
+        o.join(c, "o_custkey")
+        .groupBy("nk", "m")
+        .agg(F.sum("_c").cast("bigint").alias("v"))
+    )
+
+
+@query(
+    "op-ext-mann-kendall",
+    oracle=f"""
+    WITH per AS ({_MK_PER_SQL}),
+    pairs AS (
+      SELECT a.nk,
+             CAST(SUM(CASE WHEN b.v > a.v THEN 1
+                           WHEN b.v < a.v THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s
+      FROM per a JOIN per b ON a.nk = b.nk AND a.m < b.m
+      GROUP BY 1
+    ),
+    nn AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS n FROM per GROUP BY 1),
+    ties AS (
+      SELECT nk,
+             CAST(COALESCE(SUM(tt * (tt - 1) * (2 * tt + 5)), 0)
+                  AS BIGINT) AS tie18
+      FROM (SELECT nk, v, CAST(COUNT(*) AS BIGINT) AS tt
+            FROM per GROUP BY 1, 2) g
+      WHERE tt > 1
+      GROUP BY 1
+    ),
+    st AS (
+      SELECT nn.nk, nn.n, p.s,
+             nn.n * (nn.n - 1) * (2 * nn.n + 5)
+               - COALESCE(t.tie18, 0) AS var18
+      FROM nn JOIN pairs p ON nn.nk = p.nk
+      LEFT JOIN ties t ON nn.nk = t.nk
+    )
+    SELECT nk AS nationkey, n AS n_months, s AS s_stat,
+           CAST(var18 AS DOUBLE) / 18.0 AS var_s,
+           {_MK_Z} AS z_mk
+    FROM st
+    """,
+)
+def op_ext_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per customer nation on the monthly
+    revenue series — the nonparametric is-there-a-monotone-trend test
+    (Kendall concordance of value against time), the robust sibling of
+    op-ext-linreg's parametric slope and the k=∞-ordered extension of
+    the op-ext-page-trend cell. S = Σ_{{i<j}} sgn(v_j − v_i) over the
+    time-ordered series; Var[S] carries the exact tie correction
+    (tied exact-cents months — possible, rare). All sufficient
+    statistics are exact int64 (S is a ±1 count; 18·Var[S] at n ≈ 80
+    is ~10⁶); z with continuity correction is the shared _MK_Z tree.
+    SCALE: the series frame is nations×months — bounded by calendar
+    construction — so the within-group self-join is a broadcast of a
+    ~2,000-row frame regardless of fact volume; the fact scan
+    contributes one join + one map-side-combined groupBy."""
+    per = F.broadcast(_mk_monthly(spark, sf_dir))
+    a = per.select(
+        F.col("nk"), F.col("m").alias("m1"), F.col("v").alias("v1")
+    )
+    b = per.select(
+        F.col("nk"), F.col("m").alias("m2"), F.col("v").alias("v2")
+    )
+    pairs = (
+        a.join(b, "nk")
+        .filter(F.col("m1") < F.col("m2"))
+        .groupBy("nk")
+        .agg(
+            F.sum(
+                F.when(F.col("v2") > F.col("v1"), 1)
+                .when(F.col("v2") < F.col("v1"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    nn = per.groupBy("nk").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tt = (
+        per.groupBy("nk", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tt"))
+        .filter(F.col("tt") > 1)
+        .groupBy("nk")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("tt")
+                    * (F.col("tt") - 1)
+                    * (2 * F.col("tt") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie18")
+        )
+    )
+    st = (
+        nn.join(pairs, "nk")
+        .join(tt, "nk", "left")
+        .select(
+            "nk",
+            "n",
+            "s",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.coalesce("tie18", F.lit(0))
+            ).alias("var18"),
+        )
+    )
+    return st.selectExpr(
+        "nk AS nationkey",
+        "n AS n_months",
+        "s AS s_stat",
+        "CAST(var18 AS DOUBLE) / 18.0 AS var_s",
+        f"{_MK_Z} AS z_mk",
+    )
+
+
+@query(
+    "op-ext-theil-sen",
+    oracle=f"""
+    WITH per AS ({_MK_PER_SQL}),
+    slopes AS (
+      SELECT a.nk,
+             CAST(b.v - a.v AS DOUBLE) / CAST(b.m - a.m AS DOUBLE) AS sl,
+             a.m AS m1, b.m AS m2
+      FROM per a JOIN per b ON a.nk = b.nk AND a.m < b.m
+    ),
+    rk AS (
+      SELECT nk, sl,
+             ROW_NUMBER() OVER (PARTITION BY nk ORDER BY sl, m1, m2)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY nk) AS np
+      FROM slopes
+    )
+    SELECT nk AS nationkey,
+           CAST(MAX(np) AS BIGINT) AS n_pairs,
+           SUM(sl) / CAST(COUNT(*) AS DOUBLE) AS ts_slope
+    FROM rk
+    WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+    GROUP BY 1
+    """,
+)
+def op_ext_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope per nation on the same monthly revenue
+    series op-ext-mann-kendall tests — median of all pairwise slopes
+    (cents/month), the 29%-breakdown-point estimator that pairs with
+    Mann-Kendall as the classical robust-trend readout. Each slope is
+    ONE IEEE division of exact ints; the median picks the middle
+    one-or-two SORTED VALUES (rn = ⌈np/2⌉ and ⌊np/2⌋+1 coincide for
+    odd np) so engine-specific ordering of TIED slopes cannot change
+    the result (tied values are interchangeable at the picked
+    positions); the window tiebreaker (m1, m2) still makes rn total
+    per the determinism rule. SCALE: same bounded nations×months
+    broadcast frame — pair count is calendar-constant; the median
+    window partitions by nation over ~3,200 slopes each."""
+    per = F.broadcast(_mk_monthly(spark, sf_dir))
+    a = per.select(
+        F.col("nk"), F.col("m").alias("m1"), F.col("v").alias("v1")
+    )
+    b = per.select(
+        F.col("nk"), F.col("m").alias("m2"), F.col("v").alias("v2")
+    )
+    slopes = (
+        a.join(b, "nk")
+        .filter(F.col("m1") < F.col("m2"))
+        .select(
+            "nk",
+            (
+                (F.col("v2") - F.col("v1")).cast("double")
+                / (F.col("m2") - F.col("m1")).cast("double")
+            ).alias("sl"),
+            "m1",
+            "m2",
+        )
+    )
+    w = Window.partitionBy("nk").orderBy("sl", "m1", "m2")
+    wn = Window.partitionBy("nk")
+    rk = slopes.select(
+        "nk",
+        "sl",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("np"),
+    )
+    return (
+        rk.filter(
+            (F.col("rn") == F.expr("(np + 1) div 2"))
+            | (F.col("rn") == F.expr("(np + 2) div 2"))
+        )
+        .groupBy("nk")
+        .agg(
+            F.max("np").cast("bigint").alias("n_pairs"),
+            (F.sum("sl") / F.count(F.lit(1)).cast("double")).alias(
+                "ts_slope"
+            ),
+        )
+        .selectExpr("nk AS nationkey", "n_pairs", "ts_slope")
+    )
+
+
+#: Upper-tail normal probability P(Z > |z|) via the Abramowitz-Stegun
+#: 26.2.17 five-term polynomial (|error| < 7.5e-8) — spelled ONCE and
+#: formatted into both engines so every occurrence is the same IEEE
+#: expression tree (the house rule that makes Φ cross the oracle
+#: boundary bit-for-bit; no engine exposes erf with a pinned
+#: implementation, so a shared explicit polynomial is the only
+#: deterministic route).
+_NORM_TAIL = (
+    "(exp(-0.5 * {z} * {z}) / 2.5066282746310002"
+    " * ((1.0 / (1.0 + 0.2316419 * abs({z})))"
+    "    * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs({z})))"
+    "    * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs({z})))"
+    "    * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs({z})))"
+    "    * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs({z})))"
+    "    * 1.330274429))))))"
+)
+
+_AD_Z = "((CAST(c AS DOUBLE) - mu) / sd)"
+
+#: Φ(z) clamped to (1e-300, 1 − 1e-16) so ln() is total even for a
+#: pathological far-tail value (exp underflow would otherwise yield
+#: ln(0) = −inf and poison the fixed-point sum).
+_AD_PHI = (
+    "LEAST(GREATEST(CASE WHEN " + _AD_Z + " >= 0.0 THEN 1.0 - "
+    + _NORM_TAIL.format(z=_AD_Z)
+    + " ELSE "
+    + _NORM_TAIL.format(z=_AD_Z)
+    + " END, 1e-300), 1.0 - 1e-16)"
+)
+
+#: One distinct value's contribution to the A² order-statistic sum,
+#: collapsed over its tied ranks a..b (a−1 = cum_ct−ct, b = cum_ct) by
+#: arithmetic series: Σ(2i−1) = b²−(a−1)² multiplies ln Φ, and the
+#: mirrored Σ(2(n+1−i)−1) = ((2n+1)−(a+b))·ct + ... simplifies to
+#: (2n+1)·ct − (2·cum_ct−ct+1)·ct multiplying ln(1−Φ) — so the whole
+#: sorted-sample sum is computable on the DISTINCT-value frame. Weights
+#: accumulate in DECIMAL(38,0) (cum² overflows int64 past ~3e9 rows);
+#: the term is quantized to millionths (FLOOR on identical doubles)
+#: so the cross-row SUM is exact-integer — the op-ext-retrieval-metrics
+#: fixed-point pattern.
+_AD_TERM_FP = (
+    "CAST(FLOOR(("
+    " CAST(CAST(cum_ct AS DECIMAL(38,0)) * cum_ct"
+    "      - CAST(cum_ct - ct AS DECIMAL(38,0)) * (cum_ct - ct)"
+    "      AS DOUBLE) * ln(" + _AD_PHI + ")"
+    " + CAST((CAST(2 AS DECIMAL(38,0)) * n + 1) * ct"
+    "        - (CAST(2 AS DECIMAL(38,0)) * cum_ct - ct + 1) * ct"
+    "        AS DOUBLE) * ln(LEAST(GREATEST(1.0 - " + _AD_PHI + ","
+    " 1e-300), 1.0 - 1e-16))"
+    ") * 1000000.0) AS BIGINT)"
+)
+
+_AD_MU = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+_AD_SD = (
+    "sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx"
+    " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
+    " / CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE))"
+)
+
+#: Final A² from the EXACT integer split s_fp = adq·n + adr (|adr| < n,
+#: both truncated toward zero): (s_fp/1e6)/n = (adq + adr/n)/1e6 with
+#: every CAST an exact small-integer→double conversion — casting s_fp
+#: itself to DOUBLE would hit the cross-engine last-ulp divergence of
+#: wide-int conversions near 1e19 (s_fp ≈ n²·10⁶ crosses 2⁵³ at
+#: n ≈ 10⁵ rows/group). adq ≈ n·10⁶ stays double-exact to n ≈ 9e9.
+_AD_A2 = (
+    "(0.0 - CAST(n AS DOUBLE)"
+    " - (CAST(adq AS DOUBLE)"
+    "    + CAST(adr AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0)"
+)
+_AD_A2_MOD = (
+    f"({_AD_A2} * (1.0 + 0.75 / CAST(n AS DOUBLE)"
+    " + 2.25 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))"
+)
+
+
+@query(
+    "op-ext-anderson-darling",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type AS g,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS sx,
+             SUM(CAST(c AS DECIMAL(38,0)) * c) AS sxx
+      FROM x GROUP BY 1
+    ),
+    ms AS (
+      SELECT g, n, {_AD_MU} AS mu, {_AD_SD} AS sd FROM s
+    ),
+    d AS (
+      SELECT g, c, CAST(COUNT(*) AS BIGINT) AS ct FROM x GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT g, c, ct,
+             CAST(SUM(ct) OVER (PARTITION BY g ORDER BY c) AS BIGINT)
+               AS cum_ct
+      FROM d
+    ),
+    terms AS (
+      SELECT cum.g, {_AD_TERM_FP} AS term_fp
+      FROM cum JOIN ms ON cum.g = ms.g
+    ),
+    agg AS (
+      SELECT g, SUM(term_fp) AS s_fp FROM terms GROUP BY 1
+    ),
+    fin AS (
+      SELECT ms.g, ms.n,
+             s_fp // CAST(ms.n AS HUGEINT) AS adq,
+             CAST(s_fp - (s_fp // CAST(ms.n AS HUGEINT))
+                  * CAST(ms.n AS HUGEINT) AS BIGINT) AS adr
+      FROM agg JOIN ms ON agg.g = ms.g
+    )
+    SELECT g AS event_type, n AS n_rows,
+           {_AD_A2} AS a2,
+           {_AD_A2_MOD} AS a2_mod
+    FROM fin
+    """,
+)
+def op_ext_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson-Darling normality test of event value per event type —
+    the tail-weighted EDF goodness-of-fit that completes the
+    distribution-shape cell next to op-ext-ks-test (two-sample,
+    unweighted EDF): A² = −n − (1/n)Σ(2i−1)[ln Φ(zᵢ) + ln(1−Φ(z_{{n+1−i}}))]
+    with the case-0 estimated-parameter z's, plus the small-sample
+    modified A*² (Stephens 1974). Mean/σ come from exact integer cents
+    power sums; Φ is the shared _NORM_TAIL polynomial (identical IEEE
+    tree in both engines); each distinct value's tied ranks collapse by
+    arithmetic series so the statistic is computed on the
+    DISTINCT-value frame; terms are fixed-point-quantized so the final
+    per-group SUM is exact integer, never an order-dependent float
+    accumulation, and the sum crosses to double ONLY through an exact
+    quotient/remainder split by n (s_fp ≈ n²·10⁶ would hit the
+    wide-int→double last-ulp divergence past 2⁵³; adq ≈ n·10⁶ and
+    adr < n stay double-exact to n ≈ 9e9 rows/group). Oracle-parity
+    domain: per-term weights (≈ 2·n·ct) must stay below 2⁵³ for the
+    weight→double cast to be exact — beyond ~10⁷ tied rows per distinct
+    value the last ulp may differ; the statistic itself remains
+    well-defined either way. SCALE: ranks ride operators/analytics
+    .distributed_prefix (two-level value-range prefix sum, single-task
+    exposure bounded by the constant bucket count) — no global-sort
+    window anywhere; everything else is map-side-combined groupBys."""
+    x = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("g"),
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .alias("c"),
+        )
+    )
+    s = x.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sx"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("sxx"),
+    )
+    ms = s.selectExpr("g", "n", f"{_AD_MU} AS mu", f"{_AD_SD} AS sd")
+    d = x.groupBy("g", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct")
+    )
+    cum = an.distributed_prefix(d, "c", ["ct"], groups=["g"]).withColumn(
+        "cum_ct", F.col("cum_ct").cast("bigint")
+    )
+    terms = cum.join(F.broadcast(ms), "g").selectExpr(
+        "g", f"CAST({_AD_TERM_FP} AS DECIMAL(38,0)) AS term_fp"
+    )
+    agg = terms.groupBy("g").agg(F.sum("term_fp").alias("s_fp"))
+    # Exact integer quotient/remainder split of s_fp by n BEFORE any
+    # double conversion (registry_ml._sdiv sign-abs decimal division —
+    # Spark `div` would overflow through int64; the oracle's HUGEINT
+    # `//` truncates toward zero identically).
+    from data_warehousing_assignment_spark.registry_ml import _sdiv
+
+    j = agg.join(F.broadcast(ms), "g")
+    adq = _sdiv(F.col("s_fp"), F.col("n"))
+    fin = j.withColumn("adq", adq).withColumn(
+        "adr",
+        (
+            F.col("s_fp")
+            - F.col("adq") * F.col("n").cast("decimal(38,0)")
+        ).cast("bigint"),
+    )
+    return fin.selectExpr(
+        "g AS event_type",
+        "n AS n_rows",
+        f"{_AD_A2} AS a2",
+        f"{_AD_A2_MOD} AS a2_mod",
+    )

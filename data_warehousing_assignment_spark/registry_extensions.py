@@ -2389,11 +2389,78 @@ def op_ext_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (dedup.simhash_neardup_pairs): 4 bands of 12 bits over the
     48-bit fingerprint; pigeonhole makes band-collision recall EXACT for
     distance < bands, the xor-popcount residual restores precision. The
-    oracle is the literal all-pairs definition — affordable at sf0.01,
-    while the Spark plan stays O(Σ band-bucket²), never corpus²."""
+    oracle is the literal all-pairs definition — affordable at sf0.01.
+    SCALE LIMIT (measured r11): 12-bit bands cap at 4,096 buckets, so
+    the band join is O(n²/4096) — at the 100× synthesis (500k docs)
+    that is ~250M candidates and 58 GB of shuffle spill. This op is
+    the small-scale anchor; op-ext-simhash-neardup-scaled (32-bit
+    bands over a 128-bit fingerprint) is the 100 TB operating point."""
     return dd.simhash_neardup_pairs(
         t(spark, sf_dir, "documents"), "doc_id", "text",
         bands=4, max_hamming=3,
+    )
+
+
+def _simhash128_oracle() -> str:
+    """All-pairs oracle twin of operators/dedup.simhash128: 128 vote
+    sums from every md5 nibble, assembled into two signed-int64 halves
+    (bit 63 of each half adds −2⁶³ — two's complement, shared bit
+    pattern with Spark so xor/bit_count agree)."""
+    votes = ", ".join(
+        "SUM(CASE WHEN ((strpos('0123456789abcdef', "
+        f"substr(md5(tok), {j // 4 + 1}, 1)) - 1) & {1 << (j % 4)}) > 0 "
+        f"THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(128)
+    )
+
+    def half(lo_j: int) -> str:
+        parts = [
+            f"(CASE WHEN v{lo_j + k} > 0 THEN CAST({1 << k} AS BIGINT)"
+            " ELSE 0 END)"
+            for k in range(63)
+        ]
+        parts.append(
+            f"(CASE WHEN v{lo_j + 63} > 0"
+            " THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END)"
+        )
+        return " + ".join(parts)
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, t.tok FROM (
+        SELECT doc_id, {_TOKS} AS tk FROM documents) d, unnest(d.tk) AS t(tok)
+    ), votes AS (
+      SELECT doc_id, {votes} FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, {half(0)} AS lo, {half(64)} AS hi FROM votes
+    """
+
+
+@query(
+    "op-ext-simhash-neardup-scaled",
+    oracle=f"""
+    WITH fp AS ({_simhash128_oracle()}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.lo, b.lo))
+                  + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+    """,
+)
+def op_ext_simhash_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE twin of op-ext-simhash-neardup: 4 bands of 32 bits over a
+    128-bit two-half SimHash (dedup.simhash_neardup_pairs_wide). Same
+    pigeonhole exactness (3 flips leave ≥ 1 of 4 bands clean), but
+    band keys draw from 2³² values instead of 2¹² — bucket collisions
+    stay content-driven (true near-dups + 2⁻³²-rate noise) instead of
+    saturating at 4,096 buckets, so Σ|bucket|² stays near-linear at
+    any realistic corpus size. The finer fingerprint makes this a
+    DIFFERENT statistic than the 48-bit anchor (128-bit Hamming ≤ 3 is
+    strictly rarer); the oracle is the literal all-pairs definition at
+    sf0.01."""
+    return dd.simhash_neardup_pairs_wide(
+        t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
     )
 
 

@@ -375,3 +375,54 @@ def test_cluster_cache_rebuilds_after_unpersist_sweep(spark):
         jrdd.unpersist(True)
     b = rx.shared_dedup_clusters(spark, SF_SMALL)
     assert b.count() == n  # rebuilt (or still live) — never a dead frame
+
+
+def test_simhash128_wide_pairs_match_bruteforce(spark):
+    """Independent pure-Python replay of the 128-bit two-half SimHash
+    and the all-pairs Hamming ≤ 3 set — proves the banded join (4×32-bit
+    bands) loses nothing and the two's-complement half assembly matches
+    md5 nibble votes bit-for-bit."""
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+
+    def fp128(text: str) -> tuple[int, int]:
+        votes = [0] * 128
+        for tok in re.split(r"\s+", text.strip().lower()):
+            h = hashlib.md5(tok.encode()).hexdigest()
+            for j in range(128):
+                nib = int(h[j // 4], 16)
+                votes[j] += 1 if (nib & (1 << (j % 4))) else -1
+        lo = hi = 0
+        for k in range(64):
+            if votes[k] > 0:
+                lo |= 1 << k
+            if votes[64 + k] > 0:
+                hi |= 1 << k
+        # signed int64 view (bit 63 = −2⁶³), matching the engine halves
+        if lo >= 1 << 63:
+            lo -= 1 << 64
+        if hi >= 1 << 63:
+            hi -= 1 << 64
+        return lo, hi
+
+    fps = {r.doc_id: fp128(r.text) for r in docs}
+    ids = sorted(fps)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin((fps[a][0] ^ fps[b][0]) & ((1 << 64) - 1)).count("1")
+            d += bin((fps[a][1] ^ fps[b][1]) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    assert want  # 15 pairs on the pinned sf0.001 corpus — never 0=0
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dd.simhash_neardup_pairs_wide(
+            spark.read.parquet(f"{SF_SMALL}/documents.parquet"),
+            "doc_id",
+            "text",
+            max_hamming=3,
+        ).collect()
+    }
+    assert got == want

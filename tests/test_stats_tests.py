@@ -627,3 +627,160 @@ def test_paired_ttest_matches_numpy(spark):
     t_ref = d.mean() / math.sqrt(d.var(ddof=1) / len(d))
     assert math.isclose(row.mean_d, d.mean(), rel_tol=1e-12)
     assert math.isclose(row.t_stat, t_ref, rel_tol=1e-9)
+
+
+def test_mann_kendall_matches_bruteforce(spark):
+    """Replay S, the tie-corrected Var[S], and the continuity-corrected
+    z per nation with a literal all-pairs pass over the same monthly
+    exact-cents series (scipy-free)."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    rows = _run(spark, "op-ext-mann-kendall")
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    c = spark.read.parquet(f"{SF_SMALL}/customer.parquet").collect()
+    nk = {r.c_custkey: r.c_nationkey for r in c}
+    per = defaultdict(int)
+    for r in o:
+        m = r.o_orderdate.year * 12 + r.o_orderdate.month
+        cents = int(
+            Decimal(str(r.o_totalprice)).quantize(Decimal("0.01")) * 100
+        )
+        per[(nk[r.o_custkey], m)] += cents
+    series = defaultdict(list)
+    for (n_, m), v in per.items():
+        series[n_].append((m, v))
+    got = {r.nationkey: r for r in rows}
+    assert set(got) == set(series)
+    for nat, sv in series.items():
+        sv.sort()
+        n = len(sv)
+        s = sum(
+            (1 if sv[j][1] > sv[i][1] else -1 if sv[j][1] < sv[i][1] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tiecounts = defaultdict(int)
+        for _, v in sv:
+            tiecounts[v] += 1
+        tie18 = sum(
+            t * (t - 1) * (2 * t + 5) for t in tiecounts.values() if t > 1
+        )
+        var18 = n * (n - 1) * (2 * n + 5) - tie18
+        row = got[nat]
+        assert row.n_months == n and row.s_stat == s
+        assert math.isclose(row.var_s, var18 / 18.0, rel_tol=1e-12)
+        if s == 0 or var18 <= 0:
+            z_ref = 0.0
+        else:
+            z_ref = (s - (1 if s > 0 else -1)) / math.sqrt(var18 / 18.0)
+        assert math.isclose(row.z_mk, z_ref, rel_tol=1e-12)
+
+
+def test_theil_sen_matches_numpy(spark):
+    """Median-of-pairwise-slopes replay: numpy's even-count median is
+    the same middle-two average the op's positional pick computes."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    rows = _run(spark, "op-ext-theil-sen")
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    c = spark.read.parquet(f"{SF_SMALL}/customer.parquet").collect()
+    nk = {r.c_custkey: r.c_nationkey for r in c}
+    per = defaultdict(int)
+    for r in o:
+        m = r.o_orderdate.year * 12 + r.o_orderdate.month
+        cents = int(
+            Decimal(str(r.o_totalprice)).quantize(Decimal("0.01")) * 100
+        )
+        per[(nk[r.o_custkey], m)] += cents
+    series = defaultdict(list)
+    for (n_, m), v in per.items():
+        series[n_].append((m, v))
+    got = {r.nationkey: r for r in rows}
+    assert set(got) == set(series)
+    for nat, sv in series.items():
+        sv.sort()
+        slopes = [
+            (sv[j][1] - sv[i][1]) / (sv[j][0] - sv[i][0])
+            for i in range(len(sv))
+            for j in range(i + 1, len(sv))
+        ]
+        row = got[nat]
+        assert row.n_pairs == len(slopes)
+        assert math.isclose(
+            row.ts_slope, float(np.median(slopes)), rel_tol=1e-12
+        )
+
+
+def _norm_tail_poly(z: float) -> float:
+    """The A&S 26.2.17 five-term upper tail — transcribed from the
+    registry's _NORM_TAIL so the test checks the RANK/SERIES algebra,
+    not polynomial accuracy."""
+    k = 1.0 / (1.0 + 0.2316419 * abs(z))
+    poly = k * (
+        0.319381530
+        + k
+        * (
+            -0.356563782
+            + k * (1.781477937 + k * (-1.821255978 + k * 1.330274429))
+        )
+    )
+    return math.exp(-0.5 * z * z) / 2.5066282746310002 * poly
+
+
+def test_anderson_darling_matches_rowwise(spark):
+    """Replay A² with the textbook PER-ROW (2i−1) sum over the sorted
+    sample — the op computes the same sum collapsed to the
+    distinct-value frame via arithmetic series; agreement proves the
+    tied-rank algebra. Tolerance covers the op's per-term 1e-6
+    fixed-point quantization (≤ distinct_terms·1e-6/n absolute)."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    rows = _run(spark, "op-ext-anderson-darling")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").collect()
+    groups = defaultdict(list)
+    for r in ev:
+        if r.value is not None:
+            groups[r.event_type].append(
+                int(Decimal(str(r.value)).quantize(Decimal("0.01")) * 100)
+            )
+    got = {r.event_type: r for r in rows}
+    assert set(got) == set(groups)
+    for g, xs in groups.items():
+        xs.sort()
+        n = len(xs)
+        mu = sum(xs) / n
+        # exact sample std from integer power sums, as the op does
+        sd = math.sqrt(
+            (n * sum(x * x for x in xs) - sum(xs) * sum(xs))
+            / (n * (n - 1))
+        )
+        total = 0.0
+        for i, x in enumerate(xs, start=1):
+            z_lo = (xs[i - 1] - mu) / sd
+            z_hi = (xs[n - i] - mu) / sd
+            phi_lo = (
+                1.0 - _norm_tail_poly(z_lo)
+                if z_lo >= 0
+                else _norm_tail_poly(z_lo)
+            )
+            phi_hi = (
+                1.0 - _norm_tail_poly(z_hi)
+                if z_hi >= 0
+                else _norm_tail_poly(z_hi)
+            )
+            phi_lo = min(max(phi_lo, 1e-300), 1.0 - 1e-16)
+            q_hi = min(max(1.0 - phi_hi, 1e-300), 1.0 - 1e-16)
+            total += (2 * i - 1) * (math.log(phi_lo) + math.log(q_hi))
+        a2_ref = -n - total / n
+        row = got[g]
+        assert row.n_rows == n
+        assert math.isclose(row.a2, a2_ref, rel_tol=1e-6, abs_tol=1e-5)
+        assert math.isclose(
+            row.a2_mod,
+            a2_ref * (1.0 + 0.75 / n + 2.25 / (n * n)),
+            rel_tol=1e-6,
+            abs_tol=1e-5,
+        )

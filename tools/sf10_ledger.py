@@ -148,6 +148,19 @@ EXCLUSIONS = {
     "op-ext-ann-ivf-fullprobe": "pair-oracle",  # oracle = brute force
     "op-ext-embed-neardup-exact": "pair-oracle",
     "op-ext-embed-neardup": "pair-oracle",  # verify joins need exact twin
+    # lsh-eval's ground-truth CTE IS an all-pairs list-intersect
+    # Jaccard self-join (sh a JOIN sh b ON a.doc_id < b.doc_id) —
+    # 1.25e11 pairs at 500k docs; the Spark side has its own sf10
+    # probe (r11: verify-join width fix, operators/dedup.py nv).
+    "op-ext-lsh-eval": "pair-oracle",
+    # both simhash pair ops' oracles are the literal all-pairs Hamming
+    # definition; the 48-bit anchor additionally has a DOCUMENTED
+    # engine-side scale limit (12-bit bands saturate at 4,096 buckets
+    # → O(n²/4096), 58 GB spill measured r11 at 500k docs); the
+    # 128-bit -scaled twin is the engine's 100 TB operating point and
+    # carries the sf10 engine probe.
+    "op-ext-simhash-neardup": "pair-oracle",
+    "op-ext-simhash-neardup-scaled": "pair-oracle",
     # O(len·k) DuckDB list-HOF replays (>15 min single-threaded).
     "op-ext-fingerprint": "hof-replay",
     "op-ext-fingerprint-rolling": "hof-replay",
@@ -170,6 +183,12 @@ EXCLUSIONS = {
     "op-ext-semantic-dedup": "join-blowup",
     # content-hash explode replay (r11 measured).
     "op-ext-bootstrap-ci": "hash-explode",
+    # ADC replay: the IVF candidate frame (Q·n_probe·n/k ≈ 2.5e9 rows
+    # at 1M vecs / 10k queries / fixed k=16) × 8 PQ-subspace LUT rows —
+    # DuckDB spilled ~75 GB then disk-full at 20 min (r11 measured).
+    # The exact-scoring IVF oracle on the SAME candidate CTEs passed
+    # (batch F7); the ×8 explode is what tips it over.
+    "op-ext-ann-ivf-pq": "hash-explode",
     # rows-only by documented nature (no oracle at ANY sf).
     "op-ext-dp-counts": "rows-only",
     "op-ext-bpe-learn": "rows-only",
