@@ -213,6 +213,11 @@ def run_suite(spark, qs, names, sf_dir, sf, metric) -> dict:
                 "op-ext-dedup-survivors",
                 "op-ext-dedup-best-survivor",
                 "op-ext-bpe-learn",  # merge loop collects during build
+                # r11: the staged verify pins (postings, text-pair
+                # reps, both DP rungs) run eagerly at build — timing
+                # only force(df) would measure the final join/filter
+                # (~0.5 s of a ~13 s pipeline at sf1)
+                "op-ext-winnow-neardup",
             )
 
             def fresh():

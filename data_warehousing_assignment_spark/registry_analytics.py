@@ -2887,6 +2887,167 @@ def op_ext_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Two-measure sibling of _MK_PER_SQL: the same calendar-bounded
+#: monthly frame, carrying revenue (exact cents) AND order count per
+#: (nation, month) — the inputs tau-b correlates. Same scale argument:
+#: |months| is calendar-constant, so the per-nation pair join is O(1)
+#: w.r.t. fact volume.
+_KT_PER_SQL = """
+      SELECT c.c_nationkey AS nk,
+             CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate)
+                  AS BIGINT) AS m,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS q
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+"""
+
+#: tau-b from exact int64 sufficient statistics: concordant−discordant
+#: over sqrt of the tie-corrected pair products. int64→double casts
+#: are IEEE-correctly-rounded in both engines, as are sqrt and /, so
+#: this one shared tree is deterministic with no fixed-point staging
+#: (unlike ln-based statistics). Zero-variance guard: all-tied v or q
+#: ⇒ denominator 0 ⇒ tau-b defined as 0.
+_KT_TAUB = (
+    "(CASE WHEN (n0 - tv) <= 0 OR (n0 - tq) <= 0 THEN 0.0"
+    " ELSE CAST(nc - nd AS DOUBLE)"
+    " / sqrt(CAST(n0 - tv AS DOUBLE) * CAST(n0 - tq AS DOUBLE)) END)"
+)
+
+
+@query(
+    "op-ext-kendall-tau",
+    oracle=f"""
+    WITH per AS ({_KT_PER_SQL}),
+    pairs AS (
+      SELECT a.nk,
+             CAST(SUM(CASE WHEN (b.v - a.v) * (b.q - a.q) > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+             CAST(SUM(CASE WHEN (b.v - a.v) * (b.q - a.q) < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nd
+      FROM per a JOIN per b ON a.nk = b.nk AND a.m < b.m
+      GROUP BY 1
+    ),
+    nn AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS n FROM per GROUP BY 1),
+    tv AS (
+      SELECT nk, CAST(SUM(tt * (tt - 1) / 2) AS BIGINT) AS tv
+      FROM (SELECT nk, v, CAST(COUNT(*) AS BIGINT) AS tt
+            FROM per GROUP BY 1, 2) g
+      WHERE tt > 1 GROUP BY 1
+    ),
+    tq AS (
+      SELECT nk, CAST(SUM(tt * (tt - 1) / 2) AS BIGINT) AS tq
+      FROM (SELECT nk, q, CAST(COUNT(*) AS BIGINT) AS tt
+            FROM per GROUP BY 1, 2) g
+      WHERE tt > 1 GROUP BY 1
+    ),
+    st AS (
+      SELECT nn.nk, nn.n, p.nc, p.nd,
+             nn.n * (nn.n - 1) / 2 AS n0,
+             COALESCE(tv.tv, 0) AS tv,
+             COALESCE(tq.tq, 0) AS tq
+      FROM nn JOIN pairs p ON nn.nk = p.nk
+      LEFT JOIN tv ON nn.nk = tv.nk
+      LEFT JOIN tq ON nn.nk = tq.nk
+    )
+    SELECT nk AS nationkey, n AS n_months, nc AS n_conc, nd AS n_disc,
+           {_KT_TAUB} AS tau_b
+    FROM st
+    """,
+)
+def op_ext_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between monthly revenue and
+    monthly order count per customer nation — the tie-corrected
+    nonparametric association that completes the correlation cell:
+    op-ext-corr is Pearson (linear), op-ext-spearman is rank-linear,
+    tau-b is concordance-based (robust to any monotone transform and
+    the standard readout when tied months are possible). Concordant /
+    discordant counts come from the same bounded month-pair join as
+    op-ext-mann-kendall (tau against TIME is exactly the MK S
+    statistic; here the two VALUE series are correlated instead);
+    tie corrections t_v, t_q are per-distinct-value arithmetic-series
+    sums. All sufficient statistics are exact int64; the one shared
+    _KT_TAUB tree (int64→double casts, one sqrt, one division — all
+    IEEE-correctly-rounded, no libm transcendentals) crosses to the
+    oracle bit-for-bit. SCALE: the series frame is nations×months
+    (calendar-bounded, ~2,000 rows broadcast); the fact scan pays one
+    join + one map-side-combined groupBy regardless of volume."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("m"),
+        F.expr("CAST(o_totalprice AS DECIMAL(18,2)) * 100").alias("_c"),
+    )
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    per = F.broadcast(
+        o.join(c, "o_custkey")
+        .groupBy("nk", "m")
+        .agg(
+            F.sum("_c").cast("bigint").alias("v"),
+            F.count(F.lit(1)).cast("bigint").alias("q"),
+        )
+    )
+    a = per.select("nk", F.col("m").alias("m1"), F.col("v").alias("v1"),
+                   F.col("q").alias("q1"))
+    b = per.select("nk", F.col("m").alias("m2"), F.col("v").alias("v2"),
+                   F.col("q").alias("q2"))
+    disc = (F.col("v2") - F.col("v1")) * (F.col("q2") - F.col("q1"))
+    pairs = (
+        a.join(b, "nk")
+        .filter(F.col("m1") < F.col("m2"))
+        .groupBy("nk")
+        .agg(
+            F.sum(F.when(disc > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("nc"),
+            F.sum(F.when(disc < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("nd"),
+        )
+    )
+    nn = per.groupBy("nk").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    def _ties(col: str, out: str) -> DataFrame:
+        return (
+            per.groupBy("nk", col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tt"))
+            .filter(F.col("tt") > 1)
+            .groupBy("nk")
+            .agg(
+                F.sum(F.col("tt") * (F.col("tt") - 1) / 2)
+                .cast("bigint")
+                .alias(out)
+            )
+        )
+
+    st = (
+        nn.join(pairs, "nk")
+        .join(_ties("v", "tv"), "nk", "left")
+        .join(_ties("q", "tq"), "nk", "left")
+        .select(
+            "nk",
+            "n",
+            "nc",
+            "nd",
+            F.expr("n * (n - 1) / 2").cast("bigint").alias("n0"),
+            F.coalesce("tv", F.lit(0)).alias("tv"),
+            F.coalesce("tq", F.lit(0)).alias("tq"),
+        )
+    )
+    return st.selectExpr(
+        "nk AS nationkey",
+        "n AS n_months",
+        "nc AS n_conc",
+        "nd AS n_disc",
+        f"{_KT_TAUB} AS tau_b",
+    )
+
+
 #: Upper-tail normal probability P(Z > |z|) via the Abramowitz-Stegun
 #: 26.2.17 five-term polynomial (|error| < 7.5e-8) — spelled ONCE and
 #: formatted into both engines so every occurrence is the same IEEE

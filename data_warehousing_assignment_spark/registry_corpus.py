@@ -20,7 +20,10 @@ from pyspark.sql import functions as F
 
 from data_warehousing_assignment_spark.operators import similarity as sim
 from data_warehousing_assignment_spark.operators.ivf import build_ivf_index
-from data_warehousing_assignment_spark.operators.text import tokens
+from data_warehousing_assignment_spark.operators.text import (
+    tokens,
+    word_shingles,
+)
 from data_warehousing_assignment_spark.registry import query, t
 
 #: DuckDB twin of operators.text.tokens()
@@ -1205,3 +1208,186 @@ def op_ext_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("n_tok").alias("n_tokens"), "quality_ppm")
     )
     return whole.unionByName(edge)
+
+
+# --------------------------------------------------------------------------
+# labeling QA / corpus diagnostics
+# --------------------------------------------------------------------------
+
+#: Cohen's kappa from the exact int64 2x2 sufficient statistics —
+#: kappa = (po − pe)/(1 − pe) rewritten over integers as
+#: (n·agree − pe_num)/(n² − pe_num), pe_num = a1·b1 + (n−a1)·(n−b1).
+#: ONE shared tree, ONE final IEEE division; int64→double casts are
+#: correctly rounded in both engines, so no fixed-point staging is
+#: needed (same rationale as op-ext-gini-impurity). Degenerate pe = 1
+#: (every row in one agreement cell) ⇒ po = 1 too; kappa is defined
+#: as 1.0 there by convention. Exactness domain: n·agree ≤ n² must
+#: stay in int64 ⇒ n ≤ 3e9 rows per group — far past any per-language
+#: document count this engine will see in one partition-group.
+_KAPPA_EXPR = (
+    "(CASE WHEN n * n - (a1 * b1 + (n - a1) * (n - b1)) = 0 THEN 1.0"
+    " ELSE CAST(n * agr - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE)"
+    " / CAST(n * n - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE) END)"
+)
+
+
+@query(
+    "op-ext-cohens-kappa",
+    oracle=f"""
+    WITH r AS (
+      SELECT lang,
+             len({_TOKS}) >= 40 AS ra,
+             n_chars >= 200 AS rb
+      FROM documents
+    ),
+    s AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN ra THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+             CAST(SUM(CASE WHEN rb THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+             CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT)
+               AS agr
+      FROM r GROUP BY 1
+    )
+    SELECT lang, n AS n_docs, a1 AS n_pos_a, b1 AS n_pos_b,
+           agr AS n_agree, {_KAPPA_EXPR} AS kappa
+    FROM s
+    """,
+)
+def op_ext_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic document raters, per
+    language — the chance-corrected inter-annotator agreement a
+    labeling pipeline reports when two labelers (or a heuristic and a
+    model) gate the same corpus. Rater A keeps docs with ≥ 40 tokens,
+    rater B keeps docs with ≥ 200 chars: correlated-but-distinct
+    gates (both near the corpus median), so kappa sits strictly
+    inside (0, 1) and a broken marginal or agreement count moves it —
+    the oracle is discriminating, not a 1.0 = 1.0 tautology. Both
+    raters, the 2x2 table, and kappa itself are exact int64
+    arithmetic with ONE final division (_KAPPA_EXPR, shared verbatim
+    with the oracle). SCALE: the gates are row-local (no shuffle);
+    the only exchange carries |langs| × 4 counters via a
+    map-side-combined groupBy — the cheapest possible shape."""
+    docs = t(spark, sf_dir, "documents").select(
+        "lang",
+        (F.size(tokens("text")) >= 40).alias("ra"),
+        (F.col("n_chars") >= 200).alias("rb"),
+    )
+    cnt_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")
+    s = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        cnt_if(F.col("ra")).alias("a1"),
+        cnt_if(F.col("rb")).alias("b1"),
+        cnt_if(F.col("ra") == F.col("rb")).alias("agr"),
+    )
+    return s.selectExpr(
+        "lang",
+        "n AS n_docs",
+        "a1 AS n_pos_a",
+        "b1 AS n_pos_b",
+        "agr AS n_agree",
+        f"{_KAPPA_EXPR} AS kappa",
+    )
+
+
+#: DuckDB twin of operators.text.word_shingles(tokens(text), 3) — the
+#: same 3-gram list registry_extensions pins for the MinHash family.
+_SH3 = f"""
+    CASE WHEN len({_TOKS}) >= 3
+         THEN list_transform(range(1, len({_TOKS}) - 1),
+                i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2])
+         ELSE [array_to_string({_TOKS}, ' ')] END
+"""
+
+
+@query(
+    "op-ext-source-overlap",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT source, g
+      FROM (SELECT source, unnest({_SH3}) AS g FROM documents)
+    ),
+    v AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS nv FROM sh GROUP BY 1
+    ),
+    i AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS ni
+      FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT va.source AS src_a, vb.source AS src_b,
+           COALESCE(i.ni, 0) AS n_shared,
+           va.nv + vb.nv - COALESCE(i.ni, 0) AS n_union,
+           CAST(COALESCE(i.ni, 0) AS DOUBLE)
+             / CAST(va.nv + vb.nv - COALESCE(i.ni, 0) AS DOUBLE)
+             AS jaccard
+    FROM v va JOIN v vb ON va.source < vb.source
+    LEFT JOIN i ON i.src_a = va.source AND i.src_b = vb.source
+    """,
+)
+def op_ext_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle-vocabulary overlap: exact Jaccard between
+    every pair of sources over their DISTINCT 3-gram shingle sets —
+    the corpus-diversity / cross-source-contamination diagnostic a
+    data mix is audited with (two 'independent' crawls with jaccard
+    near 1 are the same crawl twice; op-ext-mix-weights upweights a
+    source whose content is actually already in another). Single-word
+    vocabulary would be useless here (every source shares a small
+    token vocabulary — jaccard identically 1.0); 3-gram shingles make
+    the measure content-driven, exactly like the MinHash family one
+    module over. Counts are exact set cardinalities; one final IEEE
+    division per pair.
+
+    SCALE: (1) distinct(source, shingle) — one dedup shuffle, the
+    same cost class as any shingle-level pass; (2) the intersection
+    self-join keys on shingle, so per-key fan-out is bounded by the
+    number of sources containing that shingle — at most |S|² rows per
+    hot shingle, and |S| is a catalog-sized dimension (tens to
+    thousands), never data-sized; (3) the pair spine is |S|²/2 rows
+    built from two broadcast vocab frames, so ZERO-overlap pairs are
+    still emitted (the left join keeps the oracle honest — a missing
+    pair is a visible 0, not silence). For |S| in the thousands the
+    production variant caps shingles at a document-frequency band
+    first (the op-ext-inverted-index df gate) — same plan, smaller
+    hot keys."""
+    sh = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(word_shingles(tokens("text"), 3)).alias("g"),
+        )
+        .distinct()
+    )
+    v = sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nv")
+    )
+    a = sh.select(F.col("source").alias("src_a"), "g")
+    b = sh.select(F.col("source").alias("src_b"), "g")
+    i = (
+        a.join(b, "g")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ni"))
+    )
+    va = v.select(F.col("source").alias("src_a"), F.col("nv").alias("nva"))
+    vb = v.select(F.col("source").alias("src_b"), F.col("nv").alias("nvb"))
+    spine = F.broadcast(va).crossJoin(F.broadcast(vb)).filter(
+        F.col("src_a") < F.col("src_b")
+    )
+    return (
+        spine.join(i, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            F.coalesce("ni", F.lit(0)).alias("n_shared"),
+            (F.col("nva") + F.col("nvb") - F.coalesce("ni", F.lit(0)))
+            .alias("n_union"),
+            (
+                F.coalesce("ni", F.lit(0)).cast("double")
+                / (
+                    F.col("nva") + F.col("nvb")
+                    - F.coalesce("ni", F.lit(0))
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )

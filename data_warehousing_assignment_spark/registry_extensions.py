@@ -1572,74 +1572,98 @@ def op_ext_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_shared") >= _WN_MINSH)
     )
     txt = docs.select("doc_id", "text")
-    # Banded verify (r9 verdict #4): the 3-arg levenshtein stops at
-    # T = the 30% rule at the CORPUS max length — every true survivor
-    # has ed ≤ 0.3·maxlen(pair) ≤ T so its distance comes back exact,
-    # and every -1 (band exceeded) provably fails the per-pair test
-    # anyway. Negative result recorded so nobody re-tries it: a LADDER
-    # of per-pair-proportional literal thresholds measured 11.8 s vs
-    # this uniform band's 11.5 s at sf1 — banded DP costs
-    # len·min(2T+1, len) and a 30% RELATIVE threshold gives
-    # 2T+1 ≈ 0.6·len, so the band never gets narrow enough to prune (a
-    # fixed T=60 would — 6.7 s — but isn't contract-safe). Equality
-    # fast path first: exact copies cost one O(len) compare, not the
-    # DP. The one scalar read is the justified watermark class; on an
+    # The one scalar read is the justified watermark class; on an
     # empty/all-NULL corpus the max is None and there are no pairs to
     # verify, so any threshold works — use 0.
     m = docs.agg(F.max(F.length("text")).alias("m")).first()["m"]
     max_len = int(m) if m is not None else 0
-    maxl = F.greatest(F.length("ta.text"), F.length("tb.text"))
-    # Two-stage band ladder (r10 verdict #5): banded DP costs
-    # len·min(2T+1, len) regardless of the TRUE distance, and the
-    # corpus-wide T ≈ 0.3·maxlen gives a band that never prunes (the
-    # r10 negative result). But near-dup pairs are mutated COPIES —
-    # most true distances are small — so stage 1 runs the narrow
-    # FIXED band T₁=64 (the 64-bit-word band of the Myers automaton;
-    # 2T₁+1=129 cells/row vs ~0.6·len) over every pair, and only the
-    # -1s (proven ed > 64) pay the full corpus band in stage 2. This
-    # is the contract-safe form of r10's "fixed T=60 would be 6.7 s":
-    # CASE only falls through to the wide band when the narrow one
-    # PROVED the distance exceeds it, so outputs are bit-identical to
-    # the single full-band evaluation (measurement in BASELINE.md r11).
-    # The two chained selects keep each levenshtein single-evaluation
-    # (the r9 staging lesson); CASE WHEN branches evaluate lazily per
-    # row, so stage 2 runs only on stage-1 misses.
-    ed_narrow = F.when(
-        F.col("ta.text") == F.col("tb.text"), F.lit(0)
-    ).otherwise(F.levenshtein(F.col("ta.text"), F.col("tb.text"), 64))
     full_t = (3 * max_len) // 10 + 1
+    maxl = F.greatest(F.length("ta.text"), F.length("tb.text"))
     # Rung 0 — O(1) length lower bound: ed ≥ |len_a − len_b|, so a pair
     # whose length GAP alone breaks the 30% rule can never survive the
     # final filter; drop it before any DP runs. Exact-integer test,
     # provably lossless (dropped pairs are exactly ones the final
     # `edit_dist·10 ≤ 3·maxlen` would discard).
     dlen = F.abs(F.length("ta.text") - F.length("tb.text"))
-    staged = (
-        pairs.join(
-            txt.alias("ta"), pairs.doc_a == F.col("ta.doc_id")
-        )
+    # Verify ONCE PER DISTINCT TEXT PAIR, not once per doc pair
+    # (r11, replacing the r10 band ladder): ed() depends only on the
+    # two text VALUES, and real corpora (and this one) carry heavy
+    # exact-copy multiplicity, so the same (text_a, text_b) value pair
+    # recurs across many candidate doc pairs — each identical verify
+    # re-paid. Collapse by the unordered md5 pair (ed is symmetric;
+    # the same exact-dup-collapse principle the MinHash family applies
+    # BEFORE candidate generation), run the DP on one deterministic
+    # representative per key (min struct — any rep gives the same ed
+    # by value-dependence), and hash-join the verdicts back. Measured
+    # sf1: 290,928 candidate doc pairs → ~3k distinct text pairs, DP
+    # time collapses ~100×; the join-back is a pairs-scale shuffle on
+    # 32-char keys that AQE broadcast-converts while the verdict frame
+    # stays small. Two further measured facts shape the rungs
+    # (BASELINE.md r11): JVM levenshtein has a ~18 µs/pair FLOOR
+    # regardless of band width (T=4 and T=64 cost within 15% on 290k
+    # pairs — band narrowing alone cannot win), and the distance
+    # distribution is bimodal (every pair at ed ≤ 8 or ed > 64:
+    # mutated copies vs boilerplate-bridged strangers), so ONE narrow
+    # T=8 rung + the full corpus-wide band on its misses is optimal —
+    # a middle rung would only re-pay the per-pair floor. Each rung is
+    # materialized (pin) before its result is filtered on: a collapsed
+    # Project+Filter re-evaluates the levenshtein expression per
+    # reference (measured 3× = the difference between 37 s and ~20 s
+    # at sf1), and the rung frames are distinct-pair-sized, so the
+    # checkpoint is cheap by construction.
+    staged = pin(
+        pairs.join(txt.alias("ta"), pairs.doc_a == F.col("ta.doc_id"))
         .join(txt.alias("tb"), pairs.doc_b == F.col("tb.doc_id"))
         .where(dlen * 10 <= 3 * maxl)
         .select(
             "doc_a", "doc_b", "n_shared",
             F.col("ta.text").alias("_ta"),
             F.col("tb.text").alias("_tb"),
-            ed_narrow.cast("bigint").alias("_e64"),
+            F.md5(F.col("ta.text")).alias("_ha"),
+            F.md5(F.col("tb.text")).alias("_hb"),
             maxl.alias("_maxlen"),
         )
     )
-    ed = F.when(F.col("_e64") >= 0, F.col("_e64")).otherwise(
-        F.levenshtein(F.col("_ta"), F.col("_tb"), full_t).cast("bigint")
+    k1 = F.least("_ha", "_hb")
+    k2 = F.greatest("_ha", "_hb")
+    reps = (
+        staged.groupBy(k1.alias("_k1"), k2.alias("_k2"))
+        .agg(F.min(F.struct("_ta", "_tb")).alias("_r"))
+        .select("_k1", "_k2", F.col("_r._ta").alias("_ta"),
+                F.col("_r._tb").alias("_tb"))
     )
-    scored = staged.select(
-        "doc_a", "doc_b", "n_shared",
-        ed.alias("edit_dist"),
-        "_maxlen",
+    # Rung 1: equality fast path + fixed T=8 narrow band, materialized
+    # so the split below reads the value instead of re-running the DP.
+    e8 = F.when(F.col("_ta") == F.col("_tb"), F.lit(0)).otherwise(
+        F.levenshtein("_ta", "_tb", 8)
     )
-    return scored.where(
-        (F.col("edit_dist") >= 0)
-        & (F.col("edit_dist") * 10 <= 3 * F.col("_maxlen"))
-    ).select("doc_a", "doc_b", "n_shared", "edit_dist")
+    rung1 = pin(reps.select("_k1", "_k2", "_ta", "_tb",
+                            e8.cast("bigint").alias("_e8")))
+    resolved = rung1.where(F.col("_e8") >= 0).select(
+        "_k1", "_k2", F.col("_e8").alias("_ed")
+    )
+    # Rung 2: only keys PROVEN ed > 8 pay the corpus-wide 30% band;
+    # -1 here means ed > full_t, provably failing the final filter.
+    missed = pin(
+        rung1.where(F.col("_e8") < 0).select(
+            "_k1", "_k2",
+            F.levenshtein("_ta", "_tb", full_t).cast("bigint").alias("_ed"),
+        )
+    )
+    verdicts = resolved.unionByName(missed)
+    return (
+        staged.select(
+            "doc_a", "doc_b", "n_shared",
+            k1.alias("_k1"), k2.alias("_k2"), "_maxlen",
+        )
+        .join(verdicts, ["_k1", "_k2"])
+        .where(
+            (F.col("_ed") >= 0)
+            & (F.col("_ed") * 10 <= 3 * F.col("_maxlen"))
+        )
+        .select("doc_a", "doc_b", "n_shared",
+                F.col("_ed").alias("edit_dist"))
+    )
 
 
 @query(

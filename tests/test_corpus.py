@@ -278,3 +278,66 @@ def test_token_budget_select_matches_naive_prefix(spark):
         want[doc] = (n, q)
     assert got == want
     assert want, "budget selection must be non-empty on the corpus"
+
+
+def test_cohens_kappa_matches_pure_python(spark):
+    """Replay the 2x2 table and kappa per language from the raw docs
+    (sklearn-free), and pin that the gates are non-degenerate (kappa
+    strictly inside (0, 1) on this corpus — the oracle stays
+    discriminating)."""
+    from data_warehousing_assignment_spark.registry_corpus import (
+        op_ext_cohens_kappa,
+    )
+
+    rows = {r.lang: r for r in op_ext_cohens_kappa(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    per = {}
+    for d in docs:
+        ra = len(d.text.strip().lower().split()) >= 40
+        rb = d.n_chars >= 200
+        n, a1, b1, agr = per.setdefault(d.lang, [0, 0, 0, 0])
+        per[d.lang] = [n + 1, a1 + ra, b1 + rb, agr + (ra == rb)]
+    assert set(rows) == set(per)
+    for lang, (n, a1, b1, agr) in per.items():
+        row = rows[lang]
+        assert (row.n_docs, row.n_pos_a, row.n_pos_b, row.n_agree) == (
+            n, a1, b1, agr,
+        )
+        pe_num = a1 * b1 + (n - a1) * (n - b1)
+        den = n * n - pe_num
+        kappa_ref = 1.0 if den == 0 else (n * agr - pe_num) / den
+        assert abs(row.kappa - kappa_ref) < 1e-12
+        assert 0.0 < row.kappa < 1.0
+
+
+def test_source_overlap_matches_python_sets(spark):
+    """Replay every pair's shared/union shingle counts with Python
+    sets; pin the full |S|·(|S|−1)/2 pair spine (zero-overlap pairs
+    must appear as explicit 0 rows, not be absent)."""
+    from data_warehousing_assignment_spark.registry_corpus import (
+        op_ext_source_overlap,
+    )
+
+    rows = op_ext_source_overlap(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    vocab = {}
+    for d in docs:
+        toks = d.text.strip().lower().split()
+        if len(toks) >= 3:
+            sh = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        else:
+            sh = {" ".join(toks)}
+        vocab.setdefault(d.source, set()).update(sh)
+    srcs = sorted(vocab)
+    expect = {}
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            inter = len(vocab[sa] & vocab[sb])
+            union = len(vocab[sa] | vocab[sb])
+            expect[(sa, sb)] = (inter, union)
+    got = {(r.src_a, r.src_b): r for r in rows}
+    assert set(got) == set(expect)
+    for key, (inter, union) in expect.items():
+        r = got[key]
+        assert (r.n_shared, r.n_union) == (inter, union)
+        assert abs(r.jaccard - inter / union) < 1e-12

@@ -784,3 +784,71 @@ def test_anderson_darling_matches_rowwise(spark):
             rel_tol=1e-6,
             abs_tol=1e-5,
         )
+
+
+def test_kendall_tau_matches_bruteforce(spark):
+    """Replay concordant/discordant counts, both tie corrections, and
+    tau-b per nation with a literal all-pairs pass over the same
+    (revenue-cents, order-count) monthly series (scipy-free)."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    rows = _run(spark, "op-ext-kendall-tau")
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    c = spark.read.parquet(f"{SF_SMALL}/customer.parquet").collect()
+    nk = {r.c_custkey: r.c_nationkey for r in c}
+    per = defaultdict(lambda: [0, 0])
+    for r in o:
+        m = r.o_orderdate.year * 12 + r.o_orderdate.month
+        cents = int(
+            Decimal(str(r.o_totalprice)).quantize(Decimal("0.01")) * 100
+        )
+        cell = per[(nk[r.o_custkey], m)]
+        cell[0] += cents
+        cell[1] += 1
+    series = defaultdict(list)
+    for (n_, m), (v, q) in per.items():
+        series[n_].append((m, v, q))
+    got = {r.nationkey: r for r in rows}
+    assert set(got) == set(series)
+    for nat, sv in series.items():
+        sv.sort()
+        n = len(sv)
+        nc = nd = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                d = (sv[j][1] - sv[i][1]) * (sv[j][2] - sv[i][2])
+                if d > 0:
+                    nc += 1
+                elif d < 0:
+                    nd += 1
+        tiev = defaultdict(int)
+        tieq = defaultdict(int)
+        for _, v, q in sv:
+            tiev[v] += 1
+            tieq[q] += 1
+        tv = sum(t * (t - 1) // 2 for t in tiev.values() if t > 1)
+        tq = sum(t * (t - 1) // 2 for t in tieq.values() if t > 1)
+        n0 = n * (n - 1) // 2
+        row = got[nat]
+        assert row.n_months == n and row.n_conc == nc and row.n_disc == nd
+        if n0 - tv <= 0 or n0 - tq <= 0:
+            tau_ref = 0.0
+        else:
+            tau_ref = (nc - nd) / math.sqrt((n0 - tv) * (n0 - tq))
+        assert math.isclose(row.tau_b, tau_ref, rel_tol=1e-12)
+
+
+def test_kendall_tau_bounds_and_shared_frame(spark):
+    """Structural pins: |tau_b| ≤ 1, nc + nd never exceeds the
+    tie-free pair count, and the monthly frame is the same one
+    op-ext-mann-kendall aggregates (same nations, same month counts —
+    both ops must see one series, not two drifting copies)."""
+    mk = {r.nationkey: r for r in _run(spark, "op-ext-mann-kendall")}
+    kt = {r.nationkey: r for r in _run(spark, "op-ext-kendall-tau")}
+    assert set(mk) == set(kt)
+    for nat, row in kt.items():
+        assert mk[nat].n_months == row.n_months
+        n0 = row.n_months * (row.n_months - 1) // 2
+        assert 0 <= row.n_conc + row.n_disc <= n0
+        assert -1.0 <= row.tau_b <= 1.0

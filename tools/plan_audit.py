@@ -48,6 +48,10 @@ ALLOWED = {
     "op-ext-kruskal-wallis": {"cartesian", "single-partition window"},
     # 1-row theta frame joined onto the 2-row variant frame
     "op-ext-cuped": {"cartesian"},
+    # |S|²/2 pair spine from two BROADCAST catalog-sized per-source
+    # vocab frames — the cross join is |sources|², never data-sized,
+    # and exists so zero-overlap pairs emit explicit 0 rows
+    "op-ext-source-overlap": {"cartesian"},
     # 1-row positive-balance stats frame (Σbal, n) broadcast onto the
     # customer dim for the exact integer above-average predicate
     "op-ext-tpch-q22": {"cartesian"},
