@@ -52,6 +52,19 @@ ALLOWED = {
     # vocab frames — the cross join is |sources|², never data-sized,
     # and exists so zero-overlap pairs emit explicit 0 rows
     "op-ext-source-overlap": {"cartesian"},
+    # IVF assign: corpus × BROADCAST k-row centroid frame (the
+    # standard cell-probe shape, operators/ivf.py:43); the window is
+    # the PQ_K-row codebook seed ranking (LIMIT PQ_K frame — codebook-
+    # sized by construction, operators/pq.py:119)
+    "op-ext-ann-ivf-pq": {"cartesian", "single-partition window"},
+    # same IVF centroid-assign cartesian (build_ivf_index → _assign)
+    "op-ext-rank-fusion": {"cartesian"},
+    # |labels|-row class-centroid frame broadcast onto the embedding
+    # scan for the margin computation (registry_ml.py:891)
+    "op-ext-calibration-ece": {"cartesian"},
+    # 1-row scale-aware df-band frame (max(50, n_docs/100)) broadcast
+    # onto the index (registry_corpus.py:691)
+    "op-ext-inverted-index": {"cartesian"},
     # 1-row positive-balance stats frame (Σbal, n) broadcast onto the
     # customer dim for the exact integer above-average predicate
     "op-ext-tpch-q22": {"cartesian"},

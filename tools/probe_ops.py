@@ -56,6 +56,8 @@ def main() -> int:
         "op-ext-dedup-survivors",
         "op-ext-dedup-best-survivor",
         "op-ext-bpe-learn",
+        # r11: staged verify pins run at build (same as bench.py)
+        "op-ext-winnow-neardup",
     }
     out: dict[str, dict[str, float]] = {}
     for name in names:
