@@ -3239,3 +3239,244 @@ def op_ext_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_AD_A2} AS a2",
         f"{_AD_A2_MOD} AS a2_mod",
     )
+
+
+# --------------------------------------------------------------------------
+# drift / effect-size cell (r11): PSI and Cliff's delta
+# --------------------------------------------------------------------------
+
+#: Per-bin PSI term, fixed-point nano-units — ONE shared IEEE tree
+#: over exact int64 smoothed counts (the Anderson-Darling staging
+#: pattern: quantize each term with FLOOR so the 10-term total is an
+#: exact integer SUM, never an order-dependent float accumulation).
+#: (p_a − p_b) is computed as one exact integer cross-difference over
+#: one division; the ln argument is the same cross-ratio. Products
+#: are ≤ (n+1)·(n+10) — int64-exact to n ≈ 3e9 rows per period.
+_PSI_TERM_FP = (
+    "CAST(FLOOR(1e9"
+    " * (CAST(ca1 * nbp - cb1 * nap AS DOUBLE)"
+    "    / CAST(nap * nbp AS DOUBLE))"
+    " * ln(CAST(ca1 * nbp AS DOUBLE) / CAST(cb1 * nap AS DOUBLE))"
+    ") AS BIGINT)"
+)
+
+#: Integer equal-width binning over the BASELINE range — spelled in
+#: integer arithmetic only (least/greatest clamp + one integer
+#: multiply/divide) so both engines bin identically; width_bucket was
+#: rejected because its internal float order of operations is not
+#: pinned cross-engine and a boundary cent must not flip bins.
+_PSI_BIN = (
+    "LEAST(9, CAST(((LEAST(mx, GREATEST(mn, c)) - mn) * 10)"
+    " {div} (mx - mn + 1) AS BIGINT))"
+)
+
+
+@query(
+    "op-ext-psi",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS c
+      FROM orders WHERE year(o_orderdate) = 1995
+    ),
+    targ AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS c
+      FROM orders WHERE year(o_orderdate) = 1996
+    ),
+    mm AS (SELECT MIN(c) AS mn, MAX(c) AS mx FROM base),
+    ba AS (
+      SELECT {_PSI_BIN.format(div='//')} AS bin,
+             CAST(COUNT(*) AS BIGINT) AS ca
+      FROM base, mm GROUP BY 1
+    ),
+    tb AS (
+      SELECT {_PSI_BIN.format(div='//')} AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cb
+      FROM targ, mm GROUP BY 1
+    ),
+    spine AS (SELECT unnest(range(0, 10)) AS bin),
+    cells AS (
+      SELECT s.bin,
+             COALESCE(ba.ca, 0) + 1 AS ca1,
+             COALESCE(tb.cb, 0) + 1 AS cb1
+      FROM spine s
+      LEFT JOIN ba ON s.bin = ba.bin
+      LEFT JOIN tb ON s.bin = tb.bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(ca1) AS BIGINT) AS nap,
+             CAST(SUM(cb1) AS BIGINT) AS nbp
+      FROM cells
+    ),
+    terms AS (
+      SELECT cells.bin, ca1, cb1, {_PSI_TERM_FP} AS t_fp
+      FROM cells, tot
+    )
+    SELECT CAST(SUM(ca1 - 1) AS BIGINT) AS n_base,
+           CAST(SUM(cb1 - 1) AS BIGINT) AS n_target,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(t_fp) AS BIGINT) AS psi_nano,
+           CAST(SUM(t_fp) AS DOUBLE) / 1e9 AS psi
+    FROM terms
+    """,
+)
+def op_ext_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-value distribution,
+    1995 baseline vs 1996 target — the standard drift monitor a
+    production scoring/curation pipeline alarms on (PSI < 0.1 stable,
+    > 0.25 shifted). Ten EQUAL-WIDTH bins over the baseline's exact-
+    cents range, binned by integer arithmetic only (_PSI_BIN — no
+    width_bucket: its float op order is not pinned cross-engine);
+    add-one smoothing keeps ln finite on empty bins and is part of the
+    stated statistic. Each bin's (p_a−p_b)·ln(p_a/p_b) term is the
+    shared _PSI_TERM_FP tree quantized to nano-units with FLOOR, so
+    the bin SUM is exact integer arithmetic (the Anderson-Darling
+    fixed-point staging) and psi crosses the oracle as that integer
+    over 1e9. SCALE: two filtered fact scans → one map-side-combined
+    10-cell groupBy each; the min/max frame is the 1-row broadcast
+    watermark class; everything after is a 10-row frame."""
+    o = t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("y"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("c"),
+    )
+    base = o.filter(F.col("y") == 1995).select("c")
+    targ = o.filter(F.col("y") == 1996).select("c")
+    mm = base.agg(
+        F.min("c").cast("bigint").alias("mn"),
+        F.max("c").cast("bigint").alias("mx"),
+    )
+    bin_expr = _PSI_BIN.format(div="div")
+    ba = (
+        base.crossJoin(F.broadcast(mm))
+        .selectExpr(f"{bin_expr} AS bin")
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ca"))
+    )
+    tb = (
+        targ.crossJoin(F.broadcast(mm))
+        .selectExpr(f"{bin_expr} AS bin")
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+    )
+    spine = spark.range(10).select(F.col("id").cast("bigint").alias("bin"))
+    cells = (
+        spine.join(ba, "bin", "left")
+        .join(tb, "bin", "left")
+        .select(
+            "bin",
+            (F.coalesce("ca", F.lit(0)) + 1).cast("bigint").alias("ca1"),
+            (F.coalesce("cb", F.lit(0)) + 1).cast("bigint").alias("cb1"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("ca1").cast("bigint").alias("nap"),
+        F.sum("cb1").cast("bigint").alias("nbp"),
+    )
+    terms = cells.crossJoin(F.broadcast(tot)).selectExpr(
+        "bin", "ca1", "cb1", f"{_PSI_TERM_FP} AS t_fp"
+    )
+    return terms.agg(
+        F.sum(F.col("ca1") - 1).cast("bigint").alias("n_base"),
+        F.sum(F.col("cb1") - 1).cast("bigint").alias("n_target"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum("t_fp").cast("bigint").alias("psi_nano"),
+        (F.sum("t_fp").cast("double") / F.lit(1e9)).alias("psi"),
+    )
+
+
+@query(
+    "op-ext-cliffs-delta",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS v
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    ),
+    ca AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM q
+           WHERE f = 'A' GROUP BY 1),
+    cb AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM q
+           WHERE f = 'R' GROUP BY 1),
+    x AS (
+      SELECT CAST(SUM(CASE WHEN ca.v > cb.v THEN ca.c * cb.c
+                           ELSE 0 END) AS BIGINT) AS gt,
+             CAST(SUM(CASE WHEN ca.v < cb.v THEN ca.c * cb.c
+                           ELSE 0 END) AS BIGINT) AS lt
+      FROM ca, cb
+    ),
+    nn AS (
+      SELECT CAST(SUM(CASE WHEN f = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM q
+    )
+    SELECT n_a, n_b, gt AS n_gt, lt AS n_lt,
+           CAST(gt - lt AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)
+             AS cliffs_delta
+    FROM x, nn
+    """,
+)
+def op_ext_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta between the A- and R-returnflag quantity
+    distributions — the ordinal EFFECT SIZE that pairs with
+    op-ext-mannwhitney's significance test (δ = P(X>Y) − P(X<Y);
+    |δ| < 0.147 negligible by the standard benchmarks): a rank test on
+    60M rows is nearly always "significant", δ says whether the shift
+    is material. Pure counting statistic — collapse each side to its
+    distinct-value counts (l_quantity has a CONSTANT domain of 50
+    values), cross the two ≤50-row count frames, and every sufficient
+    statistic is exact int64 (n_a·n_b < 2⁵³ to ~9e7 rows/side — cast
+    exactness documented) with ONE final division. SCALE: two
+    map-side-combined value-count aggregates over the fact scan; the
+    50×50 cross join is value-domain-sized, independent of row count."""
+    q = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin("A", "R"))
+        .select(
+            F.col("l_returnflag").alias("f"),
+            F.col("l_quantity").cast("bigint").alias("v"),
+        )
+    )
+    ca = (
+        q.filter(F.col("f") == "A")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(F.col("v").alias("va"), F.col("c").alias("cca"))
+    )
+    cb = (
+        q.filter(F.col("f") == "R")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(F.col("v").alias("vb"), F.col("c").alias("ccb"))
+    )
+    x = ca.crossJoin(F.broadcast(cb)).agg(
+        F.sum(
+            F.when(F.col("va") > F.col("vb"), F.col("cca") * F.col("ccb"))
+            .otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("gt"),
+        F.sum(
+            F.when(F.col("va") < F.col("vb"), F.col("cca") * F.col("ccb"))
+            .otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("lt"),
+    )
+    nn = q.agg(
+        F.sum(F.when(F.col("f") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("f") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    return x.crossJoin(F.broadcast(nn)).selectExpr(
+        "n_a",
+        "n_b",
+        "gt AS n_gt",
+        "lt AS n_lt",
+        "CAST(gt - lt AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)"
+        " AS cliffs_delta",
+    )

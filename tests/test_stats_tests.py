@@ -852,3 +852,58 @@ def test_kendall_tau_bounds_and_shared_frame(spark):
         n0 = row.n_months * (row.n_months - 1) // 2
         assert 0 <= row.n_conc + row.n_disc <= n0
         assert -1.0 <= row.tau_b <= 1.0
+
+
+def test_psi_matches_pure_python(spark):
+    """Replay the integer binning, add-one smoothing, and the
+    nano-quantized PSI terms from the raw orders (scipy-free)."""
+    [row] = _run(spark, "op-ext-psi")
+    from decimal import Decimal
+
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    cents = lambda r: int(
+        Decimal(str(r.o_totalprice)).quantize(Decimal("0.01")) * 100
+    )
+    base = [cents(r) for r in o if r.o_orderdate.year == 1995]
+    targ = [cents(r) for r in o if r.o_orderdate.year == 1996]
+    mn, mx = min(base), max(base)
+    binf = lambda c: min(9, ((min(mx, max(mn, c)) - mn) * 10) // (mx - mn + 1))
+    ca = [1] * 10
+    cb = [1] * 10
+    for c in base:
+        ca[binf(c)] += 1
+    for c in targ:
+        cb[binf(c)] += 1
+    nap, nbp = sum(ca), sum(cb)
+    psi_nano = sum(
+        math.floor(
+            1e9
+            * ((ca[b] * nbp - cb[b] * nap) / (nap * nbp))
+            * math.log((ca[b] * nbp) / (cb[b] * nap))
+        )
+        for b in range(10)
+    )
+    assert row.n_base == len(base) and row.n_target == len(targ)
+    assert row.n_bins == 10
+    assert row.psi_nano == psi_nano
+    assert math.isclose(row.psi, psi_nano / 1e9, rel_tol=1e-12)
+
+
+def test_cliffs_delta_matches_bruteforce(spark):
+    """Replay gt/lt pair counts with a literal loop over the two
+    value-count maps; pin |delta| <= 1 and the Mann-Whitney link
+    (gt + lt + ties = n_a * n_b)."""
+    [row] = _run(spark, "op-ext-cliffs-delta")
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").collect()
+    from collections import Counter
+
+    a = Counter(int(r.l_quantity) for r in li if r.l_returnflag == "A")
+    b = Counter(int(r.l_quantity) for r in li if r.l_returnflag == "R")
+    gt = sum(ca * cb for va, ca in a.items() for vb, cb in b.items() if va > vb)
+    lt = sum(ca * cb for va, ca in a.items() for vb, cb in b.items() if va < vb)
+    n_a, n_b = sum(a.values()), sum(b.values())
+    assert (row.n_a, row.n_b, row.n_gt, row.n_lt) == (n_a, n_b, gt, lt)
+    assert math.isclose(row.cliffs_delta, (gt - lt) / (n_a * n_b), rel_tol=1e-12)
+    assert -1.0 <= row.cliffs_delta <= 1.0
+    ties = sum(ca * b[va] for va, ca in a.items())
+    assert gt + lt + ties == n_a * n_b

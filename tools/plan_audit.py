@@ -65,6 +65,12 @@ ALLOWED = {
     # 1-row scale-aware df-band frame (max(50, n_docs/100)) broadcast
     # onto the index (registry_corpus.py:691)
     "op-ext-inverted-index": {"cartesian"},
+    # 1-row baseline min/max watermark + 1-row smoothed-total frame
+    # broadcast onto the 10-bin spine (registry_analytics op-ext-psi)
+    "op-ext-psi": {"cartesian"},
+    # the two ≤50-row distinct-value count frames cross (l_quantity's
+    # CONSTANT value domain) + a 1-row n_a/n_b frame attach
+    "op-ext-cliffs-delta": {"cartesian"},
     # 1-row positive-balance stats frame (Σbal, n) broadcast onto the
     # customer dim for the exact integer above-average predicate
     "op-ext-tpch-q22": {"cartesian"},
