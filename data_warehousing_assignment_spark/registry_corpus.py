@@ -1391,3 +1391,111 @@ def op_ext_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+#: One side's per-token JS term in half-nano units — shared verbatim.
+#: p_a/m = 2·ca·nb/(ca·nb + cb·na) (exact int64 cross-ratio); the
+#: 0·ln0 = 0 convention is the CASE guard; FLOOR-quantized so the
+#: per-pair SUM over tokens is exact integer arithmetic (the PSI /
+#: Anderson-Darling staging). Factor 5e8 = 1e9 · the ½ weight.
+_JSD_TERM = (
+    "(CASE WHEN {c} = 0 THEN CAST(0 AS BIGINT)"
+    " ELSE CAST(FLOOR(5e8"
+    "   * (CAST({c} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    "   * ln(CAST(2 * {c} * {on} AS DOUBLE)"
+    "        / CAST(ca * nb + cb * na AS DOUBLE))) AS BIGINT) END)"
+)
+
+_JSD_A = _JSD_TERM.format(c="ca", n="na", on="nb")
+_JSD_B = _JSD_TERM.format(c="cb", n="nb", on="na")
+
+
+@query(
+    "op-ext-js-divergence",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKS}) AS tk FROM documents
+    ),
+    cnt AS (
+      SELECT source, tk, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             a.n AS na, b.n AS nb
+      FROM tot a JOIN tot b ON a.source < b.source
+    ),
+    vocab AS (SELECT DISTINCT tk FROM cnt),
+    cells AS (
+      SELECT p.src_a, p.src_b, p.na, p.nb,
+             COALESCE(x.c, 0) AS ca, COALESCE(y.c, 0) AS cb
+      FROM pairs p CROSS JOIN vocab v
+      LEFT JOIN cnt x ON x.source = p.src_a AND x.tk = v.tk
+      LEFT JOIN cnt y ON y.source = p.src_b AND y.tk = v.tk
+      WHERE COALESCE(x.c, 0) + COALESCE(y.c, 0) > 0
+    )
+    SELECT src_a, src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM({_JSD_A} + {_JSD_B}) AS BIGINT) AS jsd_nano,
+           CAST(SUM({_JSD_A} + {_JSD_B}) AS DOUBLE) / 1e9 AS jsd
+    FROM cells GROUP BY 1, 2
+    """,
+)
+def op_ext_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between every source pair's token
+    unigram distributions — the bounded (≤ ln 2), symmetric mixture
+    distance a training-mix audit reports next to op-ext-source-overlap
+    (overlap asks "same content?"; JSD asks "same token MIX?" — two
+    disjoint crawls of the same register score overlap ≈ 0 but
+    JSD ≈ 0). Each side's KL-to-the-midpoint term reduces to the exact
+    int64 cross-ratio 2·c_a·n_b/(c_a·n_b + c_b·n_a); terms are
+    FLOOR-quantized to half-nano units (the op-ext-psi staging) so the
+    per-pair token SUM is exact integer arithmetic and jsd crosses the
+    oracle as that integer over 1e9; absent-token cells follow
+    0·ln 0 = 0 by the CASE guard. SCALE: one token-explode
+    map-side-combined count (the op-ext-vocab-topk shape) collapses
+    the corpus to a |sources|×|vocab| frame — everything after is
+    catalog-sized: the pair spine is |S|²/2 broadcast rows and the
+    cell frame |S|²·|vocab|/2. For open vocabularies the production
+    variant caps to the top-k tokens by global frequency first (the
+    heavy-hitters gate), which bounds |vocab| by contract."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens("text")).alias("tk"))
+    )
+    cnt = toks.groupBy("source", "tk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    a = tot.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    b = tot.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    pairs = F.broadcast(a).crossJoin(F.broadcast(b)).filter(
+        F.col("src_a") < F.col("src_b")
+    )
+    vocab = cnt.select("tk").distinct()
+    ca = cnt.select(
+        F.col("source").alias("src_a"), "tk", F.col("c").alias("ca")
+    )
+    cb = cnt.select(
+        F.col("source").alias("src_b"), "tk", F.col("c").alias("cb")
+    )
+    cells = (
+        pairs.crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(ca), ["src_a", "tk"], "left")
+        .join(F.broadcast(cb), ["src_b", "tk"], "left")
+        .select(
+            "src_a", "src_b", "na", "nb",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        .where(F.col("ca") + F.col("cb") > 0)
+    )
+    return cells.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.expr(f"{_JSD_A} + {_JSD_B}")).cast("bigint").alias("jsd_nano"),
+        (F.sum(F.expr(f"{_JSD_A} + {_JSD_B}")).cast("double") / F.lit(1e9))
+        .alias("jsd"),
+    )

@@ -341,3 +341,45 @@ def test_source_overlap_matches_python_sets(spark):
         r = got[key]
         assert (r.n_shared, r.n_union) == (inter, union)
         assert abs(r.jaccard - inter / union) < 1e-12
+
+
+def test_js_divergence_matches_pure_python(spark):
+    """Replay every pair's JSD from raw token counts (scipy-free):
+    same half-nano quantization, plus the 0 <= JSD <= ln 2 bound and
+    symmetry-by-construction of the quantized sum."""
+    import math
+    from collections import Counter
+
+    from data_warehousing_assignment_spark.registry_corpus import (
+        op_ext_js_divergence,
+    )
+
+    rows = {(r.src_a, r.src_b): r
+            for r in op_ext_js_divergence(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    cnt = {}
+    for d in docs:
+        cnt.setdefault(d.source, Counter()).update(
+            d.text.strip().lower().split()
+        )
+    srcs = sorted(cnt)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            na, nb = sum(cnt[sa].values()), sum(cnt[sb].values())
+            toks = set(cnt[sa]) | set(cnt[sb])
+            jsd_nano = 0
+            for tk in toks:
+                ca, cb = cnt[sa].get(tk, 0), cnt[sb].get(tk, 0)
+                den = ca * nb + cb * na
+                if ca:
+                    jsd_nano += math.floor(
+                        5e8 * (ca / na) * math.log(2 * ca * nb / den)
+                    )
+                if cb:
+                    jsd_nano += math.floor(
+                        5e8 * (cb / nb) * math.log(2 * cb * na / den)
+                    )
+            row = rows[(sa, sb)]
+            assert row.n_tokens == len(toks)
+            assert row.jsd_nano == jsd_nano
+            assert -1e-9 <= row.jsd <= math.log(2) + 1e-9

@@ -71,6 +71,10 @@ ALLOWED = {
     # the two ≤50-row distinct-value count frames cross (l_quantity's
     # CONSTANT value domain) + a 1-row n_a/n_b frame attach
     "op-ext-cliffs-delta": {"cartesian"},
+    # |S|²/2 pair spine × vocab cell grid from BROADCAST catalog-sized
+    # frames (|sources| and the capped vocabulary are both
+    # catalog-sized by contract — see the op docstring)
+    "op-ext-js-divergence": {"cartesian"},
     # 1-row positive-balance stats frame (Σbal, n) broadcast onto the
     # customer dim for the exact integer above-average predicate
     "op-ext-tpch-q22": {"cartesian"},
