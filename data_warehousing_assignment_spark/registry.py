@@ -100,73 +100,29 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = _load_driver_verified()
 #: artifact, DRIVER_VERIFIED_ROUND wins first in _driver_rank and this
 #: set stops mattering; stale entries are harmless by construction.
 _VERDICT_ROTATION = frozenset({
-    # r11: the r10 verdict's "Next round #1" — the §2 core surface's
-    # latest driver-sampled rows date to r03–r05, five rounds stale
-    # while the code kept moving. Re-cycle the reference-parity ops
-    # (registry_io sinks/scans, all pipelines + KPI views, and the
-    # highest-traffic registry_core ops) through the r11 window.
-    # 46 entries — deliberately under the ~50-slot window so new r11
-    # ops (rank 0) still get external rows this round. The remaining
-    # ~31 registry_core fn/pred ops roll into the r12 rotation.
-    # Three entries double as contract changes this round: the two
-    # anti-join oracles are now date-restricted (non-empty results,
-    # r10 verdict #2) and op-fn-uuid moved to a structural oracle
-    # (r10 verdict #6).
-    # registry_io (§2 sources/sinks/views):
-    "op-scan-excel",
-    "op-scan-csv-seed",
-    "op-sink-jdbc-replace",
-    "op-sink-jdbc-append",
-    "op-sink-insert-select",
-    "op-view-create",
-    "op-materializations",
-    "op-join-anti",
-    # registry_pipelines (§2 warehouse pipelines + the 8 KPI views):
-    "op-pipe-scd2",
-    "op-pipe-dim-upsert",
-    "op-pipe-fact-incr",
-    "op-pipe-snapshot",
-    "op-pipe-impute",
-    "op-join-left-fill",
-    "op-join-update",
-    "op-pipe-dq",
-    "op-pipe-audit",
-    "op-pipe-kpi-headcount",
-    "op-pipe-kpi-resignations",
-    "op-pipe-kpi-avg-salary",
-    "op-pipe-kpi-gross-monthly",
-    "op-pipe-kpi-net-monthly-dept",
-    "op-pipe-kpi-net-by-type",
-    "op-pipe-kpi-downtime-by-process",
-    "op-pipe-kpi-downtime-by-dept",
-    # registry_core (§2 relational core — joins/aggs/windows first;
-    # the contract-changed trio included):
-    "op-pred-not-exists",
-    "op-pred-left-null",
-    "op-fn-uuid",
-    "op-pred-not-in",
-    "op-join-inner-fk",
-    "op-join-inner-star",
-    "op-join-left",
-    "op-agg-count-distinct",
-    "op-agg-sum-round",
-    "op-agg-avg-round",
-    "op-agg-groupby-mean",
+    # r12: the r11 verdict's "Next round #5" — eight §2 ops whose
+    # oracles compared <10 rows were widened (wider group keys /
+    # month-scalar join), which is a CONTRACT CHANGE: their old green
+    # rows verified the narrow result, so all eight need fresh driver
+    # rows under the new semantics. Five of them were already in the
+    # r12 staleness window (r04–r05 greens); the other three
+    # (count-star, avg-round, distinct) were r11-green and ride here.
+    # The 11 never-sampled r11 ops front the window at rank 0
+    # regardless (r11 verdict #1) — 8 + 11 = 19 of ~50 slots, the
+    # rest drain the r04–r05 scalar-fn tail (r11 verdict #7).
+    "op-pred-distinct-from",
+    "op-pred-in",
+    "op-join-degenerate",
+    "op-fn-format",
+    "op-fn-current-date",
     "op-agg-count-star",
-    "op-agg-scalar-max",
-    "op-project",
-    "op-derive",
-    "op-filter-eq",
+    "op-agg-avg-round",
     "op-distinct",
-    "op-dup-capture",
-    "op-win-rownumber-key",
-    "op-sort",
-    "op-union-distinct",
 })
 
 #: Rotation entries verified BEFORE this round carry a stale contract
 #: (see _driver_rank); bump when refreshing _VERDICT_ROTATION.
-_CONTRACT_CHANGED_ROUND = 11
+_CONTRACT_CHANGED_ROUND = 12
 
 #: Ops registered AFTER this round's driver window was already exactly
 #: full (r9: 48 never-sampled + 1 rotation + 1 oldest-green = the whole

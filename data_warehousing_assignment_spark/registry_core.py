@@ -211,21 +211,25 @@ def op_pred_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "op-pred-distinct-from",
     oracle="""
-    SELECT l_returnflag, COUNT(*) AS n_rows
+    SELECT l_returnflag, l_linenumber, COUNT(*) AS n_rows
     FROM lineitem
     WHERE NULLIF(l_returnflag, 'N') IS DISTINCT FROM NULLIF(l_linestatus, 'F')
-    GROUP BY l_returnflag
+    GROUP BY l_returnflag, l_linenumber
     """,
 )
 def op_pred_distinct_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IS DISTINCT FROM: null-safe inequality (ref A3_load_dim_emp.sql:48,61
-    SCD2 hash change detection) = ``~eqNullSafe``."""
+    SCD2 hash change detection) = ``~eqNullSafe``.
+
+    Grouped by (returnflag, linenumber) so the oracle compares ~14 rows —
+    the returnflag-only grouping compared 3, a low-discrimination check
+    (r11 verdict #5). The predicate under test is unchanged."""
     li = t(spark, sf_dir, "lineitem")
     a = F.nullif(F.col("l_returnflag"), F.lit("N"))
     b = F.nullif(F.col("l_linestatus"), F.lit("F"))
     return (
         li.filter(~a.eqNullSafe(b))
-        .groupBy("l_returnflag")
+        .groupBy("l_returnflag", "l_linenumber")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
 
@@ -283,18 +287,26 @@ def op_pred_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "op-pred-in",
     oracle="""
-    SELECT o_orderpriority, COUNT(*) AS n_orders
+    SELECT o_orderpriority, EXTRACT(YEAR FROM o_orderdate) AS order_year,
+           COUNT(*) AS n_orders
     FROM orders
     WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
-    GROUP BY o_orderpriority
+    GROUP BY o_orderpriority, EXTRACT(YEAR FROM o_orderdate)
     """,
 )
 def op_pred_in(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN-list membership (ref A2_hr_etl.py:22 sentinel list)."""
+    """IN-list membership (ref A2_hr_etl.py:22 sentinel list).
+
+    Grouped by (priority, order year) so the oracle compares ~14 rows —
+    the priority-only grouping compared 2 (r11 verdict #5). The IN-list
+    predicate under test is unchanged."""
     return (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
-        .groupBy("o_orderpriority")
+        .groupBy(
+            "o_orderpriority",
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
 
@@ -427,17 +439,32 @@ def op_join_caseinsensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
     FROM orders
-    JOIN (SELECT max(o_orderdate) AS d FROM orders) m ON o_orderdate = m.d
+    JOIN (SELECT date_trunc('month', max(o_orderdate)) - INTERVAL 1 MONTH AS d
+          FROM orders) m
+      ON date_trunc('month', o_orderdate) = m.d
     """,
 )
 def op_join_degenerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join against a 1-row relation (ref A3_load_dim_emp.sql:94-95
     ``JOIN dim_time ON full_date = CURRENT_DATE``): broadcast the scalar
-    side; the fact side streams through with no shuffle."""
+    side; the fact side streams through with no shuffle.
+
+    The join key is the last COMPLETE month before the max order date so
+    the oracle compares a dense month of orders (~200 rows at sf0.01)
+    instead of the 2 rows an exact-max-date match yields — the testdata's
+    date tail is sparse (r11 verdict #5); still an equi-join against a
+    broadcast 1-row relation."""
     orders = t(spark, sf_dir, "orders")
-    maxd = orders.agg(F.max("o_orderdate").alias("d"))
+    maxd = orders.agg(
+        F.add_months(F.date_trunc("month", F.max("o_orderdate")), -1)
+        .cast("date")
+        .alias("d")
+    )
     return (
-        orders.join(F.broadcast(maxd), orders.o_orderdate == F.col("d"))
+        orders.join(
+            F.broadcast(maxd),
+            F.date_trunc("month", orders.o_orderdate).cast("date") == F.col("d"),
+        )
         .select("o_orderkey", _ds("o_orderdate").alias("order_date"))
     )
 
@@ -493,7 +520,12 @@ def op_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_agg_sum_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUND(SUM(x),2) grouped — TPC-H Q1 shape (ref KPIs.sql:49 monthly
     totals). All arithmetic in exact decimal; ROUND applied in the decimal
-    domain (HALF_UP in both engines) before the final DOUBLE cast."""
+    domain (HALF_UP in both engines) before the final DOUBLE cast.
+
+    Small-result note (r11 verdict #5): the output is the canonical Q1
+    group domain (returnflag × linestatus = 4–6 rows at every SF) — kept
+    because discrimination comes from the 5 wide exact-decimal aggregates
+    over the full lineitem table, not from row count."""
     li = t(spark, sf_dir, "lineitem")
     disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
     charge = disc_price * (F.lit(1) + dec("l_tax"))
@@ -510,10 +542,11 @@ def op_agg_sum_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op-agg-avg-round",
     oracle=f"""
     WITH s AS (
-      SELECT c_mktsegment, {o_sum_cents('c_acctbal')} AS _p, COUNT(*) AS _c
-      FROM customer GROUP BY c_mktsegment
+      SELECT c_mktsegment, c_nationkey, {o_sum_cents('c_acctbal')} AS _p,
+             COUNT(*) AS _c
+      FROM customer GROUP BY c_mktsegment, c_nationkey
     )
-    SELECT c_mktsegment, {o_round2_mean('_p', '_c')} AS avg_acctbal,
+    SELECT c_mktsegment, c_nationkey, {o_round2_mean('_p', '_c')} AS avg_acctbal,
            _c AS n_customers
     FROM s
     """,
@@ -522,13 +555,17 @@ def op_agg_avg_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUND(AVG(x),2) grouped (ref KPIs.sql:34 avg salary by gender).
     The rounded mean is computed entirely in exact int64 cents
     (registry.ROUND2_MEAN_EXPR) — engines disagree on rounding doubles
-    near 2-dp ties in both directions, so no double is ever rounded."""
+    near 2-dp ties in both directions, so no double is ever rounded.
+
+    Grouped by (segment, nation) so the oracle compares ~125 rounded
+    means — segment-only compared 5 (r11 verdict #5)."""
     cust = t(spark, sf_dir, "customer")
     return (
-        cust.groupBy("c_mktsegment")
+        cust.groupBy("c_mktsegment", "c_nationkey")
         .agg(sum_cents("c_acctbal").alias("_p"), F.count(F.lit(1)).alias("_c"))
         .select(
             "c_mktsegment",
+            "c_nationkey",
             F.expr(ROUND2_MEAN_EXPR).alias("avg_acctbal"),
             F.col("_c").alias("n_customers"),
         )
@@ -557,15 +594,18 @@ def op_agg_groupby_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "op-agg-count-star",
     oracle="""
-    SELECT o_orderstatus, COUNT(*) AS n_rows
-    FROM orders GROUP BY o_orderstatus
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_rows
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
     """,
 )
 def op_agg_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COUNT(*) audit metric (ref A3_load_dim_emp.sql:65-69)."""
+    """COUNT(*) audit metric (ref A3_load_dim_emp.sql:65-69).
+
+    Grouped by (status, priority) so the oracle compares 15 counts —
+    status-only compared 3 (r11 verdict #5)."""
     return (
         t(spark, sf_dir, "orders")
-        .groupBy("o_orderstatus")
+        .groupBy("o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
 
@@ -592,12 +632,19 @@ def op_agg_scalar_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "op-distinct",
-    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus, l_linenumber FROM lineitem",
 )
 def op_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT DISTINCT (ref A2_hr_etl.py:92). Partial distinct runs
-    map-side, so the shuffle carries only unique combos per partition."""
-    return t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+    map-side, so the shuffle carries only unique combos per partition.
+
+    Includes l_linenumber so the oracle compares ~28 combos — the
+    2-column domain compared 6 (r11 verdict #5)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_linenumber")
+        .distinct()
+    )
 
 
 @query(
@@ -963,20 +1010,24 @@ def op_fn_case(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "op-fn-format",
     oracle="""
-    SELECT o_orderstatus,
+    SELECT o_orderstatus, o_orderpriority,
            printf('Attempted: %d rows (%s)', CAST(COUNT(*) AS BIGINT),
                   o_orderstatus) AS audit_msg
-    FROM orders GROUP BY o_orderstatus
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
     """,
 )
 def op_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FORMAT audit message (ref B3_load_fin_facts.sql:121-126)."""
+    """FORMAT audit message (ref B3_load_fin_facts.sql:121-126).
+
+    Grouped by (status, priority) so the oracle compares 15 formatted
+    rows — status-only compared 3 (r11 verdict #5)."""
     o = t(spark, sf_dir, "orders")
     return (
-        o.groupBy("o_orderstatus")
+        o.groupBy("o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             "o_orderstatus",
+            "o_orderpriority",
             F.format_string(
                 "Attempted: %d rows (%s)", F.col("n"), F.col("o_orderstatus")
             ).alias("audit_msg"),
@@ -1101,19 +1152,22 @@ def op_fn_generate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "op-fn-current-date",
     oracle="""
-    SELECT c_mktsegment, COUNT(*) AS n_rows,
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_rows,
            '2024-06-01' AS load_date
-    FROM customer GROUP BY c_mktsegment
+    FROM customer GROUP BY c_mktsegment, c_nationkey
     """,
 )
 def op_fn_current_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CURRENT_DATE stamping with injectable value for reproducibility
-    (ref A3_load_dim_emp.sql:43,57,95; see functions.dates.fixed_today)."""
+    (ref A3_load_dim_emp.sql:43,57,95; see functions.dates.fixed_today).
+
+    Grouped by (segment, nation) so the oracle compares ~125 stamped
+    rows — segment-only compared 5 (r11 verdict #5)."""
     from data_warehousing_assignment_spark.functions.dates import fixed_today
 
     cust = t(spark, sf_dir, "customer")
     return (
-        cust.groupBy("c_mktsegment")
+        cust.groupBy("c_mktsegment", "c_nationkey")
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .withColumn("load_date", _ds(fixed_today("2024-06-01")))
     )

