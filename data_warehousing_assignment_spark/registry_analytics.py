@@ -3333,7 +3333,14 @@ def op_ext_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared _PSI_TERM_FP tree quantized to nano-units with FLOOR, so
     the bin SUM is exact integer arithmetic (the Anderson-Darling
     fixed-point staging) and psi crosses the oracle as that integer
-    over 1e9. SCALE: two filtered fact scans → one map-side-combined
+    over 1e9. Precision caveat (r11 advice #1): FLOOR fixes the
+    SUMMATION ORDER, not the transcendental — ln() itself is libm
+    (DuckDB) vs java.lang.Math (Spark), and a 1-ulp disagreement
+    landing exactly on a FLOOR boundary would shift one term by 1
+    nano-unit. The match is therefore EMPIRICALLY verified (exact at
+    sf0.001/0.01/0.1 and the 100× sweep, 10 terms/run), not an
+    arithmetic guarantee; a mismatch of ±n_bins nano-units in a future
+    run should be read as that known boundary effect, not a logic bug. SCALE: two filtered fact scans → one map-side-combined
     10-cell groupBy each; the min/max frame is the 1-row broadcast
     watermark class; everything after is a 10-row frame."""
     o = t(spark, sf_dir, "orders").select(

@@ -1398,6 +1398,11 @@ def op_ext_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: 0·ln0 = 0 convention is the CASE guard; FLOOR-quantized so the
 #: per-pair SUM over tokens is exact integer arithmetic (the PSI /
 #: Anderson-Darling staging). Factor 5e8 = 1e9 · the ½ weight.
+#: Precision caveat (r11 advice #1): FLOOR pins summation order, not
+#: ln() itself (libm vs java.lang.Math) — a 1-ulp disagreement on a
+#: FLOOR boundary would shift that term by 1. Empirically exact on
+#: every tested SF; treat a ±n_tokens half-nano drift as that known
+#: boundary effect (see op-ext-psi's docstring for the full argument).
 _JSD_TERM = (
     "(CASE WHEN {c} = 0 THEN CAST(0 AS BIGINT)"
     " ELSE CAST(FLOOR(5e8"
@@ -1457,11 +1462,15 @@ def op_ext_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle as that integer over 1e9; absent-token cells follow
     0·ln 0 = 0 by the CASE guard. SCALE: one token-explode
     map-side-combined count (the op-ext-vocab-topk shape) collapses
-    the corpus to a |sources|×|vocab| frame — everything after is
-    catalog-sized: the pair spine is |S|²/2 broadcast rows and the
-    cell frame |S|²·|vocab|/2. For open vocabularies the production
-    variant caps to the top-k tokens by global frequency first (the
-    heavy-hitters gate), which bounds |vocab| by contract."""
+    the corpus to a |sources|×|vocab| frame. Cells are built SPARSELY
+    (r11 advice #3): the pair spine (|S|²/2 rows, the only broadcast)
+    joins each side's count frame and the one-sided complements come
+    from a left-anti — never a dense pairs×vocab cross join, and the
+    data-sized count frames are never broadcast, so an open/large
+    vocabulary streams through ordinary shuffle joins. Cell count is
+    Σ_pairs |vocab_a ∪ vocab_b| ≤ (|S|−1)·|cnt| — the same rows the
+    dense variant kept after its ca+cb>0 filter, without materializing
+    the zeros."""
     toks = (
         t(spark, sf_dir, "documents")
         .select("source", F.explode(tokens("text")).alias("tk"))
@@ -1472,27 +1481,34 @@ def op_ext_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
     a = tot.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
     b = tot.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
-    pairs = F.broadcast(a).crossJoin(F.broadcast(b)).filter(
-        F.col("src_a") < F.col("src_b")
+    pairs = F.broadcast(
+        a.crossJoin(b).filter(F.col("src_a") < F.col("src_b"))
     )
-    vocab = cnt.select("tk").distinct()
     ca = cnt.select(
         F.col("source").alias("src_a"), "tk", F.col("c").alias("ca")
     )
     cb = cnt.select(
         F.col("source").alias("src_b"), "tk", F.col("c").alias("cb")
     )
-    cells = (
-        pairs.crossJoin(F.broadcast(vocab))
-        .join(F.broadcast(ca), ["src_a", "tk"], "left")
-        .join(F.broadcast(cb), ["src_b", "tk"], "left")
+    # side-a cells (shared + a-only): every token src_a has, with src_b's
+    # count attached where present; side-b-only cells via left_anti.
+    side_a = (
+        pairs.join(ca, "src_a")
+        .join(cb, ["src_b", "tk"], "left")
         .select(
-            "src_a", "src_b", "na", "nb",
-            F.coalesce("ca", F.lit(0)).alias("ca"),
+            "src_a", "src_b", "na", "nb", "ca",
             F.coalesce("cb", F.lit(0)).alias("cb"),
         )
-        .where(F.col("ca") + F.col("cb") > 0)
     )
+    side_b_only = (
+        pairs.join(cb, "src_b")
+        .join(ca, ["src_a", "tk"], "left_anti")
+        .select(
+            "src_a", "src_b", "na", "nb",
+            F.lit(0).cast("bigint").alias("ca"), "cb",
+        )
+    )
+    cells = side_a.unionByName(side_b_only)
     return cells.groupBy("src_a", "src_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         F.sum(F.expr(f"{_JSD_A} + {_JSD_B}")).cast("bigint").alias("jsd_nano"),

@@ -1590,15 +1590,19 @@ def op_ext_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two text VALUES, and real corpora (and this one) carry heavy
     # exact-copy multiplicity, so the same (text_a, text_b) value pair
     # recurs across many candidate doc pairs — each identical verify
-    # re-paid. Collapse by the unordered md5 pair (ed is symmetric;
-    # the same exact-dup-collapse principle the MinHash family applies
-    # BEFORE candidate generation), run the DP on one deterministic
-    # representative per key (min struct — any rep gives the same ed
-    # by value-dependence), and hash-join the verdicts back. Measured
-    # sf1: 290,928 candidate doc pairs → ~3k distinct text pairs, DP
-    # time collapses ~100×; the join-back is a pairs-scale shuffle on
-    # 32-char keys that AQE broadcast-converts while the verdict frame
-    # stays small. Two further measured facts shape the rungs
+    # re-paid. Collapse by the unordered (length ∥ md5) pair (ed is
+    # symmetric; the same exact-dup-collapse principle the MinHash
+    # family applies BEFORE candidate generation), run the DP on one
+    # deterministic representative per key (min struct — any rep gives
+    # the same ed by value-dependence), and hash-join the verdicts
+    # back. The fixed-width length prefix makes the collision
+    # assumption explicit and cheap to audit (r11 advice #2): two
+    # DISTINCT texts share a key only if they have the SAME length AND
+    # an md5 collision — without it the correctness argument rested on
+    # 128-bit hash uniqueness alone. Measured sf1: 290,928 candidate
+    # doc pairs → ~3k distinct text pairs, DP time collapses ~100×;
+    # the join-back is a pairs-scale shuffle on 42-char keys that AQE
+    # broadcast-converts while the verdict frame stays small. Two further measured facts shape the rungs
     # (BASELINE.md r11): JVM levenshtein has a ~18 µs/pair FLOOR
     # regardless of band width (T=4 and T=64 cost within 15% on 290k
     # pairs — band narrowing alone cannot win), and the distance
@@ -1619,8 +1623,14 @@ def op_ext_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "doc_b", "n_shared",
             F.col("ta.text").alias("_ta"),
             F.col("tb.text").alias("_tb"),
-            F.md5(F.col("ta.text")).alias("_ha"),
-            F.md5(F.col("tb.text")).alias("_hb"),
+            F.concat(
+                F.lpad(F.length("ta.text").cast("string"), 10, "0"),
+                F.md5(F.col("ta.text")),
+            ).alias("_ha"),
+            F.concat(
+                F.lpad(F.length("tb.text").cast("string"), 10, "0"),
+                F.md5(F.col("tb.text")),
+            ).alias("_hb"),
             maxl.alias("_maxlen"),
         )
     )
