@@ -54,11 +54,16 @@ PQ_K = 64  # codewords per subspace — codes fit 6 bits
 # bits), so the codes stay 6 bits instead of the paper's default 8.
 
 
-def subvectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def subvectors(
+    df: DataFrame, id_col: str, vec_col: str, pre_quantized: bool = False
+) -> DataFrame:
     """(_id, m, sv): quantized micro-unit subvector slices, one row per
-    (vector, subspace). Row-local explode — no shuffle."""
+    (vector, subspace). Row-local explode — no shuffle.
+    ``pre_quantized`` skips the float→micro-unit cast for inputs that
+    are already integer arrays (the residual path)."""
+    qv = F.col(vec_col) if pre_quantized else quantize(vec_col)
     return (
-        df.select(F.col(id_col).alias("_id"), quantize(vec_col).alias("_qv"))
+        df.select(F.col(id_col).alias("_id"), qv.alias("_qv"))
         .withColumn(
             "m", F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1)))
         )
@@ -101,6 +106,7 @@ def pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_iters: int = 2,
+    pre_quantized: bool = False,
 ) -> DataFrame:
     """Train the M per-subspace codebooks: (m, code, cw).
 
@@ -109,7 +115,7 @@ def pq_codebooks(
     the identical seed set with one LIMIT. Each Lloyd round is one
     broadcast-join argmin + one map-side-combined integer-mean agg;
     nothing data-sized crosses the driver."""
-    sv = pin(subvectors(corpus, id_col, vec_col))
+    sv = pin(subvectors(corpus, id_col, vec_col, pre_quantized))
     low = (
         corpus.select(F.col(id_col).alias("_id"))
         .orderBy("_id")
@@ -156,10 +162,11 @@ def pq_encode(
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pre_quantized: bool = False,
 ) -> DataFrame:
     """(_id, m, code): the M-byte PQ representation of every vector —
     the ONLY per-corpus-row state the query path ever reads."""
-    sv = subvectors(corpus, id_col, vec_col)
+    sv = subvectors(corpus, id_col, vec_col, pre_quantized)
     return _nearest_code(sv, codebooks).select("_id", "m", "code")
 
 
@@ -170,8 +177,9 @@ def ivf_pq_cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_clusters: int = 16,
-    n_probe: int = 4,
-    rerank: int = 25,
+    n_probe: int = 8,
+    rerank: int = 100,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-ADC+R approximate cosine top-k (Jégou et al. §V): IVF cells
     bound the candidate set (n_probe/n_clusters of the corpus per
@@ -187,10 +195,61 @@ def ivf_pq_cosine_topk(
     query time (a semi-join fetch), so the memory-bandwidth term the
     compression exists to kill stays killed. ``rerank=0`` disables the
     re-rank and returns raw ADC scores (score = dot̃(q,x)/(‖q‖·‖x̃‖),
-    with ‖x̃‖² = Σₘ‖cwₘ‖² exact by subspace orthogonality)."""
+    with ‖x̃‖² = Σₘ‖cwₘ‖² exact by subspace orthogonality).
+
+    ``residual=True`` is the Jégou § IV.A residual variant (r11 verdict
+    #2): codebooks quantize x − centroid(cell(x)) instead of x, so the
+    K codewords spend their resolution on the within-cell spread rather
+    than re-encoding cell position. ADC then scores
+    dot(q, c) + Σₘ LUT[m, codeₘ] (the dot(q, centroid) term is one
+    broadcast-sized per-(query, probed-cell) lookup) and the
+    reconstruction norm gains the exact cross terms
+    ‖c + r̃‖² = ‖c‖² + Σₘ(2·cₘ·cwₘ + ‖cwₘ‖²) from a
+    clusters×M×K broadcast table. Same determinism contract — residuals
+    are exact int64 differences.
+
+    MEASURED (tools/pq_experiment.py, r12, recall@5 vs brute force):
+      500 vectors (sf0.001), ceiling 0.48@4probes / 0.80@8: residual
+        = ceiling at both (non-residual drops to 0.68 at 8).
+      2000 vectors (sf0.1), ceiling 0.61@4 / 0.80@8, rerank sweep at 8:
+        non-res  rerank 25/50/100 → 0.45 / 0.61 / 0.72
+        residual rerank 25/50/100 → 0.52 / 0.69 / 0.74
+    Conclusions shipped: (1) n_probe 4→8 lifts the ceiling 0.61→0.80
+    and is nearly free (the candidate scan doubles but stays a code
+    scan); (2) rerank 25→100 recovers most of the ADC shortlist loss
+    for ~Q·75 extra raw-vector fetches; (3) residual buys only
+    +0.02–0.07 recall at the same rerank for ~2× wall on this corpus
+    (the extra residual encode joins dominate at these sizes) — a
+    NEGATIVE result at benchmark scale, kept as the ``residual=True``
+    path because at production scale with fine cells (k ≈ √n, small
+    per-cell spread) residual coding is the standard operating point.
+    The registered op therefore ships non-residual, n_probe=8,
+    rerank=100 (recall@5 0.72 vs the old 0.42 at 2000 vectors)."""
     centroids, assignments = build_ivf_index(corpus, id_col, vec_col, n_clusters)
-    codebooks = pin(pq_codebooks(corpus, id_col, vec_col))
-    codes = pin(pq_encode(corpus, codebooks, id_col, vec_col))
+    if residual:
+        asg = assignments.select(F.col(id_col).alias("_id"), "cluster")
+        rvecs = pin(
+            corpus.select(
+                F.col(id_col).alias("_id"), quantize(vec_col).alias("_qv")
+            )
+            .join(asg, "_id")
+            .join(F.broadcast(centroids), "cluster")
+            .select(
+                "_id",
+                "cluster",
+                F.zip_with("_qv", "centroid", lambda x, y: x - y).alias("rv"),
+            )
+        )
+        codebooks = pin(
+            pq_codebooks(rvecs, id_col="_id", vec_col="rv", pre_quantized=True)
+        )
+        codes = pin(
+            pq_encode(rvecs, codebooks, id_col="_id", vec_col="rv",
+                      pre_quantized=True)
+        )
+    else:
+        codebooks = pin(pq_codebooks(corpus, id_col, vec_col))
+        codes = pin(pq_encode(corpus, codebooks, id_col, vec_col))
 
     # candidates: queries probe their n_probe nearest IVF cells
     q = queries.select(
@@ -205,7 +264,7 @@ def ivf_pq_cosine_topk(
         )
         .join(F.broadcast(probes.select("query_id", "cluster")), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
+        .select("query_id", "neighbor_id", "cluster")
     )
 
     # ADC lookup table: exact query subvector · codeword, all M·K cells
@@ -221,16 +280,54 @@ def ivf_pq_cosine_topk(
         int_dot(F.col("sv"), F.col("cw")).alias("dot"),
     )
 
-    # reconstruction norms (exact): ‖x̃‖² = Σₘ ‖cw_{m,code_m(x)}‖²
+    # reconstruction norms (exact): non-residual ‖x̃‖² = Σₘ‖cwₘ‖²
+    # (subspace orthogonality); residual adds the centroid norm and the
+    # exact centroid·codeword cross terms from broadcast-sized tables.
     cw_nrm = codebooks.select(
         "m", "code", int_dot(F.col("cw"), F.col("cw")).alias("nn")
     )
-    xnrm = (
-        codes.join(F.broadcast(cw_nrm), ["m", "code"])
-        .groupBy("_id")
-        .agg(F.sum("nn").cast("bigint").alias("nx"))
-        .select(F.col("_id").alias("neighbor_id"), "nx")
-    )
+    if residual:
+        csv = subvectors(
+            centroids.select("cluster", "centroid"), "cluster", "centroid",
+            pre_quantized=True,
+        ).select(F.col("_id").alias("cluster"), "m", F.col("sv").alias("csv"))
+        ccross = csv.join(F.broadcast(codebooks), "m").select(
+            "cluster", "m", "code",
+            int_dot(F.col("csv"), F.col("cw")).alias("cx"),
+        )
+        cnn = centroids.select(
+            "cluster", int_dot(F.col("centroid"), F.col("centroid")).alias("cc")
+        )
+        xnrm = (
+            codes.join(
+                assignments.select(F.col(id_col).alias("_id"), "cluster"),
+                "_id",
+            )
+            .join(F.broadcast(ccross), ["cluster", "m", "code"])
+            .join(F.broadcast(cw_nrm), ["m", "code"])
+            .groupBy("_id", "cluster")
+            .agg(
+                F.sum(2 * F.col("cx") + F.col("nn")).cast("bigint").alias("_r")
+            )
+            .join(F.broadcast(cnn), "cluster")
+            .select(
+                F.col("_id").alias("neighbor_id"),
+                (F.col("cc") + F.col("_r")).alias("nx"),
+            )
+        )
+        # per-(query, probed cell) exact centroid dot — the coarse term
+        # ADC adds back because codes now encode x − c, not x.
+        qc = probes.join(F.broadcast(centroids), "cluster").select(
+            "query_id", "cluster",
+            int_dot(F.col("qvec"), F.col("centroid")).alias("_qc"),
+        )
+    else:
+        xnrm = (
+            codes.join(F.broadcast(cw_nrm), ["m", "code"])
+            .groupBy("_id")
+            .agg(F.sum("nn").cast("bigint").alias("nx"))
+            .select(F.col("_id").alias("neighbor_id"), "nx")
+        )
     qn = q.select(
         "query_id", int_dot(F.col("qvec"), F.col("qvec")).alias("nq")
     )
@@ -241,9 +338,16 @@ def ivf_pq_cosine_topk(
             "neighbor_id",
         )
         .join(F.broadcast(lut), ["query_id", "m", "code"])
-        .groupBy("query_id", "neighbor_id")
+        .groupBy("query_id", "neighbor_id", "cluster")
         .agg(F.sum("dot").cast("bigint").alias("adot"))
     )
+    if residual:
+        adc = adc.join(F.broadcast(qc), ["query_id", "cluster"]).select(
+            "query_id", "neighbor_id",
+            (F.col("adot") + F.col("_qc")).alias("adot"),
+        )
+    else:
+        adc = adc.drop("cluster")
     scored = (
         adc.join(F.broadcast(qn), "query_id")
         .join(xnrm, "neighbor_id")

@@ -118,6 +118,11 @@ _VERDICT_ROTATION = frozenset({
     "op-agg-count-star",
     "op-agg-avg-round",
     "op-distinct",
+    # r12 contract change #2 (r11 verdict #2): the IVF-PQ operating
+    # point moved to n_probe=8 / rerank=100 after the measured recall
+    # experiment (tools/pq_experiment.py) — its r11 green row verified
+    # the old 4-probe/rerank-25 output.
+    "op-ext-ann-ivf-pq",
 })
 
 #: Rotation entries verified BEFORE this round carry a stale contract

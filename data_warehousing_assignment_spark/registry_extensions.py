@@ -897,13 +897,15 @@ def _ivf_lloyd_round(src_c: str, n: int) -> str:
     )"""
 
 
-def _ivf_cand_ctes(c0_sql: str) -> str:
+def _ivf_cand_ctes(c0_sql: str, n_probe: int = 4) -> str:
     """The IVF candidate-generation CTE chain (seeds → 2 unrolled Lloyd
-    rounds → final assignment → 4-cell probing → ``cand(query_id,
-    neighbor_id)``) with the SEED CTE injected — shared verbatim by the
-    exact-scoring IVF oracles (:func:`_ivf_oracle`) and the ADC-scoring
-    IVF-PQ oracle, so the candidate set provably cannot drift between
-    the exact and compressed operating points."""
+    rounds → final assignment → ``n_probe``-cell probing →
+    ``cand(query_id, neighbor_id)``) with the SEED CTE injected — shared
+    verbatim by the exact-scoring IVF oracles (:func:`_ivf_oracle`) and
+    the ADC-scoring IVF-PQ oracle, so the candidate set provably cannot
+    drift between the exact and compressed operating points (the PQ op
+    probes 8 since r12 — its measured ceiling experiment — while the
+    exact-IVF anchors stay at the documented 4)."""
     return f"""
     WITH emb AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
     idx AS (SELECT unnest(range(1, 65)) AS i),
@@ -928,7 +930,7 @@ def _ivf_cand_ctes(c0_sql: str) -> str:
         SELECT vec_id, cluster,
                ROW_NUMBER() OVER (PARTITION BY vec_id
                                   ORDER BY dd, cluster) AS rk
-        FROM dfin WHERE vec_id % 100 = 0) WHERE rk <= 4
+        FROM dfin WHERE vec_id % 100 = 0) WHERE rk <= {n_probe}
     ),
     cand AS (
       SELECT p.query_id, c.neighbor_id
@@ -1107,7 +1109,7 @@ _PQ_ORACLE = f"""
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
              v AS centroid
       FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16)
-    )''')},
+    )''', n_probe=8)},
     i8 AS (SELECT unnest(range(1, 9)) AS i),
     sv AS (
       SELECT vec_id, msp.m, v[msp.m * 8 + 1 : msp.m * 8 + 8] AS sv
@@ -1174,7 +1176,7 @@ _PQ_ORACLE = f"""
       SELECT query_id, neighbor_id FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                    ORDER BY score DESC, neighbor_id) AS ar
-        FROM pscored) WHERE ar <= 25
+        FROM pscored) WHERE ar <= 100
     ),
     edots AS (
       SELECT s.query_id, s.neighbor_id,
@@ -1208,29 +1210,36 @@ _PQ_ORACLE = f"""
 @query("op-ext-ann-ivf-pq", oracle=_PQ_ORACLE)
 def op_ext_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-ADC+R approximate top-k (Jégou et al., TPAMI 2011,
-    non-residual variant with re-ranking, §V): the SAME candidate cut
-    as op-ext-ann-ivf (k-means cells, probe 4 of 16), but candidates
-    are RANKED from product-quantized codes — 8 subspaces × 64
-    codewords, so each corpus vector is 8 six-bit codes (6 B packed vs
-    the 256 B float row, ~42×) and a query ranks a candidate with 8
-    integer LUT lookups instead of a 64-dim dot product; only the ADC
-    top-25 shortlist is re-scored exactly against raw vectors. This is
-    the memory-bound 100 TB operating point: at a billion vectors the
-    PQ code table fits executor RAM where raw vectors cannot, and raw
-    vectors are touched for Q·25 rows at query time, never scanned.
-    Codebooks train with the same deterministic exact-integer Lloyd
-    machinery as the IVF cells (seeds = 64 lowest-id vectors'
-    subvectors, 2 rounds), so the oracle replays EVERYTHING — cells,
-    probes, per-subspace codebooks, codes, ADC tables, reconstruction
-    norms, shortlist, exact re-rank, and the top-5 — and hash-matches;
-    the candidate CTEs are shared verbatim with the exact-scoring IVF
-    oracles (_ivf_cand_ctes). Recall vs brute force (0.48 = the IVF
-    candidate ceiling on this corpus) and the compression contract are
-    pinned in tests/test_pq.py."""
+    non-residual variant with re-ranking, §V): the same k-means cells
+    as op-ext-ann-ivf but probing 8 of 16, with candidates RANKED from
+    product-quantized codes — 8 subspaces × 64 codewords, so each
+    corpus vector is 8 six-bit codes (6 B packed vs the 256 B float
+    row, ~42×) and a query ranks a candidate with 8 integer LUT lookups
+    instead of a 64-dim dot product; only the ADC top-100 shortlist is
+    re-scored exactly against raw vectors. This is the memory-bound
+    100 TB operating point: at a billion vectors the PQ code table fits
+    executor RAM where raw vectors cannot, and raw vectors are touched
+    for Q·100 rows at query time, never scanned. Codebooks train with
+    the same deterministic exact-integer Lloyd machinery as the IVF
+    cells (seeds = 64 lowest-id vectors' subvectors, 2 rounds), so the
+    oracle replays EVERYTHING — cells, probes, per-subspace codebooks,
+    codes, ADC tables, reconstruction norms, shortlist, exact re-rank,
+    and the top-5 — and hash-matches; the candidate CTEs are shared
+    with the exact-scoring IVF oracles (_ivf_cand_ctes, n_probe the
+    only parameter). Operating point RE-MEASURED r12 (r11 verdict #2,
+    tools/pq_experiment.py, full table in operators/pq.py): the old
+    4-probe/rerank-25 point sat on a 0.61 candidate ceiling and its
+    shortlist lost a further 0.19 at 2000 vectors (recall@5 0.42);
+    8 probes lift the ceiling to 0.80 and rerank=100 recovers the
+    shortlist loss → recall@5 0.72. The residual-PQ variant (Jégou
+    § IV.A) was implemented and measured: +0.02–0.07 recall at ~2×
+    wall on this corpus — negative result here, shipped as the
+    ``residual=True`` flag for fine-cell production indexes. Recall
+    floor and the compression contract are pinned in tests/test_pq.py."""
     corpus = t(spark, sf_dir, "embeddings")
     queries = corpus.filter(F.col("vec_id") % 100 == 0)
     return pqm.ivf_pq_cosine_topk(
-        corpus, queries, k=5, n_clusters=16, n_probe=4
+        corpus, queries, k=5, n_clusters=16, n_probe=8, rerank=100
     )
 
 
