@@ -33,10 +33,20 @@ shuffles, bucket blowups) show up here before they show up on a cluster.
 ``bench_floors.json["sf1"]`` section (floors measured AT sf1, r10
 verdict #9) — a 10× scale regression fails mechanically, with the same
 share / canary-pair / reproduce-to-fail retry tiers as the sf0.1 gates.
+
+``python bench.py --sf10 [--assert]`` is the 100× rung (r11 verdict
+#3): synthesizes ``.scratch/sf10`` (100 copies) and runs the 9-op
+``SF10_HEADLINE`` scale suite — one op per scale-critical shape —
+graded against ``bench_floors.json["sf10"]``. Timed iters default to 3
+at this scale (override with ``SPARK_GRAFT_BENCH_ITERS``); a full gate
+run is ~10 min on local[32]. The BASELINE.md one-shot probes (150 s
+connected components, 88 s semantic dedup) stay narrative; this suite
+is the mechanical complement.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -113,6 +123,24 @@ SF1_HEADLINE = [
     "op-ext-winnow",             # O(len·k) fingerprint build (numpy UDF)
     "op-ext-winnow-neardup",     # posting join + banded edit verify
     "op-ext-ann-ivf-pq",         # r11: the memory-bound ANN path (ADC+R)
+]
+
+#: r12 (r11 verdict #3): the 100×-scale floor suite. One op per
+#: scale-critical shape, chosen so a full run (2 warm + 3 timed forces
+#: each) stays ~10 min on local[32] — the heavyweights with their own
+#: engine probes (dedup-clusters ~150 s, semantic-dedup 88 s) stay
+#: one-shot probes in BASELINE.md; this suite is the MECHANICAL gate.
+#: Cold single-force costs measured r12 at .scratch/sf10:
+SF10_HEADLINE = [
+    "op-join-inner-star",            # shuffle join core (14 s cold)
+    "op-ext-dedup-exact",            # hash-groupBy dedup (2.7 s)
+    "op-ext-minhash-lsh",            # banded bucket join (42 s)
+    "op-ext-simhash-neardup-scaled", # the r11 128-bit band fix (40 s)
+    "op-ext-stream-session",         # sessionization windows (7.6 s)
+    "op-ext-ann-ivf-scaled",         # cost-balanced IVF (66 s)
+    "op-ext-tpch-q9-bucketed",       # bucketed fact⋈fact (21 s)
+    "op-ext-range-join",             # bucket-expansion interval join (9.5 s)
+    "op-ext-decontaminate",          # gram explode + broadcast semi (18 s)
 ]
 
 #: fact tables replicated in --sf1 synthesis; value = key columns offset
@@ -250,6 +278,14 @@ def run_suite(spark, qs, names, sf_dir, sf, metric) -> dict:
                 ts.append(time.perf_counter() - t0)
             mins[name] = round(min(ts), 3)
             medians[name] = round(_median(ts), 3)
+            # Drop this query's py4j proxies NOW: broadcasts and plan
+            # state on the JVM side are freed by ContextCleaner only
+            # after the Python-side references die, and CPython's cycle
+            # collector can lag several queries behind — measured as a
+            # Java-heap OOM four queries into the sf10 suite (r12) while
+            # each query ran fine alone in the same heap.
+            del df
+            gc.collect()
         except Exception as exc:  # one broken query must not zero the bench
             print(f"# bench skip {name}: {exc!r}", file=sys.stderr)
     return {
@@ -371,12 +407,33 @@ def main() -> int:
     from data_warehousing_assignment_spark.session import get_spark
 
     sf1_mode = "--sf1" in sys.argv[1:]
+    sf10_mode = "--sf10" in sys.argv[1:]
     tpch_mode = "--tpch" in sys.argv[1:]
     assert_mode = "--assert" in sys.argv[1:]
+    if sf10_mode and "SPARK_GRAFT_BENCH_ITERS" not in os.environ:
+        # 100×-scale queries run 10-60 s each: 3 timed iters (after the
+        # 2 warm forces) bound a full gate run to ~10 min while min-of-3
+        # still sheds the occasional host spike.
+        global N_ITERS
+        N_ITERS = 3
+    if sf10_mode:
+        # The default 8g driver heap is sized for the sf0.1/sf1 gates; at
+        # 100× the heaviest suite query (simhash band verify) needs most
+        # of 8g ALONE and OOMs behind three predecessors' not-yet-
+        # collected broadcasts. The box has 128 GiB — give the 100× gate
+        # a production-proportioned heap instead of a starved one.
+        os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
     spark = get_spark("bench")
     qs = entrymod.queries()
 
-    if sf1_mode:
+    if sf10_mode:
+        sf_dir = synthesize_sf10(spark)
+        report = run_suite(
+            spark, qs, SF10_HEADLINE, sf_dir, 10.0,
+            "scale-probe suite wall seconds (100x synthesized, noop-sink, min of warm runs)",
+        )
+        suite_names, suite_sf_dir = SF10_HEADLINE, sf_dir
+    elif sf1_mode:
         sf_dir = synthesize_sf1(spark)
         report = run_suite(
             spark, qs, SF1_HEADLINE, sf_dir, 1.0,
@@ -413,7 +470,12 @@ def main() -> int:
         # r9-advice objection (SF_DIR-scale floors vs 10× data) no
         # longer applies; the per-query retry threads the sf1 suite
         # names and synthesized dir like any other section.
-        section = "sf1" if sf1_mode else ("tpch" if tpch_mode else None)
+        section = (
+            "sf10" if sf10_mode
+            else "sf1" if sf1_mode
+            else "tpch" if tpch_mode
+            else None
+        )
         violations = check_floors(report, floors_path, section)
         # Per-query retry: the r9 host shows NON-uniform noise spikes
         # (one query 5x slow for a whole 5-iter window with identical

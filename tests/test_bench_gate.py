@@ -52,6 +52,33 @@ def test_uniform_3x_slowdown_passes_tpch_per_query_tiers():
     assert per_query(check_floors(report, FLOORS_PATH, "tpch")) == []
 
 
+def test_sf10_section_noise_vs_regression():
+    """The 100×-scale section (r11 verdict #3) keeps the same
+    discrimination contract as the headline table: a uniform 2.5×
+    host slowdown produces no per-query blame, while a persistent 2×
+    regression on one scale query trips its canary pair."""
+    spec = _spec("sf10")
+    uniform = _report({n: 2.5 * f for n, f in spec["floors"].items()})
+    assert per_query(check_floors(uniform, FLOORS_PATH, "sf10")) == []
+
+    victim = "op-ext-minhash-lsh"
+    assert victim != spec["canary"]
+    queries = dict(spec["floors"])
+    queries[victim] = 2.0 * queries[victim]
+    violations = check_floors(_report(queries), FLOORS_PATH, "sf10")
+    assert any(v.startswith(victim) for v in violations), violations
+
+
+def test_sf10_missing_scale_query_always_fails():
+    """A 100×-scale query that regresses into a crash must fail the
+    gate loudly, not vanish from the report."""
+    spec = _spec("sf10")
+    queries = dict(spec["floors"])
+    del queries["op-ext-simhash-neardup-scaled"]
+    violations = check_floors(_report(queries), FLOORS_PATH, "sf10")
+    assert any("missing" in v for v in violations), violations
+
+
 def test_single_query_2x_regression_trips_canary_pair():
     """A deliberate 2x plan regression on ONE query — everything else at
     its floor — sits under the 2.6x absolute ratio but must trip the
