@@ -53,6 +53,16 @@ SF = "/root/repo/.scratch/sf10"
 OUT = "/root/repo/SCALE_PINS.json"
 
 
+def _pq(sf_dir: str, table: str) -> str:
+    """read_parquet pattern for a testdata table: the driver testdata
+    ships single files, the .scratch synthesis writes Spark part-file
+    directories."""
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    return f"{path}/*.parquet" if os.path.isdir(path) else path
+
+
 # ---------------------------------------------------------------- pagerank
 
 def pin_pagerank(spark, sf_dir):
@@ -229,7 +239,7 @@ def pin_semantic_dedup(spark, sf_dir):
     con = duckdb.connect()
     raw = con.execute(
         f"SELECT vec_id, embedding FROM"
-        f" read_parquet('{sf_dir}/embeddings.parquet')"
+        f" read_parquet('{_pq(sf_dir, 'embeddings')}')"
         f" WHERE vec_id % 100 = 0 ORDER BY vec_id"
     ).fetchall()
     qv = {
@@ -366,7 +376,7 @@ def pin_bootstrap_ci(spark, sf_dir):
     rows = con.execute(
         f"SELECT l_returnflag, l_orderkey, l_linenumber,"
         f" CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
-        f" FROM read_parquet('{sf_dir}/lineitem.parquet')"
+        f" FROM read_parquet('{_pq(sf_dir, 'lineitem')}')"
         f" WHERE l_orderkey % 200 = 0"
     ).fetchall()
     swx: dict[tuple, int] = defaultdict(int)

@@ -18,6 +18,12 @@ own sf1/sf10 probe; documented in BASELINE.md rounds 10-11):
   graph-cte     recursive-CTE label propagation over the 27M-edge
                 near-dup graph (>50 min observed, killed twice).
   join-blowup   iterated/enumerated full-graph join replays — DuckDB
+                r12: pagerank, clustering-coef, semantic-dedup (and
+                hash-explode's bootstrap-ci) now ALSO carry sf10 VALUE
+                pins beyond their time probes: engine-at-sf10 on a
+                deterministic induced subsample vs an independent
+                pure-Python replay, all four exact — see
+                tools/scale_pins.py and SCALE_PINS.json.
                 materializes each unrolled round: pagerank (3 rounds
                 over the ~30M-edge bipartite expansion; 58 GB RSS +
                 >200 GB spill, then raised), clustering-coef
