@@ -1515,3 +1515,175 @@ def op_ext_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.expr(f"{_JSD_A} + {_JSD_B}")).cast("double") / F.lit(1e9))
         .alias("jsd"),
     )
+
+
+# --------------------------------------------------------------------------
+# vocabulary growth / hapax profile (r12): Heaps-curve points per source
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-vocab-growth",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKS}) AS tk FROM documents
+    ),
+    cnt AS (
+      SELECT source, tk, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dis_legomena,
+           CAST((1000000 * COUNT(*)) // SUM(c) AS BIGINT) AS ttr_ppm,
+           CAST((1000000 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS hapax_share_ppm
+    FROM cnt GROUP BY 1
+    """,
+)
+def op_ext_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth / hapax profile per source — the (N, V) points
+    a Heaps'-law fit (V ≈ K·N^β, Heaps 1978) consumes, plus the hapax
+    and dis-legomena counts that anchor Good–Turing mass estimates.
+    A training-mix audit reads these next to op-ext-vocab-topk: a
+    source whose type–token ratio or hapax share collapses is template
+    spam (near-zero vocabulary growth); one whose hapax share ≈ 1 is
+    noise/IDs. All surfaced values are exact integers (counts and ppm
+    floor-divisions) — no log/float crosses the engine boundary; the
+    β exponent itself is left to the consumer precisely because ln is
+    not bit-stable cross-engine (the op-ext-psi caveat). SCALE: one
+    token explode into a map-side-combined (source, token) count — the
+    op-ext-vocab-topk shape — then a |sources|-sized rollup; nothing
+    after the first groupBy is data-sized."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens("text")).alias("tk"))
+    )
+    cnt = toks.groupBy("source", "tk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return (
+        cnt.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("hapax"),
+            F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dis_legomena"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            "hapax",
+            "dis_legomena",
+            F.expr("(1000000 * vocab) div n_tokens").alias("ttr_ppm"),
+            F.expr("(1000000 * hapax) div vocab").alias("hapax_share_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# PMI collocations (r12): lift-ranked adjacent bigrams, log-free
+# --------------------------------------------------------------------------
+
+
+@query(
+    "op-ext-pmi-collocations",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    uni AS (
+      SELECT unnest(l) AS w FROM tk
+    ),
+    ucnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM uni GROUP BY 1),
+    utot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM uni),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(l)), i -> l[i])) AS w1,
+             unnest(list_transform(range(1, len(l)), i -> l[i + 1])) AS w2
+      FROM tk WHERE len(l) >= 2
+    ),
+    bcnt AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+             FROM bg GROUP BY 1, 2),
+    btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bg),
+    lift AS (
+      SELECT b.w1, b.w2, b.cb,
+             CAST((CAST(b.cb AS HUGEINT) * u.nu * u.nu * 1000000)
+                  // (CAST(t.nb AS HUGEINT) * a.cu * c.cu)
+                  AS BIGINT) AS lift_ppm
+      FROM bcnt b
+      JOIN ucnt a ON b.w1 = a.w
+      JOIN ucnt c ON b.w2 = c.w
+      CROSS JOIN utot u CROSS JOIN btot t
+      WHERE b.cb >= 5
+    )
+    SELECT w1, w2, cb AS n_pairs, lift_ppm
+    FROM lift
+    ORDER BY lift_ppm DESC, w1 ASC, w2 ASC
+    LIMIT 20
+    """,
+)
+def op_ext_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation detection (Church & Hanks 1990): the top-20 adjacent
+    bigrams by pointwise-mutual-information LIFT — P(ab)/(P(a)·P(b)) =
+    c_ab·N_uni² / (N_bi·c_a·c_b) — with the standard c_ab ≥ 5 noise
+    floor. Ranking by the LIFT rather than its log keeps the score a
+    single exact fixed-point integer (log is monotone, so the order is
+    identical and ln never crosses the engine boundary — the same
+    log-free re-expression as op-ext-importance-score); the wide
+    product c_ab·N_uni²·10⁶ runs in decimal(38,0)/HUGEINT with the
+    sign-free (p − p % q)/q exact floor division (registry_ml._sdiv).
+    A tokenizer/vocab pipeline reads this to decide merge candidates
+    and to spot boilerplate n-grams before dedup. SCALE: unigram and
+    bigram tables are map-side-combined vocabulary aggregates; the
+    lift join touches |bigram vocab| rows with two broadcast scalar
+    totals; top-20 is TakeOrderedAndProject."""
+    from data_warehousing_assignment_spark.registry_ml import _sdiv
+
+    docs = t(spark, sf_dir, "documents").select(tokens("text").alias("l"))
+    uni = docs.select(F.explode("l").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
+    utot = uni.agg(F.count(F.lit(1)).cast("bigint").alias("nu"))
+    bg = docs.filter(F.size("l") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(l) - 1),"
+                " i -> struct(element_at(l, i) AS w1,"
+                " element_at(l, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bcnt = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cb")
+    )
+    btot = bg.agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    a = ucnt.select(F.col("w").alias("w1"), F.col("cu").alias("ca"))
+    c = ucnt.select(F.col("w").alias("w2"), F.col("cu").alias("cc"))
+    lift = (
+        bcnt.filter(F.col("cb") >= 5)
+        .join(a, "w1")
+        .join(c, "w2")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            F.col("cb").alias("n_pairs"),
+            _sdiv(
+                F.col("cb").cast("decimal(38,0)")
+                * F.col("nu") * F.col("nu") * F.lit(1000000),
+                F.col("nb").cast("decimal(38,0)") * F.col("ca") * F.col("cc"),
+            )
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+    )
+    return (
+        lift.orderBy(F.desc("lift_ppm"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )

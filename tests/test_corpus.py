@@ -383,3 +383,63 @@ def test_js_divergence_matches_pure_python(spark):
             assert row.n_tokens == len(toks)
             assert row.jsd_nano == jsd_nano
             assert -1e-9 <= row.jsd <= math.log(2) + 1e-9
+
+
+def test_vocab_growth_matches_python_counters(spark):
+    """Replay every source's (N, V, hapax, dis) from raw Counters and
+    pin the exact ppm floor divisions, plus the structural invariants
+    hapax + dis <= vocab <= n_tokens."""
+    from collections import Counter
+
+    from data_warehousing_assignment_spark.registry_corpus import (
+        op_ext_vocab_growth,
+    )
+
+    got = {r.source: r for r in op_ext_vocab_growth(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    cnt = {}
+    for d in docs:
+        cnt.setdefault(d.source, Counter()).update(
+            d.text.strip().lower().split()
+        )
+    assert set(got) == set(cnt)
+    for src, c in cnt.items():
+        r = got[src]
+        n, v = sum(c.values()), len(c)
+        h1 = sum(1 for x in c.values() if x == 1)
+        h2 = sum(1 for x in c.values() if x == 2)
+        assert (r.n_tokens, r.vocab, r.hapax, r.dis_legomena) == (n, v, h1, h2)
+        assert r.ttr_ppm == (1000000 * v) // n
+        assert r.hapax_share_ppm == (1000000 * h1) // v
+        assert h1 + h2 <= v <= n
+
+
+def test_pmi_collocations_match_python_counters(spark):
+    """Replay the exact integer lift ranking from raw unigram/adjacent-
+    bigram Counters: same c_ab >= 5 floor, same floor-divided ppm lift,
+    same (lift desc, w1, w2) tiebreak, top-20."""
+    from collections import Counter
+
+    from data_warehousing_assignment_spark.registry_corpus import (
+        op_ext_pmi_collocations,
+    )
+
+    got = [
+        (r.w1, r.w2, r.n_pairs, r.lift_ppm)
+        for r in op_ext_pmi_collocations(spark, SF).collect()
+    ]
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    uni, bi = Counter(), Counter()
+    for d in docs:
+        ws = d.text.strip().lower().split()
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    nu, nb = sum(uni.values()), sum(bi.values())
+    rows = [
+        (w1, w2, cb, (cb * nu * nu * 1000000) // (nb * uni[w1] * uni[w2]))
+        for (w1, w2), cb in bi.items()
+        if cb >= 5
+    ]
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    assert got == rows[:20]
+    assert len(got) == 20

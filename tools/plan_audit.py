@@ -75,6 +75,10 @@ ALLOWED = {
     # frames (|sources| and the capped vocabulary are both
     # catalog-sized by contract — see the op docstring)
     "op-ext-js-divergence": {"cartesian"},
+    # two 1-row broadcast scalar attaches (unigram + bigram totals,
+    # registry_corpus.op_ext_pmi_collocations) onto the |bigram vocab|
+    # lift frame — the op-agg-scalar-max watermark class
+    "op-ext-pmi-collocations": {"cartesian"},
     # 1-row positive-balance stats frame (Σbal, n) broadcast onto the
     # customer dim for the exact integer above-average predicate
     "op-ext-tpch-q22": {"cartesian"},
