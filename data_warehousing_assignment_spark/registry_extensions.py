@@ -897,7 +897,7 @@ def _ivf_lloyd_round(src_c: str, n: int) -> str:
     )"""
 
 
-def _ivf_cand_ctes(c0_sql: str, n_probe: int = 4) -> str:
+def _ivf_cand_ctes(c0_sql: str, n_probe: int = 4, query_mod: int = 100) -> str:
     """The IVF candidate-generation CTE chain (seeds → 2 unrolled Lloyd
     rounds → final assignment → ``n_probe``-cell probing →
     ``cand(query_id, neighbor_id)``) with the SEED CTE injected — shared
@@ -930,7 +930,7 @@ def _ivf_cand_ctes(c0_sql: str, n_probe: int = 4) -> str:
         SELECT vec_id, cluster,
                ROW_NUMBER() OVER (PARTITION BY vec_id
                                   ORDER BY dd, cluster) AS rk
-        FROM dfin WHERE vec_id % 100 = 0) WHERE rk <= {n_probe}
+        FROM dfin WHERE vec_id % {query_mod} = 0) WHERE rk <= {n_probe}
     ),
     cand AS (
       SELECT p.query_id, c.neighbor_id
@@ -2825,4 +2825,125 @@ def op_ext_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             cnt_if(F.col("q") & F.col("surv")).alias("n_survivors"),
             cnt_if(F.col("q") & F.col("surv") & F.col("samp")).alias("n_sampled"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN index-quality monitor (r12): recall@5 of the shipped IVF cut
+# --------------------------------------------------------------------------
+
+_RECALL_SURFACE_ORACLE = f"""
+    {_ivf_cand_ctes('''
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+             v AS centroid
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16)
+    )''', n_probe=8, query_mod=50)},
+    nrms AS (
+      SELECT emb.vec_id, CAST(SUM(v[idx.i] * v[idx.i]) AS BIGINT) AS nrm
+      FROM emb, idx GROUP BY 1
+    ),
+    dots AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(SUM(q.v[idx.i] * n.v[idx.i]) AS BIGINT) AS dot
+      FROM cand c
+      JOIN emb q ON q.vec_id = c.query_id
+      JOIN emb n ON n.vec_id = c.neighbor_id, idx
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.query_id, d.neighbor_id,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.nrm AS DOUBLE))
+                  * sqrt(CAST(nc.nrm AS DOUBLE))) AS score
+      FROM dots d
+      JOIN nrms nq ON d.query_id = nq.vec_id
+      JOIN nrms nc ON d.neighbor_id = nc.vec_id
+    ),
+    ivf5 AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id) AS rank
+            FROM scored)
+      WHERE rank <= 5
+    ),
+    bdots AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             CAST(SUM(q.v[idx.i] * n.v[idx.i]) AS BIGINT) AS dot
+      FROM emb q JOIN emb n ON n.vec_id <> q.vec_id, idx
+      WHERE q.vec_id % 50 = 0
+      GROUP BY 1, 2
+    ),
+    bscored AS (
+      SELECT d.query_id, d.neighbor_id,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.nrm AS DOUBLE))
+                  * sqrt(CAST(nc.nrm AS DOUBLE))) AS score
+      FROM bdots d
+      JOIN nrms nq ON d.query_id = nq.vec_id
+      JOIN nrms nc ON d.neighbor_id = nc.vec_id
+    ),
+    exact5 AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id) AS rank
+            FROM bscored)
+      WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+           CAST((1000000 * COUNT(i.neighbor_id)) // 5 AS BIGINT)
+             AS recall_ppm
+    FROM exact5 e
+    LEFT JOIN ivf5 i ON e.query_id = i.query_id
+                    AND e.neighbor_id = i.neighbor_id
+    GROUP BY 1
+    """
+
+
+@query("op-ext-ann-recall-surface", oracle=_RECALL_SURFACE_ORACLE)
+def op_ext_ann_recall_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the SHIPPED IVF candidate cut (16 cells,
+    n_probe=8 — the operating point the r12 measured experiment chose
+    for the PQ path) against the exact brute-force top-5: the
+    index-quality monitor a production retrieval stack alarms on. An
+    ANN index silently degrades as the corpus drifts (cells go stale,
+    hot regions overflow their cells); recall measured IN-ENGINE on a
+    deterministic query sample (vec_id % 50 — 10+ queries at every SF,
+    a denser audit spine than the %100 ANN ops so the oracle compares
+    a non-trivial row set) turns that into a numeric, regressable
+    surface — this op is the monitored-metric form of
+    tools/pq_experiment.py. recall_ppm is an exact integer
+    (1e6·hits // 5): hits are set-intersection counts of two
+    deterministically-ranked top-5 lists, so the whole surface is
+    hash-exact cross-engine. SCALE: the IVF side is the standard
+    probed-cell scan; the brute-force side is O(Q·C) BY DESIGN — in
+    production Q is a small fixed audit sample (the %100 spine here),
+    which keeps the exact baseline linear in corpus size, the same
+    contract as op-ext-ann-bruteforce (the documented exact anchor).
+    At the 100× sweep this op inherits the pair-oracle exclusion class
+    (the DuckDB replay materializes Q·C pair rows), while its sf1
+    oracle run and the engine-side sf10 probe stand as evidence."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact5 = sim.brute_force_cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ivf5 = iv.ivf_cosine_topk(
+        emb, queries, k=5, n_clusters=16, n_probe=8
+    ).select("query_id", F.col("neighbor_id").alias("_n"))
+    hits = (
+        exact5.join(
+            ivf5,
+            (exact5.query_id == ivf5.query_id)
+            & (exact5.neighbor_id == ivf5._n),
+            "left",
+        )
+        .groupBy(exact5.query_id)
+        .agg(F.count("_n").cast("bigint").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        F.expr("(1000000 * n_hits) div 5").alias("recall_ppm"),
     )

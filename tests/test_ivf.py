@@ -160,3 +160,33 @@ def test_scaled_oracle_k_matches_auto_n_clusters():
         got = con.execute(sql, [n, q]).fetchone()[0]
         want = ivf.auto_n_clusters(n, q, n_probe=4)
         assert got == want, (n, q, got, want)
+
+
+def test_recall_surface_matches_set_intersection(spark):
+    """op-ext-ann-recall-surface must equal the literal set math over
+    its two constituent ops: per query, hits = |ivf top5 ∩ exact top5|
+    and recall_ppm = 1e6·hits // 5, one row per query in the %50 audit
+    spine."""
+    from data_warehousing_assignment_spark.registry_extensions import (
+        op_ext_ann_recall_surface,
+    )
+
+    corpus = emb(spark)
+    queries = corpus.filter(F.col("vec_id") % 50 == 0)
+    nq = queries.count()
+    exact = {}
+    for r in brute_force_cosine_topk(corpus, queries, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in ivf.ivf_cosine_topk(
+        corpus, queries, k=5, n_clusters=16, n_probe=8
+    ).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {r.query_id: (r.n_hits, r.recall_ppm)
+           for r in op_ext_ann_recall_surface(spark, SF_SMALL).collect()}
+    assert len(got) == nq
+    for q, (hits, ppm) in got.items():
+        expect = len(exact[q] & approx.get(q, set()))
+        assert hits == expect
+        assert ppm == (1000000 * hits) // 5
+        assert 0 <= hits <= 5

@@ -150,6 +150,9 @@ EXCLUSIONS = {
     # O(n²) pair oracles — brute-force anchors whose ground truth is
     # itself all-pairs (1.25e11 pairs at 500k docs / 1e10 at 1M vecs).
     "op-ext-ann-bruteforce": "pair-oracle",
+    # recall monitor: its ground-truth side IS the brute-force anchor
+    # (Q·C pair rows in the replay); sf1 oracle-exact r12.
+    "op-ext-ann-recall-surface": "pair-oracle",
     "op-ext-ann-lsh-fullprobe": "pair-oracle",  # oracle = brute force
     "op-ext-ann-ivf-fullprobe": "pair-oracle",  # oracle = brute force
     "op-ext-embed-neardup-exact": "pair-oracle",
