@@ -700,3 +700,61 @@ def containment_join(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def minhash_lsh_incremental_candidates(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 12,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Incremental banded-LSH candidates: only the NEW batch computes
+    signatures; its band keys probe the existing corpus's band index
+    plus themselves. Work is O(Δ) signature hashing + a bucket join
+    carrying Δ band keys — never a recompute or re-pair of the settled
+    corpus, which is the whole point of incremental dedup at 100 TB
+    (the exact-hash twin is exact_dedup_incremental). In production
+    ``old_df``'s band keys are READ from the stored index (the same
+    (doc, band, band_hash) layout save_ivf_index uses for cells);
+    here they're derived so the operator is self-contained.
+
+    Invariant (the registry oracle states it directly): the output is
+    exactly the FULL-corpus candidate set restricted to pairs touching
+    the new batch — bucket joins on identical keys make incremental ≡
+    full∖(old×old) by construction. Returns (doc_a, doc_b, pair_type ∈
+    {'cross', 'new-new'}) with doc_a < doc_b."""
+    r = k // bands
+
+    def keyed(df: DataFrame, alias: str) -> DataFrame:
+        sigs = minhash_signatures(df, id_col, text_col, k, n)
+        return pin(
+            sigs.select(
+                F.col(id_col).alias(alias),
+                F.explode(minhash_bands(F.col("sig"), bands, r)).alias("bk"),
+            ).select(alias, "bk.band", "bk.band_hash")
+        )
+
+    old_keyed = keyed(old_df, "_old")
+    new_keyed = keyed(new_df, "_new")
+    cross = (
+        new_keyed.join(old_keyed, on=["band", "band_hash"])
+        .select(
+            F.least("_new", "_old").alias("doc_a"),
+            F.greatest("_new", "_old").alias("doc_b"),
+        )
+        .distinct()
+        .withColumn("pair_type", F.lit("cross"))
+    )
+    nn_left = new_keyed.withColumnRenamed("_new", "doc_a")
+    nn_right = new_keyed.withColumnRenamed("_new", "doc_b")
+    new_new = (
+        nn_left.join(nn_right, on=["band", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .withColumn("pair_type", F.lit("new-new"))
+    )
+    return cross.unionByName(new_new)

@@ -141,6 +141,46 @@ def op_ext_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.select("doc_id", F.concat_ws("|", "sig").alias("sig"))
 
 
+_INCR_CAND_SQL = f"""
+    WITH {_SIG_CTE}, {_BANDS_CTE},
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CASE WHEN doc_a % 5 = 0 AND doc_b % 5 = 0 THEN 'new-new'
+                ELSE 'cross' END AS pair_type
+    FROM cands
+    WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
+"""
+
+
+@query("op-ext-minhash-incremental", oracle=_INCR_CAND_SQL)
+def op_ext_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH candidates (r12): the doc_id%5==0 slice
+    plays the NEW batch, the rest the settled corpus. Only the batch
+    computes signatures; its band keys probe the stored band index plus
+    themselves, so the work is O(Δ) hashing + a Δ-sized bucket join —
+    the production shape of continuous dedup (the exact-hash twin is
+    op-ext-dedup-incremental; this is its near-dup counterpart). The
+    oracle states the correctness invariant directly: incremental
+    output ≡ the FULL-corpus banded candidate set restricted to pairs
+    touching the batch (bucket equi-joins on identical keys make the
+    two constructions equal, not approximately equal). SCALE: the old
+    side ships only (doc, band, band_hash) rows — at 100 TB the stored
+    band index is ~150 GB cluster-wide while the corpus is not re-read
+    at all; candidate verify (op-ext-jaccard) then touches only
+    batch-linked pairs."""
+    docs = t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    return dd.minhash_lsh_incremental_candidates(
+        old, new, "doc_id", "text", _K, _BANDS
+    )
+
+
 @query("op-ext-minhash-lsh", oracle=_CAND_SQL)
 def op_ext_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH candidate pairs (k=12, 4 bands × 3 rows):

@@ -426,3 +426,36 @@ def test_simhash128_wide_pairs_match_bruteforce(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_incremental_lsh_equals_full_candidates_touching_batch(spark):
+    """The incremental-dedup invariant, engine-side: probing the stored
+    band index with only the new batch's keys must yield EXACTLY the
+    full-corpus candidate set restricted to pairs touching the batch
+    (bucket equi-joins on identical keys — equality, not approximation),
+    with pair_type partitioning it into cross vs new-new."""
+    from data_warehousing_assignment_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_lsh_incremental_candidates,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_candidates(docs, "doc_id", "text").collect()
+    }
+    expected = {
+        (a, b) for a, b in full if a % 5 == 0 or b % 5 == 0
+    }
+    got = minhash_lsh_incremental_candidates(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        "doc_id",
+        "text",
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in got} == expected
+    for r in got:
+        is_nn = r.doc_a % 5 == 0 and r.doc_b % 5 == 0
+        assert r.pair_type == ("new-new" if is_nn else "cross")
+        assert r.doc_a < r.doc_b

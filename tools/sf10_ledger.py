@@ -18,18 +18,18 @@ own sf1/sf10 probe; documented in BASELINE.md rounds 10-11):
   graph-cte     recursive-CTE label propagation over the 27M-edge
                 near-dup graph (>50 min observed, killed twice).
   join-blowup   iterated/enumerated full-graph join replays — DuckDB
-                r12: pagerank, clustering-coef, semantic-dedup (and
-                hash-explode's bootstrap-ci) now ALSO carry sf10 VALUE
-                pins beyond their time probes: engine-at-sf10 on a
-                deterministic induced subsample vs an independent
-                pure-Python replay, all four exact — see
-                tools/scale_pins.py and SCALE_PINS.json.
                 materializes each unrolled round: pagerank (3 rounds
                 over the ~30M-edge bipartite expansion; 58 GB RSS +
                 >200 GB spill, then raised), clustering-coef
                 (per-node triangle enumeration; OOM at 65-90 GB),
                 semantic-dedup (k=n/500-means replay + within-bucket
                 pairs at 500k docs; OOM ~86 GB). All measured r11.
+                r12: pagerank, clustering-coef, semantic-dedup (and
+                hash-explode's bootstrap-ci) now ALSO carry sf10 VALUE
+                pins beyond their time probes: engine-at-sf10 on a
+                deterministic induced subsample vs an independent
+                pure-Python replay, all four exact — see
+                tools/scale_pins.py and SCALE_PINS.json.
   hash-explode  O(rows·B) content-hash explode replay: bootstrap-ci's
                 60M rows × 6 md5 × 48 Poisson replicates = 2.9B-row
                 intermediate (killed at 45 min / 31 GB, r11).
@@ -162,6 +162,8 @@ EXCLUSIONS = {
     # 1.25e11 pairs at 500k docs; the Spark side has its own sf10
     # probe (r11: verify-join width fix, operators/dedup.py nv).
     "op-ext-lsh-eval": "pair-oracle",
+    # r12: same _SIG_CTE list-HOF replay as minhash-lsh; sf1-exact r12
+    "op-ext-minhash-incremental": "hof-replay",
     # both simhash pair ops' oracles are the literal all-pairs Hamming
     # definition; the 48-bit anchor additionally has a DOCUMENTED
     # engine-side scale limit (12-bit bands saturate at 4,096 buckets
