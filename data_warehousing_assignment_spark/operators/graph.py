@@ -342,3 +342,41 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
         if after == before:
             break
     return node_degrees(cur).filter(F.col("d") >= k)
+
+
+def clustering_coefficient_top(
+    edges: DataFrame, min_degree: int = 10, k: int = 20
+) -> DataFrame:
+    """Top-``k`` nodes by Watts–Strogatz local clustering coefficient in
+    fixed-point ppm: per node, triangles ÷ C(deg, 2), degree floor
+    ``min_degree``, tiebreak (coef desc, node asc). Per-node triangle
+    credit reuses :func:`oriented_triangles` (each triangle found once
+    at its pivot, credited to all 3 corners by one 3-way union over the
+    pinned triangle frame). SHARED body of the registry op
+    (op-ext-clustering-coef) and the sf10 value pin
+    (tools/scale_pins.py) so the pin can never drift from the shipped
+    pipeline (r12 review)."""
+    deg = node_degrees(edges)
+    tris = oriented_triangles(edges)
+    corners = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+    )
+    pertri = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+    return (
+        deg.withColumnRenamed("n", "node")
+        .join(pertri, "node", "left")
+        .filter(F.col("d") >= min_degree)
+        .select(
+            F.col("node").alias("part_key"),
+            F.col("d").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.expr(
+                "CAST((2000000 * coalesce(n_tri, 0)) div (d * (d - 1))"
+                " AS BIGINT)"
+            ).alias("coef_ppm"),
+        )
+        .orderBy(F.desc("coef_ppm"), F.asc("part_key"))
+        .limit(k)
+    )

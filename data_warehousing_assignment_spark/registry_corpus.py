@@ -443,42 +443,16 @@ def _semantic_dedup_oracle() -> str:
     """
 
 
-@query("op-ext-semantic-dedup", oracle=_semantic_dedup_oracle())
-def op_ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): k-means-bucket the embedding space
-    (the deterministic IVF build from operators/ivf.py — seeded by
-    lowest ids, 2 Lloyd rounds, no RNG), then WITHIN each cluster mark
-    any vector that has a lower-id neighbor with cosine ≥ 0.5 as a
-    semantic duplicate; survivors are the per-neighborhood
-    representatives. The pairwise pass never leaves a cluster —
-    O(Σ cluster²) instead of O(n²) — which is the paper's entire
-    scaling argument; op-ext-embed-neardup-exact is the corpus-wide
-    exactness anchor for the same threshold.
-
-    ORACLE-EXACT since r8 (was rows-only): the exact-integer centroid
-    mean (operators/ivf.py r8) made the k-means bit-reproducible, so
-    the oracle replays the whole pipeline — dynamic k, seeds, both
-    Lloyd rounds, assignment, within-cluster domination — in DuckDB
-    and hash-matches. The numpy survivor replay at sf0.001 stays in
-    tests/test_corpus.py as the independent third implementation.
-
-    Cluster count SCALES with the corpus (k = n/500, floor 8, cap 256)
-    — the paper's own requirement: with fixed k the within-cluster
-    pair count grows as (n/k)²·k = n²/k, measured as a 156M-pair stall
-    at the 50k-vector probe; bounding mean cluster size at ~500 keeps
-    pairs ≤ 250·n (linear in n). The one count() here is the same
-    sanctioned driver scalar as the watermark lookup
-    (op-agg-scalar-max)."""
-    emb = t(spark, sf_dir, "embeddings")
+def semantic_dedup_frame(emb: DataFrame) -> DataFrame:
+    """The full SemDeDup pipeline over an embeddings frame — SHARED body
+    of the registry op and the sf10 value pin (tools/scale_pins.py), so
+    the pin can never drift from the shipped pipeline (r12 review).
+    Returns (vec_id, cluster BIGINT, kept BOOL)."""
     n = emb.count()
     k = max(8, min(256, n // 500))
     _, assign = build_ivf_index(
         emb, id_col="vec_id", vec_col="embedding", n_clusters=k, n_iters=2
     )
-    # quantize + norm ONCE per vector (not per pair — the pair frame is
-    # ~250× larger, and re-running the 64-element HOF chain there was
-    # the measured 3× overhead); the pair stage is one int dot + one
-    # double compare
     vecs = emb.select(
         "vec_id", sim.quantize("embedding").alias("qv")
     ).join(assign, "vec_id")
@@ -517,6 +491,39 @@ def op_ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_dom").isNull().alias("kept"),
         )
     )
+
+
+@query("op-ext-semantic-dedup", oracle=_semantic_dedup_oracle())
+def op_ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-bucket the embedding space
+    (the deterministic IVF build from operators/ivf.py — seeded by
+    lowest ids, 2 Lloyd rounds, no RNG), then WITHIN each cluster mark
+    any vector that has a lower-id neighbor with cosine ≥ 0.5 as a
+    semantic duplicate; survivors are the per-neighborhood
+    representatives. The pairwise pass never leaves a cluster —
+    O(Σ cluster²) instead of O(n²) — which is the paper's entire
+    scaling argument; op-ext-embed-neardup-exact is the corpus-wide
+    exactness anchor for the same threshold.
+
+    ORACLE-EXACT since r8 (was rows-only): the exact-integer centroid
+    mean (operators/ivf.py r8) made the k-means bit-reproducible, so
+    the oracle replays the whole pipeline — dynamic k, seeds, both
+    Lloyd rounds, assignment, within-cluster domination — in DuckDB
+    and hash-matches. The numpy survivor replay at sf0.001 stays in
+    tests/test_corpus.py as the independent third implementation.
+
+    Cluster count SCALES with the corpus (k = n/500, floor 8, cap 256)
+    — the paper's own requirement: with fixed k the within-cluster
+    pair count grows as (n/k)²·k = n²/k, measured as a 156M-pair stall
+    at the 50k-vector probe; bounding mean cluster size at ~500 keeps
+    pairs ≤ 250·n (linear in n). The one count() here is the same
+    sanctioned driver scalar as the watermark lookup
+    (op-agg-scalar-max). Quantize + norm run ONCE per vector inside
+    semantic_dedup_frame (not per pair — the pair frame is ~250×
+    larger, and re-running the 64-element HOF chain there was the
+    measured 3× overhead); the pair stage is one int dot + one double
+    compare."""
+    return semantic_dedup_frame(t(spark, sf_dir, "embeddings"))
 
 
 # --------------------------------------------------------------------------
@@ -1638,6 +1645,16 @@ def op_ext_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-free re-expression as op-ext-importance-score); the wide
     product c_ab·N_uni²·10⁶ runs in decimal(38,0)/HUGEINT with the
     sign-free (p − p % q)/q exact floor division (registry_ml._sdiv).
+    EXACTNESS BOUND (r12 review): c_ab·N_uni²·10⁶ must stay under
+    decimal(38,0)'s 10³⁸ — with c_ab ≤ N_uni that is guaranteed for
+    N_uni ≲ 4.6·10¹⁰ tokens and holds far beyond that for realistic
+    c_ab ≪ N_uni, but a 100 TB corpus (~10¹³ tokens) with a dominant
+    bigram CAN cross it, where Spark's non-ANSI decimal multiply
+    returns NULL (sorting the pair LAST) while DuckDB's HUGEINT
+    raises — a silent/loud asymmetry. At that scale run this op
+    behind the op-ext-vocab-topk heavy-hitters gate (cap counts to
+    the top-k vocabulary) or per shard; the tested SFs sit 10+ orders
+    below the bound.
     A tokenizer/vocab pipeline reads this to decide merge candidates
     and to spot boilerplate n-grams before dedup. SCALE: unigram and
     bigram tables are map-side-combined vocabulary aggregates; the

@@ -707,31 +707,13 @@ def op_ext_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
     no second orientation pipeline), so the O(m^1.5) wedge bound holds
     here too. Top-20 by coefficient via TakeOrderedAndProject; degree
     floor 10 keeps C(deg,2) meaningful."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = part_copurchase_edges(li)
-    deg = node_degrees(edges)
-    tris = oriented_triangles(edges)
-    corners = (
-        tris.select(F.col("a").alias("node"))
-        .unionAll(tris.select(F.col("b").alias("node")))
-        .unionAll(tris.select(F.col("c").alias("node")))
+    from data_warehousing_assignment_spark.operators.graph import (
+        clustering_coefficient_top,
     )
-    pertri = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
-    return (
-        deg.withColumnRenamed("n", "node")
-        .join(pertri, "node", "left")
-        .filter(F.col("d") >= 10)
-        .select(
-            F.col("node").alias("part_key"),
-            F.col("d").alias("degree"),
-            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_triangles"),
-            F.expr(
-                "CAST((2000000 * coalesce(n_tri, 0)) div (d * (d - 1))"
-                " AS BIGINT)"
-            ).alias("coef_ppm"),
-        )
-        .orderBy(F.desc("coef_ppm"), F.asc("part_key"))
-        .limit(20)
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return clustering_coefficient_top(
+        part_copurchase_edges(li), min_degree=10, k=20
     )
 
 

@@ -29,6 +29,10 @@ ALLOWED = {
     # distinct-dates mini time-dim surrogate keys: dim-sized by construction
     "op-pipe-snapshot": {"cartesian", "single-partition window"},
     "op-ext-ann-bruteforce": {"cartesian"},  # scored vs broadcast query set
+    # ground-truth side IS the brute-force broadcast-query cartesian,
+    # plus the sanctioned IVF centroid-assign crossJoin (registry_
+    # extensions.op_ext_ann_recall_surface)
+    "op-ext-ann-recall-surface": {"cartesian"},
     # rides the same brute-force broadcast-query cartesian as ann-bruteforce
     "op-ext-knn-classify": {"cartesian"},
     # exact-ranking ground layer: O(Q·C) brute force BY CONTRACT, like

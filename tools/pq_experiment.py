@@ -58,20 +58,13 @@ def main() -> None:
     for np_ in (4, 8):
         run(f"ivf-pq      n_probe={np_}", lambda np_=np_: pq.ivf_pq_cosine_topk(
             corpus, queries, k=5, n_clusters=16, n_probe=np_, rerank=25))
-    if hasattr(pq, "RESIDUAL_SUPPORTED") or "residual" in (
-        pq.ivf_pq_cosine_topk.__doc__ or ""
-    ):
-        for np_ in (4, 8):
-            try:
-                run(
-                    f"ivf-pq-res  n_probe={np_}",
-                    lambda np_=np_: pq.ivf_pq_cosine_topk(
-                        corpus, queries, k=5, n_clusters=16, n_probe=np_,
-                        rerank=25, residual=True),
-                )
-            except TypeError:
-                print("residual variant not implemented yet")
-                break
+    for np_ in (4, 8):
+        run(
+            f"ivf-pq-res  n_probe={np_}",
+            lambda np_=np_: pq.ivf_pq_cosine_topk(
+                corpus, queries, k=5, n_clusters=16, n_probe=np_,
+                rerank=25, residual=True),
+        )
 
 
 if __name__ == "__main__":

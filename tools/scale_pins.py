@@ -41,7 +41,6 @@ from pyspark.sql import functions as F
 from data_warehousing_assignment_spark.session import get_spark
 from data_warehousing_assignment_spark.operators import graph as gr
 from data_warehousing_assignment_spark.operators import similarity as sim
-from data_warehousing_assignment_spark.operators.ivf import build_ivf_index
 from data_warehousing_assignment_spark.registry import t
 from data_warehousing_assignment_spark.registry_advanced import (
     _BOOT_G,
@@ -116,12 +115,11 @@ def pin_pagerank(spark, sf_dir):
 
 def pin_clustering_coef(spark, sf_dir):
     """Engine: full sf10 lineitem scan, parts filtered to the 5% sample,
-    then the exact operator chain (part_copurchase_edges →
-    oriented_triangles → per-corner credit → top-20). Replay: adjacency-
-    set triangle counting in pure Python over the same induced edges."""
+    then the SHARED registry body (part_copurchase_edges →
+    graph.clustering_coefficient_top). Replay: adjacency-set triangle
+    counting in pure Python over the same induced edges."""
     from data_warehousing_assignment_spark.operators.graph import (
-        node_degrees,
-        oriented_triangles,
+        clustering_coefficient_top,
         part_copurchase_edges,
     )
 
@@ -131,34 +129,11 @@ def pin_clustering_coef(spark, sf_dir):
         .select("l_orderkey", "l_partkey")
     )
     edges = part_copurchase_edges(li)
-    deg = node_degrees(edges)
-    tris = oriented_triangles(edges)
-    corners = (
-        tris.select(F.col("a").alias("node"))
-        .unionAll(tris.select(F.col("b").alias("node")))
-        .unionAll(tris.select(F.col("c").alias("node")))
-    )
-    pertri = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
     got = [
         (r.part_key, r.degree, r.n_triangles, r.coef_ppm)
-        for r in (
-            deg.withColumnRenamed("n", "node")
-            .join(pertri, "node", "left")
-            .filter(F.col("d") >= 10)
-            .select(
-                F.col("node").alias("part_key"),
-                F.col("d").alias("degree"),
-                F.coalesce("n_tri", F.lit(0)).cast("bigint")
-                .alias("n_triangles"),
-                F.expr(
-                    "CAST((2000000 * coalesce(n_tri, 0)) div (d * (d - 1))"
-                    " AS BIGINT)"
-                ).alias("coef_ppm"),
-            )
-            .orderBy(F.desc("coef_ppm"), F.asc("part_key"))
-            .limit(20)
-            .collect()
-        )
+        for r in clustering_coefficient_top(
+            edges, min_degree=10, k=20
+        ).collect()
     ]
     epairs = {(r.u, r.v) for r in edges.collect()}
 
@@ -186,54 +161,23 @@ def pin_clustering_coef(spark, sf_dir):
 # ---------------------------------------------------------- semantic-dedup
 
 def pin_semantic_dedup(spark, sf_dir):
-    """Engine: the exact SemDeDup pipeline (deterministic integer Lloyd
-    from operators/ivf.py, k = n/500 rule, within-cluster domination at
-    cosine ≥ 0.5) on the 1% vector sample of the sf10 corpus. Replay:
-    the full pipeline in pure Python — quantize, seeded Lloyd with
-    round-half-away integer means, argmin assignment with cluster
-    tiebreak, pairwise domination."""
+    """Engine: the SHARED registry body (registry_corpus.
+    semantic_dedup_frame — deterministic integer Lloyd, k = n/500 rule,
+    within-cluster domination at cosine ≥ 0.5) on the 1% vector sample
+    of the sf10 corpus, so the pin exercises the shipped pipeline, not
+    a copy (r12 review). Replay: the full pipeline in pure Python —
+    quantize, seeded Lloyd with round-half-away integer means, argmin
+    assignment with cluster tiebreak, pairwise domination."""
+    from data_warehousing_assignment_spark.registry_corpus import (
+        semantic_dedup_frame,
+    )
+
     emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 100 == 0)
     n = emb.count()
     k = max(8, min(256, n // 500))
-    _, assign = build_ivf_index(
-        emb, id_col="vec_id", vec_col="embedding", n_clusters=k, n_iters=2
-    )
-    vecs = emb.select(
-        "vec_id", sim.quantize("embedding").alias("qv")
-    ).join(assign, "vec_id")
-    vecs = vecs.withColumn(
-        "nrm", F.sqrt(sim.int_dot(F.col("qv"), F.col("qv")).cast("double"))
-    )
-    a = vecs.select(
-        F.col("vec_id").alias("id_a"), F.col("qv").alias("qa"),
-        F.col("nrm").alias("na"), "cluster",
-    )
-    b = vecs.select(
-        F.col("vec_id").alias("id_b"), F.col("qv").alias("qb"),
-        F.col("nrm").alias("nb"), "cluster",
-    )
-    dominated = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            sim.int_dot(F.col("qa"), F.col("qb")).cast("double")
-            / (F.col("na") * F.col("nb"))
-            >= 0.5
-        )
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-    )
     got = {
         r.vec_id: (r.cluster, r.kept)
-        for r in vecs.join(
-            dominated.withColumn("_dom", F.lit(1)), "vec_id", "left"
-        )
-        .select(
-            "vec_id",
-            F.col("cluster").cast("bigint").alias("cluster"),
-            F.col("_dom").isNull().alias("kept"),
-        )
-        .collect()
+        for r in semantic_dedup_frame(emb).collect()
     }
 
     con = duckdb.connect()
