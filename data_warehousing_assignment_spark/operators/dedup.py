@@ -725,7 +725,9 @@ def minhash_lsh_incremental_candidates(
     exactly the FULL-corpus candidate set restricted to pairs touching
     the new batch — bucket joins on identical keys make incremental ≡
     full∖(old×old) by construction. Returns (doc_a, doc_b, pair_type ∈
-    {'cross', 'new-new'}) with doc_a < doc_b."""
+    {'cross', 'new-new'}) with doc_a < doc_b. Id overlap between the
+    frames (a batch re-ingesting a settled doc) is tolerated: the cross
+    branch drops self-collisions, so the contract holds either way."""
     r = k // bands
 
     def keyed(df: DataFrame, alias: str) -> DataFrame:
@@ -741,6 +743,11 @@ def minhash_lsh_incremental_candidates(
     new_keyed = keyed(new_df, "_new")
     cross = (
         new_keyed.join(old_keyed, on=["band", "band_hash"])
+        # A doc id present in BOTH frames (a batch re-ingesting a settled
+        # doc) would otherwise collide with itself on every shared band
+        # key and emit a degenerate (x, x) row — least==greatest violates
+        # the doc_a < doc_b contract below.
+        .filter(F.col("_new") != F.col("_old"))
         .select(
             F.least("_new", "_old").alias("doc_a"),
             F.greatest("_new", "_old").alias("doc_b"),

@@ -459,3 +459,141 @@ def test_incremental_lsh_equals_full_candidates_touching_batch(spark):
         is_nn = r.doc_a % 5 == 0 and r.doc_b % 5 == 0
         assert r.pair_type == ("new-new" if is_nn else "cross")
         assert r.doc_a < r.doc_b
+
+
+def test_incremental_lsh_overlapping_ids_no_self_pairs(spark):
+    """A batch that re-ingests docs already in the settled corpus must not
+    emit degenerate (x, x) cross pairs (ADVICE r12): self-collisions on
+    shared band keys are dropped before least/greatest orients the pair."""
+    from data_warehousing_assignment_spark.operators.dedup import (
+        minhash_lsh_incremental_candidates,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    # batch = every 5th doc; corpus = EVERYTHING (batch included)
+    got = minhash_lsh_incremental_candidates(
+        docs,
+        docs.filter(F.col("doc_id") % 5 == 0),
+        "doc_id",
+        "text",
+    ).collect()
+    assert got  # overlap region has near-dups at this SF
+    for r in got:
+        assert r.doc_a < r.doc_b  # in particular: no (x, x)
+
+
+def test_incremental_lsh_three_batch_chain_converges_and_is_idempotent(spark):
+    """VERDICT r12 #5: the production shape is a CHAIN — apply batch k
+    against the settled corpus, fold it in, apply k+1. Pins (a) the union
+    of per-step candidates over a 3-batch chain equals the full-corpus
+    candidate set, and (b) re-applying an already-folded batch yields the
+    same pair set again (idempotent probe, no new or degenerate pairs)."""
+    from data_warehousing_assignment_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_lsh_incremental_candidates,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_candidates(docs, "doc_id", "text").collect()
+    }
+
+    corpus = batches[0]
+    chain = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_candidates(
+            batches[0], "doc_id", "text"
+        ).collect()
+    }
+    step_pairs = []
+    for b in batches[1:]:
+        step = {
+            (r.doc_a, r.doc_b)
+            for r in minhash_lsh_incremental_candidates(
+                corpus, b, "doc_id", "text"
+            ).collect()
+        }
+        step_pairs.append(step)
+        chain |= step
+        corpus = corpus.unionByName(b)
+
+    # (a) convergence: chain accumulation == full-corpus candidates
+    assert chain == full
+
+    # (b) idempotency: re-applying batch 1 against the corpus that already
+    # contains it returns exactly the full pairs touching batch 1 — the
+    # same SET as the first application plus the new-new pairs it emitted
+    # then, with nothing degenerate and nothing new.
+    replay = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_incremental_candidates(
+            corpus, batches[1], "doc_id", "text"
+        ).collect()
+    }
+    touching_b1 = {
+        (a, b) for a, b in full if a % 3 == 1 or b % 3 == 1
+    }
+    assert replay == touching_b1
+    assert all(a < b for a, b in replay)
+
+
+def test_exact_dedup_incremental_three_batch_chain(spark):
+    """VERDICT r12 #5, exact-hash twin: chain 3 batches through the
+    corpus-hash-index classification (the op-ext-dedup-incremental shape)
+    and pin (a) the chained 'unique' survivors equal the batch-major /
+    id-minor first occurrence per normalized hash over the whole corpus,
+    and (b) re-applying a folded batch classifies every doc dup_of_corpus."""
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("h"),
+    )
+
+    def classify(corpus_hashes, batch):
+        firsts = batch.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+        return (
+            batch.join(
+                corpus_hashes.withColumn("_in", F.lit(True)), "h", "left"
+            )
+            .join(firsts, "h")
+            .select(
+                "doc_id",
+                F.when(F.col("_in").isNotNull(), F.lit("dup_of_corpus"))
+                .when(F.col("doc_id") > F.col("first_id"), F.lit("dup_in_batch"))
+                .otherwise(F.lit("unique"))
+                .alias("status"),
+            )
+        )
+
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    corpus_hashes = batches[0].select("h").distinct().limit(0)  # empty start
+    unique_ids = set()
+    for b in batches:
+        rows = classify(corpus_hashes, b).collect()
+        unique_ids |= {r.doc_id for r in rows if r.status == "unique"}
+        corpus_hashes = corpus_hashes.unionByName(
+            b.select("h")
+        ).distinct()
+
+    # (a) convergence: pure-Python replay of batch-major, id-minor firsts
+    all_rows = sorted(
+        ((r.doc_id % 3, r.doc_id, r.h) for r in docs.collect())
+    )
+    seen, want = set(), set()
+    for _, doc_id, h in all_rows:
+        if h not in seen:
+            seen.add(h)
+            want.add(doc_id)
+    assert unique_ids == want
+
+    # (b) idempotency: batch 1 re-applied against the full corpus index
+    replay = classify(corpus_hashes, batches[1]).collect()
+    assert replay and all(r.status == "dup_of_corpus" for r in replay)
