@@ -1357,13 +1357,25 @@ def op_ext_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Replicate means divide exact decimal sums; the CI is a percentile
     over the 48 replicate means (identical doubles in any engine — the
     Poisson inverse-CDF is integer thresholds on the 16-bit hash
-    slices, never a cross-engine exp())."""
+    slices, never a cross-engine exp()). Pipeline body shared with the
+    sf10 value pin via bootstrap_ci_frame (ADVICE r12: a pin that
+    re-implements the pipeline inline attests the OLD pipeline once
+    the op drifts)."""
     li = t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         "l_orderkey",
         "l_linenumber",
         (dec("l_extendedprice") * 100).cast("bigint").alias("x"),
     )
+    return bootstrap_ci_frame(li)
+
+
+def bootstrap_ci_frame(li: DataFrame) -> DataFrame:
+    """The exact Poisson-bootstrap pipeline over a prepared
+    (l_returnflag, l_orderkey, l_linenumber, x-in-cents) frame —
+    frame-parameterized so op-ext-bootstrap-ci (full lineitem) and
+    tools/scale_pins.pin_bootstrap_ci (0.5% sf10 row sample) run ONE
+    body and cannot drift apart."""
     spark_h = _BOOT_H.replace("AS VARCHAR", "AS STRING")
     hashed = li.withColumn(
         "g", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_G - 1)))

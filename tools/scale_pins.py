@@ -257,7 +257,14 @@ def pin_bootstrap_ci(spark, sf_dir):
     md5 → 16-bit slices → integer Poisson thresholds → 48 replicate
     means → exact percentile CI) on the 0.5% row sample of the sf10
     lineitem. Replay: hashlib md5 + the same integer thresholds and
-    interpolated percentile in pure Python."""
+    interpolated percentile in pure Python. The Spark side calls the
+    op's OWN frame-parameterized body (registry_advanced.
+    bootstrap_ci_frame — ADVICE r12: an inline pin re-implementation
+    keeps attesting the old pipeline if the op drifts)."""
+    from data_warehousing_assignment_spark.registry_advanced import (
+        bootstrap_ci_frame,
+    )
+
     li = (
         t(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") % 200 == 0)
@@ -267,53 +274,11 @@ def pin_bootstrap_ci(spark, sf_dir):
                    " AS BIGINT)").alias("x"),
         )
     )
-    spark_h = _BOOT_H.replace("AS VARCHAR", "AS STRING")
-    from data_warehousing_assignment_spark.registry_advanced import (
-        _pois_case,
-    )
-
-    hashed = li.withColumn(
-        "g", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_G - 1)))
-    ).withColumn("h", F.expr(spark_h))
-    rep = hashed.withColumn(
-        "j", F.explode(F.sequence(F.lit(0), F.lit(7)))
-    ).select(
-        "l_returnflag", "x",
-        (F.col("g") * 8 + F.col("j")).alias("b"),
-        F.expr(
-            _pois_case("CAST(conv(substring(h, j * 4 + 1, 4), 16, 10) AS INT)")
-        ).alias("w"),
-    )
-    means = rep.groupBy("l_returnflag", "b").agg(
-        (
-            F.sum(F.col("w").cast("decimal(38,0)") * F.col("x"))
-            .cast("double")
-            / F.nullif(F.sum("w"), F.lit(0)).cast("double")
-        ).alias("m")
-    )
-    base = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        (
-            F.sum(F.col("x").cast("decimal(38,0)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mean_cents"),
-    )
     got = {
         r.l_returnflag: (
             r.n_rows, r.mean_price, r.ci_lo, r.ci_hi
         )
-        for r in base.join(means, on="l_returnflag")
-        .groupBy("l_returnflag", "n_rows", "mean_cents")
-        .agg(
-            F.expr("percentile(m, 0.025) / 100.0").alias("ci_lo"),
-            F.expr("percentile(m, 0.975) / 100.0").alias("ci_hi"),
-        )
-        .select(
-            "l_returnflag", "n_rows",
-            (F.col("mean_cents") / 100.0).alias("mean_price"),
-            "ci_lo", "ci_hi",
-        )
-        .collect()
+        for r in bootstrap_ci_frame(li).collect()
     }
 
     con = duckdb.connect()
