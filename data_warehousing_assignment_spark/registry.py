@@ -100,34 +100,19 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = _load_driver_verified()
 #: artifact, DRIVER_VERIFIED_ROUND wins first in _driver_rank and this
 #: set stops mattering; stale entries are harmless by construction.
 _VERDICT_ROTATION = frozenset({
-    # r12: the r11 verdict's "Next round #5" — eight §2 ops whose
-    # oracles compared <10 rows were widened (wider group keys /
-    # month-scalar join), which is a CONTRACT CHANGE: their old green
-    # rows verified the narrow result, so all eight need fresh driver
-    # rows under the new semantics. Five of them were already in the
-    # r12 staleness window (r04–r05 greens); the other three
-    # (count-star, avg-round, distinct) were r11-green and ride here.
-    # The 11 never-sampled r11 ops front the window at rank 0
-    # regardless (r11 verdict #1) — 8 + 11 = 19 of ~50 slots, the
-    # rest drain the r04–r05 scalar-fn tail (r11 verdict #7).
-    "op-pred-distinct-from",
-    "op-pred-in",
-    "op-join-degenerate",
-    "op-fn-format",
-    "op-fn-current-date",
-    "op-agg-count-star",
-    "op-agg-avg-round",
-    "op-distinct",
-    # r12 contract change #2 (r11 verdict #2): the IVF-PQ operating
-    # point moved to n_probe=8 / rerank=100 after the measured recall
-    # experiment (tools/pq_experiment.py) — its r11 green row verified
-    # the old 4-probe/rerank-25 output.
-    "op-ext-ann-ivf-pq",
+    # r13 (r12 verdict #1): the ONLY two §2 ops whose external evidence
+    # predates r11 — both last driver-green in round 5, 8 rounds stale
+    # (every other §2 op is r11/r12-fresh). Not a contract change, a
+    # staleness refresh: rank -1 guarantees they front the r13 window
+    # instead of queuing behind the 70-odd r05/r06 extension cohort
+    # that the oldest-green drain serves this round.
+    "op-fn-fillna",
+    "op-fn-bool-expr",
 })
 
 #: Rotation entries verified BEFORE this round carry a stale contract
 #: (see _driver_rank); bump when refreshing _VERDICT_ROTATION.
-_CONTRACT_CHANGED_ROUND = 12
+_CONTRACT_CHANGED_ROUND = 13
 
 #: Ops registered AFTER this round's driver window was already exactly
 #: full (r9: 48 never-sampled + 1 rotation + 1 oldest-green = the whole

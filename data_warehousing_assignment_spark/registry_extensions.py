@@ -937,7 +937,12 @@ def _ivf_lloyd_round(src_c: str, n: int) -> str:
     )"""
 
 
-def _ivf_cand_ctes(c0_sql: str, n_probe: int = 4, query_mod: int = 100) -> str:
+def _ivf_cand_ctes(
+    c0_sql: str,
+    n_probe: int = 4,
+    query_mod: int = 100,
+    query_where: str | None = None,
+) -> str:
     """The IVF candidate-generation CTE chain (seeds → 2 unrolled Lloyd
     rounds → final assignment → ``n_probe``-cell probing →
     ``cand(query_id, neighbor_id)``) with the SEED CTE injected — shared
@@ -945,7 +950,12 @@ def _ivf_cand_ctes(c0_sql: str, n_probe: int = 4, query_mod: int = 100) -> str:
     the ADC-scoring IVF-PQ oracle, so the candidate set provably cannot
     drift between the exact and compressed operating points (the PQ op
     probes 8 since r12 — its measured ceiling experiment — while the
-    exact-IVF anchors stay at the documented 4)."""
+    exact-IVF anchors stay at the documented 4). ``query_where``
+    overrides the default ``vec_id % query_mod = 0`` spine — the
+    fixed-size audit sample (op-ext-ann-recall-sampled) injects a
+    ``qsample`` CTE via ``c0_sql`` and points the probe filter at it."""
+    if query_where is None:
+        query_where = f"vec_id % {query_mod} = 0"
     return f"""
     WITH emb AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
     idx AS (SELECT unnest(range(1, 65)) AS i),
@@ -970,7 +980,7 @@ def _ivf_cand_ctes(c0_sql: str, n_probe: int = 4, query_mod: int = 100) -> str:
         SELECT vec_id, cluster,
                ROW_NUMBER() OVER (PARTITION BY vec_id
                                   ORDER BY dd, cluster) AS rk
-        FROM dfin WHERE vec_id % {query_mod} = 0) WHERE rk <= {n_probe}
+        FROM dfin WHERE {query_where}) WHERE rk <= {n_probe}
     ),
     cand AS (
       SELECT p.query_id, c.neighbor_id
@@ -2956,16 +2966,142 @@ def op_ext_ann_recall_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     tools/pq_experiment.py. recall_ppm is an exact integer
     (1e6·hits // 5): hits are set-intersection counts of two
     deterministically-ranked top-5 lists, so the whole surface is
-    hash-exact cross-engine. SCALE: the IVF side is the standard
-    probed-cell scan; the brute-force side is O(Q·C) BY DESIGN — in
-    production Q is a small fixed audit sample (the %100 spine here),
-    which keeps the exact baseline linear in corpus size, the same
-    contract as op-ext-ann-bruteforce (the documented exact anchor).
-    At the 100× sweep this op inherits the pair-oracle exclusion class
-    (the DuckDB replay materializes Q·C pair rows), while its sf1
-    oracle run and the engine-side sf10 probe stand as evidence."""
+    hash-exact cross-engine. SCALE CONTRACT (r12 advice): this
+    registered form samples queries by vec_id % 50 — a MODULUS spine
+    whose Q grows linearly with the corpus, making the brute-force
+    ground truth O(C²/50); it is the small-SF DISCRIMINATING anchor
+    (densest oracle-comparable row set) and is only run at oracle SFs.
+    The production shape — Q pinned to a fixed-size deterministic
+    audit sample so the exact baseline stays linear in corpus size —
+    is registered as op-ext-ann-recall-sampled (same recall
+    arithmetic, md5-ordered 100-query sample); BASELINE.md records the
+    %-spine sf10 probe being killed past 27 min while the fixed-sample
+    probe ran in 54.5 s at 200k vectors. At the 100× sweep this op
+    inherits the pair-oracle exclusion class (the DuckDB replay
+    materializes Q·C pair rows), while its sf1 oracle run and the
+    sampled twin's sf10 evidence stand in."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact5 = sim.brute_force_cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ivf5 = iv.ivf_cosine_topk(
+        emb, queries, k=5, n_clusters=16, n_probe=8
+    ).select("query_id", F.col("neighbor_id").alias("_n"))
+    hits = (
+        exact5.join(
+            ivf5,
+            (exact5.query_id == ivf5.query_id)
+            & (exact5.neighbor_id == ivf5._n),
+            "left",
+        )
+        .groupBy(exact5.query_id)
+        .agg(F.count("_n").cast("bigint").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        F.expr("(1000000 * n_hits) div 5").alias("recall_ppm"),
+    )
+
+
+_RECALL_SAMPLED_ORACLE = f"""
+    {_ivf_cand_ctes('''
+    qsample AS (
+      SELECT vec_id FROM emb
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
+    ),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+             v AS centroid
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16)
+    )''', n_probe=8,
+    query_where='vec_id IN (SELECT vec_id FROM qsample)')},
+    nrms AS (
+      SELECT emb.vec_id, CAST(SUM(v[idx.i] * v[idx.i]) AS BIGINT) AS nrm
+      FROM emb, idx GROUP BY 1
+    ),
+    dots AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(SUM(q.v[idx.i] * n.v[idx.i]) AS BIGINT) AS dot
+      FROM cand c
+      JOIN emb q ON q.vec_id = c.query_id
+      JOIN emb n ON n.vec_id = c.neighbor_id, idx
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.query_id, d.neighbor_id,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.nrm AS DOUBLE))
+                  * sqrt(CAST(nc.nrm AS DOUBLE))) AS score
+      FROM dots d
+      JOIN nrms nq ON d.query_id = nq.vec_id
+      JOIN nrms nc ON d.neighbor_id = nc.vec_id
+    ),
+    ivf5 AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id) AS rank
+            FROM scored)
+      WHERE rank <= 5
+    ),
+    bdots AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             CAST(SUM(q.v[idx.i] * n.v[idx.i]) AS BIGINT) AS dot
+      FROM emb q JOIN emb n ON n.vec_id <> q.vec_id, idx
+      WHERE q.vec_id IN (SELECT vec_id FROM qsample)
+      GROUP BY 1, 2
+    ),
+    bscored AS (
+      SELECT d.query_id, d.neighbor_id,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.nrm AS DOUBLE))
+                  * sqrt(CAST(nc.nrm AS DOUBLE))) AS score
+      FROM bdots d
+      JOIN nrms nq ON d.query_id = nq.vec_id
+      JOIN nrms nc ON d.neighbor_id = nc.vec_id
+    ),
+    exact5 AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id) AS rank
+            FROM bscored)
+      WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+           CAST((1000000 * COUNT(i.neighbor_id)) // 5 AS BIGINT)
+             AS recall_ppm
+    FROM exact5 e
+    LEFT JOIN ivf5 i ON e.query_id = i.query_id
+                    AND e.neighbor_id = i.neighbor_id
+    GROUP BY 1
+    """
+
+
+@query("op-ext-ann-recall-sampled", oracle=_RECALL_SAMPLED_ORACLE)
+def op_ext_ann_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION shape of the ANN recall monitor (r12 verdict #2):
+    recall@5 of the shipped IVF cut (16 cells, n_probe=8) against the
+    exact brute-force top-5 over a FIXED-SIZE deterministic audit
+    sample — the 100 lowest vec_ids by md5(vec_id) order (a content-
+    addressed pseudo-random draw both engines rank identically, tie-
+    broken by vec_id). Q is pinned at min(100, corpus), so the exact
+    ground-truth side is O(100·C) — LINEAR in corpus size — where the
+    %50 modulus spine of op-ext-ann-recall-surface (the small-SF
+    discriminating anchor) grows Q with the corpus and went
+    quadratic: BASELINE.md records its sf10 probe killed past 27 min
+    while this fixed-sample shape ran 54.5 s at 200k vectors. Same
+    recall arithmetic as the surface op — exact integer recall_ppm =
+    1e6·|exact5 ∩ ivf5| // 5 per query — so the monitor an operator
+    alarms on at 100 TB is the op that is oracle-verified here, not a
+    probe-only variant. The Q-bounded ground truth also keeps the
+    DuckDB replay feasible far beyond the %-spine's range."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(100)
+    )
     exact5 = sim.brute_force_cosine_topk(emb, queries, k=5).select(
         "query_id", "neighbor_id"
     )

@@ -33,6 +33,11 @@ ALLOWED = {
     # plus the sanctioned IVF centroid-assign crossJoin (registry_
     # extensions.op_ext_ann_recall_surface)
     "op-ext-ann-recall-surface": {"cartesian"},
+    # same two sanctioned shapes, but the query side is PINNED at 100
+    # rows (md5-ordered audit sample) so the ground-truth cartesian is
+    # O(100·C) — linear in corpus — by contract (registry_extensions.
+    # op_ext_ann_recall_sampled, r12 verdict #2)
+    "op-ext-ann-recall-sampled": {"cartesian"},
     # rides the same brute-force broadcast-query cartesian as ann-bruteforce
     "op-ext-knn-classify": {"cartesian"},
     # exact-ranking ground layer: O(Q·C) brute force BY CONTRACT, like
