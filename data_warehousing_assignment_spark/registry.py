@@ -108,6 +108,11 @@ _VERDICT_ROTATION = frozenset({
     # that the oldest-green drain serves this round.
     "op-fn-fillna",
     "op-fn-bool-expr",
+    # r13 contract change (r12 verdict #3): op-ext-bpe-learn now returns
+    # the 1-row structural audit with a DuckDB oracle — its r9 row was a
+    # rows-only `err: no_oracle` artifact under the old merge-table
+    # contract, so it needs a fresh oracle-backed driver row.
+    "op-ext-bpe-learn",
 })
 
 #: Rotation entries verified BEFORE this round carry a stale contract

@@ -1559,9 +1559,37 @@ def op_ext_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("op-ext-bpe-learn")  # iterative driver-argmax loop → rows-only;
-# exact semantics pinned against a pure-Python reference BPE in
-# tests/test_advanced.py (same pattern as the CC / EWMA iterative ops)
+@query(
+    "op-ext-bpe-learn",
+    oracle=r"""
+    WITH uni AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents
+    ),
+    words AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM uni WHERE len(w) > 0 GROUP BY 1
+    ),
+    syms AS (
+      SELECT n, list_append(regexp_extract_all(w, '.'), '▁') AS s
+      FROM words
+    ),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(s)), i -> s[i])) AS l,
+             unnest(list_transform(range(1, len(s)), i -> s[i + 1])) AS r,
+             n
+      FROM syms WHERE len(s) >= 2
+    ),
+    pc AS (SELECT l, r, CAST(SUM(n) AS BIGINT) AS cnt FROM bg GROUP BY 1, 2),
+    top AS (SELECT l, r, cnt FROM pc ORDER BY cnt DESC, l, r LIMIT 1)
+    SELECT CAST(8 AS BIGINT) AS n_merges,
+           CAST(1 AS BIGINT) AS ranks_contiguous,
+           CAST(7 AS BIGINT) AS n_monotone,
+           CAST(8 AS BIGINT) AS n_composed,
+           l AS first_left, r AS first_right, cnt AS first_count
+    FROM top
+    """,
+)
 def op_ext_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the first 8 BPE merges from the documents corpus (Sennrich
     et al. 2016) — the tokenizer-training step of an LLM data pipeline.
@@ -1571,14 +1599,52 @@ def op_ext_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-local left-to-right fold applying the merge) — at 100 TB the
     rounds cost vocab-sized shuffles, never corpus passes. The merge
     TABLE is driver-sized by definition (it ships inside the tokenizer
-    binary)."""
+    binary).
+
+    STRUCTURAL ORACLE (r12 verdict #3, the fn-uuid recipe): the full
+    8-round loop is SQL-inexpressible (iterative driver argmax), but
+    the learned table's STRUCTURE is oracle-predictable, so the
+    registered query returns a 1-row structural audit instead of riding
+    rows-only: ROUND 1 is exactly one SQL round of weighted pair
+    counting — the oracle recomputes (first_left, first_right,
+    first_count) VALUE-exactly with the same (cnt desc, l, r) tiebreak
+    — and rank contiguity (1..8), monotone non-increasing selected
+    counts (a theorem: every new pair occurrence consumes a merge site
+    of the round's argmax, so round k+1's max ≤ round k's; 7 of 7
+    transitions), and closure (each merge's left/right is a single
+    char, the ▁ end-of-word marker, or the concat of an EARLIER merge;
+    8 of 8) are invariants a broken learner breaks. The raw merge
+    table stays available via text.learn_bpe_merges (pytest-pinned
+    against a pure-Python reference BPE in tests/test_advanced.py) and
+    ships frozen as text.BPE_MERGES_V1 for the oracle-exact encode
+    path (op-ext-bpe-apply)."""
     from data_warehousing_assignment_spark.operators import text as tx
 
     merges = tx.learn_bpe_merges(
         t(spark, sf_dir, "documents"), "text", n_merges=8
     )
+    ranks = [m[0] for m in merges]
+    counts = [m[3] for m in merges]
+    learned: set[str] = set()
+    n_composed = 0
+    for _, left, right, _ in merges:
+        if all(len(s) == 1 or s in learned for s in (left, right)):
+            n_composed += 1
+        learned.add(left + right)
+    row = (
+        len(merges),
+        int(ranks == list(range(1, len(merges) + 1))),
+        sum(1 for i in range(1, len(counts)) if counts[i] <= counts[i - 1]),
+        n_composed,
+        merges[0][1],
+        merges[0][2],
+        merges[0][3],
+    )
     return spark.createDataFrame(
-        merges, "merge_rank: bigint, left: string, right: string, pair_count: bigint"
+        [row],
+        "n_merges: bigint, ranks_contiguous: bigint, n_monotone: bigint,"
+        " n_composed: bigint, first_left: string, first_right: string,"
+        " first_count: bigint",
     )
 
 

@@ -54,24 +54,25 @@ def test_oracle_query_schema_is_scalar_only(spark, name, fn):
     )
 
 
-def test_rows_only_set_is_exactly_the_documented_three():
-    """Every registered query carries a DuckDB oracle EXCEPT the three
+def test_rows_only_set_is_exactly_the_documented_two():
+    """Every registered query carries a DuckDB oracle EXCEPT the two
     with a structural reason (r9 floor): dp-counts (JVM vs libm ln
-    differs in the last ulp — measured), bpe-learn (driver-argmax merge
-    loop; its 100 TB-side ENCODE path is oracle-backed as
-    op-ext-bpe-apply), mllib-minhash (independence cross-check; an
-    oracle would defeat it). kcore left the set in r9 — its peel unrolls
-    to a bounded SQL cascade (registry_sketch._kcore_oracle); fn-uuid
-    left in r11 — its VALUES are nondeterministic but its STRUCTURE
-    (count, distinctness, RFC-4122 shape) is oracle-predictable, so it
-    now returns the structural summary. A new query landing without an
-    oracle, or an oracle being silently dropped, must be a deliberate
-    decision — this test forces the conversation."""
+    differs in the last ulp — measured), mllib-minhash (independence
+    cross-check; an oracle would defeat it). kcore left the set in r9 —
+    its peel unrolls to a bounded SQL cascade
+    (registry_sketch._kcore_oracle); fn-uuid left in r11 — its VALUES
+    are nondeterministic but its STRUCTURE (count, distinctness,
+    RFC-4122 shape) is oracle-predictable, so it returns the structural
+    summary; bpe-learn left in r13 the same way (round-1 argmax is
+    VALUE-exact in SQL; contiguity/monotonicity/closure are predicted
+    invariants — registry_advanced.op_ext_bpe_learn). A new query
+    landing without an oracle, or an oracle being silently dropped,
+    must be a deliberate decision — this test forces the
+    conversation."""
     import __spark_entry__ as e
 
     rows_only = set(e.queries()) - set(e.oracle_sql())
     assert rows_only == {
         "op-ext-dp-counts",
-        "op-ext-bpe-learn",
         "op-ext-mllib-minhash",
     }, rows_only

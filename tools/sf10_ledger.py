@@ -201,8 +201,11 @@ EXCLUSIONS = {
     # (batch F7); the ×8 explode is what tips it over.
     "op-ext-ann-ivf-pq": "hash-explode",
     # rows-only by documented nature (no oracle at ANY sf).
+    # op-ext-bpe-learn left this set in r13: it returns a 1-row
+    # structural audit with a DuckDB oracle (round-1 argmax value-exact)
+    # and is sf10-checkable — the learn loop is vocab-sized, and the
+    # ×100 synthesis replicates documents so the vocab doesn't grow.
     "op-ext-dp-counts": "rows-only",
-    "op-ext-bpe-learn": "rows-only",
     "op-ext-mllib-minhash": "rows-only",
 }
 
