@@ -3123,3 +3123,289 @@ def op_ext_ann_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         F.expr("(1000000 * n_hits) div 5").alias("recall_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# hybrid retrieval (r13): RRF fusion of the IVF dense ranking with a
+# doc-level BM25 lexical ranking over one fixed query sample
+# --------------------------------------------------------------------------
+
+_HYBRID_ORACLE = f"""
+    {_ivf_cand_ctes('''
+    qsample AS (
+      SELECT vec_id FROM emb
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
+    ),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+             v AS centroid
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16)
+    )''',
+    query_where='vec_id IN (SELECT vec_id FROM qsample)')},
+    nrms AS (
+      SELECT emb.vec_id, CAST(SUM(v[idx.i] * v[idx.i]) AS BIGINT) AS nrm
+      FROM emb, idx GROUP BY 1
+    ),
+    ddots AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(SUM(q.v[idx.i] * n.v[idx.i]) AS BIGINT) AS dot
+      FROM cand c
+      JOIN emb q ON q.vec_id = c.query_id
+      JOIN emb n ON n.vec_id = c.neighbor_id, idx
+      GROUP BY 1, 2
+    ),
+    dscored AS (
+      SELECT d.query_id, d.neighbor_id,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.nrm AS DOUBLE))
+                  * sqrt(CAST(nc.nrm AS DOUBLE))) AS cos
+      FROM ddots d
+      JOIN nrms nq ON d.query_id = nq.vec_id
+      JOIN nrms nc ON d.neighbor_id = nc.vec_id
+    ),
+    dense20 AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS r
+      FROM dscored
+    ),
+    tf AS (
+      SELECT doc_id, t.tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, {_TOKS} AS tk FROM documents) d,
+           unnest(d.tk) AS t(tok)
+      GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl
+           FROM documents),
+    stats AS (
+      SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             COUNT(*) AS n_docs
+      FROM dl
+    ),
+    idf AS (
+      SELECT tok, ln(1.0 + (s.n_docs - COUNT(*) + 0.5) / (COUNT(*) + 0.5))
+                  AS idf
+      FROM tf CROSS JOIN stats s
+      GROUP BY tok, s.n_docs
+    ),
+    qt AS (
+      SELECT DISTINCT doc_id AS query_id, tok
+      FROM tf WHERE doc_id IN (SELECT vec_id FROM qsample)
+    ),
+    lterm AS (
+      SELECT q.query_id, tf.doc_id AS neighbor_id,
+             CAST(round(round(idf.idf * (tf.tf * 2.5)
+                   / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)),
+                   6) * 1000000, 0) AS BIGINT) AS mu
+      FROM qt q
+      JOIN tf ON tf.tok = q.tok AND tf.doc_id <> q.query_id
+      JOIN idf ON idf.tok = q.tok
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ),
+    lexscore AS (
+      SELECT query_id, neighbor_id, CAST(SUM(mu) AS BIGINT) AS bm25_micro
+      FROM lterm GROUP BY 1, 2
+    ),
+    lex20 AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY bm25_micro DESC, neighbor_id) AS r
+      FROM lexscore
+    ),
+    contrib AS (
+      SELECT query_id, neighbor_id, 1000000 // (60 + r) AS c
+      FROM dense20 WHERE r <= 20
+      UNION ALL
+      SELECT query_id, neighbor_id, 1000000 // (60 + r) AS c
+      FROM lex20 WHERE r <= 20
+    ),
+    fused AS (
+      SELECT query_id, neighbor_id, CAST(SUM(c) AS BIGINT) AS rrf_micro
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rrf_micro,
+           CAST(rank AS INT) AS fused_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY rrf_micro DESC, neighbor_id) AS rank
+          FROM fused)
+    WHERE rank <= 10
+    """
+
+
+@query("op-ext-hybrid-fusion", oracle=_HYBRID_ORACLE)
+def op_ext_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (r12 verdict #6): reciprocal-rank fusion
+    (Cormack, Clarke & Büttcher, SIGIR 2009) of the DENSE IVF cosine
+    ranking over ``embeddings`` with a LEXICAL doc-level BM25 ranking
+    over ``documents`` (k1=1.5, b=0.75 — the op-ext-bm25 constants,
+    re-aimed from term-per-doc to doc-per-query scoring), over one
+    fixed query sample (the md5-ordered 100-id audit draw of
+    op-ext-ann-recall-sampled; doc_id ≡ vec_id links the modalities).
+    This is the production retrieval stack's next step after IVF/PQ +
+    recall monitoring: lexical and dense rankers fail differently, and
+    RRF merges them with integer rank arithmetic (1e6 // (60+rank),
+    top-20 per list) that no score-scale mismatch can skew.
+
+    Determinism: the fusion is exact integer arithmetic; the dense
+    ranking replays the shared _ivf_cand_ctes candidates with exact
+    integer dot/norms; the BM25 side sums per-TERM fixed-point µ-unit
+    contributions (round to 6 dp → ×1e6 → BIGINT — double-round so
+    Spark's truncating cast and DuckDB's rounding cast agree), making
+    the per-doc score an ORDER-FREE integer sum; cross-engine
+    exactness therefore reduces to per-term ln bit-identity, the same
+    documented empirical contract op-ext-bm25 already rides (PSI/JSD
+    caveat).
+
+    SCALE: Q is pinned at 100, so the lexical side is a Q-bounded
+    inverted-index probe (query terms joined against the vocab-keyed
+    postings/tf table — sparse on a Zipf vocabulary, worst-case
+    O(Q·C) on this deliberately tiny synthetic vocab) and the dense
+    side is the standard probed-cell scan; the fusion itself touches
+    2·20 rank rows per query. Both ranking frames shuffle on their
+    natural keys (token, cluster); idf/dl/stats broadcast."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(100)
+    )
+    # --- dense leg: IVF candidates -> exact integer cosine -> top-20
+    centroids, assignments = iv.build_ivf_index(
+        emb, "vec_id", "embedding", 16
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        sim.quantize("embedding").alias("qvec"),
+    )
+    probes = iv._assign(q, centroids, n_probe=4).select(
+        "query_id", "qvec", "cluster"
+    )
+    cells = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        sim.quantize("embedding").alias("cv"),
+    ).join(
+        assignments.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+    )
+    dot = sim.int_dot(F.col("qvec"), F.col("cv"))
+    nq = F.sqrt(sim.int_dot(F.col("qvec"), F.col("qvec")).cast("double"))
+    nc = F.sqrt(sim.int_dot(F.col("cv"), F.col("cv")).cast("double"))
+    dscored = (
+        cells.join(F.broadcast(probes), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot.cast("double") / (nq * nc)).alias("cos"),
+        )
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.col("neighbor_id")
+    )
+    dense20 = (
+        dscored.withColumn("r", F.row_number().over(wd))
+        .filter(F.col("r") <= 20)
+        .select(
+            "query_id", "neighbor_id",
+            F.expr("1000000 div (60 + r)").alias("c"),
+        )
+    )
+    # --- lexical leg: BM25 doc ranking from the inverted tf table
+    from data_warehousing_assignment_spark.caching import pin
+
+    docs = docs_t(spark, sf_dir)
+    tf = pin(
+        docs.select("doc_id", F.explode(tx.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dl = docs.select(
+        "doc_id", F.size(tx.tokens("text")).cast("bigint").alias("dl")
+    )
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "tok",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    qt = (
+        tf.join(
+            F.broadcast(queries.select(F.col("vec_id").alias("doc_id"))),
+            "doc_id",
+        )
+        .select(F.col("doc_id").alias("query_id"), "tok")
+        .distinct()
+    )
+    lterm = (
+        qt.join(
+            tf.withColumnRenamed("doc_id", "neighbor_id"), "tok"
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(idf), "tok")
+        .join(
+            F.broadcast(dl.withColumnRenamed("doc_id", "neighbor_id")),
+            "neighbor_id",
+        )
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.round(
+                    F.col("idf") * (F.col("tf") * 2.5)
+                    / (
+                        F.col("tf")
+                        + 1.5
+                        * (F.lit(1.0) - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+                    ),
+                    6,
+                )
+                * 1000000,
+                0,
+            )
+            .cast("bigint")
+            .alias("mu"),
+        )
+    )
+    lexscore = lterm.groupBy("query_id", "neighbor_id").agg(
+        F.sum("mu").cast("bigint").alias("bm25_micro")
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25_micro"), F.col("neighbor_id")
+    )
+    lex20 = (
+        lexscore.withColumn("r", F.row_number().over(wl))
+        .filter(F.col("r") <= 20)
+        .select(
+            "query_id", "neighbor_id",
+            F.expr("1000000 div (60 + r)").alias("c"),
+        )
+    )
+    # --- RRF fusion: exact integer micro-contributions, top-10
+    fused = (
+        dense20.unionAll(lex20)
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("c").cast("bigint").alias("rrf_micro"))
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.col("neighbor_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rrf_micro",
+            F.col("fused_rank").cast("int"),
+        )
+    )

@@ -68,6 +68,13 @@ ALLOWED = {
     "op-ext-ann-ivf-pq": {"cartesian", "single-partition window"},
     # same IVF centroid-assign cartesian (build_ivf_index → _assign)
     "op-ext-rank-fusion": {"cartesian"},
+    # dense leg rides the sanctioned IVF centroid-assign cartesian (as
+    # op-ext-rank-fusion); lexical leg crossJoins the 1-row broadcast
+    # avgdl/n_docs stats frames (as op-ext-bm25), whose global aggs are
+    # the only Exchange SinglePartition in the plan — every row_number
+    # window is partitioned by query_id (registry_extensions.
+    # op_ext_hybrid_fusion; verified line-by-line r13)
+    "op-ext-hybrid-fusion": {"cartesian", "single-partition window"},
     # |labels|-row class-centroid frame broadcast onto the embedding
     # scan for the margin computation (registry_ml.py:891)
     "op-ext-calibration-ece": {"cartesian"},
