@@ -632,6 +632,127 @@ def op_ext_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# fusion evaluation: the retrieval metrics over the HYBRID ranking
+# --------------------------------------------------------------------------
+
+from data_warehousing_assignment_spark.registry_extensions import (  # noqa: E402
+    _hybrid_fused_ctes,
+    hybrid_fused_frame,
+)
+
+
+@query(
+    "op-ext-fusion-gain",
+    oracle=f"""
+    {_hybrid_fused_ctes()},
+    ftop AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY rrf_micro DESC, neighbor_id) AS rank
+        FROM fused)
+      WHERE rank <= {_RM_K}
+    ),
+    rel AS (
+      SELECT t.query_id, ql.label AS true_label, t.rank,
+             CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END AS is_rel
+      FROM ftop t
+      JOIN embeddings ql ON ql.vec_id = t.query_id
+      JOIN embeddings nl ON nl.vec_id = t.neighbor_id
+    ),
+    per_q AS (
+      SELECT query_id, true_label,
+             MIN(CASE WHEN is_rel = 1 THEN rank END) AS first_rel,
+             CAST(SUM(is_rel * ({_RM_DISC_SQL})) AS BIGINT) AS dcg_x1e9,
+             CAST(SUM(is_rel) AS BIGINT) AS n_rel
+      FROM rel GROUP BY 1, 2
+    )
+    SELECT true_label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_hit,
+           CAST(SUM(COALESCE(1000000000 // first_rel, 0)) AS BIGINT)
+             AS sum_rr_x1e9,
+           CAST(SUM(dcg_x1e9) AS BIGINT) AS sum_dcg_x1e9,
+           CAST(SUM({_RM_IDCG_SQL}) AS BIGINT) AS sum_idcg_x1e9
+    FROM per_q GROUP BY 1
+    """,
+)
+def op_ext_fusion_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval metrics over the HYBRID ranking (r13, closing the
+    fusion loop): exact MRR and NDCG@10 per label class for the fused
+    BM25×IVF RRF list — the same fixed-point arithmetic as
+    op-ext-retrieval-metrics (log2 discounts precomputed as ×1e9
+    integer literals, reciprocal ranks integer-divided), so comparing
+    the two ops' outputs IS the measured fusion gain a retrieval stack
+    reads before shipping a hybrid ranker. The ranking side is the
+    shared hybrid_fused_frame / _hybrid_fused_ctes body (fixed
+    100-query md5 audit sample, Q-bounded at scale); relevance =
+    neighbor shares the query's label. SCALE: metric aggregation is
+    two map-side-combined passes over 10·|Q| rank rows on top of the
+    hybrid pipeline's documented shapes."""
+    fused = hybrid_fused_frame(spark, sf_dir)
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.col("neighbor_id")
+    )
+    top = (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= _RM_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    qlab = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    nlab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("_nl")
+    )
+    disc = F.when(F.col("rank") == 1, F.lit(_RM_W[0]))
+    for r in range(2, _RM_K + 1):
+        disc = disc.when(F.col("rank") == r, F.lit(_RM_W[r - 1]))
+    rel = (
+        top.join(F.broadcast(qlab), "query_id")
+        .join(nlab, "neighbor_id")
+        .select(
+            "query_id",
+            "true_label",
+            "rank",
+            (F.col("_nl") == F.col("true_label")).cast("long").alias(
+                "is_rel"
+            ),
+            disc.alias("_w"),
+        )
+    )
+    idcg = F.when(F.col("n_rel") == 0, F.lit(0))
+    for m in range(1, _RM_K + 1):
+        idcg = idcg.when(F.col("n_rel") == m, F.lit(_RM_P[m]))
+    per_q = rel.groupBy("query_id", "true_label").agg(
+        F.min(F.when(F.col("is_rel") == 1, F.col("rank"))).alias(
+            "first_rel"
+        ),
+        F.sum(F.col("is_rel") * F.col("_w")).cast("bigint").alias(
+            "dcg_x1e9"
+        ),
+        F.sum("is_rel").cast("bigint").alias("n_rel"),
+    )
+    return per_q.groupBy("true_label").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.col("first_rel").isNotNull().cast("long"))
+        .cast("bigint")
+        .alias("n_with_hit"),
+        F.sum(
+            F.coalesce(
+                F.expr("1000000000 div first_rel"), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("sum_rr_x1e9"),
+        F.sum("dcg_x1e9").cast("bigint").alias("sum_dcg_x1e9"),
+        F.sum(idcg).cast("bigint").alias("sum_idcg_x1e9"),
+    )
+
+
+# --------------------------------------------------------------------------
 # robust (MAD) outlier screening
 # --------------------------------------------------------------------------
 

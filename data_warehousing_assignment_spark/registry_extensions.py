@@ -3130,7 +3130,12 @@ def op_ext_ann_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doc-level BM25 lexical ranking over one fixed query sample
 # --------------------------------------------------------------------------
 
-_HYBRID_ORACLE = f"""
+def _hybrid_fused_ctes() -> str:
+    """The hybrid-retrieval CTE chain ending at ``fused(query_id,
+    neighbor_id, rrf_micro)`` — shared verbatim by the ranking oracle
+    (op-ext-hybrid-fusion) and the evaluation oracle
+    (op-ext-fusion-gain in registry_advanced), so the two can't drift."""
+    return f"""
     {_ivf_cand_ctes('''
     qsample AS (
       SELECT vec_id FROM emb
@@ -3223,7 +3228,11 @@ _HYBRID_ORACLE = f"""
     fused AS (
       SELECT query_id, neighbor_id, CAST(SUM(c) AS BIGINT) AS rrf_micro
       FROM contrib GROUP BY 1, 2
-    )
+    )"""
+
+
+_HYBRID_ORACLE = f"""
+    {_hybrid_fused_ctes()}
     SELECT query_id, neighbor_id, rrf_micro,
            CAST(rank AS INT) AS fused_rank
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -3264,6 +3273,29 @@ def op_ext_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is the standard probed-cell scan; the fusion itself touches
     2·20 rank rows per query. Both ranking frames shuffle on their
     natural keys (token, cluster); idf/dl/stats broadcast."""
+    fused = hybrid_fused_frame(spark, sf_dir)
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.col("neighbor_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rrf_micro",
+            F.col("fused_rank").cast("int"),
+        )
+    )
+
+
+def hybrid_fused_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid RRF pipeline up to the fused scores —
+    ``(query_id, neighbor_id, rrf_micro)`` before any top-k cut.
+    Frame-parameterized body shared by op-ext-hybrid-fusion (top-10
+    ranking) and op-ext-fusion-gain (exact MRR/NDCG evaluation in
+    registry_advanced), mirroring the shared ``_hybrid_fused_ctes``
+    oracle chain so engine and oracle cannot drift independently."""
     emb = t(spark, sf_dir, "embeddings")
     queries = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
@@ -3390,22 +3422,9 @@ def op_ext_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("1000000 div (60 + r)").alias("c"),
         )
     )
-    # --- RRF fusion: exact integer micro-contributions, top-10
-    fused = (
+    # --- RRF fusion: exact integer micro-contributions
+    return (
         dense20.unionAll(lex20)
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("c").cast("bigint").alias("rrf_micro"))
-    )
-    wf = Window.partitionBy("query_id").orderBy(
-        F.desc("rrf_micro"), F.col("neighbor_id")
-    )
-    return (
-        fused.withColumn("fused_rank", F.row_number().over(wf))
-        .filter(F.col("fused_rank") <= 10)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rrf_micro",
-            F.col("fused_rank").cast("int"),
-        )
     )

@@ -69,3 +69,54 @@ def test_hybrid_fusion_contract(spark):
     flat = [x.rrf_micro for rs in by_q.values() for x in rs]
     assert any(s > max_single for s in flat)
     assert any(s <= max_single for s in flat)
+
+
+def test_fusion_gain_replays_from_hybrid_output(spark):
+    """op-ext-fusion-gain must equal a pure-Python metric replay over
+    op-ext-hybrid-fusion's own top-10 plus the label column — same ×1e9
+    fixed-point discounts, same IDCG prefix sums."""
+    from data_warehousing_assignment_spark.registry_advanced import (
+        _RM_P,
+        _RM_W,
+        op_ext_fusion_gain,
+    )
+    from data_warehousing_assignment_spark.registry_extensions import (
+        op_ext_hybrid_fusion,
+    )
+
+    top = op_ext_hybrid_fusion(spark, SF_SMALL).collect()
+    labels = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(
+            f"{SF_SMALL}/embeddings.parquet"
+        ).collect()
+    }
+    per_q = {}
+    for r in top:
+        tl = labels[r.query_id]
+        first_rel, dcg, n_rel = per_q.get(r.query_id, (None, 0, 0))
+        if labels[r.neighbor_id] == tl:
+            if first_rel is None:
+                first_rel = r.fused_rank
+            dcg += _RM_W[r.fused_rank - 1]
+            n_rel += 1
+        per_q[r.query_id] = (first_rel, dcg, n_rel)
+    want = {}
+    for q, (fr, dcg, n_rel) in per_q.items():
+        tl = labels[q]
+        nq, nh, rr, sd, si = want.get(tl, (0, 0, 0, 0, 0))
+        want[tl] = (
+            nq + 1,
+            nh + (fr is not None),
+            rr + (1_000_000_000 // fr if fr else 0),
+            sd + dcg,
+            si + _RM_P[n_rel],
+        )
+    got = {
+        r.true_label: (
+            r.n_queries, r.n_with_hit, r.sum_rr_x1e9,
+            r.sum_dcg_x1e9, r.sum_idcg_x1e9,
+        )
+        for r in op_ext_fusion_gain(spark, SF_SMALL).collect()
+    }
+    assert got == want

@@ -75,6 +75,9 @@ ALLOWED = {
     # window is partitioned by query_id (registry_extensions.
     # op_ext_hybrid_fusion; verified line-by-line r13)
     "op-ext-hybrid-fusion": {"cartesian", "single-partition window"},
+    # evaluation tail over the same hybrid pipeline — inherits exactly
+    # its sanctioned shapes (registry_advanced.op_ext_fusion_gain)
+    "op-ext-fusion-gain": {"cartesian", "single-partition window"},
     # |labels|-row class-centroid frame broadcast onto the embedding
     # scan for the margin computation (registry_ml.py:891)
     "op-ext-calibration-ece": {"cartesian"},
