@@ -751,17 +751,23 @@ def minhash_lsh_incremental_candidates(
         .select(
             F.least("_new", "_old").alias("doc_a"),
             F.greatest("_new", "_old").alias("doc_b"),
+            F.lit("cross").alias("pair_type"),
         )
-        .distinct()
-        .withColumn("pair_type", F.lit("cross"))
     )
     nn_left = new_keyed.withColumnRenamed("_new", "doc_a")
     nn_right = new_keyed.withColumnRenamed("_new", "doc_b")
     new_new = (
         nn_left.join(nn_right, on=["band", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-        .withColumn("pair_type", F.lit("new-new"))
+        .select("doc_a", "doc_b", F.lit("new-new").alias("pair_type"))
     )
-    return cross.unionByName(new_new)
+    # ONE pair-keyed aggregate replaces two per-branch distincts (one
+    # shuffle instead of two) and makes the output a set even when the
+    # frames' ids overlap: a pair with both endpoints in the batch also
+    # surfaces through its corpus copies in the cross branch, and
+    # max('new-new' > 'cross') keeps the honest label exactly once.
+    return (
+        cross.unionByName(new_new)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("pair_type").alias("pair_type"))
+    )

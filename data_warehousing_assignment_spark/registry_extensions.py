@@ -3005,18 +3005,41 @@ def op_ext_ann_recall_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RECALL_SAMPLED_ORACLE = f"""
-    {_ivf_cand_ctes('''
-    qsample AS (
+#: The fixed-size deterministic audit-sample spine shared by every
+#: fixed-Q op (recall-sampled, hybrid-fusion, fusion-gain): the 100
+#: lowest vec_ids by md5(vec_id) order — a content-addressed
+#: pseudo-random draw both engines rank identically, tie-broken by
+#: vec_id. ONE definition on each side (this CTE + audit_sample below)
+#: so the ops' claim of sharing a query set is enforced, not asserted.
+_QSAMPLE_CTE = """qsample AS (
       SELECT vec_id FROM emb
       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
-    ),
+    )"""
+
+_QSAMPLE_WHERE = "vec_id IN (SELECT vec_id FROM qsample)"
+
+
+def audit_sample(emb: DataFrame) -> DataFrame:
+    """Engine twin of :data:`_QSAMPLE_CTE` — pinned, because every
+    consumer feeds it to at least two downstream legs and an unpinned
+    frame would replay the full-table top-100 sort per leg."""
+    from data_warehousing_assignment_spark.caching import pin
+
+    return pin(
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(100)
+    )
+
+
+_RECALL_SAMPLED_ORACLE = f"""
+    {_ivf_cand_ctes(f'''
+    {_QSAMPLE_CTE},
     c0 AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
              v AS centroid
       FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16)
     )''', n_probe=8,
-    query_where='vec_id IN (SELECT vec_id FROM qsample)')},
+    query_where=_QSAMPLE_WHERE)},
     nrms AS (
       SELECT emb.vec_id, CAST(SUM(v[idx.i] * v[idx.i]) AS BIGINT) AS nrm
       FROM emb, idx GROUP BY 1
@@ -3049,7 +3072,7 @@ _RECALL_SAMPLED_ORACLE = f"""
       SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
              CAST(SUM(q.v[idx.i] * n.v[idx.i]) AS BIGINT) AS dot
       FROM emb q JOIN emb n ON n.vec_id <> q.vec_id, idx
-      WHERE q.vec_id IN (SELECT vec_id FROM qsample)
+      WHERE q.{_QSAMPLE_WHERE}
       GROUP BY 1, 2
     ),
     bscored AS (
@@ -3098,10 +3121,7 @@ def op_ext_ann_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe-only variant. The Q-bounded ground truth also keeps the
     DuckDB replay feasible far beyond the %-spine's range."""
     emb = t(spark, sf_dir, "embeddings")
-    queries = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(100)
-    )
+    queries = audit_sample(emb)
     exact5 = sim.brute_force_cosine_topk(emb, queries, k=5).select(
         "query_id", "neighbor_id"
     )
@@ -3136,17 +3156,14 @@ def _hybrid_fused_ctes() -> str:
     (op-ext-hybrid-fusion) and the evaluation oracle
     (op-ext-fusion-gain in registry_advanced), so the two can't drift."""
     return f"""
-    {_ivf_cand_ctes('''
-    qsample AS (
-      SELECT vec_id FROM emb
-      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
-    ),
+    {_ivf_cand_ctes(f'''
+    {_QSAMPLE_CTE},
     c0 AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
              v AS centroid
       FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16)
     )''',
-    query_where='vec_id IN (SELECT vec_id FROM qsample)')},
+    query_where=_QSAMPLE_WHERE)},
     nrms AS (
       SELECT emb.vec_id, CAST(SUM(v[idx.i] * v[idx.i]) AS BIGINT) AS nrm
       FROM emb, idx GROUP BY 1
@@ -3297,10 +3314,7 @@ def hybrid_fused_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry_advanced), mirroring the shared ``_hybrid_fused_ctes``
     oracle chain so engine and oracle cannot drift independently."""
     emb = t(spark, sf_dir, "embeddings")
-    queries = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(100)
-    )
+    queries = audit_sample(emb)
     # --- dense leg: IVF candidates -> exact integer cosine -> top-20
     centroids, assignments = iv.build_ivf_index(
         emb, "vec_id", "embedding", 16

@@ -479,8 +479,14 @@ def test_incremental_lsh_overlapping_ids_no_self_pairs(spark):
         "text",
     ).collect()
     assert got  # overlap region has near-dups at this SF
+    # exactly one row per pair (a both-in-batch pair also surfaces via
+    # its corpus copies in the cross branch — must not duplicate), the
+    # honest label on each, and no degenerate (x, x)
+    assert len(got) == len({(r.doc_a, r.doc_b) for r in got})
     for r in got:
         assert r.doc_a < r.doc_b  # in particular: no (x, x)
+        is_nn = r.doc_a % 5 == 0 and r.doc_b % 5 == 0
+        assert r.pair_type == ("new-new" if is_nn else "cross")
 
 
 def test_incremental_lsh_three_batch_chain_converges_and_is_idempotent(spark):
