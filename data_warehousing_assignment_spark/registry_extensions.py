@@ -3209,6 +3209,7 @@ def _hybrid_fused_ctes() -> str:
                   AS idf
       FROM tf CROSS JOIN stats s
       GROUP BY tok, s.n_docs
+      HAVING COUNT(*) * 10 <= s.n_docs * 9
     ),
     qt AS (
       SELECT DISTINCT doc_id AS query_id, tok
@@ -3289,7 +3290,13 @@ def op_ext_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(Q·C) on this deliberately tiny synthetic vocab) and the dense
     side is the standard probed-cell scan; the fusion itself touches
     2·20 rank rows per query. Both ranking frames shuffle on their
-    natural keys (token, cluster); idf/dl/stats broadcast."""
+    natural keys (token, cluster); idf/dl/stats broadcast. A
+    stop-term guard (df·10 ≤ n_docs·9, integer-exact both engines)
+    drops >90%-df terms whose idf ≈ 0 but whose postings are
+    O(corpus) — a no-op at tested SFs (max df ratio 0.83) and the
+    standard bound a production lexical index applies; measured
+    two-decade probe stays linear (6.0→26.6→244.5 s across
+    sf0.1→sf1→sf10, BASELINE.md r13)."""
     fused = hybrid_fused_frame(spark, sf_dir)
     wf = Window.partitionBy("query_id").orderBy(
         F.desc("rrf_micro"), F.col("neighbor_id")
@@ -3375,6 +3382,14 @@ def hybrid_fused_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(stats.select("n_docs")))
+        # Stop-term guard (integer-exact, mirrored in the oracle's
+        # HAVING): a term in >90% of documents contributes idf ≈
+        # ln(1.11) ≈ 0.1 — noise — while its postings list is O(corpus).
+        # Dropping it bounds the postings join the way every production
+        # lexical index does (stop lists / impact-ordered pruning à la
+        # WAND are the stronger forms). No-op on the tested corpora:
+        # max df ratio measured 0.78–0.83 across SFs.
+        .filter(F.col("df") * 10 <= F.col("n_docs") * 9)
         .select(
             "tok",
             F.log(
