@@ -3313,6 +3313,30 @@ def op_ext_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_guarded_idf(tf: DataFrame, stats: DataFrame) -> DataFrame:
+    """Per-token BM25 idf with the stop-term guard (integer-exact,
+    mirrored in the oracle's HAVING): a term in >90% of documents
+    contributes idf ≈ ln(1.11) ≈ 0.1 — noise — while its postings list
+    is O(corpus). Dropping it bounds the postings join the way every
+    production lexical index does (stop lists / impact-ordered pruning
+    à la WAND are the stronger forms). No-op on the tested corpora:
+    max df ratio measured 0.78–0.83 across SFs (threshold behavior
+    unit-pinned in tests/test_rank_fusion.py)."""
+    return (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .filter(F.col("df") * 10 <= F.col("n_docs") * 9)
+        .select(
+            "tok",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+
+
 def hybrid_fused_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hybrid RRF pipeline up to the fused scores —
     ``(query_id, neighbor_id, rrf_micro)`` before any top-k cut.
@@ -3378,26 +3402,7 @@ def hybrid_fused_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
         F.count(F.lit(1)).alias("n_docs"),
     )
-    idf = (
-        tf.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(stats.select("n_docs")))
-        # Stop-term guard (integer-exact, mirrored in the oracle's
-        # HAVING): a term in >90% of documents contributes idf ≈
-        # ln(1.11) ≈ 0.1 — noise — while its postings list is O(corpus).
-        # Dropping it bounds the postings join the way every production
-        # lexical index does (stop lists / impact-ordered pruning à la
-        # WAND are the stronger forms). No-op on the tested corpora:
-        # max df ratio measured 0.78–0.83 across SFs.
-        .filter(F.col("df") * 10 <= F.col("n_docs") * 9)
-        .select(
-            "tok",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ).alias("idf"),
-        )
-    )
+    idf = bm25_guarded_idf(tf, stats)
     qt = (
         tf.join(
             F.broadcast(queries.select(F.col("vec_id").alias("doc_id"))),

@@ -120,3 +120,26 @@ def test_fusion_gain_replays_from_hybrid_output(spark):
         for r in op_ext_fusion_gain(spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def test_stop_term_guard_threshold(spark):
+    """The lexical leg's stop-term guard: a term in >90% of docs is
+    dropped from scoring (idf ≈ 0, postings O(corpus)); at exactly 90%
+    it survives. Integer-exact boundary — no float threshold."""
+    from data_warehousing_assignment_spark.registry_extensions import (
+        bm25_guarded_idf,
+    )
+
+    # 10 docs: 'univ' in all 10 (df ratio 1.0 — dropped), 'edge' in 9
+    # (0.9 — kept), 'rare' in 2 (kept)
+    rows = [(d, "univ") for d in range(10)]
+    rows += [(d, "edge") for d in range(9)]
+    rows += [(d, "rare") for d in range(2)]
+    tf = spark.createDataFrame(rows, "doc_id: long, tok: string")
+    stats = spark.createDataFrame([(10,)], "n_docs: long")
+    kept = {
+        r.tok for r in bm25_guarded_idf(
+            tf, stats.selectExpr("n_docs", "0.0 as avgdl")
+        ).collect()
+    }
+    assert kept == {"edge", "rare"}
