@@ -637,26 +637,25 @@ def op_ext_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from data_warehousing_assignment_spark.registry_extensions import (  # noqa: E402
     _hybrid_fused_ctes,
+    _ivf_cand_ctes,
+    _QSAMPLE_CTE,
+    _QSAMPLE_WHERE,
+    audit_sample,
     hybrid_fused_frame,
 )
 
 
-@query(
-    "op-ext-fusion-gain",
-    oracle=f"""
-    {_hybrid_fused_ctes()},
-    ftop AS (
-      SELECT query_id, neighbor_id, rank FROM (
-        SELECT query_id, neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                   ORDER BY rrf_micro DESC, neighbor_id) AS rank
-        FROM fused)
-      WHERE rank <= {_RM_K}
-    ),
+def _metrics_tail_sql(top_cte: str) -> str:
+    """The exact fixed-point MRR/NDCG@10 aggregation over a ranked-list
+    CTE ``top_cte(query_id, neighbor_id, rank)`` with label relevance —
+    ONE definition shared by the fusion-gain and fusion-baseline
+    oracles so the two rankings are graded by literally the same
+    arithmetic (that's what makes their delta a measured gain)."""
+    return f"""
     rel AS (
       SELECT t.query_id, ql.label AS true_label, t.rank,
              CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END AS is_rel
-      FROM ftop t
+      FROM {top_cte} t
       JOIN embeddings ql ON ql.vec_id = t.query_id
       JOIN embeddings nl ON nl.vec_id = t.neighbor_id
     ),
@@ -676,31 +675,13 @@ from data_warehousing_assignment_spark.registry_extensions import (  # noqa: E40
            CAST(SUM(dcg_x1e9) AS BIGINT) AS sum_dcg_x1e9,
            CAST(SUM({_RM_IDCG_SQL}) AS BIGINT) AS sum_idcg_x1e9
     FROM per_q GROUP BY 1
-    """,
-)
-def op_ext_fusion_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retrieval metrics over the HYBRID ranking (r13, closing the
-    fusion loop): exact MRR and NDCG@10 per label class for the fused
-    BM25×IVF RRF list — the same fixed-point arithmetic as
-    op-ext-retrieval-metrics (log2 discounts precomputed as ×1e9
-    integer literals, reciprocal ranks integer-divided), so comparing
-    the two ops' outputs IS the measured fusion gain a retrieval stack
-    reads before shipping a hybrid ranker. The ranking side is the
-    shared hybrid_fused_frame / _hybrid_fused_ctes body (fixed
-    100-query md5 audit sample, Q-bounded at scale); relevance =
-    neighbor shares the query's label. SCALE: metric aggregation is
-    two map-side-combined passes over 10·|Q| rank rows on top of the
-    hybrid pipeline's documented shapes."""
-    fused = hybrid_fused_frame(spark, sf_dir)
-    wf = Window.partitionBy("query_id").orderBy(
-        F.desc("rrf_micro"), F.col("neighbor_id")
-    )
-    top = (
-        fused.withColumn("rank", F.row_number().over(wf))
-        .filter(F.col("rank") <= _RM_K)
-        .select("query_id", "neighbor_id", "rank")
-    )
-    emb = t(spark, sf_dir, "embeddings")
+    """
+
+
+def _retrieval_metrics_over(top: DataFrame, emb: DataFrame) -> DataFrame:
+    """Engine twin of :func:`_metrics_tail_sql` over a ranked frame
+    ``(query_id, neighbor_id, rank)`` — shared by op-ext-fusion-gain
+    and op-ext-fusion-baseline."""
     qlab = emb.select(
         F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
     )
@@ -750,6 +731,110 @@ def op_ext_fusion_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dcg_x1e9").cast("bigint").alias("sum_dcg_x1e9"),
         F.sum(idcg).cast("bigint").alias("sum_idcg_x1e9"),
     )
+
+
+@query(
+    "op-ext-fusion-gain",
+    oracle=f"""
+    {_hybrid_fused_ctes()},
+    ftop AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY rrf_micro DESC, neighbor_id) AS rank
+        FROM fused)
+      WHERE rank <= {_RM_K}
+    ),
+    {_metrics_tail_sql("ftop")}
+    """,
+)
+def op_ext_fusion_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval metrics over the HYBRID ranking (r13, closing the
+    fusion loop): exact MRR and NDCG@10 per label class for the fused
+    BM25×IVF RRF list — the same fixed-point arithmetic as
+    op-ext-retrieval-metrics (log2 discounts precomputed as ×1e9
+    integer literals, reciprocal ranks integer-divided), so comparing
+    the two ops' outputs IS the measured fusion gain a retrieval stack
+    reads before shipping a hybrid ranker. The ranking side is the
+    shared hybrid_fused_frame / _hybrid_fused_ctes body (fixed
+    100-query md5 audit sample, Q-bounded at scale); relevance =
+    neighbor shares the query's label. SCALE: metric aggregation is
+    two map-side-combined passes over 10·|Q| rank rows on top of the
+    hybrid pipeline's documented shapes."""
+    fused = hybrid_fused_frame(spark, sf_dir)
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.col("neighbor_id")
+    )
+    top = (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= _RM_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+    return _retrieval_metrics_over(top, t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "op-ext-fusion-baseline",
+    oracle=f"""
+    {_ivf_cand_ctes(f'''
+    {_QSAMPLE_CTE},
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+             v AS centroid
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16)
+    )''', query_where=_QSAMPLE_WHERE)},
+    nrms AS (
+      SELECT emb.vec_id, CAST(SUM(v[idx.i] * v[idx.i]) AS BIGINT) AS nrm
+      FROM emb, idx GROUP BY 1
+    ),
+    dots AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(SUM(q.v[idx.i] * n.v[idx.i]) AS BIGINT) AS dot
+      FROM cand c
+      JOIN emb q ON q.vec_id = c.query_id
+      JOIN emb n ON n.vec_id = c.neighbor_id, idx
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.query_id, d.neighbor_id,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.nrm AS DOUBLE))
+                  * sqrt(CAST(nc.nrm AS DOUBLE))) AS score
+      FROM dots d
+      JOIN nrms nq ON d.query_id = nq.vec_id
+      JOIN nrms nc ON d.neighbor_id = nc.vec_id
+    ),
+    dtop AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= {_RM_K}
+    ),
+    {_metrics_tail_sql("dtop")}
+    """,
+)
+def op_ext_fusion_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The like-for-like CONTROL for op-ext-fusion-gain: the identical
+    fixed-point MRR/NDCG@10 arithmetic (shared _metrics_tail_sql /
+    _retrieval_metrics_over bodies) over the DENSE-ONLY IVF ranking —
+    the same 16-cell/4-probe index the hybrid's dense leg probes — on
+    the SAME md5-ordered 100-query audit sample. Subtracting this op's
+    per-label sums from op-ext-fusion-gain's is the exact measured
+    fusion gain: same queries, same relevance labels, same metric
+    literals, only the ranking differs. (op-ext-retrieval-metrics is
+    NOT that control — it grades the exact brute-force ranking on the
+    %100 modulus spine, a different query set and a different ranking
+    ceiling.) SCALE: the probed-cell scan + 10·|Q| metric rows; Q
+    pinned at 100."""
+    from data_warehousing_assignment_spark.operators import ivf as iv
+
+    emb = t(spark, sf_dir, "embeddings")
+    top = iv.ivf_cosine_topk(
+        emb, audit_sample(emb), k=_RM_K, n_clusters=16, n_probe=4
+    ).select("query_id", "neighbor_id", "rank")
+    return _retrieval_metrics_over(top, emb)
 
 
 # --------------------------------------------------------------------------

@@ -143,3 +143,25 @@ def test_stop_term_guard_threshold(spark):
         ).collect()
     }
     assert kept == {"edge", "rare"}
+
+
+def test_fusion_baseline_same_query_sample_as_gain(spark):
+    """The control and the treatment must grade the SAME query sample:
+    per-label query counts identical, and both cover min(100, corpus)
+    queries in total — otherwise the 'gain' compares different tasks."""
+    from data_warehousing_assignment_spark.registry_advanced import (
+        op_ext_fusion_baseline,
+        op_ext_fusion_gain,
+    )
+
+    base = {
+        r.true_label: r.n_queries
+        for r in op_ext_fusion_baseline(spark, SF_SMALL).collect()
+    }
+    gain = {
+        r.true_label: r.n_queries
+        for r in op_ext_fusion_gain(spark, SF_SMALL).collect()
+    }
+    assert base == gain
+    n = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").count()
+    assert sum(base.values()) == min(100, n)

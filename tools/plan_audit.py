@@ -78,6 +78,10 @@ ALLOWED = {
     # evaluation tail over the same hybrid pipeline — inherits exactly
     # its sanctioned shapes (registry_advanced.op_ext_fusion_gain)
     "op-ext-fusion-gain": {"cartesian", "single-partition window"},
+    # dense-only control: the sanctioned IVF centroid-assign cartesian
+    # (as op-ext-ann-ivf) under the same metrics tail
+    # (registry_advanced.op_ext_fusion_baseline)
+    "op-ext-fusion-baseline": {"cartesian"},
     # |labels|-row class-centroid frame broadcast onto the embedding
     # scan for the margin computation (registry_ml.py:891)
     "op-ext-calibration-ece": {"cartesian"},
