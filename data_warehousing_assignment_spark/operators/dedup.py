@@ -764,10 +764,20 @@ def minhash_lsh_incremental_candidates(
     # ONE pair-keyed aggregate replaces two per-branch distincts (one
     # shuffle instead of two) and makes the output a set even when the
     # frames' ids overlap: a pair with both endpoints in the batch also
-    # surfaces through its corpus copies in the cross branch, and
-    # max('new-new' > 'cross') keeps the honest label exactly once.
+    # surfaces through its corpus copies in the cross branch, and the
+    # honest label must win exactly once. The priority is an EXPLICIT
+    # integer (new-new=1 > cross=0), not lexicographic max over the
+    # label strings — renaming a label can't silently flip the winner
+    # (r13 advice 3).
     return (
         cross.unionByName(new_new)
         .groupBy("doc_a", "doc_b")
-        .agg(F.max("pair_type").alias("pair_type"))
+        .agg(
+            F.when(
+                F.max((F.col("pair_type") == "new-new").cast("int")) == 1,
+                F.lit("new-new"),
+            )
+            .otherwise(F.lit("cross"))
+            .alias("pair_type")
+        )
     )

@@ -100,24 +100,60 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = _load_driver_verified()
 #: artifact, DRIVER_VERIFIED_ROUND wins first in _driver_rank and this
 #: set stops mattering; stale entries are harmless by construction.
 _VERDICT_ROTATION = frozenset({
-    # r13 (r12 verdict #1): the ONLY two §2 ops whose external evidence
-    # predates r11 — both last driver-green in round 5, 8 rounds stale
-    # (every other §2 op is r11/r12-fresh). Not a contract change, a
-    # staleness refresh: rank -1 guarantees they front the r13 window
-    # instead of queuing behind the 70-odd r05/r06 extension cohort
-    # that the oldest-green drain serves this round.
-    "op-fn-fillna",
-    "op-fn-bool-expr",
-    # r13 contract change (r12 verdict #3): op-ext-bpe-learn now returns
-    # the 1-row structural audit with a DuckDB oracle — its r9 row was a
-    # rows-only `err: no_oracle` artifact under the old merge-table
-    # contract, so it needs a fresh oracle-backed driver row.
-    "op-ext-bpe-learn",
+    # r14 (r13 verdict #3): drain the LAST ≤r06 evidence cohort to zero —
+    # the 27 r06-era relational/analytics ops below are the only
+    # registered queries whose last external green predates r07. All
+    # green on the full local gate every round since; this refresh makes
+    # the external ledger current.
+    "op-ext-asof-tolerance",
+    "op-ext-bigrams",
+    "op-ext-cdc-apply",
+    "op-ext-cohort-retention",
+    "op-ext-copurchase",
+    "op-ext-first-last",
+    "op-ext-funnel",
+    "op-ext-fuzzy-join",
+    "op-ext-interval-overlap",
+    "op-ext-json-extract",
+    "op-ext-lead-lag",
+    "op-ext-median",
+    "op-ext-minmax-by",
+    "op-ext-mode",
+    "op-ext-percent-rank",
+    "op-ext-range-frame",
+    "op-ext-regex-extract-all",
+    "op-ext-rolling-dau",
+    "op-ext-share-of-total",
+    "op-ext-stream-enrich",
+    "op-ext-string-agg",
+    "op-ext-transitions",
+    "op-ext-weighted-avg",
+    "op-ext-zscore-outliers",
+    "op-join-semi",
+    "op-scan-jsonl",
+    "op-union-all",
+    # r14 (r13 verdict #6): the two documented rows-only ops have never
+    # produced a green driver row (last sampled r9 as `err: no_oracle`,
+    # which IS their full check passing — but the ledger should show the
+    # driver's rows-only path succeeding at least once). Expected r14
+    # artifact: rows_match+schema_match true, err "no_oracle".
+    "op-ext-dp-counts",
+    "op-ext-mllib-minhash",
+    # r14 (r13 verdict #1): the BM25 family after the corpus-broadcast
+    # hint removal, plus fusion-baseline/hybrid after the cost-balanced
+    # k* sizing (#2) and the metrics-tail join-strategy fix (#7). No
+    # value change anywhere (k* floors at 16 at Q=100; hints are
+    # strategy-only) — but the judge asked for fresh hash-exact
+    # attestation of exactly these oracles, so they front the window.
+    "op-ext-bm25",
+    "op-ext-hybrid-fusion",
+    "op-ext-fusion-gain",
+    "op-ext-fusion-baseline",
 })
 
 #: Rotation entries verified BEFORE this round carry a stale contract
 #: (see _driver_rank); bump when refreshing _VERDICT_ROTATION.
-_CONTRACT_CHANGED_ROUND = 13
+_CONTRACT_CHANGED_ROUND = 14
 
 #: Ops registered AFTER this round's driver window was already exactly
 #: full (r9: 48 never-sampled + 1 rotation + 1 oldest-green = the whole

@@ -636,6 +636,7 @@ def op_ext_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 from data_warehousing_assignment_spark.registry_extensions import (  # noqa: E402
+    _HYBRID_C0_SQL,
     _hybrid_fused_ctes,
     _ivf_cand_ctes,
     _QSAMPLE_CTE,
@@ -681,7 +682,16 @@ def _metrics_tail_sql(top_cte: str) -> str:
 def _retrieval_metrics_over(top: DataFrame, emb: DataFrame) -> DataFrame:
     """Engine twin of :func:`_metrics_tail_sql` over a ranked frame
     ``(query_id, neighbor_id, rank)`` — shared by op-ext-fusion-gain
-    and op-ext-fusion-baseline."""
+    and op-ext-fusion-baseline.
+
+    Join strategy (r13 verdict #7 + the same defect class as #1): the
+    label frames are CORPUS-SIZED (one row per embedding — the former
+    ``F.broadcast(qlab)`` hint was a designed-in 100 TB driver OOM,
+    invisible at tested SFs), while ``top`` is Q-BOUNDED by construction
+    (≤ _RM_K·|Q| = 1000 rows at Q=100). So the broadcast hints go on the
+    rank-bounded side of BOTH label joins — the corpus side streams with
+    zero exchange; pinned in
+    tests/test_plan_shapes.py::test_retrieval_metrics_broadcasts_rank_frame."""
     qlab = emb.select(
         F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
     )
@@ -692,7 +702,7 @@ def _retrieval_metrics_over(top: DataFrame, emb: DataFrame) -> DataFrame:
     for r in range(2, _RM_K + 1):
         disc = disc.when(F.col("rank") == r, F.lit(_RM_W[r - 1]))
     rel = (
-        top.join(F.broadcast(qlab), "query_id")
+        F.broadcast(F.broadcast(top).join(qlab, "query_id"))
         .join(nlab, "neighbor_id")
         .select(
             "query_id",
@@ -776,13 +786,7 @@ def op_ext_fusion_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "op-ext-fusion-baseline",
     oracle=f"""
-    {_ivf_cand_ctes(f'''
-    {_QSAMPLE_CTE},
-    c0 AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
-             v AS centroid
-      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16)
-    )''', query_where=_QSAMPLE_WHERE)},
+    {_ivf_cand_ctes(_HYBRID_C0_SQL, query_where=_QSAMPLE_WHERE)},
     nrms AS (
       SELECT emb.vec_id, CAST(SUM(v[idx.i] * v[idx.i]) AS BIGINT) AS nrm
       FROM emb, idx GROUP BY 1
@@ -819,8 +823,11 @@ def op_ext_fusion_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The like-for-like CONTROL for op-ext-fusion-gain: the identical
     fixed-point MRR/NDCG@10 arithmetic (shared _metrics_tail_sql /
     _retrieval_metrics_over bodies) over the DENSE-ONLY IVF ranking —
-    the same 16-cell/4-probe index the hybrid's dense leg probes — on
-    the SAME md5-ordered 100-query audit sample. Subtracting this op's
+    the same cost-balanced-k*/4-probe index the hybrid's dense leg
+    probes (auto_n_clusters / the shared _HYBRID_C0_SQL kk CTE, r13
+    verdict #2; at the pinned Q=100 sample k* floors at 16 for every
+    tested corpus, so values are unchanged from the former constant) —
+    on the SAME md5-ordered 100-query audit sample. Subtracting this op's
     per-label sums from op-ext-fusion-gain's is the exact measured
     fusion gain: same queries, same relevance labels, same metric
     literals, only the ranking differs. (op-ext-retrieval-metrics is
@@ -832,7 +839,7 @@ def op_ext_fusion_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     top = iv.ivf_cosine_topk(
-        emb, audit_sample(emb), k=_RM_K, n_clusters=16, n_probe=4
+        emb, audit_sample(emb), k=_RM_K, n_clusters="auto", n_probe=4
     ).select("query_id", "neighbor_id", "rank")
     return _retrieval_metrics_over(top, emb)
 
@@ -1837,15 +1844,22 @@ def op_ext_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         if all(len(s) == 1 or s in learned for s in (left, right)):
             n_composed += 1
         learned.add(left + right)
-    row = (
-        len(merges),
-        int(ranks == list(range(1, len(merges) + 1))),
-        sum(1 for i in range(1, len(counts)) if counts[i] <= counts[i - 1]),
-        n_composed,
-        merges[0][1],
-        merges[0][2],
-        merges[0][3],
-    )
+    # Degenerate/empty corpus: learn_bpe_merges returns [] (no pair ever
+    # reaches the threshold). Emit the zero audit row instead of crashing
+    # on merges[0] — the oracle mismatch then reports the failure through
+    # the gate rather than as a Python IndexError (r13 advice 2).
+    if not merges:
+        row = (0, 1, 0, 0, None, None, None)
+    else:
+        row = (
+            len(merges),
+            int(ranks == list(range(1, len(merges) + 1))),
+            sum(1 for i in range(1, len(counts)) if counts[i] <= counts[i - 1]),
+            n_composed,
+            merges[0][1],
+            merges[0][2],
+            merges[0][3],
+        )
     return spark.createDataFrame(
         [row],
         "n_merges: bigint, ranks_contiguous: bigint, n_monotone: bigint,"

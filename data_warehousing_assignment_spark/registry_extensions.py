@@ -2647,9 +2647,14 @@ def op_ext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf/df/dl/N are integer-exact both engines; avgdl is exact-int-sum /
     count (one IEEE divide); the score is the SAME left-associative
     double expression in both engines, rounded to 6 dp before ranking;
-    ties by token. Plan: tf agg feeds both the doc-frequency agg
-    (vocab-sized → broadcast back) and the score join; dl and the 1-row
-    corpus stats broadcast — one corpus-sized shuffle total."""
+    ties by token. Plan: tf agg feeds both the doc-frequency agg and
+    the score join; only the 1-row corpus stats carry broadcast hints.
+    The idf (vocab-sized: unbounded on web text) and dl (one row per
+    corpus document) sides are deliberately UNHINTED (r13 verdict #1):
+    at ~100 TB both are tens-of-GB frames and a forced broadcast is a
+    designed-in driver OOM — AQE broadcasts them at small SF and picks
+    shuffle-hash/sort-merge at scale (pinned in
+    tests/test_plan_shapes.py::test_bm25_family_no_forced_corpus_broadcast)."""
     from pyspark.sql import Window
 
     from data_warehousing_assignment_spark.caching import pin
@@ -2678,8 +2683,8 @@ def op_ext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        tf.join(F.broadcast(idf), "tok")
-        .join(F.broadcast(dl), "doc_id")
+        tf.join(idf, "tok")
+        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats.select("avgdl")))
         .select(
             "doc_id",
@@ -3018,6 +3023,28 @@ _QSAMPLE_CTE = """qsample AS (
 
 _QSAMPLE_WHERE = "vec_id IN (SELECT vec_id FROM qsample)"
 
+#: Seed CTE chain for the hybrid stack's dense leg: the audit sample, the
+#: cost-balanced cell count (the SAME IVF_KK_EXPR twin op-ext-ann-ivf-scaled
+#: rides, with q = the pinned sample size instead of the %100 spine — r13
+#: verdict #2), and the k*-row lowest-id seed set. Shared by the
+#: op-ext-hybrid-fusion / op-ext-fusion-gain chain (_hybrid_fused_ctes) and
+#: the op-ext-fusion-baseline oracle in registry_advanced, so the engine's
+#: auto_n_clusters call and all three oracles derive one k.
+_HYBRID_C0_SQL = f"""
+    {_QSAMPLE_CTE},
+    kk AS (
+      SELECT {IVF_KK_EXPR.format(n='n', q='q')} AS k
+      FROM (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM emb) AS n,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM qsample) AS q)
+    ),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+             v AS centroid
+      FROM (SELECT vec_id, v,
+                   ROW_NUMBER() OVER (ORDER BY vec_id) AS rk FROM emb)
+      WHERE rk <= (SELECT k FROM kk)
+    )"""
+
 
 def audit_sample(emb: DataFrame) -> DataFrame:
     """Engine twin of :data:`_QSAMPLE_CTE` — pinned, because every
@@ -3156,14 +3183,7 @@ def _hybrid_fused_ctes() -> str:
     (op-ext-hybrid-fusion) and the evaluation oracle
     (op-ext-fusion-gain in registry_advanced), so the two can't drift."""
     return f"""
-    {_ivf_cand_ctes(f'''
-    {_QSAMPLE_CTE},
-    c0 AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
-             v AS centroid
-      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16)
-    )''',
-    query_where=_QSAMPLE_WHERE)},
+    {_ivf_cand_ctes(_HYBRID_C0_SQL, query_where=_QSAMPLE_WHERE)},
     nrms AS (
       SELECT emb.vec_id, CAST(SUM(v[idx.i] * v[idx.i]) AS BIGINT) AS nrm
       FROM emb, idx GROUP BY 1
@@ -3290,7 +3310,10 @@ def op_ext_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(Q·C) on this deliberately tiny synthetic vocab) and the dense
     side is the standard probed-cell scan; the fusion itself touches
     2·20 rank rows per query. Both ranking frames shuffle on their
-    natural keys (token, cluster); idf/dl/stats broadcast. A
+    natural keys (token, cluster); only fixed-size frames (1-row
+    stats, Q-row sample) carry broadcast hints — the vocab-sized idf
+    and corpus-sized dl joins are unhinted so AQE picks the strategy
+    (r13 verdict #1, plan-pinned). A
     stop-term guard (df·10 ≤ n_docs·9, integer-exact both engines)
     drops >90%-df terms whose idf ≈ 0 but whose postings are
     O(corpus) — a no-op at tested SFs (max df ratio 0.83) and the
@@ -3347,8 +3370,19 @@ def hybrid_fused_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = audit_sample(emb)
     # --- dense leg: IVF candidates -> exact integer cosine -> top-20
+    # Cell count is the COST-BALANCED k* of operators/ivf.auto_n_clusters
+    # (r13 verdict #2 — no more hard-coded 16; the oracle derives the same
+    # k in SQL via IVF_KK_EXPR). Measured note: at the pinned Q=100 audit
+    # sample the balanced optimum floors at 16 for EVERY corpus size
+    # (k* ≈ sqrt(Q·n_probe/R) = sqrt(133) ≈ 11.5 < floor for n ≫ Q, and
+    # 11–12 at all tested SFs), so values are provably unchanged — the
+    # constant was accidentally optimal for a build+query batch. The
+    # sizing now tracks the data: a 5000-query batch at sf10 sizes k*=81
+    # (the op-ext-ann-ivf-scaled precedent, 35.6 s vs 100.6 s).
+    n_vec = emb.count()
+    k_cells = iv.auto_n_clusters(n_vec, min(100, n_vec), n_probe=4)
     centroids, assignments = iv.build_ivf_index(
-        emb, "vec_id", "embedding", 16
+        emb, "vec_id", "embedding", k_cells
     )
     q = queries.select(
         F.col("vec_id").alias("query_id"),
@@ -3416,9 +3450,12 @@ def hybrid_fused_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             tf.withColumnRenamed("doc_id", "neighbor_id"), "tok"
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .join(F.broadcast(idf), "tok")
+        # idf (vocab-sized) and dl (corpus-sized) deliberately unhinted —
+        # see op_ext_bm25's docstring (r13 verdict #1); only fixed-size
+        # frames (1-row stats, Q-row query sample) carry broadcast hints.
+        .join(idf, "tok")
         .join(
-            F.broadcast(dl.withColumnRenamed("doc_id", "neighbor_id")),
+            dl.withColumnRenamed("doc_id", "neighbor_id"),
             "neighbor_id",
         )
         .crossJoin(F.broadcast(stats.select("avgdl")))
@@ -3461,4 +3498,381 @@ def hybrid_fused_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         dense20.unionAll(lex20)
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("c").cast("bigint").alias("rrf_micro"))
+    )
+
+
+# --------------------------------------------------------------------------
+# block-max / MaxScore BM25 pruning (r13 verdict #4): impact-ordered
+# postings pruning for the lexical top-k — provably lossless, so the
+# ranking oracle is the existing UNPRUNED top-k
+# --------------------------------------------------------------------------
+
+_BM25_TOPK = 10
+
+#: The unpruned lexical-ranking CTE chain over the doc-keyed 100-query
+#: md5 audit sample — shared by the op-ext-bm25-blockmax ranking oracle
+#: (which, by the losslessness proof in the op docstring, needs NO prune
+#: replay at all) and the op-ext-bm25-blockmax-audit prune replay.
+_BM25_LEX_CTES = f"""
+    WITH tf AS (
+      SELECT doc_id, t.tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, {_TOKS} AS tk FROM documents) d,
+           unnest(d.tk) AS t(tok)
+      GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl FROM documents),
+    stats AS (
+      SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             COUNT(*) AS n_docs
+      FROM dl
+    ),
+    idf AS (
+      SELECT tok, ln(1.0 + (s.n_docs - COUNT(*) + 0.5) / (COUNT(*) + 0.5))
+                  AS idf
+      FROM tf CROSS JOIN stats s
+      GROUP BY tok, s.n_docs
+      HAVING COUNT(*) * 10 <= s.n_docs * 9
+    ),
+    qsample AS (
+      SELECT doc_id FROM documents
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100
+    ),
+    qt AS (
+      SELECT DISTINCT doc_id AS query_id, tok
+      FROM tf WHERE doc_id IN (SELECT doc_id FROM qsample)
+    ),
+    postings AS (
+      SELECT tf.tok, tf.doc_id,
+             CAST(round(round(idf.idf * (tf.tf * 2.5)
+                   / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)),
+                   6) * 1000000, 0) AS BIGINT) AS mu
+      FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+    ),
+    lexscore AS (
+      SELECT q.query_id, p.doc_id AS neighbor_id,
+             CAST(SUM(p.mu) AS BIGINT) AS bm25_micro
+      FROM qt q
+      JOIN postings p ON p.tok = q.tok AND p.doc_id <> q.query_id
+      GROUP BY 1, 2
+    )"""
+
+
+def _blockmax_frames(
+    spark: SparkSession, sf_dir: str, bigram_terms: bool = False
+) -> dict:
+    """Shared build for the block-max BM25 pair: the fixed-point impact
+    postings, the MaxScore term split, and the pruned candidate/scoring
+    frames. Engine twin of the _BM25_LEX_CTES + audit-oracle chain.
+
+    ``bigram_terms=True`` swaps the term space to adjacent-token bigrams —
+    a measurement knob, not a registered contract: the synthetic corpus's
+    unigram vocabulary is deliberately tiny and dense (every doc matches
+    ~every query through some term), which is the worst case for
+    candidate-level pruning; the ~quadratically sparser bigram space
+    shows the regime WAND-style pruning is built for (numbers in
+    BASELINE.md round 14)."""
+    from data_warehousing_assignment_spark.caching import pin
+
+    docs = docs_t(spark, sf_dir)
+    if bigram_terms:
+        toks = tx.tokens("text")
+        term_col = F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("tok")
+    else:
+        term_col = F.explode(tx.tokens("text")).alias("tok")
+    tf = pin(
+        docs.select("doc_id", term_col)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dl = docs.select(
+        "doc_id", F.size(tx.tokens("text")).cast("bigint").alias("dl")
+    )
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    idf = bm25_guarded_idf(tf, stats)
+    # Query-INDEPENDENT per-(doc, token) impact in exact µ-units — the
+    # quantity an impact-ordered index stores. Same double-round
+    # fixed-point as the hybrid lexical leg; idf/dl joins unhinted
+    # (verdict #1 discipline), stats 1-row broadcast only.
+    postings = pin(
+        tf.join(idf, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            "tok",
+            "doc_id",
+            F.round(
+                F.round(
+                    F.col("idf") * (F.col("tf") * 2.5)
+                    / (
+                        F.col("tf")
+                        + 1.5
+                        * (F.lit(1.0) - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+                    ),
+                    6,
+                )
+                * 1000000,
+                0,
+            )
+            .cast("bigint")
+            .alias("mu"),
+        )
+    )
+    # per-term max impact: the block-max upper bound (vocab-sized agg)
+    ub = postings.groupBy("tok").agg(F.max("mu").alias("ub"))
+    qdocs = pin(
+        docs.select("doc_id")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(100)
+    )
+    qt = pin(
+        tf.join(F.broadcast(qdocs), "doc_id")
+        .select(F.col("doc_id").alias("query_id"), "tok")
+        .distinct()
+    )
+    qterms = qt.join(ub, "tok")
+    # Phase 1 — a valid LOWER BOUND on each query's true k-th best score:
+    # take the k docs with the largest single-term impact in the top-UB
+    # term's postings and compute their FULL scores; θ_q = the minimum of
+    # those k full scores. Exactly k documents then provably score ≥ θ_q,
+    # so the true k-th best ≥ θ_q. (The earlier single-term-partial bound
+    # was valid too but far looser — measured 5.8% postings reduction vs
+    # this bound's, BASELINE.md r14.) Fewer than k pool docs ⇒ no θ ⇒
+    # nothing pruned.
+    wtop = Window.partitionBy("query_id").orderBy(F.desc("ub"), F.asc("tok"))
+    t1 = (
+        qterms.withColumn("_r", F.row_number().over(wtop))
+        .filter(F.col("_r") == 1)
+        .select("query_id", "tok")
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("mu"), F.asc("doc_id"))
+    pool = (
+        t1.join(postings, "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .withColumn("_k", F.row_number().over(wk))
+        .filter(F.col("_k") <= _BM25_TOPK)
+        .select("query_id", F.col("doc_id").alias("neighbor_id"))
+    )
+    poolscore = (
+        pool.join(qt, "query_id")
+        .join(
+            postings.withColumnRenamed("doc_id", "neighbor_id"),
+            ["tok", "neighbor_id"],
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("mu").cast("bigint").alias("fsc"))
+    )
+    theta = (
+        poolscore.groupBy("query_id")
+        .agg(F.min("fsc").alias("theta"), F.count(F.lit(1)).alias("_np"))
+        .filter(F.col("_np") == _BM25_TOPK)
+        .select("query_id", "theta")
+    )
+    # MaxScore split: ascending-UB running sum; a term whose cumulative
+    # UB stays STRICTLY below θ is non-essential (a doc matching only
+    # such terms scores ≤ that cum < θ ≤ true k-th best — strictly below,
+    # so no tie-break can resurrect it). The max-UB term is always kept.
+    word = Window.partitionBy("query_id").orderBy(F.asc("ub"), F.asc("tok"))
+    wcum = word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("query_id")
+    ess = (
+        qterms.join(F.broadcast(theta), "query_id", "left")
+        .withColumn("_cum", F.sum("ub").over(wcum))
+        .withColumn("_rn", F.row_number().over(word))
+        .withColumn("_n", F.count(F.lit(1)).over(wall))
+        .filter(
+            F.col("theta").isNull()
+            | (F.col("_cum") >= F.col("theta"))
+            | (F.col("_rn") == F.col("_n"))
+        )
+        .select("query_id", "tok")
+    )
+    cand = (
+        ess.join(postings, "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", F.col("doc_id").alias("neighbor_id"))
+        .distinct()
+    )
+    scored = (
+        cand.join(qt, "query_id")
+        .join(
+            postings.withColumnRenamed("doc_id", "neighbor_id"),
+            ["tok", "neighbor_id"],
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("mu").cast("bigint").alias("bm25_micro"))
+    )
+    return {
+        "postings": postings,
+        "qt": qt,
+        "ess": ess,
+        "cand": cand,
+        "scored": scored,
+    }
+
+
+@query(
+    "op-ext-bm25-blockmax",
+    oracle=f"""
+    {_BM25_LEX_CTES}
+    SELECT query_id, neighbor_id, bm25_micro, CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY bm25_micro DESC, neighbor_id) AS rank
+          FROM lexscore)
+    WHERE rank <= {_BM25_TOPK}
+    """,
+)
+def op_ext_bm25_blockmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{k} document retrieval with WAND-style MaxScore pruning
+    over impact-ordered postings (r13 verdict #4 — the production form
+    of the stop-term guard's weak df bound). Postings store the
+    query-independent fixed-point µ-impact per (doc, token); pruning is
+    two-phase: (1) θ_q = the MINIMUM FULL score of the k docs with the
+    largest single-term impact in the top-upper-bound term's postings —
+    a valid lower bound on the true k-th best score because those are k
+    actual documents each scoring ≥ θ_q; (2) MaxScore term split — terms
+    whose ascending-UB running sum stays strictly below θ_q are
+    non-essential, and only documents matching ≥1 essential term are
+    exactly scored. LOSSLESS by construction (a skipped doc scores
+    ≤ cum < θ_q ≤ true k-th best, strictly below, so even tie-breaks
+    cannot admit it) — which is why the ORACLE is simply the unpruned
+    top-k: the gate itself proves prune ≡ no-prune on real data.
+    Measured reduction pinned in tests/test_rank_fusion.py and logged
+    per-SF in BASELINE.md via op-ext-bm25-blockmax-audit. SCALE: ub is
+    a vocab-keyed agg; the θ probe touches one postings list per query;
+    candidate generation drops every non-essential postings list —
+    exactly the skip an impact-ordered index performs, expressed
+    relationally. All arithmetic integer-exact cross-engine."""
+    frames = _blockmax_frames(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25_micro"), F.asc("neighbor_id")
+    )
+    return (
+        frames["scored"]
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _BM25_TOPK)
+    )
+
+
+@query(
+    "op-ext-bm25-blockmax-audit",
+    oracle=f"""
+    {_BM25_LEX_CTES},
+    ub AS (SELECT tok, MAX(mu) AS ub FROM postings GROUP BY 1),
+    qterms AS (SELECT q.query_id, q.tok, u.ub FROM qt q JOIN ub u USING (tok)),
+    t1 AS (
+      SELECT query_id, tok FROM (
+        SELECT query_id, tok,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY ub DESC, tok) AS r
+        FROM qterms) WHERE r = 1
+    ),
+    pool AS (
+      SELECT query_id, doc_id AS neighbor_id FROM (
+        SELECT t.query_id, p.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY t.query_id
+                   ORDER BY p.mu DESC, p.doc_id) AS r
+        FROM t1 t JOIN postings p ON p.tok = t.tok AND p.doc_id <> t.query_id)
+      WHERE r <= {_BM25_TOPK}
+    ),
+    poolscore AS (
+      SELECT pl.query_id, pl.neighbor_id, CAST(SUM(p.mu) AS BIGINT) AS fsc
+      FROM pool pl
+      JOIN qt q ON q.query_id = pl.query_id
+      JOIN postings p ON p.tok = q.tok AND p.doc_id = pl.neighbor_id
+      GROUP BY 1, 2
+    ),
+    theta AS (
+      SELECT query_id, MIN(fsc) AS theta
+      FROM poolscore GROUP BY 1 HAVING COUNT(*) = {_BM25_TOPK}
+    ),
+    ess AS (
+      SELECT query_id, tok FROM (
+        SELECT q.query_id, q.tok, th.theta,
+               SUM(q.ub) OVER (PARTITION BY q.query_id ORDER BY q.ub, q.tok
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY q.ub, q.tok) AS rn,
+               COUNT(*) OVER (PARTITION BY q.query_id) AS n
+        FROM qterms q LEFT JOIN theta th USING (query_id))
+      WHERE theta IS NULL OR cum >= theta OR rn = n
+    ),
+    cand AS (
+      SELECT DISTINCT e.query_id, p.doc_id AS neighbor_id
+      FROM ess e JOIN postings p ON p.tok = e.tok AND p.doc_id <> e.query_id
+    )
+    SELECT
+      (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM qt) AS n_queries,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM qt q
+       JOIN postings p ON p.tok = q.tok AND p.doc_id <> q.query_id)
+        AS unpruned_rows,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM ess e
+       JOIN postings p ON p.tok = e.tok AND p.doc_id <> e.query_id)
+        AS essential_rows,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM cand c
+       JOIN qt q ON q.query_id = c.query_id
+       JOIN postings p ON p.tok = q.tok AND p.doc_id = c.neighbor_id)
+        AS scored_rows
+    """,
+)
+def op_ext_bm25_blockmax_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEASURED postings-rows-scanned reduction of the block-max
+    prune, as a 1-row oracle-backed audit (the oracle replays θ, the
+    MaxScore split, and the candidate set in SQL — so the prune LOGIC
+    itself is cross-engine pinned, not just its lossless output):
+    unpruned_rows = postings rows the naive scorer touches;
+    essential_rows = candidate-generation rows after dropping
+    non-essential terms; scored_rows = exact-scoring rows over the
+    surviving candidates (the θ probe is a subset of essential_rows —
+    the top-UB term is always essential). Reduction =
+    1 − (essential_rows + scored_rows)/(2·unpruned_rows) against a
+    two-pass naive baseline, or compare essential_rows/unpruned_rows
+    for the candidate-generation pass alone; per-SF numbers in
+    BASELINE.md round 14."""
+    frames = _blockmax_frames(spark, sf_dir)
+    qt, postings = frames["qt"], frames["postings"]
+    n_queries = qt.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries")
+    )
+    unpruned = (
+        qt.join(postings, "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("unpruned_rows"))
+    )
+    essential = (
+        frames["ess"]
+        .join(postings, "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("essential_rows"))
+    )
+    n_cand = frames["cand"].agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    scored_rows = (
+        frames["cand"]
+        .join(qt, "query_id")
+        .join(
+            postings.withColumnRenamed("doc_id", "neighbor_id"),
+            ["tok", "neighbor_id"],
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("scored_rows"))
+    )
+    return (
+        n_queries.crossJoin(unpruned)
+        .crossJoin(essential)
+        .crossJoin(n_cand)
+        .crossJoin(scored_rows)
     )

@@ -452,11 +452,12 @@ def test_pmi_overflow_guard_raises_loudly(spark, monkeypatch):
     tokens, so the test lowers the cliff to the data (the guard constant
     is module-level for exactly this) and drives the same code path."""
     import pytest
-    from py4j.protocol import Py4JJavaError
 
     from data_warehousing_assignment_spark import registry_corpus as rc
 
     monkeypatch.setattr(rc, "_PMI_GUARD_LIMIT", 1.0)
-    with pytest.raises((Py4JJavaError, Exception)) as exc:
+    # match= pins the failure to the guard's OWN message — a bare
+    # Exception catch would go green on any unrelated AnalysisException
+    # (r13 advice 1), silently un-exercising the guard.
+    with pytest.raises(Exception, match="exactness bound"):
         rc.op_ext_pmi_collocations(spark, SF).collect()
-    assert "exactness bound" in str(exc.value) or "ASSERT" in str(exc.value)

@@ -383,3 +383,63 @@ def test_winnow_two_stage_projection_survives_optimizer(spark, qs):
     assert "aggregate(sequence(1," not in plan, (
         "interpreted HOF hash build leaked back into the np path"
     )
+
+
+def test_bm25_family_no_forced_corpus_broadcast(spark, qs):
+    """r13 verdict #1: the BM25 family must never FORCE a broadcast of a
+    corpus-derived frame — dl is one row per document and idf one row per
+    distinct token (tens of GB at 100 TB; a hinted broadcast is a
+    designed-in driver OOM that no small-SF bench can see). With
+    auto-broadcast disabled, any surviving BroadcastHashJoin is a forced
+    hint: op-ext-bm25 must have NONE (its only hints are the 1-row stats
+    cross-joins, which plan as nested-loop), and the hybrid chain exactly
+    its two fixed-size hints (Q·n_probe probe rows on cluster, Q-row
+    query sample on doc_id). The corpus-keyed joins must fall back to
+    shuffle joins — proof AQE, not a hint, owns the strategy."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(qs["op-ext-bm25"](spark, SF_SMALL))
+        assert "BroadcastHashJoin" not in plan, (
+            "corpus-derived broadcast hint reintroduced into op-ext-bm25"
+        )
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        hplan = plan_of(qs["op-ext-hybrid-fusion"](spark, SF_SMALL))
+        n_bhj = hplan.count("BroadcastHashJoin")
+        assert n_bhj <= 2, (
+            f"{n_bhj} forced equi-broadcasts in the hybrid chain — only the "
+            "two Q-bounded hints (probes, query sample) are allowed"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_retrieval_metrics_broadcasts_rank_frame(spark):
+    """r13 verdict #7: the MRR/NDCG metrics tail joins a rank-bounded top
+    frame (≤ k·|Q| rows by construction) against CORPUS-sized label
+    frames twice. The broadcast hints must sit on the bounded side — the
+    corpus side streams with zero exchange — and never on the label
+    frames (the former F.broadcast(qlab) was a corpus-sized hint, the
+    same 100 TB defect class as verdict #1)."""
+    from data_warehousing_assignment_spark.registry_advanced import (
+        _retrieval_metrics_over,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    top = emb.limit(40).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.lit(1).alias("rank"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(_retrieval_metrics_over(top, emb))
+        # both label joins broadcast the bounded rank frame...
+        assert plan.count("BroadcastHashJoin") == 2, plan.count(
+            "BroadcastHashJoin"
+        )
+        # ...so neither corpus-sized label frame ever shuffles or builds
+        assert "SortMergeJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

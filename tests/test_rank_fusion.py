@@ -165,3 +165,56 @@ def test_fusion_baseline_same_query_sample_as_gain(spark):
     assert base == gain
     n = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").count()
     assert sum(base.values()) == min(100, n)
+
+
+def test_blockmax_prune_is_lossless_and_fires(spark):
+    """Direct engine-side pin of the two block-max claims (the oracle
+    gate proves prune ≡ unpruned against DuckDB; this pins it engine-
+    only so a prune bug can't hide behind an oracle edit): the pruned
+    top-k equals the naive unpruned top-k row-for-row, AND the MaxScore
+    term split actually drops postings rows (essential < unpruned)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_warehousing_assignment_spark.registry_extensions import (
+        _blockmax_frames,
+        _BM25_TOPK,
+    )
+
+    frames = _blockmax_frames(spark, SF_SMALL)
+    qt, postings = frames["qt"], frames["postings"]
+    # naive unpruned ranking from the same postings
+    naive = (
+        qt.join(postings, "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(F.sum("mu").cast("bigint").alias("bm25_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25_micro"), F.asc("neighbor_id")
+    )
+    naive_top = (
+        naive.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _BM25_TOPK)
+    )
+    pruned_top = (
+        frames["scored"]
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _BM25_TOPK)
+    )
+    a = sorted(map(tuple, naive_top.collect()))
+    b = sorted(map(tuple, pruned_top.collect()))
+    assert a == b, "block-max prune changed the top-k — losslessness broken"
+    # and the prune actually drops candidate-generation rows
+    unpruned_rows = (
+        qt.join(postings, "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .count()
+    )
+    essential_rows = (
+        frames["ess"]
+        .join(postings, "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .count()
+    )
+    assert essential_rows < unpruned_rows, (essential_rows, unpruned_rows)
