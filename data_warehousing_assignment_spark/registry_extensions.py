@@ -3876,3 +3876,405 @@ def op_ext_bm25_blockmax_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(n_cand)
         .crossJoin(scored_rows)
     )
+
+
+# --------------------------------------------------------------------------
+# filtered vector search (r13 verdict #5): ANN top-k under a metadata
+# predicate — filter-aware candidate generation vs post-filtering, both
+# oracle-exact, plus the recall comparison against the brute-force
+# FILTERED ground truth on the fixed 100-query audit sample
+# --------------------------------------------------------------------------
+
+_FILT_TOPK = 5
+_FILT_NPROBE = 8
+
+#: Pinned-16 seed CTE + audit sample — the same shipped recall-monitor
+#: cut op-ext-ann-recall-sampled rides, so the filtered variants are
+#: directly comparable to the unfiltered recall numbers.
+_FILT_C0_SQL = f"""
+    {_QSAMPLE_CTE},
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+             v AS centroid
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16)
+    )"""
+
+#: Exact-scoring SQL tail over a filtered candidate CTE ``fcand``.
+_FILT_SCORE_TAIL = """
+    nrms AS (
+      SELECT emb.vec_id, CAST(SUM(v[idx.i] * v[idx.i]) AS BIGINT) AS nrm
+      FROM emb, idx GROUP BY 1
+    ),
+    fdots AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(SUM(q.v[idx.i] * n.v[idx.i]) AS BIGINT) AS dot
+      FROM fcand c
+      JOIN emb q ON q.vec_id = c.query_id
+      JOIN emb n ON n.vec_id = c.neighbor_id, idx
+      GROUP BY 1, 2
+    ),
+    fscored AS (
+      SELECT d.query_id, d.neighbor_id,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.nrm AS DOUBLE))
+                  * sqrt(CAST(nc.nrm AS DOUBLE))) AS score
+      FROM fdots d
+      JOIN nrms nq ON d.query_id = nq.vec_id
+      JOIN nrms nc ON d.neighbor_id = nc.vec_id
+    )"""
+
+
+def _filtered_aware_top(spark: SparkSession, sf_dir: str, band: int = 1):
+    """Filter-AWARE IVF top-k: the label predicate is an EQUI-KEY of the
+    probed-cell join, not a post-scoring filter — candidate volume
+    divides by the predicate's selectivity before any scoring happens
+    (at 100 TB with a label-bucketed layout this is the partition-pruned
+    scan). ``band`` widens the predicate to label-div-band equality for
+    the recall-vs-selectivity sweep (registered contract: band=1)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = audit_sample(emb)
+    centroids, assignments = iv.build_ivf_index(emb, "vec_id", "embedding", 16)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        sim.quantize("embedding").alias("qvec"),
+        F.expr(f"label div {band}").alias("nband"),
+    )
+    probes = iv._assign(q, centroids, n_probe=_FILT_NPROBE).select(
+        "query_id", "qvec", "cluster", "nband"
+    )
+    cells = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        sim.quantize("embedding").alias("cv"),
+        F.expr(f"label div {band}").alias("nband"),
+    ).join(
+        assignments.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+    )
+    dot = sim.int_dot(F.col("qvec"), F.col("cv"))
+    nq = F.sqrt(sim.int_dot(F.col("qvec"), F.col("qvec")).cast("double"))
+    nc = F.sqrt(sim.int_dot(F.col("cv"), F.col("cv")).cast("double"))
+    scored = (
+        cells.join(F.broadcast(probes), ["cluster", "nband"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot.cast("double") / (nq * nc)).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _FILT_TOPK)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+@query(
+    "op-ext-ann-filtered",
+    oracle=f"""
+    {_ivf_cand_ctes(_FILT_C0_SQL, n_probe=_FILT_NPROBE,
+                    query_where=_QSAMPLE_WHERE)},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    fcand AS (
+      SELECT c.query_id, c.neighbor_id
+      FROM cand c
+      JOIN lab lq ON lq.vec_id = c.query_id
+      JOIN lab ln ON ln.vec_id = c.neighbor_id
+      WHERE ln.label = lq.label
+    ),
+    {_FILT_SCORE_TAIL}
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id) AS rank
+          FROM fscored)
+    WHERE rank <= {_FILT_TOPK}
+    """,
+)
+def op_ext_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search, filter-aware form (r13 verdict #5) — the
+    production retrieval shape after hybrid fusion: ANN top-5 under a
+    metadata predicate (neighbor shares the query's label), with the
+    predicate pushed INTO candidate generation as an equi-key of the
+    probed-cell join rather than applied after scoring. Same shipped
+    16-cell / 8-probe cut and md5 audit sample as
+    op-ext-ann-recall-sampled, so its recall is directly comparable.
+    Candidate volume is selectivity·|probed cells| — the post-filter
+    twin (op-ext-ann-postfilter) scores ~10× more rows at this 10%
+    predicate and can still return < k survivors. Exactness: integer
+    dot/norms, one proven-stable IEEE divide, ties by neighbor_id;
+    the oracle replays index build, probing, the label equi-predicate,
+    and scoring verbatim. Recall vs the brute-force FILTERED ground
+    truth is oracle-checked by op-ext-ann-filtered-recall;
+    recall-vs-selectivity sweep in BASELINE.md round 14."""
+    return _filtered_aware_top(spark, sf_dir, band=1)
+
+
+def _postfilter_top(
+    spark: SparkSession, sf_dir: str, band: int = 1
+) -> DataFrame:
+    """Unfiltered IVF top-20 → label predicate → top-5 re-rank. Shared
+    by op-ext-ann-postfilter (band=1 contract) and the recall /
+    selectivity comparisons (band widens the predicate, BASELINE.md)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = audit_sample(emb)
+    top20 = iv.ivf_cosine_topk(
+        emb, queries, k=20, n_clusters=16, n_probe=_FILT_NPROBE
+    ).select("query_id", "neighbor_id", "score")
+    qlab = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.expr(f"label div {band}").alias("_ql"),
+    )
+    # corpus-sized label frame UNHINTED; the Q-bounded top frame carries
+    # the hint (same discipline as _retrieval_metrics_over, verdict #7)
+    nlab = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(f"label div {band}").alias("_nl"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(top20.join(F.broadcast(qlab), "query_id"))
+        .join(nlab, "neighbor_id")
+        .filter(F.col("_nl") == F.col("_ql"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _FILT_TOPK)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+@query(
+    "op-ext-ann-postfilter",
+    oracle=f"""
+    {_ivf_cand_ctes(_FILT_C0_SQL, n_probe=_FILT_NPROBE,
+                    query_where=_QSAMPLE_WHERE)},
+    nrms AS (
+      SELECT emb.vec_id, CAST(SUM(v[idx.i] * v[idx.i]) AS BIGINT) AS nrm
+      FROM emb, idx GROUP BY 1
+    ),
+    dots AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(SUM(q.v[idx.i] * n.v[idx.i]) AS BIGINT) AS dot
+      FROM cand c
+      JOIN emb q ON q.vec_id = c.query_id
+      JOIN emb n ON n.vec_id = c.neighbor_id, idx
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.query_id, d.neighbor_id,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.nrm AS DOUBLE))
+                  * sqrt(CAST(nc.nrm AS DOUBLE))) AS score
+      FROM dots d
+      JOIN nrms nq ON d.query_id = nq.vec_id
+      JOIN nrms nc ON d.neighbor_id = nc.vec_id
+    ),
+    top20 AS (
+      SELECT query_id, neighbor_id, score FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, neighbor_id) AS r
+        FROM scored)
+      WHERE r <= 20
+    ),
+    lab AS (SELECT vec_id, label FROM embeddings)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+    FROM (SELECT t.query_id, t.neighbor_id, t.score,
+                 ROW_NUMBER() OVER (PARTITION BY t.query_id
+                     ORDER BY t.score DESC, t.neighbor_id) AS rank
+          FROM top20 t
+          JOIN lab lq ON lq.vec_id = t.query_id
+          JOIN lab ln ON ln.vec_id = t.neighbor_id
+          WHERE ln.label = lq.label)
+    WHERE rank <= {_FILT_TOPK}
+    """,
+)
+def op_ext_ann_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The POST-FILTERING control for op-ext-ann-filtered: unfiltered
+    IVF top-20 (same 16-cell/8-probe cut), THEN the label predicate,
+    then the top-5 cut. This is what a retrieval stack does when its
+    vector index can't push predicates — it wastes candidate budget on
+    rows the filter discards (at 10% selectivity, ~90% of the scored
+    top-20) and can return FEWER than k survivors where the filter-aware
+    form fills its k from in-predicate cells. The measured recall gap vs
+    the shared brute-force filtered ground truth is the number that
+    justifies filter-aware candidate generation (BASELINE.md r14;
+    per-query oracle-checked by op-ext-ann-filtered-recall). Oracle
+    replays the unfiltered ranking, the filter, and the re-rank."""
+    return _postfilter_top(spark, sf_dir)
+
+
+@query(
+    "op-ext-ann-filtered-recall",
+    oracle=f"""
+    {_ivf_cand_ctes(_FILT_C0_SQL, n_probe=_FILT_NPROBE,
+                    query_where=_QSAMPLE_WHERE)},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    fcand AS (
+      SELECT c.query_id, c.neighbor_id
+      FROM cand c
+      JOIN lab lq ON lq.vec_id = c.query_id
+      JOIN lab ln ON ln.vec_id = c.neighbor_id
+      WHERE ln.label = lq.label
+    ),
+    {_FILT_SCORE_TAIL},
+    aware5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, neighbor_id) AS r
+        FROM fscored) WHERE r <= {_FILT_TOPK}
+    ),
+    udots AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(SUM(q.v[idx.i] * n.v[idx.i]) AS BIGINT) AS dot
+      FROM cand c
+      JOIN emb q ON q.vec_id = c.query_id
+      JOIN emb n ON n.vec_id = c.neighbor_id, idx
+      GROUP BY 1, 2
+    ),
+    uscored AS (
+      SELECT d.query_id, d.neighbor_id,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.nrm AS DOUBLE))
+                  * sqrt(CAST(nc.nrm AS DOUBLE))) AS score
+      FROM udots d
+      JOIN nrms nq ON d.query_id = nq.vec_id
+      JOIN nrms nc ON d.neighbor_id = nc.vec_id
+    ),
+    post5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT t.query_id, t.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY t.query_id
+                   ORDER BY t.score DESC, t.neighbor_id) AS rank
+        FROM (SELECT query_id, neighbor_id, score FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, neighbor_id) AS r
+                FROM uscored) WHERE r <= 20) t
+        JOIN lab lq ON lq.vec_id = t.query_id
+        JOIN lab ln ON ln.vec_id = t.neighbor_id
+        WHERE ln.label = lq.label)
+      WHERE rank <= {_FILT_TOPK}
+    ),
+    bdots AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             CAST(SUM(qe.v[idx.i] * ne.v[idx.i]) AS BIGINT) AS dot
+      FROM lab q
+      JOIN lab n ON n.vec_id <> q.vec_id AND n.label = q.label
+      JOIN emb qe ON qe.vec_id = q.vec_id
+      JOIN emb ne ON ne.vec_id = n.vec_id, idx
+      WHERE q.{_QSAMPLE_WHERE}
+      GROUP BY 1, 2
+    ),
+    bscored AS (
+      SELECT d.query_id, d.neighbor_id,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.nrm AS DOUBLE))
+                  * sqrt(CAST(nc.nrm AS DOUBLE))) AS score
+      FROM bdots d
+      JOIN nrms nq ON d.query_id = nq.vec_id
+      JOIN nrms nc ON d.neighbor_id = nc.vec_id
+    ),
+    truth5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, neighbor_id) AS rank
+        FROM bscored)
+      WHERE rank <= {_FILT_TOPK}
+    )
+    SELECT t.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits_aware,
+           CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hits_post,
+           CAST((1000000 * COUNT(a.neighbor_id)) // COUNT(*) AS BIGINT)
+             AS recall_aware_ppm,
+           CAST((1000000 * COUNT(p.neighbor_id)) // COUNT(*) AS BIGINT)
+             AS recall_post_ppm
+    FROM truth5 t
+    LEFT JOIN aware5 a ON a.query_id = t.query_id
+                      AND a.neighbor_id = t.neighbor_id
+    LEFT JOIN post5 p ON p.query_id = t.query_id
+                     AND p.neighbor_id = t.neighbor_id
+    GROUP BY 1
+    """,
+)
+def op_ext_ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of BOTH filtered-search strategies against the
+    brute-force FILTERED ground truth (exact cosine top-5 among
+    same-label neighbors) on the fixed 100-query audit sample — the
+    monitor that tells an operator whether predicate pushdown or
+    post-filtering is losing recall at their selectivity. n_truth can be
+    < 5 when a label class is small, so recall divides by the actual
+    truth-set size. SCALE: the ground-truth pair join is label-keyed —
+    O(Q · C/|labels|) rows, a 10× reduction on the already-linear
+    recall-sampled contract; both strategy legs ride the documented
+    probed-cell shapes. All counts integer-exact."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = audit_sample(emb)
+    aware5 = _filtered_aware_top(spark, sf_dir, band=1).select(
+        "query_id", F.col("neighbor_id").alias("_na")
+    )
+    post5 = _postfilter_top(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("_np")
+    )
+    qs = queries.select(
+        F.col("vec_id").alias("query_id"),
+        sim.quantize("embedding").alias("qvec"),
+        F.col("label").alias("_lb"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        sim.quantize("embedding").alias("cv"),
+        F.col("label").alias("_lb"),
+    ).join(F.broadcast(qs), "_lb")
+    dot = sim.int_dot(F.col("qvec"), F.col("cv"))
+    nq = F.sqrt(sim.int_dot(F.col("qvec"), F.col("qvec")).cast("double"))
+    nc = F.sqrt(sim.int_dot(F.col("cv"), F.col("cv")).cast("double"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id")
+    )
+    truth5 = (
+        cand.filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot.cast("double") / (nq * nc)).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _FILT_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        truth5.join(
+            aware5,
+            (truth5.query_id == aware5.query_id)
+            & (truth5.neighbor_id == aware5._na),
+            "left",
+        )
+        .drop(aware5.query_id)
+        .join(
+            post5,
+            (truth5.query_id == post5.query_id)
+            & (truth5.neighbor_id == post5._np),
+            "left",
+        )
+        .drop(post5.query_id)
+        .groupBy(truth5.query_id)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+            F.count("_na").cast("bigint").alias("n_hits_aware"),
+            F.count("_np").cast("bigint").alias("n_hits_post"),
+        )
+    )
+    return hits.select(
+        "query_id",
+        "n_truth",
+        "n_hits_aware",
+        "n_hits_post",
+        F.expr("(1000000 * n_hits_aware) div n_truth").alias(
+            "recall_aware_ppm"
+        ),
+        F.expr("(1000000 * n_hits_post) div n_truth").alias(
+            "recall_post_ppm"
+        ),
+    )

@@ -211,6 +211,25 @@ ALLOWED = {
     # tiny windows: bucket-table cumsum (≤1e6+1 rows by construction)
     # and the single threshold bucket's doc_id cumsum (docstring)
     "op-ext-token-budget-select": {"cartesian", "single-partition window"},
+    # r14: same 1-row corpus-stats (avgdl/n_docs) broadcast crossjoins
+    # as op-ext-bm25 beside query_id-partitioned rank windows; the
+    # prune frames (qterms/theta/ess) are Q-bounded by contract
+    # (registry_extensions._blockmax_frames)
+    "op-ext-bm25-blockmax": {"cartesian", "single-partition window"},
+    # the five 1-row count frames crossJoined into the single audit row
+    # on top of blockmax's sanctioned shapes
+    "op-ext-bm25-blockmax-audit": {"cartesian", "single-partition window"},
+    # r14 filtered search: the sanctioned IVF centroid-assign cartesian
+    # (corpus × broadcast 16-row centroids); the filter itself is an
+    # EQUI-key of the (cluster, label-band) candidate join
+    "op-ext-ann-filtered": {"cartesian"},
+    # same IVF assign cartesian; the label filter applies to the
+    # Q-bounded broadcast top-20 frame post-ranking
+    "op-ext-ann-postfilter": {"cartesian"},
+    # both strategy legs' sanctioned IVF shapes + the ground-truth pair
+    # join, which is LABEL-keyed (O(Q·C/|labels|)) — tighter than the
+    # cited O(100·C) recall-sampled contract cartesian it refines
+    "op-ext-ann-filtered-recall": {"cartesian"},
 }
 
 
