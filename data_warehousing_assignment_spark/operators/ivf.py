@@ -76,6 +76,13 @@ def auto_n_clusters(
     cells."""
     import math
 
+    # Degenerate inputs (empty corpus or empty query batch): den would be
+    # 0.0 and num/den a raw ZeroDivisionError (r14 self-review). Return
+    # the floor — an empty corpus builds an empty index and every
+    # downstream frame degrades to zero rows, matching the SQL twin's
+    # empty-seed degradation.
+    if n_corpus <= 0 or n_queries <= 0:
+        return floor
     r = max(1, n_build_passes)
     # Round EXACTLY like the SQL twin (registry_extensions.IVF_KK_EXPR):
     # numerator and denominator are each rounded to double BEFORE the

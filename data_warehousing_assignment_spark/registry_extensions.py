@@ -3045,6 +3045,19 @@ _HYBRID_C0_SQL = f"""
       WHERE rk <= (SELECT k FROM kk)
     )"""
 
+#: The SHIPPED recall-monitor cut's seed chain — audit sample + pinned
+#: 16-cell lowest-id seeds — ONE definition shared by
+#: op-ext-ann-recall-sampled and the r14 filtered-search ops, so the
+#: "same cut, directly comparable recall" claim is enforced by
+#: construction rather than by eyeballing two copies (r14 self-review).
+_FILT_C0_SQL = f"""
+    {_QSAMPLE_CTE},
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+             v AS centroid
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16)
+    )"""
+
 
 def audit_sample(emb: DataFrame) -> DataFrame:
     """Engine twin of :data:`_QSAMPLE_CTE` — pinned, because every
@@ -3059,14 +3072,7 @@ def audit_sample(emb: DataFrame) -> DataFrame:
 
 
 _RECALL_SAMPLED_ORACLE = f"""
-    {_ivf_cand_ctes(f'''
-    {_QSAMPLE_CTE},
-    c0 AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
-             v AS centroid
-      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16)
-    )''', n_probe=8,
-    query_where=_QSAMPLE_WHERE)},
+    {_ivf_cand_ctes(_FILT_C0_SQL, n_probe=8, query_where=_QSAMPLE_WHERE)},
     nrms AS (
       SELECT emb.vec_id, CAST(SUM(v[idx.i] * v[idx.i]) AS BIGINT) AS nrm
       FROM emb, idx GROUP BY 1
@@ -3842,7 +3848,14 @@ def op_ext_bm25_blockmax_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-pass naive baseline, or compare essential_rows/unpruned_rows
     for the candidate-generation pass alone; per-SF numbers in
     BASELINE.md round 14."""
-    frames = _blockmax_frames(spark, sf_dir)
+    return _blockmax_count_row(_blockmax_frames(spark, sf_dir))
+
+
+def _blockmax_count_row(frames: dict) -> DataFrame:
+    """The audit op's 1-row counter frame over a _blockmax_frames build —
+    shared with tools/retrieval_experiments.py so the published
+    reduction numbers come from the oracle-gated counters themselves
+    (r14 self-review)."""
     qt, postings = frames["qt"], frames["postings"]
     n_queries = qt.agg(
         F.countDistinct("query_id").cast("bigint").alias("n_queries")
@@ -3888,17 +3901,6 @@ def op_ext_bm25_blockmax_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FILT_TOPK = 5
 _FILT_NPROBE = 8
 
-#: Pinned-16 seed CTE + audit sample — the same shipped recall-monitor
-#: cut op-ext-ann-recall-sampled rides, so the filtered variants are
-#: directly comparable to the unfiltered recall numbers.
-_FILT_C0_SQL = f"""
-    {_QSAMPLE_CTE},
-    c0 AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
-             v AS centroid
-      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16)
-    )"""
-
 #: Exact-scoring SQL tail over a filtered candidate CTE ``fcand``.
 _FILT_SCORE_TAIL = """
     nrms AS (
@@ -3924,16 +3926,27 @@ _FILT_SCORE_TAIL = """
     )"""
 
 
-def _filtered_aware_top(spark: SparkSession, sf_dir: str, band: int = 1):
+def _filt_ctx(spark: SparkSession, sf_dir: str) -> tuple:
+    """(emb, pinned audit sample, built 16-cell index) — built ONCE and
+    passed into both strategy legs by the recall op and the sweep tool,
+    so comparisons never pay a redundant k-means build (r14
+    self-review; ivf_cosine_topk's index= parameter exists for this)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = audit_sample(emb)
+    index = iv.build_ivf_index(emb, "vec_id", "embedding", 16)
+    return emb, queries, index
+
+
+def _filtered_aware_top(
+    spark: SparkSession, sf_dir: str, band: int = 1, ctx: tuple | None = None
+):
     """Filter-AWARE IVF top-k: the label predicate is an EQUI-KEY of the
     probed-cell join, not a post-scoring filter — candidate volume
     divides by the predicate's selectivity before any scoring happens
     (at 100 TB with a label-bucketed layout this is the partition-pruned
     scan). ``band`` widens the predicate to label-div-band equality for
     the recall-vs-selectivity sweep (registered contract: band=1)."""
-    emb = t(spark, sf_dir, "embeddings")
-    queries = audit_sample(emb)
-    centroids, assignments = iv.build_ivf_index(emb, "vec_id", "embedding", 16)
+    emb, queries, (centroids, assignments) = ctx or _filt_ctx(spark, sf_dir)
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         sim.quantize("embedding").alias("qvec"),
@@ -4012,15 +4025,14 @@ def op_ext_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _postfilter_top(
-    spark: SparkSession, sf_dir: str, band: int = 1
+    spark: SparkSession, sf_dir: str, band: int = 1, ctx: tuple | None = None
 ) -> DataFrame:
     """Unfiltered IVF top-20 → label predicate → top-5 re-rank. Shared
     by op-ext-ann-postfilter (band=1 contract) and the recall /
     selectivity comparisons (band widens the predicate, BASELINE.md)."""
-    emb = t(spark, sf_dir, "embeddings")
-    queries = audit_sample(emb)
+    emb, queries, index = ctx or _filt_ctx(spark, sf_dir)
     top20 = iv.ivf_cosine_topk(
-        emb, queries, k=20, n_clusters=16, n_probe=_FILT_NPROBE
+        emb, queries, k=20, n_probe=_FILT_NPROBE, index=index
     ).select("query_id", "neighbor_id", "score")
     qlab = queries.select(
         F.col("vec_id").alias("query_id"),
@@ -4209,23 +4221,48 @@ def op_ext_ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(Q · C/|labels|) rows, a 10× reduction on the already-linear
     recall-sampled contract; both strategy legs ride the documented
     probed-cell shapes. All counts integer-exact."""
-    emb = t(spark, sf_dir, "embeddings")
-    queries = audit_sample(emb)
-    aware5 = _filtered_aware_top(spark, sf_dir, band=1).select(
+    hits = _filtered_truth_hits(spark, sf_dir, band=1)
+    return hits.select(
+        "query_id",
+        "n_truth",
+        "n_hits_aware",
+        "n_hits_post",
+        F.expr("(1000000 * n_hits_aware) div n_truth").alias(
+            "recall_aware_ppm"
+        ),
+        F.expr("(1000000 * n_hits_post) div n_truth").alias(
+            "recall_post_ppm"
+        ),
+    )
+
+
+def _filtered_truth_hits(
+    spark: SparkSession, sf_dir: str, band: int
+) -> DataFrame:
+    """Per-query (n_truth, n_hits_aware, n_hits_post) of both filtered-
+    search strategies vs the brute-force filtered ground truth — ONE
+    body shared by the registered op-ext-ann-filtered-recall (band=1)
+    and tools/retrieval_experiments.py's selectivity sweep, so the
+    published BASELINE.md numbers come from the oracle-gated logic
+    itself (r14 self-review). The index and sample are built once and
+    fed to both strategy legs."""
+    ctx = _filt_ctx(spark, sf_dir)
+    emb, queries, _ = ctx
+    aware5 = _filtered_aware_top(spark, sf_dir, band=band, ctx=ctx).select(
         "query_id", F.col("neighbor_id").alias("_na")
     )
-    post5 = _postfilter_top(spark, sf_dir).select(
+    post5 = _postfilter_top(spark, sf_dir, band=band, ctx=ctx).select(
         "query_id", F.col("neighbor_id").alias("_np")
     )
     qs = queries.select(
         F.col("vec_id").alias("query_id"),
         sim.quantize("embedding").alias("qvec"),
-        F.col("label").alias("_lb"),
+        F.expr(f"label div {band}").alias("_lb"),
     )
     cand = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         sim.quantize("embedding").alias("cv"),
-        F.col("label").alias("_lb"),
+        F.expr(f"label div {band}").alias("_lb"),
     ).join(F.broadcast(qs), "_lb")
     dot = sim.int_dot(F.col("qvec"), F.col("cv"))
     nq = F.sqrt(sim.int_dot(F.col("qvec"), F.col("qvec")).cast("double"))
@@ -4244,7 +4281,7 @@ def op_ext_ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _FILT_TOPK)
         .select("query_id", "neighbor_id")
     )
-    hits = (
+    return (
         truth5.join(
             aware5,
             (truth5.query_id == aware5.query_id)
@@ -4265,16 +4302,4 @@ def op_ext_ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("_na").cast("bigint").alias("n_hits_aware"),
             F.count("_np").cast("bigint").alias("n_hits_post"),
         )
-    )
-    return hits.select(
-        "query_id",
-        "n_truth",
-        "n_hits_aware",
-        "n_hits_post",
-        F.expr("(1000000 * n_hits_aware) div n_truth").alias(
-            "recall_aware_ppm"
-        ),
-        F.expr("(1000000 * n_hits_post) div n_truth").alias(
-            "recall_post_ppm"
-        ),
     )

@@ -108,6 +108,12 @@ def test_auto_n_clusters_cost_model():
     assert ivf.auto_n_clusters(500, 5) == 16
     # clamp: never more cells than n/8
     assert ivf.auto_n_clusters(1_000, 1_000_000, n_probe=16) == 125
+    # degenerate inputs return the floor instead of ZeroDivisionError
+    # (r14 self-review: an empty corpus must degrade to empty frames
+    # through the gate, not crash in Python)
+    assert ivf.auto_n_clusters(0, 0) == 16
+    assert ivf.auto_n_clusters(100, 0) == 16
+    assert ivf.auto_n_clusters(0, 100) == 16
 
 
 def test_auto_sizing_end_to_end(spark):
