@@ -4123,19 +4123,9 @@ def op_ext_ann_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_ivf_cand_ctes(_FILT_C0_SQL, n_probe=_FILT_NPROBE,
                     query_where=_QSAMPLE_WHERE)},
     lab AS (SELECT vec_id, label FROM embeddings),
-    fcand AS (
-      SELECT c.query_id, c.neighbor_id
-      FROM cand c
-      JOIN lab lq ON lq.vec_id = c.query_id
-      JOIN lab ln ON ln.vec_id = c.neighbor_id
-      WHERE ln.label = lq.label
-    ),
-    {_FILT_SCORE_TAIL},
-    aware5 AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                   ORDER BY score DESC, neighbor_id) AS r
-        FROM fscored) WHERE r <= {_FILT_TOPK}
+    nrms AS (
+      SELECT emb.vec_id, CAST(SUM(v[idx.i] * v[idx.i]) AS BIGINT) AS nrm
+      FROM emb, idx GROUP BY 1
     ),
     udots AS (
       SELECT c.query_id, c.neighbor_id,
@@ -4153,6 +4143,21 @@ def op_ext_ann_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM udots d
       JOIN nrms nq ON d.query_id = nq.vec_id
       JOIN nrms nc ON d.neighbor_id = nc.vec_id
+    ),
+    aware5 AS (
+      -- the filter-aware candidate set is cand ∩ label-equality, and a
+      -- pair's score is pair-local — so the aware ranking is the
+      -- label-filtered slice of the ONE scored frame. Scoring once
+      -- (instead of a separate fdots pass over fcand) halved the
+      -- DuckDB spill that blew the disk at sf10 (r14).
+      SELECT query_id, neighbor_id FROM (
+        SELECT u.query_id, u.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY u.query_id
+                   ORDER BY u.score DESC, u.neighbor_id) AS r
+        FROM uscored u
+        JOIN lab lq ON lq.vec_id = u.query_id
+        JOIN lab ln ON ln.vec_id = u.neighbor_id
+        WHERE ln.label = lq.label) WHERE r <= {_FILT_TOPK}
     ),
     post5 AS (
       SELECT query_id, neighbor_id FROM (
