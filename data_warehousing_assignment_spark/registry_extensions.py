@@ -3711,20 +3711,29 @@ def _blockmax_frames(
         .select("query_id", F.col("doc_id").alias("neighbor_id"))
         .distinct()
     )
-    scored = (
-        cand.join(qt, "query_id")
-        .join(
-            postings.withColumnRenamed("doc_id", "neighbor_id"),
-            ["tok", "neighbor_id"],
-        )
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("mu").cast("bigint").alias("bm25_micro"))
+    # Exact scoring of the surviving candidates: the (tok, doc)-keyed
+    # postings stream SEMI-joined to the candidate set, then summed.
+    # The lookup-join form (cand × query-terms → postings probe) is the
+    # classic index shape, but it materializes |cand|·|terms/query|
+    # rows through a Q-keyed join — 4.5G rows at sf10 on this dense
+    # corpus where candidates ≈ all docs. The semi form streams the
+    # naive per-pair volume once with a bounded candidate hash — the
+    # shape that survives 100× (r14; the candidate-GENERATION skip
+    # above is unchanged and is where the WAND win lives).
+    scored_stream = (
+        qt.join(postings.withColumnRenamed("doc_id", "neighbor_id"), "tok")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(cand, ["query_id", "neighbor_id"], "left_semi")
+    )
+    scored = scored_stream.groupBy("query_id", "neighbor_id").agg(
+        F.sum("mu").cast("bigint").alias("bm25_micro")
     )
     return {
         "postings": postings,
         "qt": qt,
         "ess": ess,
         "cand": cand,
+        "scored_stream": scored_stream,
         "scored": scored,
     }
 
@@ -3828,10 +3837,15 @@ def op_ext_bm25_blockmax(spark: SparkSession, sf_dir: str) -> DataFrame:
        JOIN postings p ON p.tok = e.tok AND p.doc_id <> e.query_id)
         AS essential_rows,
       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
-      (SELECT CAST(COUNT(*) AS BIGINT) FROM cand c
-       JOIN qt q ON q.query_id = c.query_id
-       JOIN postings p ON p.tok = q.tok AND p.doc_id = c.neighbor_id)
-        AS scored_rows
+      -- semi form, not cand×qt×postings: the lookup expansion
+      -- materializes |cand|·|terms/query| rows (4.5G at sf10) and
+      -- blew DuckDB's temp headroom; the stream + bounded candidate
+      -- hash counts the same rows (r14)
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM qt q
+       JOIN postings p ON p.tok = q.tok AND p.doc_id <> q.query_id
+       WHERE EXISTS (SELECT 1 FROM cand c
+                     WHERE c.query_id = q.query_id
+                       AND c.neighbor_id = p.doc_id)) AS scored_rows
     """,
 )
 def op_ext_bm25_blockmax_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3874,14 +3888,8 @@ def _blockmax_count_row(frames: dict) -> DataFrame:
     n_cand = frames["cand"].agg(
         F.count(F.lit(1)).cast("bigint").alias("n_candidates")
     )
-    scored_rows = (
-        frames["cand"]
-        .join(qt, "query_id")
-        .join(
-            postings.withColumnRenamed("doc_id", "neighbor_id"),
-            ["tok", "neighbor_id"],
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("scored_rows"))
+    scored_rows = frames["scored_stream"].agg(
+        F.count(F.lit(1)).cast("bigint").alias("scored_rows")
     )
     return (
         n_queries.crossJoin(unpruned)
