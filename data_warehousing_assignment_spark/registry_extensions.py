@@ -3827,15 +3827,20 @@ def op_ext_bm25_blockmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand AS (
       SELECT DISTINCT e.query_id, p.doc_id AS neighbor_id
       FROM ess e JOIN postings p ON p.tok = e.tok AND p.doc_id <> e.query_id
-    )
+    ),
+    dfc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+            FROM postings GROUP BY 1)
     SELECT
       (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM qt) AS n_queries,
-      (SELECT CAST(COUNT(*) AS BIGINT) FROM qt q
-       JOIN postings p ON p.tok = q.tok AND p.doc_id <> q.query_id)
-        AS unpruned_rows,
-      (SELECT CAST(COUNT(*) AS BIGINT) FROM ess e
-       JOIN postings p ON p.tok = e.tok AND p.doc_id <> e.query_id)
-        AS essential_rows,
+      -- algebraic form of COUNT(qt ⋈ postings excluding self): each
+      -- query term tok contributes df(tok) − 1 rows (the query doc
+      -- itself contains tok by qt construction), so the count is a
+      -- vocab-sized join — streaming 890M pair rows at sf10 just to
+      -- count them was half the temp blowup (r14)
+      (SELECT CAST(SUM(d.df - 1) AS BIGINT) FROM qt q
+       JOIN dfc d ON d.tok = q.tok) AS unpruned_rows,
+      (SELECT CAST(SUM(d.df - 1) AS BIGINT) FROM ess e
+       JOIN dfc d ON d.tok = e.tok) AS essential_rows,
       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
       -- semi form, not cand×qt×postings: the lookup expansion
       -- materializes |cand|·|terms/query| rows (4.5G at sf10) and
@@ -3874,16 +3879,20 @@ def _blockmax_count_row(frames: dict) -> DataFrame:
     n_queries = qt.agg(
         F.countDistinct("query_id").cast("bigint").alias("n_queries")
     )
-    unpruned = (
-        qt.join(postings, "tok")
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("unpruned_rows"))
+    # Algebraic counts (r14): each query term contributes df(tok) − 1
+    # pair rows (the query doc itself contains tok by qt construction),
+    # so both counters are vocab-sized joins — materializing the 890M
+    # pair rows at sf10 just to count them was half the temp blowup.
+    dfc = postings.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    unpruned = qt.join(dfc, "tok").agg(
+        F.sum(F.col("df") - 1).cast("bigint").alias("unpruned_rows")
     )
     essential = (
         frames["ess"]
-        .join(postings, "tok")
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("essential_rows"))
+        .join(dfc, "tok")
+        .agg(F.sum(F.col("df") - 1).cast("bigint").alias("essential_rows"))
     )
     n_cand = frames["cand"].agg(
         F.count(F.lit(1)).cast("bigint").alias("n_candidates")
@@ -4136,12 +4145,16 @@ def op_ext_ann_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM emb, idx GROUP BY 1
     ),
     udots AS (
+      -- row-local exact dot (r14): quantized coords are < 2^21, so
+      -- every partial sum of the 64-term product stays < 2^53 and
+      -- list_dot_product's double is EXACT — value-identical to the
+      -- unnest-SUM idiom without the ×64 row explosion whose grouped
+      -- aggregation spill blew the sf10 temp headroom
       SELECT c.query_id, c.neighbor_id,
-             CAST(SUM(q.v[idx.i] * n.v[idx.i]) AS BIGINT) AS dot
+             CAST(list_dot_product(q.v, n.v) AS BIGINT) AS dot
       FROM cand c
       JOIN emb q ON q.vec_id = c.query_id
-      JOIN emb n ON n.vec_id = c.neighbor_id, idx
-      GROUP BY 1, 2
+      JOIN emb n ON n.vec_id = c.neighbor_id
     ),
     uscored AS (
       SELECT d.query_id, d.neighbor_id,
@@ -4182,14 +4195,14 @@ def op_ext_ann_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE rank <= {_FILT_TOPK}
     ),
     bdots AS (
+      -- same row-local exact dot as udots (see note there)
       SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-             CAST(SUM(qe.v[idx.i] * ne.v[idx.i]) AS BIGINT) AS dot
+             CAST(list_dot_product(qe.v, ne.v) AS BIGINT) AS dot
       FROM lab q
       JOIN lab n ON n.vec_id <> q.vec_id AND n.label = q.label
       JOIN emb qe ON qe.vec_id = q.vec_id
-      JOIN emb ne ON ne.vec_id = n.vec_id, idx
+      JOIN emb ne ON ne.vec_id = n.vec_id
       WHERE q.{_QSAMPLE_WHERE}
-      GROUP BY 1, 2
     ),
     bscored AS (
       SELECT d.query_id, d.neighbor_id,
