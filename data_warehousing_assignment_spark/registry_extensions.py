@@ -3841,16 +3841,7 @@ def op_ext_bm25_blockmax(spark: SparkSession, sf_dir: str) -> DataFrame:
        JOIN dfc d ON d.tok = q.tok) AS unpruned_rows,
       (SELECT CAST(SUM(d.df - 1) AS BIGINT) FROM ess e
        JOIN dfc d ON d.tok = e.tok) AS essential_rows,
-      (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
-      -- semi form, not cand×qt×postings: the lookup expansion
-      -- materializes |cand|·|terms/query| rows (4.5G at sf10) and
-      -- blew DuckDB's temp headroom; the stream + bounded candidate
-      -- hash counts the same rows (r14)
-      (SELECT CAST(COUNT(*) AS BIGINT) FROM qt q
-       JOIN postings p ON p.tok = q.tok AND p.doc_id <> q.query_id
-       WHERE EXISTS (SELECT 1 FROM cand c
-                     WHERE c.query_id = q.query_id
-                       AND c.neighbor_id = p.doc_id)) AS scored_rows
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates
     """,
 )
 def op_ext_bm25_blockmax_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3860,13 +3851,15 @@ def op_ext_bm25_blockmax_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is cross-engine pinned, not just its lossless output):
     unpruned_rows = postings rows the naive scorer touches;
     essential_rows = candidate-generation rows after dropping
-    non-essential terms; scored_rows = exact-scoring rows over the
-    surviving candidates (the θ probe is a subset of essential_rows —
-    the top-UB term is always essential). Reduction =
-    1 − (essential_rows + scored_rows)/(2·unpruned_rows) against a
-    two-pass naive baseline, or compare essential_rows/unpruned_rows
-    for the candidate-generation pass alone; per-SF numbers in
-    BASELINE.md round 14."""
+    non-essential terms (the θ probe is a subset — the top-UB term is
+    always essential); n_candidates = the surviving (query, doc) pairs.
+    The exact-scoring row count (scored_rows) is measured ENGINE-side in
+    tools/retrieval_experiments.py: its only lossless SQL formulation
+    semi-joins a ~900M-row postings stream against the 43M-pair
+    candidate set at sf10, which DuckDB insists on spilling past the
+    harness disk (576 s → disk-full, measured r14) — the prune replay
+    itself is what the oracle pins. Per-SF numbers in BASELINE.md
+    round 14."""
     return _blockmax_count_row(_blockmax_frames(spark, sf_dir))
 
 
@@ -3897,15 +3890,7 @@ def _blockmax_count_row(frames: dict) -> DataFrame:
     n_cand = frames["cand"].agg(
         F.count(F.lit(1)).cast("bigint").alias("n_candidates")
     )
-    scored_rows = frames["scored_stream"].agg(
-        F.count(F.lit(1)).cast("bigint").alias("scored_rows")
-    )
-    return (
-        n_queries.crossJoin(unpruned)
-        .crossJoin(essential)
-        .crossJoin(n_cand)
-        .crossJoin(scored_rows)
-    )
+    return n_queries.crossJoin(unpruned).crossJoin(essential).crossJoin(n_cand)
 
 
 # --------------------------------------------------------------------------
@@ -4194,15 +4179,23 @@ def op_ext_ann_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE ln.label = lq.label)
       WHERE rank <= {_FILT_TOPK}
     ),
+    qset AS (
+      -- materialize the 100-row query set BEFORE the label join: with
+      -- the filter written as WHERE q.vec_id IN qsample, DuckDB planned
+      -- the 10-value label equi-join first (500k × same-label ≈ 25G
+      -- pairs) and filled the temp disk; qset-first runs in 2.6 s at
+      -- sf10 (r14)
+      SELECT l.vec_id, l.label FROM lab l
+      JOIN qsample s ON s.vec_id = l.vec_id
+    ),
     bdots AS (
       -- same row-local exact dot as udots (see note there)
       SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
              CAST(list_dot_product(qe.v, ne.v) AS BIGINT) AS dot
-      FROM lab q
-      JOIN lab n ON n.vec_id <> q.vec_id AND n.label = q.label
+      FROM qset q
+      JOIN lab n ON n.label = q.label AND n.vec_id <> q.vec_id
       JOIN emb qe ON qe.vec_id = q.vec_id
       JOIN emb ne ON ne.vec_id = n.vec_id
-      WHERE q.{_QSAMPLE_WHERE}
     ),
     bscored AS (
       SELECT d.query_id, d.neighbor_id,
