@@ -3565,7 +3565,10 @@ _BM25_LEX_CTES = f"""
 
 
 def _blockmax_frames(
-    spark: SparkSession, sf_dir: str, bigram_terms: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    bigram_terms: bool = False,
+    zipf_skew: bool = False,
 ) -> dict:
     """Shared build for the block-max BM25 pair: the fixed-point impact
     postings, the MaxScore term split, and the pruned candidate/scoring
@@ -3577,7 +3580,21 @@ def _blockmax_frames(
     ~every query through some term), which is the worst case for
     candidate-level pruning; the ~quadratically sparser bigram space
     shows the regime WAND-style pruning is built for (numbers in
-    BASELINE.md round 14)."""
+    BASELINE.md round 14).
+
+    ``zipf_skew=True`` is the second measurement knob: a deterministic
+    Zipf PROJECTION of the posting lists that reproduces the
+    natural-language df profile the production form targets. Tokens get
+    a fixed arbitrary rank r (md5 order); the token at rank r keeps
+    ~1/r of its (doc, token) postings via a per-posting md5 coin, so df
+    falls off as df_raw/r — a Zipf(1) tail: few huge stop-ish lists
+    (low idf ⇒ low impact ⇒ non-essential under MaxScore) and many
+    short rare-term lists (high impact ⇒ essential). dl/avgdl are
+    recomputed from the projected postings so the BM25 arithmetic is
+    self-consistent on the projected corpus. Prune numbers under this
+    knob are the block-max WIN-regime measurement quoted in BASELINE.md
+    round 14; losslessness under the knob is pinned engine-side in
+    tests/test_rank_fusion.py."""
     from data_warehousing_assignment_spark.caching import pin
 
     docs = docs_t(spark, sf_dir)
@@ -3600,9 +3617,47 @@ def _blockmax_frames(
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
-    dl = docs.select(
-        "doc_id", F.size(tx.tokens("text")).cast("bigint").alias("dl")
-    )
+    if zipf_skew:
+        # Zipf posting projection (see docstring): rank r keeps the
+        # postings whose per-(tok, doc) md5 coin lands on 0 mod r. The
+        # rank window is vocab-sized; dl derives from the projected tf
+        # on its existing shuffle (the verdict-#1 shape).
+        tokrank = (
+            tf.select("tok")
+            .distinct()
+            .withColumn(
+                "zrank",
+                F.row_number()
+                .over(Window.orderBy(F.md5(F.col("tok")), F.col("tok")))
+                .cast("bigint"),
+            )
+        )
+        tf = pin(
+            tf.join(F.broadcast(tokrank), "tok")
+            .filter(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":", F.col("tok"), F.col("doc_id").cast("string")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("zrank")
+                == 0
+            )
+            .drop("zrank")
+        )
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    else:
+        dl = docs.select(
+            "doc_id", F.size(tx.tokens("text")).cast("bigint").alias("dl")
+        )
     stats = dl.agg(
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
         F.count(F.lit(1)).alias("n_docs"),

@@ -4,6 +4,8 @@ dropped, when their best single-list ranks are equal)."""
 
 from __future__ import annotations
 
+import pytest
+
 from data_warehousing_assignment_spark.registry_extensions import (
     op_ext_rank_fusion,
 )
@@ -167,12 +169,17 @@ def test_fusion_baseline_same_query_sample_as_gain(spark):
     assert sum(base.values()) == min(100, n)
 
 
-def test_blockmax_prune_is_lossless_and_fires(spark):
+@pytest.mark.parametrize("zipf", [False, True], ids=["dense", "zipf"])
+def test_blockmax_prune_is_lossless_and_fires(spark, zipf):
     """Direct engine-side pin of the two block-max claims (the oracle
     gate proves prune ≡ unpruned against DuckDB; this pins it engine-
     only so a prune bug can't hide behind an oracle edit): the pruned
     top-k equals the naive unpruned top-k row-for-row, AND the MaxScore
-    term split actually drops postings rows (essential < unpruned)."""
+    term split actually drops postings rows (essential < unpruned).
+    Parametrized over the Zipf posting projection (the win-regime
+    measurement knob) so losslessness holds on BOTH df profiles — a θ
+    or term-split bug that only bites under skew can't hide behind the
+    dense default."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -181,7 +188,7 @@ def test_blockmax_prune_is_lossless_and_fires(spark):
         _BM25_TOPK,
     )
 
-    frames = _blockmax_frames(spark, SF_SMALL)
+    frames = _blockmax_frames(spark, SF_SMALL, zipf_skew=zipf)
     qt, postings = frames["qt"], frames["postings"]
     # naive unpruned ranking from the same postings
     naive = (

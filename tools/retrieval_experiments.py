@@ -6,7 +6,11 @@ BASELINE.md "## Round 14"):
    matches ~every query through some term), the worst case for
    candidate-level pruning; the ~quadratically sparser bigram space
    probes whether rarer terms change the picture (measured: no — its
-   θ pools are too thin to prune, see BASELINE.md).
+   θ pools are too thin to prune, see BASELINE.md); the `zipf` mode
+   projects the posting lists onto a deterministic Zipf(1) df profile
+   (md5-ranked tokens keep ~1/rank of their postings) — the
+   natural-language skew regime the production form targets, where the
+   prune is expected to WIN (measured numbers in BASELINE.md r14).
 2. Filtered-search recall vs predicate selectivity — filter-aware
    candidate generation (label band as an equi-key of the probed-cell
    join) vs post-filtering the unfiltered top-20, both against the
@@ -28,20 +32,25 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
-def blockmax_reduction(spark, sf_dir: str, bigram: bool) -> dict:
+def blockmax_reduction(spark, sf_dir: str, mode: str) -> dict:
     from data_warehousing_assignment_spark.registry_extensions import (
         _blockmax_count_row,
         _blockmax_frames,
     )
 
-    frames = _blockmax_frames(spark, sf_dir, bigram_terms=bigram)
+    frames = _blockmax_frames(
+        spark,
+        sf_dir,
+        bigram_terms=(mode == "bigram"),
+        zipf_skew=(mode == "zipf"),
+    )
     row = _blockmax_count_row(frames).collect()[0]
     # engine-side only: the lossless SQL semi-count of this stream spills
     # past the harness disk at sf10 (see the audit op docstring)
     scored_rows = frames["scored_stream"].count()
     unpruned, essential = row["unpruned_rows"], row["essential_rows"]
     return {
-        "terms": "bigram" if bigram else "unigram",
+        "terms": mode,
         "unpruned_rows": unpruned,
         "essential_rows": essential,
         "n_candidates": row["n_candidates"],
@@ -88,8 +97,8 @@ def main() -> int:
     out: dict = {}
     for sf_dir in sf_dirs:
         rows = []
-        for bigram in (False, True):
-            rows.append(blockmax_reduction(spark, sf_dir, bigram))
+        for mode in ("unigram", "bigram", "zipf"):
+            rows.append(blockmax_reduction(spark, sf_dir, mode))
             release_unscoped()
         sweeps = []
         for band in (1, 2, 5, 10):
