@@ -172,6 +172,35 @@ def build_ivf_index(
     return centroids, assignments
 
 
+def extend_ivf_index(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """O(Δ·k) incremental index maintenance: assign ONLY the new
+    ``delta`` vectors against the FROZEN centroids and append them to
+    the existing assignments — no re-clustering, no touch of the base
+    corpus. This is the arrival path at scale: a 100 TB index is built
+    once (amortized) and each incoming batch costs Δ·k centroid
+    distances, exactly like :func:`build_ivf_index`'s final assignment
+    step but restricted to the delta. Because the base assignments were
+    themselves produced by arg-min against these same centroids, the
+    union equals assigning (base ∪ delta) against the frozen centroids
+    — which is what makes the incremental index SQL-oracle-able and is
+    pinned in tests/test_ivf.py. Recall drifts as the un-reclustered
+    corpus grows; op-ext-ann-incr-recall is the monitor for exactly
+    that (measured numbers in BASELINE.md r14)."""
+    dq = delta.select(
+        F.col(id_col).alias("_id"), quantize(vec_col).alias("qvec")
+    )
+    extra = _assign(dq, centroids).select(
+        F.col("_id").alias(id_col), "cluster"
+    )
+    return centroids, assignments.unionByName(extra)
+
+
 def save_ivf_index(
     centroids: DataFrame, assignments: DataFrame, path: str
 ) -> None:

@@ -901,19 +901,22 @@ from data_warehousing_assignment_spark.operators import ivf as iv  # noqa: E402
 from data_warehousing_assignment_spark.operators import pq as pqm  # noqa: E402
 
 
-def _ivf_lloyd_round(src_c: str, n: int) -> str:
+def _ivf_lloyd_round(src_c: str, n: int, train_src: str = "emb") -> str:
     """One unrolled Lloyd round as CTE text: assign every vector to its
     nearest centroid in ``src_c`` (exact int64 squared-L2, cluster-id
     tiebreak — similarity to operators/ivf._assign), then recompute each
     cell's centroid as the exact integer mean (round half away from
     zero via pure integer arithmetic — operators/ivf.build_ivf_index's
-    r8 formulation, bit-identical in any engine)."""
+    r8 formulation, bit-identical in any engine). ``train_src`` names
+    the corpus CTE the round trains over (default the full ``emb``;
+    the incremental-index oracle trains over its ``base`` slice while
+    final assignment still covers everything)."""
     return f"""
     d{n} AS (
       SELECT e.vec_id, c.cluster,
              CAST(SUM((e.v[idx.i] - c.centroid[idx.i])
                       * (e.v[idx.i] - c.centroid[idx.i])) AS BIGINT) AS dd
-      FROM emb e, {src_c} c, idx GROUP BY 1, 2
+      FROM {train_src} e, {src_c} c, idx GROUP BY 1, 2
     ),
     a{n} AS (
       SELECT vec_id, cluster FROM (
@@ -926,7 +929,7 @@ def _ivf_lloyd_round(src_c: str, n: int) -> str:
       SELECT a.cluster, idx.i AS pos,
              CAST(SUM(e.v[idx.i]) AS BIGINT) AS s,
              CAST(COUNT(*) AS BIGINT) AS n
-      FROM a{n} a JOIN emb e USING (vec_id), idx GROUP BY 1, 2
+      FROM a{n} a JOIN {train_src} e USING (vec_id), idx GROUP BY 1, 2
     ),
     c{n + 1} AS (
       SELECT cluster,
@@ -942,6 +945,7 @@ def _ivf_cand_ctes(
     n_probe: int = 4,
     query_mod: int = 100,
     query_where: str | None = None,
+    train_src: str = "emb",
 ) -> str:
     """The IVF candidate-generation CTE chain (seeds → 2 unrolled Lloyd
     rounds → final assignment → ``n_probe``-cell probing →
@@ -953,15 +957,18 @@ def _ivf_cand_ctes(
     exact-IVF anchors stay at the documented 4). ``query_where``
     overrides the default ``vec_id % query_mod = 0`` spine — the
     fixed-size audit sample (op-ext-ann-recall-sampled) injects a
-    ``qsample`` CTE via ``c0_sql`` and points the probe filter at it."""
+    ``qsample`` CTE via ``c0_sql`` and points the probe filter at it.
+    ``train_src`` routes the Lloyd rounds to a corpus slice (the
+    incremental-index oracle trains on ``base``); final assignment and
+    probing always cover the full ``emb``."""
     if query_where is None:
         query_where = f"vec_id % {query_mod} = 0"
     return f"""
     WITH emb AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
     idx AS (SELECT unnest(range(1, 65)) AS i),
     {c0_sql},
-    {_ivf_lloyd_round('c0', 0)},
-    {_ivf_lloyd_round('c1', 1)},
+    {_ivf_lloyd_round('c0', 0, train_src)},
+    {_ivf_lloyd_round('c1', 1, train_src)},
     dfin AS (
       SELECT e.vec_id, c.cluster,
              CAST(SUM((e.v[idx.i] - c.centroid[idx.i])
@@ -989,14 +996,14 @@ def _ivf_cand_ctes(
     )"""
 
 
-def _ivf_oracle(c0_sql: str) -> str:
+def _ivf_oracle(c0_sql: str, train_src: str = "emb") -> str:
     """Full IVF pipeline replay (candidate CTEs from
     :func:`_ivf_cand_ctes` → exact dot/norm scoring → top-5) — the
-    anchor (pinned k=16) and the scaled variant (data-derived k) share
-    one verbatim body; only how many lowest-id seed vectors enter
-    ``c0`` differs."""
+    anchor (pinned k=16), the scaled variant (data-derived k), and the
+    incremental variant (``train_src="base"``: Lloyd over the base
+    slice, assignment over everything) share one verbatim body."""
     return f"""
-    {_ivf_cand_ctes(c0_sql)},
+    {_ivf_cand_ctes(c0_sql, train_src=train_src)},
     nrms AS (
       SELECT emb.vec_id, CAST(SUM(v[idx.i] * v[idx.i]) AS BIGINT) AS nrm
       FROM emb, idx GROUP BY 1
@@ -3071,8 +3078,17 @@ def audit_sample(emb: DataFrame) -> DataFrame:
     )
 
 
-_RECALL_SAMPLED_ORACLE = f"""
-    {_ivf_cand_ctes(_FILT_C0_SQL, n_probe=8, query_where=_QSAMPLE_WHERE)},
+def _recall_vs_exact_oracle(c0_sql: str, train_src: str = "emb") -> str:
+    """Recall@5-vs-brute-force oracle over a fixed audit sample: the IVF
+    candidate chain (seed CTEs injected via ``c0_sql``, Lloyd corpus via
+    ``train_src``) → exact scoring → ivf5, against the O(100·C) exact
+    ground truth → per-query integer recall_ppm. ONE body shared by
+    op-ext-ann-recall-sampled (full-corpus training) and
+    op-ext-ann-incr-recall (base-trained frozen centroids), so the
+    drift the incremental monitor reports is measured under literally
+    the same arithmetic, not a re-implementation."""
+    return f"""
+    {_ivf_cand_ctes(c0_sql, n_probe=8, query_where=_QSAMPLE_WHERE, train_src=train_src)},
     nrms AS (
       SELECT emb.vec_id, CAST(SUM(v[idx.i] * v[idx.i]) AS BIGINT) AS nrm
       FROM emb, idx GROUP BY 1
@@ -3135,6 +3151,9 @@ _RECALL_SAMPLED_ORACLE = f"""
     """
 
 
+_RECALL_SAMPLED_ORACLE = _recall_vs_exact_oracle(_FILT_C0_SQL)
+
+
 @query("op-ext-ann-recall-sampled", oracle=_RECALL_SAMPLED_ORACLE)
 def op_ext_ann_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION shape of the ANN recall monitor (r12 verdict #2):
@@ -3155,12 +3174,23 @@ def op_ext_ann_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB replay feasible far beyond the %-spine's range."""
     emb = t(spark, sf_dir, "embeddings")
     queries = audit_sample(emb)
+    approx5 = iv.ivf_cosine_topk(emb, queries, k=5, n_clusters=16, n_probe=8)
+    return _sampled_recall_frame(emb, queries, approx5)
+
+
+def _sampled_recall_frame(
+    emb: DataFrame, queries: DataFrame, approx5: DataFrame
+) -> DataFrame:
+    """Per-query integer recall@5 of ``approx5`` (query_id, neighbor_id,
+    …) against the exact brute-force top-5 over the same fixed audit
+    sample — engine twin of the :func:`_recall_vs_exact_oracle` tail,
+    ONE body shared by op-ext-ann-recall-sampled and
+    op-ext-ann-incr-recall so the incremental monitor's drift is
+    measured under literally the same arithmetic."""
     exact5 = sim.brute_force_cosine_topk(emb, queries, k=5).select(
         "query_id", "neighbor_id"
     )
-    ivf5 = iv.ivf_cosine_topk(
-        emb, queries, k=5, n_clusters=16, n_probe=8
-    ).select("query_id", F.col("neighbor_id").alias("_n"))
+    ivf5 = approx5.select("query_id", F.col("neighbor_id").alias("_n"))
     hits = (
         exact5.join(
             ivf5,
@@ -3176,6 +3206,99 @@ def op_ext_ann_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         F.expr("(1000000 * n_hits) div 5").alias("recall_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# incremental IVF index maintenance (r14): build once on the base
+# corpus, assign each arriving batch against the FROZEN centroids in
+# O(Δ·k) — the arrival path at 100 TB, where re-clustering per batch is
+# a full-corpus job — plus the recall monitor that measures what the
+# frozen index costs as the un-reclustered corpus grows
+# --------------------------------------------------------------------------
+
+#: The base/delta split of the incremental-index ops: the index is
+#: k-means-built on the 90% BASE slice only; the 10% delta (every 10th
+#: vec_id — a superset of the %100 query spine, so queries are
+#: themselves newly-arrived vectors) is assigned to the frozen
+#: centroids on arrival and never clustered. ONE definition each side.
+_INCR_BASE_WHERE = "vec_id % 10 <> 0"
+
+_INCR_SEED_SQL = f"""
+    base AS (SELECT vec_id, v FROM emb WHERE {_INCR_BASE_WHERE}),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+             v AS centroid
+      FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 16)
+    )"""
+
+_INCR_FILT_C0_SQL = f"""
+    {_QSAMPLE_CTE},
+    {_INCR_SEED_SQL.strip()}"""
+
+
+def _incr_index(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Engine twin of the ``base``/``c0`` chain: k-means (2 Lloyd
+    rounds) on the base slice, then O(Δ·k) frozen-centroid assignment
+    of the delta via operators/ivf.extend_ivf_index — shared by both
+    incremental ops so they serve the SAME index."""
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    centroids, assign = iv.build_ivf_index(base, n_clusters=16)
+    return iv.extend_ivf_index(centroids, assign, delta)
+
+
+@query(
+    "op-ext-ann-ivf-incremental",
+    oracle=_ivf_oracle(_INCR_SEED_SQL, train_src="base"),
+)
+def op_ext_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k served from an INCREMENTALLY MAINTAINED index: k-means
+    runs once over the 90% base slice (the amortized offline build),
+    and the 10% delta batch is assigned to the FROZEN centroids in
+    O(Δ·k) on arrival (operators/ivf.extend_ivf_index) — no
+    re-clustering, the only maintenance shape that survives a 100 TB
+    corpus taking continuous ingest (the dedup twin is
+    op-ext-dedup-incremental's O(Δ) new-vs-corpus classification).
+    Queries are the standard %100 spine — all of them newly-arrived
+    delta vectors, i.e. the index answers for vectors it never
+    clustered on. ORACLE-EXACT through the shared _ivf_oracle body with
+    the Lloyd rounds routed to the ``base`` CTE (train_src): because
+    the engine's base assignments are themselves argmin against the
+    final frozen centroids, base-assign ∪ delta-assign ≡ assigning the
+    full corpus against those centroids, which is what the oracle's
+    final-assignment CTE computes (equivalence pinned engine-side in
+    tests/test_ivf.py). Recall cost of serving frozen is measured by
+    op-ext-ann-incr-recall."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return iv.ivf_cosine_topk(
+        emb, queries, k=5, n_probe=4, index=_incr_index(emb)
+    )
+
+
+@query(
+    "op-ext-ann-incr-recall",
+    oracle=_recall_vs_exact_oracle(_INCR_FILT_C0_SQL, train_src="base"),
+)
+def op_ext_ann_incr_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DRIFT MONITOR for the incrementally maintained IVF index:
+    recall@5 of the frozen-centroid index (base-trained 16 cells,
+    n_probe=8, delta assigned on arrival) against the exact brute-force
+    top-5 on the SAME fixed 100-query md5 audit sample as
+    op-ext-ann-recall-sampled — same sample, same probe width, same
+    recall arithmetic (shared _sampled_recall_frame /
+    _recall_vs_exact_oracle bodies), so recall-sampled minus this op is
+    a like-for-like measurement of what NOT re-clustering after 10%
+    corpus growth costs (measured numbers in BASELINE.md r14). This is
+    the alarm an operator watches at 100 TB to decide when the
+    amortized rebuild is due; ground truth stays O(100·C) — linear in
+    corpus — by the pinned-Q contract."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = audit_sample(emb)
+    approx5 = iv.ivf_cosine_topk(
+        emb, queries, k=5, n_probe=8, index=_incr_index(emb)
+    )
+    return _sampled_recall_frame(emb, queries, approx5)
 
 
 # --------------------------------------------------------------------------

@@ -196,3 +196,36 @@ def test_recall_surface_matches_set_intersection(spark):
         assert hits == expect
         assert ppm == (1000000 * hits) // 5
         assert 0 <= hits <= 5
+
+
+def test_extend_ivf_index_equals_full_assignment(spark):
+    """The oracle-equivalence claim of op-ext-ann-ivf-incremental,
+    pinned engine-side: because build_ivf_index's base assignments are
+    themselves argmin against the final frozen centroids, base-assign ∪
+    delta-assign (extend_ivf_index) must equal assigning the FULL
+    corpus against those same centroids row-for-row — and the union
+    covers every corpus vector exactly once."""
+    corpus = emb(spark)
+    base = corpus.filter(F.col("vec_id") % 10 != 0)
+    delta = corpus.filter(F.col("vec_id") % 10 == 0)
+    centroids, base_assign = ivf.build_ivf_index(base, n_clusters=16)
+    _, union_assign = ivf.extend_ivf_index(centroids, base_assign, delta)
+
+    vecs = corpus.select(
+        F.col("vec_id").alias("_id"),
+        ivf.quantize("embedding").alias("qvec"),
+    )
+    full_assign = ivf._assign(vecs, centroids).select(
+        F.col("_id").alias("vec_id"), "cluster"
+    )
+    got = sorted(map(tuple, union_assign.collect()))
+    expect = sorted(map(tuple, full_assign.collect()))
+    assert got == expect
+    assert len(got) == corpus.count()
+    # and an EMPTY delta is the identity on the index
+    _, same = ivf.extend_ivf_index(
+        centroids, base_assign, delta.filter(F.lit(False))
+    )
+    assert sorted(map(tuple, same.collect())) == sorted(
+        map(tuple, base_assign.collect())
+    )

@@ -117,6 +117,14 @@ ALLOWED = {
     "op-ext-zorder": {"cartesian"},
     # k-means assign: corpus × broadcast n_clusters centroids (k tiny)
     "op-ext-ann-ivf": {"cartesian"},
+    # same centroid-assign cartesian, run on the base slice at build
+    # and the delta slice at arrival (extend_ivf_index) — both ×
+    # broadcast 16-row centroid frame (registry_extensions._incr_index)
+    "op-ext-ann-ivf-incremental": {"cartesian"},
+    # the recall-sampled pair of sanctioned shapes over the incremental
+    # index: pinned-100-query brute-force ground truth (O(100·C) by
+    # contract) + the centroid-assign cartesian above
+    "op-ext-ann-incr-recall": {"cartesian"},
     # same centroid-assign cartesian, auto-sized k (still ≪ n, broadcast)
     "op-ext-ann-ivf-scaled": {"cartesian"},
     # new-members numbering after the anti-join: dim-sized by construction
