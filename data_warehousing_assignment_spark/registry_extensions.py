@@ -3301,6 +3301,75 @@ def op_ext_ann_incr_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sampled_recall_frame(emb, queries, approx5)
 
 
+@query(
+    "op-ext-ann-cell-drift",
+    oracle=f"""
+    {_ivf_cand_ctes(_INCR_SEED_SQL, train_src="base")},
+    counts AS (
+      SELECT cluster,
+             CAST(SUM(CASE WHEN neighbor_id % 10 <> 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+             CAST(SUM(CASE WHEN neighbor_id % 10 = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+      FROM cells GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+                   CAST(SUM(n_delta) AS BIGINT) AS td FROM counts)
+    SELECT cluster, n_base, n_delta,
+           CAST((1000000 * n_base) // NULLIF(t.tb, 0) AS BIGINT)
+             AS base_ppm,
+           CAST((1000000 * n_delta) // NULLIF(t.td, 0) AS BIGINT)
+             AS delta_ppm,
+           CAST((1000000 * n_delta) // NULLIF(t.td, 0)
+                - (1000000 * n_base) // NULLIF(t.tb, 0) AS BIGINT)
+             AS shift_ppm
+    FROM counts, tot t
+    """,
+)
+def op_ext_ann_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O(Δ) LEADING alarm for the incrementally maintained IVF
+    index: per-cell occupancy of the base corpus vs the arriving delta
+    batch, as exact integer ppm shares plus the signed shift. If new
+    vectors distribute across the frozen cells like the base did,
+    the centroids still describe the data and the frozen index is
+    healthy; a skewed shift_ppm is the cheap early signal to run the
+    expensive confirmatory monitor (op-ext-ann-incr-recall, O(100·C))
+    and schedule the amortized rebuild. Costs nothing beyond the
+    arrival-path assignment the index already performs — the counts
+    aggregate over the assignment frame the delta batch produced, so
+    at 100 TB this monitor is a k-row groupBy per batch. All
+    arithmetic integer-exact (truncating div on non-negative counts,
+    identical in both engines); an empty base/delta side yields NULL
+    ppm rather than an engine-divergent division error. Same
+    base/delta split and frozen index as the other incremental ops
+    (shared _incr_index)."""
+    emb = t(spark, sf_dir, "embeddings")
+    _, assign = _incr_index(emb)
+    counts = assign.groupBy("cluster").agg(
+        F.sum(F.when(F.col("vec_id") % 10 != 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_base"),
+        F.sum(F.when(F.col("vec_id") % 10 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_delta"),
+    )
+    tot = counts.agg(
+        F.sum("n_base").cast("bigint").alias("tb"),
+        F.sum("n_delta").cast("bigint").alias("td"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "cluster",
+        "n_base",
+        "n_delta",
+        F.expr("(1000000 * n_base) div NULLIF(tb, 0)").alias("base_ppm"),
+        F.expr("(1000000 * n_delta) div NULLIF(td, 0)").alias("delta_ppm"),
+        F.expr(
+            "(1000000 * n_delta) div NULLIF(td, 0)"
+            " - (1000000 * n_base) div NULLIF(tb, 0)"
+        ).alias("shift_ppm"),
+    )
+
+
 # --------------------------------------------------------------------------
 # hybrid retrieval (r13): RRF fusion of the IVF dense ranking with a
 # doc-level BM25 lexical ranking over one fixed query sample

@@ -229,3 +229,24 @@ def test_extend_ivf_index_equals_full_assignment(spark):
     assert sorted(map(tuple, same.collect())) == sorted(
         map(tuple, base_assign.collect())
     )
+
+
+def test_cell_drift_counts_cover_corpus(spark):
+    """op-ext-ann-cell-drift structural pins next to its oracle gate:
+    base+delta occupancy covers the corpus exactly once, ppm shares
+    are truncating-div exact, and the signed shifts cancel to within
+    per-cell truncation (|Σ shift_ppm| < n_cells)."""
+    from data_warehousing_assignment_spark.registry_extensions import (
+        op_ext_ann_cell_drift,
+    )
+
+    corpus = emb(spark)
+    rows = op_ext_ann_cell_drift(spark, SF_SMALL).collect()
+    assert sum(r.n_base + r.n_delta for r in rows) == corpus.count()
+    tb = sum(r.n_base for r in rows)
+    td = sum(r.n_delta for r in rows)
+    for r in rows:
+        assert r.base_ppm == (1000000 * r.n_base) // tb
+        assert r.delta_ppm == (1000000 * r.n_delta) // td
+        assert r.shift_ppm == r.delta_ppm - r.base_ppm
+    assert abs(sum(r.shift_ppm for r in rows)) < len(rows)

@@ -125,6 +125,13 @@ ALLOWED = {
     # index: pinned-100-query brute-force ground truth (O(100·C) by
     # contract) + the centroid-assign cartesian above
     "op-ext-ann-incr-recall": {"cartesian"},
+    # centroid-assign cartesian (as above) + the 1-row total-counts
+    # stats frame broadcast onto the k-row occupancy frame; the window
+    # is build_ivf_index's seed ranking over the 16-row LIMIT frame
+    # (n_clusters-sized by construction — the ivf-pq codebook-seed
+    # class), surfacing here because no query_id-partitioned top-k
+    # window follows to dominate the plan
+    "op-ext-ann-cell-drift": {"cartesian", "single-partition window"},
     # same centroid-assign cartesian, auto-sized k (still ≪ n, broadcast)
     "op-ext-ann-ivf-scaled": {"cartesian"},
     # new-members numbering after the anti-join: dim-sized by construction
