@@ -97,6 +97,26 @@ def auto_n_clusters(
     return max(floor, min(k, max(floor, n_corpus // 8)))
 
 
+def assign_to_index(
+    frame: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster) for every row of ``frame`` by argmin against the
+    given centroids — THE assignment step, one definition shared by
+    :func:`build_ivf_index`'s final pass and
+    :func:`extend_ivf_index`'s delta pass so the two can never diverge
+    in quantization or tie-break (the incremental index's
+    oracle-equivalence rests on exactly that identity)."""
+    vecs = frame.select(
+        F.col(id_col).alias("_id"), quantize(vec_col).alias("qvec")
+    )
+    return _assign(vecs, centroids).select(
+        F.col("_id").alias(id_col), "cluster"
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -166,9 +186,7 @@ def build_ivf_index(
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < n_iters:
             centroids = centroids.localCheckpoint(eager=True)
 
-    assignments = _assign(vecs, centroids).select(
-        F.col("_id").alias(id_col), "cluster"
-    )
+    assignments = assign_to_index(corpus, centroids, id_col, vec_col)
     return centroids, assignments
 
 
@@ -192,12 +210,7 @@ def extend_ivf_index(
     pinned in tests/test_ivf.py. Recall drifts as the un-reclustered
     corpus grows; op-ext-ann-incr-recall is the monitor for exactly
     that (measured numbers in BASELINE.md r14)."""
-    dq = delta.select(
-        F.col(id_col).alias("_id"), quantize(vec_col).alias("qvec")
-    )
-    extra = _assign(dq, centroids).select(
-        F.col("_id").alias(id_col), "cluster"
-    )
+    extra = assign_to_index(delta, centroids, id_col, vec_col)
     return centroids, assignments.unionByName(extra)
 
 

@@ -1033,14 +1033,23 @@ def _ivf_oracle(c0_sql: str, train_src: str = "emb") -> str:
     """
 
 
-@query(
-    "op-ext-ann-ivf",
-    oracle=_ivf_oracle("""
-    c0 AS (
+def _seed16_c0(src: str) -> str:
+    """The pinned 16-seed CTE (lowest 16 vec_ids of ``src`` → cluster
+    ids 0..15) — ONE definition for every fixed-16-cell oracle
+    (op-ext-ann-ivf, _FILT_C0_SQL's recall/filtered family, and the
+    incremental pair's base-trained seeds), so a seed-rule change
+    cannot silently skip one copy (r14 self-review)."""
+    return f"""c0 AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
              v AS centroid
-      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16)
-    )"""),
+      FROM (SELECT vec_id, v FROM {src} ORDER BY vec_id LIMIT 16)
+    )"""
+
+
+@query(
+    "op-ext-ann-ivf",
+    oracle=_ivf_oracle(f"""
+    {_seed16_c0('emb')}"""),
 )
 def op_ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: deterministic k-means cells (2 Lloyd rounds
@@ -3059,11 +3068,7 @@ _HYBRID_C0_SQL = f"""
 #: construction rather than by eyeballing two copies (r14 self-review).
 _FILT_C0_SQL = f"""
     {_QSAMPLE_CTE},
-    c0 AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
-             v AS centroid
-      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16)
-    )"""
+    {_seed16_c0('emb')}"""
 
 
 def audit_sample(emb: DataFrame) -> DataFrame:
@@ -3217,19 +3222,19 @@ def _sampled_recall_frame(
 # --------------------------------------------------------------------------
 
 #: The base/delta split of the incremental-index ops: the index is
-#: k-means-built on the 90% BASE slice only; the 10% delta (every 10th
-#: vec_id — a superset of the %100 query spine, so queries are
-#: themselves newly-arrived vectors) is assigned to the frozen
-#: centroids on arrival and never clustered. ONE definition each side.
-_INCR_BASE_WHERE = "vec_id % 10 <> 0"
+#: k-means-built on the 90% BASE slice only; the 10% delta (every
+#: _INCR_MOD-th vec_id — a superset of the %100 query spine, so queries
+#: are themselves newly-arrived vectors) is assigned to the frozen
+#: centroids on arrival and never clustered. The modulus is ONE
+#: constant: every engine predicate and oracle CASE below derives from
+#: _INCR_MOD, so the split cannot drift between sides (r14 self-review).
+_INCR_MOD = 10
+
+_INCR_BASE_WHERE = f"vec_id % {_INCR_MOD} <> 0"
 
 _INCR_SEED_SQL = f"""
     base AS (SELECT vec_id, v FROM emb WHERE {_INCR_BASE_WHERE}),
-    c0 AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
-             v AS centroid
-      FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 16)
-    )"""
+    {_seed16_c0('base')}"""
 
 _INCR_FILT_C0_SQL = f"""
     {_QSAMPLE_CTE},
@@ -3241,8 +3246,8 @@ def _incr_index(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     rounds) on the base slice, then O(Δ·k) frozen-centroid assignment
     of the delta via operators/ivf.extend_ivf_index — shared by both
     incremental ops so they serve the SAME index."""
-    base = emb.filter(F.col("vec_id") % 10 != 0)
-    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    base = emb.filter(F.col("vec_id") % _INCR_MOD != 0)
+    delta = emb.filter(F.col("vec_id") % _INCR_MOD == 0)
     centroids, assign = iv.build_ivf_index(base, n_clusters=16)
     return iv.extend_ivf_index(centroids, assign, delta)
 
@@ -3307,9 +3312,9 @@ def op_ext_ann_incr_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_ivf_cand_ctes(_INCR_SEED_SQL, train_src="base")},
     counts AS (
       SELECT cluster,
-             CAST(SUM(CASE WHEN neighbor_id % 10 <> 0
+             CAST(SUM(CASE WHEN neighbor_id % {_INCR_MOD} <> 0
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
-             CAST(SUM(CASE WHEN neighbor_id % 10 = 0
+             CAST(SUM(CASE WHEN neighbor_id % {_INCR_MOD} = 0
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
       FROM cells GROUP BY 1
     ),
@@ -3343,15 +3348,21 @@ def op_ext_ann_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm rather than an engine-divergent division error. Same
     base/delta split and frozen index as the other incremental ops
     (shared _incr_index)."""
+    from data_warehousing_assignment_spark.caching import pin
+
     emb = t(spark, sf_dir, "embeddings")
     _, assign = _incr_index(emb)
-    counts = assign.groupBy("cluster").agg(
-        F.sum(F.when(F.col("vec_id") % 10 != 0, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_base"),
-        F.sum(F.when(F.col("vec_id") % 10 == 0, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_delta"),
+    # pinned: counts feeds both the tot aggregate and the final select —
+    # unpinned, the whole incremental build could run twice (k rows)
+    counts = pin(
+        assign.groupBy("cluster").agg(
+            F.sum(F.when(F.col("vec_id") % _INCR_MOD != 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_base"),
+            F.sum(F.when(F.col("vec_id") % _INCR_MOD == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_delta"),
+        )
     )
     tot = counts.agg(
         F.sum("n_base").cast("bigint").alias("tb"),
