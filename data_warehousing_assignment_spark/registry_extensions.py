@@ -3348,10 +3348,21 @@ def op_ext_ann_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm rather than an engine-divergent division error. Same
     base/delta split and frozen index as the other incremental ops
     (shared _incr_index)."""
-    from data_warehousing_assignment_spark.caching import pin
-
     emb = t(spark, sf_dir, "embeddings")
     _, assign = _incr_index(emb)
+    return _cell_drift_frame(assign)
+
+
+def _cell_drift_frame(assign: DataFrame) -> DataFrame:
+    """The drift arithmetic over an (vec_id, cluster) assignment frame,
+    base/delta classified by _INCR_MOD — factored out of the op so the
+    alarm's SENSITIVITY is unit-testable on a synthetic skewed
+    assignment (the uniform test corpus reads ~0 shift, which alone
+    would leave 'does the alarm ever fire?' unanswered —
+    tests/test_ivf.py feeds it an adversarial delta and pins the
+    expected ppm shifts)."""
+    from data_warehousing_assignment_spark.caching import pin
+
     # pinned: counts feeds both the tot aggregate and the final select —
     # unpinned, the whole incremental build could run twice (k rows)
     counts = pin(

@@ -250,3 +250,33 @@ def test_cell_drift_counts_cover_corpus(spark):
         assert r.delta_ppm == (1000000 * r.n_delta) // td
         assert r.shift_ppm == r.delta_ppm - r.base_ppm
     assert abs(sum(r.shift_ppm for r in rows)) < len(rows)
+
+
+def test_cell_drift_alarm_fires_on_skewed_delta(spark):
+    """Sensitivity pin for the drift alarm: on the uniform test corpus
+    shift_ppm reads ~0 (covered above), which alone leaves 'does the
+    alarm ever fire?' unanswered. Feed the factored arithmetic an
+    adversarial assignment — base spread over two cells, the whole
+    delta batch landing in cell 1 — and the ppm shifts must report
+    exactly the skew."""
+    from data_warehousing_assignment_spark.registry_extensions import (
+        _cell_drift_frame,
+    )
+
+    base = [(i, i % 2) for i in range(1, 100) if i % 10 != 0]
+    delta = [(i, 1) for i in range(10, 100, 10)]
+    assign = spark.createDataFrame(
+        base + delta, "vec_id: bigint, cluster: int"
+    )
+    got = {r.cluster: r for r in _cell_drift_frame(assign).collect()}
+    nb0 = sum(1 for _, c in base if c == 0)
+    nb1 = sum(1 for _, c in base if c == 1)
+    tb, td = len(base), len(delta)
+    assert (got[0].n_base, got[0].n_delta) == (nb0, 0)
+    assert (got[1].n_base, got[1].n_delta) == (nb1, td)
+    assert got[0].delta_ppm == 0
+    assert got[1].delta_ppm == 1000000
+    assert got[0].shift_ppm == 0 - (1000000 * nb0) // tb
+    assert got[1].shift_ppm == 1000000 - (1000000 * nb1) // tb
+    # the alarm signal: the flooded cell's shift is strongly positive
+    assert got[1].shift_ppm > 400000
