@@ -23,6 +23,39 @@ from pyspark.sql.streaming import StreamingQuery
 from data_warehousing_assignment_spark.plans.facts import incremental_fact_insert
 
 
+def _has_committed_data(spark, path: str) -> bool:
+    """True iff ``path`` contains VISIBLE committed part-files.
+
+    A directory can exist with NOTHING committed (a first write that
+    died after mkdir, or stray _temporary/metadata files). Probing
+    for actual part-files distinguishes that from real data: if none
+    exist, nothing was committed, so an empty existing side cannot
+    double-load — while treating it as readable would poison every
+    retry with the same schema-inference error forever.
+
+    Only VISIBLE part-files count: a crashed first attempt leaves
+    part-* under _temporary/, which spark.read.parquet ignores (its
+    InMemoryFileIndex pathFilter skips any '_'/'.'-prefixed path
+    segment) — counting those would declare data committed while the
+    reader finds no footers, poisoning every retry. Shared by every
+    foreachBatch sink in this module (hoisted r14)."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)  # type: ignore[union-attr]
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
+    if not fs.exists(jvm_path):
+        return False
+    root = fs.makeQualified(jvm_path).toString().rstrip("/")
+    it = fs.listFiles(jvm_path, True)  # recursive — partitioned layouts
+    while it.hasNext():
+        fpath = it.next().getPath().toString()
+        rel = fpath[len(root):].lstrip("/") if fpath.startswith(root) else fpath
+        segments = rel.split("/")
+        if any(s.startswith(("_", ".")) for s in segments[:-1]):
+            continue  # inside a hidden dir (_temporary, .staging, ...)
+        if segments[-1].startswith("part-"):
+            return True
+    return False
+
+
 def start_incremental_fact_sink(
     stream: DataFrame,
     fact_path: str,
@@ -35,40 +68,13 @@ def start_incremental_fact_sink(
     callers trigger/await as needed."""
     spark = stream.sparkSession
 
-    def _has_committed_data(fs, jvm_path) -> bool:
-        # A directory can exist with NOTHING committed (a first write that
-        # died after mkdir, or stray _temporary/metadata files). Probing
-        # for actual part-files distinguishes that from real data: if none
-        # exist, nothing was committed, so an empty existing side cannot
-        # double-load — while treating it as readable would poison every
-        # retry with the same schema-inference error forever.
-        #
-        # Only VISIBLE part-files count: a crashed first attempt leaves
-        # part-* under _temporary/, which spark.read.parquet ignores (its
-        # InMemoryFileIndex pathFilter skips any '_'/'.'-prefixed path
-        # segment) — counting those would declare data committed while the
-        # reader finds no footers, poisoning every retry.
-        root = fs.makeQualified(jvm_path).toString().rstrip("/")
-        it = fs.listFiles(jvm_path, True)  # recursive — partitioned layouts
-        while it.hasNext():
-            fpath = it.next().getPath().toString()
-            rel = fpath[len(root):].lstrip("/") if fpath.startswith(root) else fpath
-            segments = rel.split("/")
-            if any(s.startswith(("_", ".")) for s in segments[:-1]):
-                continue  # inside a hidden dir (_temporary, .staging, ...)
-            if segments[-1].startswith("part-"):
-                return True
-        return False
-
     def load_batch(batch: DataFrame, batch_id: int) -> None:
         # Probe existence explicitly: only "nothing committed yet" may
         # fall back to an empty existing side. A transient read failure on
         # REAL data must still ABORT the batch — treating it as
         # first-batch would skip the anti-join dedup and silently
         # double-load on retry.
-        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(fact_path)  # type: ignore[union-attr]
-        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
-        if fs.exists(jvm_path) and _has_committed_data(fs, jvm_path):
+        if _has_committed_data(spark, fact_path):
             existing = spark.read.parquet(fact_path).select(*batch.columns)
         else:
             existing = batch.limit(0)
@@ -260,6 +266,50 @@ def start_merge_sink(
             op_col=op_col,
         ).localCheckpoint(eager=True)
         merged.write.mode("overwrite").parquet(target_path)
+
+    writer = stream.writeStream.foreachBatch(load_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()
+
+
+def start_vector_ingest_sink(
+    stream: DataFrame,
+    centroids: DataFrame,
+    assign_path: str,
+    checkpoint_dir: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> StreamingQuery:
+    """The ARRIVAL PATH of the incremental IVF index as a stream: each
+    micro-batch of new vectors is assigned against the FROZEN broadcast
+    centroids (operators/ivf.assign_to_index — O(batch·k), never a
+    re-cluster) and appended to the assignments table partitioned by
+    cluster — the save_ivf_index layout, so query-side probing prunes
+    to the probed cells. The streaming twin of
+    operators/ivf.extend_ivf_index, exactly as start_scd2_dim_sink is
+    the streaming twin of the batch SCD2 merge.
+
+    Exactly-once contents under at-least-once delivery: an anti-join on
+    ``id_col`` against the committed assignments drops redelivered
+    vectors before the append (same defense-in-depth as
+    start_incremental_fact_sink — checkpointing dedups batches, the
+    anti-join dedups rows), pinned with an overlapping-batch replay in
+    tests/test_stream_sink.py. At 100 TB the existing-side scan reads
+    only the id column of the assignments table (column pruning), and
+    the per-batch work stays bounded by the batch, not the corpus."""
+    from data_warehousing_assignment_spark.operators.ivf import assign_to_index
+
+    spark = stream.sparkSession
+
+    def load_batch(batch: DataFrame, batch_id: int) -> None:
+        assigned = assign_to_index(batch, centroids, id_col, vec_col)
+        if _has_committed_data(spark, assign_path):
+            existing = spark.read.parquet(assign_path).select(id_col)
+            assigned = assigned.join(existing, on=id_col, how="left_anti")
+        assigned.write.mode("append").partitionBy("cluster").parquet(
+            assign_path
+        )
 
     writer = stream.writeStream.foreachBatch(load_batch)
     if checkpoint_dir:

@@ -113,3 +113,59 @@ def test_orphaned_temporary_partfiles_are_not_committed_data(
     got = spark.read.parquet(fact)
     assert got.count() == ev.count()
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_vector_ingest_stream_equals_batch_extend(spark, tmp_path):
+    """start_vector_ingest_sink is the streaming twin of
+    ivf.extend_ivf_index: micro-batched new vectors (with at-least-once
+    redelivery — batch 1 redelivers all of batch 0) land exactly once,
+    and the resulting cluster-partitioned assignments table equals the
+    batch delta assignment row-for-row."""
+    from data_warehousing_assignment_spark.operators import ivf
+    from data_warehousing_assignment_spark.streaming.sinks import (
+        start_vector_ingest_sink,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    centroids, base_assign = ivf.build_ivf_index(base, n_clusters=16)
+    frozen = centroids.localCheckpoint(eager=True)
+
+    d = str(tmp_path)
+    os.makedirs(f"{d}/stream")
+    b0 = delta.filter(F.col("vec_id") % 20 == 0)
+    for i, b in enumerate((b0, delta)):  # delta ⊇ b0: full redelivery
+        b.coalesce(1).write.mode("overwrite").parquet(f"{d}/b{i}")
+        src = glob.glob(f"{d}/b{i}/part-*.parquet")[0]
+        dst = f"{d}/stream/batch_{i}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (time.time() + i * 20, time.time() + i * 20))
+
+    schema = spark.read.parquet(f"{d}/stream").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/stream")
+    )
+    q = start_vector_ingest_sink(
+        stream, frozen, f"{d}/assign", checkpoint_dir=f"{d}/ckpt"
+    )
+    assert q.awaitTermination(180)
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{d}/assign")
+            .select("vec_id", "cluster")
+            .collect(),
+        )
+    )
+    _, delta_assign = ivf.extend_ivf_index(
+        frozen, base_assign.limit(0), delta
+    )
+    expect = sorted(
+        map(tuple, delta_assign.select("vec_id", "cluster").collect())
+    )
+    assert got == expect
+    assert len(got) == delta.count()
