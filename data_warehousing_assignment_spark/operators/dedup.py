@@ -258,9 +258,60 @@ SIMHASH_BITS = 48  # keep the fingerprint positive in an int64 across engines
 
 def _hex_nibble(h: Column, pos: int) -> Column:
     """Value 0-15 of hex digit `pos` (0-based) of md5 hex string `h` —
-    via strpos on the hex alphabet (portable to DuckDB, no conv())."""
+    via strpos on the hex alphabet (portable to DuckDB, no conv()).
+
+    The ORACLE-side formulation (and the engine-side reference the
+    packed-chunk fast path below is tested against): per bit it costs a
+    substring + strpos per ROW, which at 48-128 bits per token
+    dominated the simhash map side (r14 optimization round)."""
     ch = F.substring(h, pos + 1, 1)
     return F.instr(F.lit("0123456789abcdef"), ch) - F.lit(1)
+
+
+def _packed_hex_chunks(h: Column, n_nibbles: int) -> list[Column]:
+    """The first ``n_nibbles`` hex digits of ``h`` parsed into int64
+    chunks of ≤12 nibbles (48 bits — conv() of 12 hex chars fits int64
+    exactly). Chunk c covers digit positions [12c, 12c+L); digit p of
+    chunk c sits at bit 4·(L−1−(p−12c)) (most-significant-first), so
+
+        nibble(p) bit b  ==  (chunk[p div 12] >> shift) & 1
+
+    with ``shift = _packed_bit_shift(p, b, n_nibbles)``. Value-identical
+    to :func:`_hex_nibble` per bit (pinned in tests/test_dedup.py), at
+    one string parse per 12 nibbles instead of one per BIT."""
+    return [
+        F.conv(F.substring(h, c0 + 1, min(12, n_nibbles - c0)), 16, 10)
+        .cast("bigint")
+        .alias(f"_p{c0 // 12}")
+        for c0 in range(0, n_nibbles, 12)
+    ]
+
+
+def _packed_bit_shift(pos: int, bit: int, n_nibbles: int) -> int:
+    """Bit offset of ``_hex_nibble(h, pos) & (1 << bit)`` inside its
+    :func:`_packed_hex_chunks` chunk."""
+    c0 = 12 * (pos // 12)
+    chunk_len = min(12, n_nibbles - c0)
+    return 4 * (c0 + chunk_len - 1 - pos) + bit
+
+
+def _packed_votes(bits: int) -> list[Column]:
+    """±1 SimHash vote per md5 bit j (nibble j//4, bit j%4), reading the
+    pre-projected ``_p{c}`` chunk columns of :func:`_packed_hex_chunks`
+    — integer shift+mask per bit on the aggregation map side."""
+    n_nib = bits // 4
+    out = []
+    for j in range(bits):
+        pos = j // 4
+        shift = _packed_bit_shift(pos, j % 4, n_nib)
+        out.append(
+            F.when(
+                F.shiftright(F.col(f"_p{pos // 12}"), shift)
+                .bitwiseAND(F.lit(1)) > 0,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        )
+    return out
 
 
 def simhash(
@@ -277,16 +328,19 @@ def simhash(
     tok = scale_out(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
     ).withColumn("_h", F.md5("_tok"))
+    # Parse the needed md5 digits ONCE per token into int64 chunks (a
+    # dedicated Project so each conv() runs once per row), then each
+    # per-bit vote is a shift+mask — value-identical to the original
+    # per-bit _hex_nibble extraction (pinned in tests/test_dedup.py)
+    # at 1/`bits` the map-side string work (guide §1.2 per-task work).
+    packed = tok.select(
+        F.col(id_col), *_packed_hex_chunks(F.col("_h"), bits // 4)
+    )
     votes = [
-        F.sum(
-            F.when(
-                _hex_nibble(F.col("_h"), j // 4).bitwiseAND(F.lit(1 << (j % 4))) > 0,
-                F.lit(1),
-            ).otherwise(F.lit(-1))
-        ).alias(f"_v{j}")
-        for j in range(bits)
+        F.sum(v).alias(f"_v{j}")
+        for j, v in enumerate(_packed_votes(bits))
     ]
-    agg = tok.groupBy(id_col).agg(*votes)
+    agg = packed.groupBy(id_col).agg(*votes)
     fp = None
     for j in range(bits):
         bit = F.when(F.col(f"_v{j}") > 0, F.lit(1).cast("bigint")).otherwise(
@@ -442,17 +496,16 @@ def simhash128(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tok = scale_out(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
     ).withColumn("_h", F.md5("_tok"))
+    # chunked md5 parse + shift/mask votes — see simhash() (the 128-bit
+    # variant reads all 32 nibbles as three ≤12-digit chunks).
+    packed = tok.select(
+        F.col(id_col), *_packed_hex_chunks(F.col("_h"), 32)
+    )
     votes = [
-        F.sum(
-            F.when(
-                _hex_nibble(F.col("_h"), j // 4)
-                .bitwiseAND(F.lit(1 << (j % 4))) > 0,
-                F.lit(1),
-            ).otherwise(F.lit(-1))
-        ).alias(f"_v{j}")
-        for j in range(128)
+        F.sum(v).alias(f"_v{j}")
+        for j, v in enumerate(_packed_votes(128))
     ]
-    agg = tok.groupBy(id_col).agg(*votes)
+    agg = packed.groupBy(id_col).agg(*votes)
     return agg.select(
         F.col(id_col),
         _sign_bit_votes(agg, 0).alias("lo"),

@@ -39,12 +39,55 @@ def _l2sq(a, b):
 
 def _assign(corpus: DataFrame, centroids: DataFrame, n_probe: int = 1) -> DataFrame:
     """(id, vec, cluster) for each corpus row — or the n_probe nearest
-    clusters per row when n_probe > 1 (used on the query side)."""
-    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+    clusters per row when n_probe > 1 (used on the query side).
+
+    Ordering key: argmin over centroids of ‖a−b‖² = ‖a‖² − 2a·b + ‖b‖²
+    only needs the per-row-RELATIVE part ‖b‖² − 2a·b (‖a‖² is constant
+    within a row's candidate set and both forms are exact int64, so the
+    order AND every tie are identical). ‖b‖² is precomputed once per
+    centroid; per (row × centroid) the cost is one dot product instead
+    of the 3-pass zip/square/sum of a materialized difference vector.
+
+    n_probe == 1 (the corpus-assignment path, every build/extend pass):
+    the argmin is a map-side-combinable MIN(struct(_d, cluster)) — the
+    pre-aggregation collapses the k candidate rows per vector to 1
+    BEFORE the exchange, so the shuffle carries n rows instead of the
+    window formulation's n·k rows (each dragging the full qvec array;
+    guide §2.3 "aggregate before you shuffle"). struct min is
+    lexicographic ⇒ exactly row_number().orderBy(_d, cluster) rank 1.
+
+    n_probe > 1 (query-side probing, Q rows): window ranking unchanged.
+    """
+    cent = F.broadcast(
+        centroids.withColumn(
+            "_nb2", int_dot(F.col("centroid"), F.col("centroid"))
+        )
+    )
+    scored = corpus.crossJoin(cent).select(
         corpus["*"],
         F.col("cluster"),
-        _l2sq(F.col("qvec"), F.col("centroid")).alias("_d"),
+        (F.col("_nb2") - 2 * int_dot(F.col("qvec"), F.col("centroid")))
+        .alias("_d"),
     )
+    if n_probe == 1:
+        # Group on the primitive id columns only — an array in the
+        # grouping key would make every sort/merge comparison walk the
+        # 64-element vector. qvec rides along via first(): all k
+        # candidate rows of a group carry the IDENTICAL qvec, so
+        # first() is value-deterministic regardless of row order.
+        keys = [c for c in corpus.columns if c != "qvec"]
+        out_cols = [
+            F.col("qvec") if c == "qvec" else F.col(c)
+            for c in corpus.columns
+        ]
+        return (
+            scored.groupBy(*keys)
+            .agg(
+                F.min(F.struct("_d", "cluster")).alias("_best"),
+                F.first("qvec").alias("qvec"),
+            )
+            .select(*out_cols, F.col("_best.cluster").alias("cluster"))
+        )
     w = Window.partitionBy(*[c for c in corpus.columns if c != "qvec"]).orderBy(
         "_d", "cluster"
     )
@@ -272,8 +315,13 @@ def ivf_cosine_topk(
         )
     # persist (scope-owned): the cell lists feed the probe join; run under
     # cache_scope() — or save_ivf_index for cross-job reuse — to release.
+    # Per-row norms are computed BEFORE the probe join (once per corpus
+    # row / once per probe row) instead of per candidate pair — the
+    # score expression is unchanged, so scores stay bit-identical; the
+    # corpus-side norm rides the pinned cell frame.
     cells = pin(
         corpus.select(F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("cv"))
+        .withColumn("_nc", F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double")))
         .join(
             assignments.withColumnRenamed(id_col, "neighbor_id"), on="neighbor_id"
         )
@@ -281,15 +329,17 @@ def ivf_cosine_topk(
     q = queries.select(F.col(id_col).alias("query_id"), quantize(vec_col).alias("qvec"))
     probes = _assign(q, centroids, n_probe=n_probe).select(
         F.col("query_id"), F.col("qvec").alias("qv"), "cluster"
-    )
+    ).withColumn("_nq", F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double")))
 
     dot = int_dot(F.col("qv"), F.col("cv")).cast("double")
-    nq = F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double"))
-    nc = F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double"))
     scored = (
         cells.join(F.broadcast(probes), on="cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", (dot / (nq * nc)).alias("score"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (F.col("_nq") * F.col("_nc"))).alias("score"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("neighbor_id"))
     return (

@@ -88,16 +88,35 @@ def _sub_l2sq(a, b):
 def _nearest_code(sv_df: DataFrame, codebooks: DataFrame) -> DataFrame:
     """(_id, m, sv, code): each subvector's nearest codeword in its OWN
     subspace (exact integer distance, code-id tiebreak). The codebook is
-    M·K rows — always broadcast; the window partitions by (_id, m), the
-    finest key in the pipeline, so the rank never concentrates."""
-    scored = sv_df.join(F.broadcast(codebooks), "m").select(
-        "_id", "m", "sv", "code", _sub_l2sq(F.col("sv"), F.col("cw")).alias("_d")
+    M·K rows — always broadcast.
+
+    r14 (same rewrite as operators/ivf._assign): the argmin is a
+    map-side-combinable MIN(struct(_d, code)) grouped by the subvector
+    row — the pre-aggregation collapses the K candidate rows per
+    subvector BEFORE the exchange (n·M rows shuffled instead of
+    n·M·K through the former window sort), and the ordering key is the
+    norm-decomposed ‖cw‖² − 2·sv·cw (exact int64; ‖sv‖² is constant
+    within a group so order and ties match ‖sv−cw‖² exactly, and ties
+    break on the lower code id either way — lexicographic struct MIN ≡
+    row_number().orderBy(_d, code) rank 1). Pinned equal to the window
+    formulation in tests/test_pq.py."""
+    cb = F.broadcast(
+        codebooks.withColumn("_ncw2", int_dot(F.col("cw"), F.col("cw")))
     )
-    w = Window.partitionBy("_id", "m").orderBy("_d", "code")
+    scored = sv_df.join(cb, "m").select(
+        "_id", "m", "sv", "code",
+        (F.col("_ncw2") - 2 * int_dot(F.col("sv"), F.col("cw"))).alias("_d"),
+    )
     return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_d", "_rk")
+        # group on the primitive (_id, m) key only; sv rides along via
+        # first() — every candidate row of a group carries the identical
+        # subvector, so first() is value-deterministic (see ivf._assign).
+        scored.groupBy("_id", "m")
+        .agg(
+            F.min(F.struct("_d", "code")).alias("_best"),
+            F.first("sv").alias("sv"),
+        )
+        .select("_id", "m", "sv", F.col("_best.code").alias("code"))
     )
 
 

@@ -72,22 +72,25 @@ def brute_force_cosine_topk(
     and a k-row-per-query shuffle — the correct baseline shape. The IVF/
     LSH variant (lsh_cosine_topk) is the scale path when |queries| grows.
     """
+    # Norms are per-ROW quantities: compute each side's ‖v‖ once before
+    # the pair join instead of re-running the 64-element aggregate per
+    # PAIR (guide §1.2 "per-task work": 3 HOF aggregates/pair → 1). The
+    # score expression is unchanged — sqrt of the same int64-as-double,
+    # multiplied in the same order — so scores stay bit-identical.
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv")
-    )
+    ).withColumn("_nq", F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double")))
     c = scale_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("cv")
-    )
+    ).withColumn("_nc", F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double")))
     dot = int_dot(F.col("qv"), F.col("cv")).cast("double")
-    nq = F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double"))
-    nc = F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            (dot / (nq * nc)).alias("score"),
+            (dot / (F.col("_nq") * F.col("_nc"))).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -163,7 +166,7 @@ def lsh_cosine_topk(
         F.col(id_col).alias("query_id"),
         quantize(vec_col).alias("qv"),
         hyperplane_signs(vec_col, n_planes).alias("bucket"),
-    )
+    ).withColumn("_nq", F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double")))
     if probe_all:
         # every bucket probed ⇒ every corpus row scored exactly once
         # (each row lives in exactly one sign bucket) ⇒ provably equal to
@@ -172,29 +175,35 @@ def lsh_cosine_topk(
         probes = F.array(
             *[F.lit(b).cast("int") for b in range(1 << n_planes)]
         )
-        q = qbase.select("query_id", "qv", F.explode(probes).alias("bucket"))
+        q = qbase.select(
+            "query_id", "qv", "_nq", F.explode(probes).alias("bucket")
+        )
     elif multi_probe:
         probes = F.array(
             F.col("bucket"),
             *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
         )
         q = qbase.select(
-            "query_id", "qv", F.explode(probes).alias("bucket")
+            "query_id", "qv", "_nq", F.explode(probes).alias("bucket")
         )
     else:
         q = qbase
+    # per-row norms hoisted out of the pair join (see
+    # brute_force_cosine_topk) — score expression bit-identical.
     c = scale_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         quantize(vec_col).alias("cv"),
         hyperplane_signs(vec_col, n_planes).alias("bucket"),
-    )
+    ).withColumn("_nc", F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double")))
     dot = int_dot(F.col("qv"), F.col("cv")).cast("double")
-    nq = F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double"))
-    nc = F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double"))
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", (dot / (nq * nc)).alias("score"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (F.col("_nq") * F.col("_nc"))).alias("score"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("neighbor_id"))
     return (
@@ -217,18 +226,21 @@ def exact_near_dup_pairs(
     the bucketed variant is the scale path. One side is broadcast, so
     the plan is a BroadcastNestedLoopJoin with the a<b predicate — no
     shuffle, but candidate work is quadratic by definition."""
+    # per-row norms hoisted out of the O(n²) pair join (see
+    # brute_force_cosine_topk) — cosine expression bit-identical.
     c = scale_out(corpus).select(
         F.col(id_col).alias("doc_a"), quantize(vec_col).alias("va")
-    )
+    ).withColumn("_na", F.sqrt(int_dot(F.col("va"), F.col("va")).cast("double")))
     c2 = corpus.select(
         F.col(id_col).alias("doc_b"), quantize(vec_col).alias("vb")
-    )
+    ).withColumn("_nb", F.sqrt(int_dot(F.col("vb"), F.col("vb")).cast("double")))
     dot = int_dot(F.col("va"), F.col("vb")).cast("double")
-    na = F.sqrt(int_dot(F.col("va"), F.col("va")).cast("double"))
-    nb = F.sqrt(int_dot(F.col("vb"), F.col("vb")).cast("double"))
     return (
         c.join(F.broadcast(c2), F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", (dot / (na * nb)).alias("cosine"))
+        .select(
+            "doc_a", "doc_b",
+            (dot / (F.col("_na") * F.col("_nb"))).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -244,23 +256,26 @@ def embedding_near_dup_pairs(
     score only within buckets, keep pairs above threshold. Same
     O(Σ bucket²) guarantee as minhash-LSH — never all-pairs."""
     corpus = scale_out(corpus)
+    # per-row norms hoisted out of the bucket pair join (see
+    # brute_force_cosine_topk) — cosine expression bit-identical.
     c = corpus.select(
         F.col(id_col).alias("doc_a"),
         quantize(vec_col).alias("va"),
         hyperplane_signs(vec_col, n_planes).alias("bucket"),
-    )
+    ).withColumn("_na", F.sqrt(int_dot(F.col("va"), F.col("va")).cast("double")))
     c2 = corpus.select(
         F.col(id_col).alias("doc_b"),
         quantize(vec_col).alias("vb"),
         hyperplane_signs(vec_col, n_planes).alias("bucket"),
-    )
+    ).withColumn("_nb", F.sqrt(int_dot(F.col("vb"), F.col("vb")).cast("double")))
     dot = int_dot(F.col("va"), F.col("vb")).cast("double")
-    na = F.sqrt(int_dot(F.col("va"), F.col("va")).cast("double"))
-    nb = F.sqrt(int_dot(F.col("vb"), F.col("vb")).cast("double"))
     return (
         c.join(c2, on="bucket")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", (dot / (na * nb)).alias("cosine"))
+        .select(
+            "doc_a", "doc_b",
+            (dot / (F.col("_na") * F.col("_nb"))).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )

@@ -8,13 +8,14 @@ valid_to = NULL, is_current = true``). The dbt variant is the
 timestamp-strategy snapshot (``snapshots/scd2_dim_employee.sql:1-31``).
 
 Spark-first design: no MERGE/UPDATE exists without a lakehouse format, so
-the merge is expressed as a union of four disjoint row sets — history,
-unchanged-open, expired, inserts — and the caller overwrites the dim with
-the result. At 100 TB the dim is key-partitioned; every join below is an
-equi-join on the natural key, so the whole merge is one shuffle stage
-(or zero if both sides are bucketed on the key). Idempotent by
-construction: re-running with the same incoming batch finds zero distinct
-hashes and returns the input partition-for-partition.
+the merge produces the four disjoint row sets — history, unchanged-open,
+expired, inserts — and the caller overwrites the dim with the result.
+The open-vs-incoming classification is ONE full-outer equi-join on the
+natural key (r14: previously three separate key joins), so at 100 TB the
+whole merge is a single co-partitioned shuffle stage (or zero if both
+sides are bucketed on the key). Idempotent by construction: re-running
+with the same incoming batch finds zero distinct hashes and returns the
+input partition-for-partition.
 
 Upgrade path: with Delta/Iceberg present this becomes a single
 ``MERGE INTO`` with the same hash predicates.
@@ -60,42 +61,85 @@ def merge_scd2(
     ``current`` carries (key, *attrs, row_hash, valid_from, valid_to,
     is_current); ``incoming`` carries (key, *attrs) — at most one row per
     key. Returns the new full dimension content.
+
+    Plan shape (r14 optimization round): ONE full-outer join of the open
+    rows against the incoming batch classifies every key — (changed, new,
+    unchanged, absent-from-batch) all fall out of side-presence plus the
+    null-safe hash comparison — and each joined row emits its ≤2 output
+    rows (the surviving/expired open row and/or the fresh insert) via a
+    row-local array+explode. The previous formulation derived the same
+    four row sets with THREE key joins (changed-keys inner, new-keys
+    anti, plus semi/anti consumers) and re-evaluated the open-rows and
+    incoming subtrees up to three times each — 6 exchanges at scale
+    where the single full-outer join needs 2 (guide §2.4). Row-set
+    equality with that formulation is pinned in tests/test_scd2.py; at
+    most one open row per key (the documented contract) makes the two
+    classifications identical.
     """
     inc = incoming.select(key, *attrs).withColumn("row_hash", scd2_row_hash(attrs))
 
     cur_open = current.filter(F.col("is_current"))
     history = current.filter(~F.col("is_current"))
 
+    c = cur_open.select(
+        F.col(key),
+        *[F.col(a).alias(f"_c_{a}") for a in attrs],
+        F.col("row_hash").alias("_c_hash"),
+        F.col("valid_from").alias("_c_from"),
+        F.col("valid_to").alias("_c_to"),
+        F.lit(True).alias("_c_present"),
+    )
+    i = inc.select(
+        F.col(key),
+        *[F.col(a).alias(f"_i_{a}") for a in attrs],
+        F.col("row_hash").alias("_i_hash"),
+        F.lit(True).alias("_i_present"),
+    )
+    j = c.join(i, on=key, how="full_outer")
+    c_present = F.col("_c_present").isNotNull()
+    i_present = F.col("_i_present").isNotNull()
     # Null-safe hash inequality = IS DISTINCT FROM (ref A3_load_dim_emp.sql:48,61)
-    changed_keys = (
-        cur_open.alias("c")
-        .join(inc.alias("i"), on=key)
-        .filter(~F.col("c.row_hash").eqNullSafe(F.col("i.row_hash")))
-        .select(key)
+    changed = (
+        c_present
+        & i_present
+        & ~F.col("_c_hash").eqNullSafe(F.col("_i_hash"))
     )
-    new_keys = inc.join(cur_open, on=key, how="left_anti").select(key)
+    as_of_d = F.to_date(F.lit(as_of))
 
-    expired = (
-        cur_open.join(changed_keys, on=key, how="left_semi")
-        .withColumn("valid_to", F.to_date(F.lit(as_of)))
-        .withColumn("is_current", F.lit(False))
+    open_row = F.when(
+        c_present,
+        F.struct(
+            *[F.col(f"_c_{a}").alias(a) for a in attrs],
+            F.col("_c_hash").alias("row_hash"),
+            F.col("_c_from").alias("valid_from"),
+            F.when(changed, as_of_d).otherwise(F.col("_c_to")).alias("valid_to"),
+            (~changed).alias("is_current"),
+        ),
     )
-    unchanged = cur_open.join(changed_keys, on=key, how="left_anti")
-
-    inserts = (
-        inc.join(changed_keys.unionByName(new_keys), on=key, how="left_semi")
-        .withColumn("valid_from", F.to_date(F.lit(as_of)))
-        .withColumn("valid_to", F.lit(None).cast("date"))
-        .withColumn("is_current", F.lit(True))
+    insert_row = F.when(
+        changed | (i_present & ~c_present),
+        F.struct(
+            *[F.col(f"_i_{a}").alias(a) for a in attrs],
+            F.col("_i_hash").alias("row_hash"),
+            as_of_d.alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        ),
     )
-
     cols = [key, *attrs, *SCD2_COLS]
-    return (
-        history.select(cols)
-        .unionByName(unchanged.select(cols))
-        .unionByName(expired.select(cols))
-        .unionByName(inserts.select(cols))
+    emitted = (
+        j.select(
+            F.col(key),
+            F.explode(
+                F.filter(
+                    F.array(open_row, insert_row), lambda s: s.isNotNull()
+                )
+            ).alias("_r"),
+        )
+        .select(key, "_r.*")
+        .select(cols)
     )
+    return history.select(cols).unionByName(emitted)
 
 
 def expire_deleted(

@@ -1394,18 +1394,22 @@ def op_ext_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         sim.quantize("embedding").alias("qvec"),
     )
+    # per-row norms hoisted out of the candidate join (computed once per
+    # probe/corpus row, not per pair) — same expression, bit-identical.
     probes = iv._assign(q, centroids, n_probe=4).select(
         "query_id", "qvec", "cluster"
+    ).withColumn(
+        "_nq", F.sqrt(sim.int_dot(F.col("qvec"), F.col("qvec")).cast("double"))
     )
     cells = corpus.select(
         F.col("vec_id").alias("neighbor_id"),
         sim.quantize("embedding").alias("cv"),
+    ).withColumn(
+        "_nc", F.sqrt(sim.int_dot(F.col("cv"), F.col("cv")).cast("double"))
     ).join(
         assignments.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
     )
     dot = sim.int_dot(F.col("qvec"), F.col("cv"))
-    nq = F.sqrt(sim.int_dot(F.col("qvec"), F.col("qvec")).cast("double"))
-    nc = F.sqrt(sim.int_dot(F.col("cv"), F.col("cv")).cast("double"))
     scored = (
         cells.join(F.broadcast(probes), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -1413,7 +1417,7 @@ def op_ext_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             dot.alias("dot"),
-            (dot.cast("double") / (nq * nc)).alias("cos"),
+            (dot.cast("double") / (F.col("_nq") * F.col("_nc"))).alias("cos"),
         )
     )
     scored = pin(scored)  # two ranking windows read one scoring pass
@@ -3608,25 +3612,29 @@ def hybrid_fused_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         sim.quantize("embedding").alias("qvec"),
     )
+    # per-row norms hoisted out of the candidate join (computed once per
+    # probe/corpus row, not per pair) — same expression, bit-identical.
     probes = iv._assign(q, centroids, n_probe=4).select(
         "query_id", "qvec", "cluster"
+    ).withColumn(
+        "_nq", F.sqrt(sim.int_dot(F.col("qvec"), F.col("qvec")).cast("double"))
     )
     cells = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         sim.quantize("embedding").alias("cv"),
+    ).withColumn(
+        "_nc", F.sqrt(sim.int_dot(F.col("cv"), F.col("cv")).cast("double"))
     ).join(
         assignments.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
     )
     dot = sim.int_dot(F.col("qvec"), F.col("cv"))
-    nq = F.sqrt(sim.int_dot(F.col("qvec"), F.col("qvec")).cast("double"))
-    nc = F.sqrt(sim.int_dot(F.col("cv"), F.col("cv")).cast("double"))
     dscored = (
         cells.join(F.broadcast(probes), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            (dot.cast("double") / (nq * nc)).alias("cos"),
+            (dot.cast("double") / (F.col("_nq") * F.col("_nc"))).alias("cos"),
         )
     )
     wd = Window.partitionBy("query_id").orderBy(
@@ -4223,26 +4231,30 @@ def _filtered_aware_top(
         sim.quantize("embedding").alias("qvec"),
         F.expr(f"label div {band}").alias("nband"),
     )
+    # per-row norms hoisted out of the candidate join (computed once per
+    # probe/corpus row, not per pair) — same expression, bit-identical.
     probes = iv._assign(q, centroids, n_probe=_FILT_NPROBE).select(
         "query_id", "qvec", "cluster", "nband"
+    ).withColumn(
+        "_nq", F.sqrt(sim.int_dot(F.col("qvec"), F.col("qvec")).cast("double"))
     )
     cells = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         sim.quantize("embedding").alias("cv"),
         F.expr(f"label div {band}").alias("nband"),
+    ).withColumn(
+        "_nc", F.sqrt(sim.int_dot(F.col("cv"), F.col("cv")).cast("double"))
     ).join(
         assignments.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
     )
     dot = sim.int_dot(F.col("qvec"), F.col("cv"))
-    nq = F.sqrt(sim.int_dot(F.col("qvec"), F.col("qvec")).cast("double"))
-    nc = F.sqrt(sim.int_dot(F.col("cv"), F.col("cv")).cast("double"))
     scored = (
         cells.join(F.broadcast(probes), ["cluster", "nband"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            (dot.cast("double") / (nq * nc)).alias("score"),
+            (dot.cast("double") / (F.col("_nq") * F.col("_nc"))).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -4547,14 +4559,19 @@ def _filtered_truth_hits(
         sim.quantize("embedding").alias("qvec"),
         F.expr(f"label div {band}").alias("_lb"),
     )
+    # per-row norms hoisted out of the label-keyed pair join (computed
+    # once per query/corpus row, not per pair) — bit-identical scores.
+    qs = qs.withColumn(
+        "_nq", F.sqrt(sim.int_dot(F.col("qvec"), F.col("qvec")).cast("double"))
+    )
     cand = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         sim.quantize("embedding").alias("cv"),
         F.expr(f"label div {band}").alias("_lb"),
+    ).withColumn(
+        "_nc", F.sqrt(sim.int_dot(F.col("cv"), F.col("cv")).cast("double"))
     ).join(F.broadcast(qs), "_lb")
     dot = sim.int_dot(F.col("qvec"), F.col("cv"))
-    nq = F.sqrt(sim.int_dot(F.col("qvec"), F.col("qvec")).cast("double"))
-    nc = F.sqrt(sim.int_dot(F.col("cv"), F.col("cv")).cast("double"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.col("neighbor_id")
     )
@@ -4563,7 +4580,7 @@ def _filtered_truth_hits(
         .select(
             "query_id",
             "neighbor_id",
-            (dot.cast("double") / (nq * nc)).alias("score"),
+            (dot.cast("double") / (F.col("_nq") * F.col("_nc"))).alias("score"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _FILT_TOPK)

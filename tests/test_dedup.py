@@ -135,6 +135,44 @@ def test_simhash_near_dups_have_small_hamming_distance(spark):
     assert ham(fps[0], fps[3]) == 0  # identical token multiset
     assert ham(fps[0], fps[1]) < ham(fps[0], fps[2])
 
+def test_packed_hex_chunks_equal_per_nibble_extraction(spark):
+    """The r14 packed-chunk md5-bit fast path must be value-identical to
+    the per-bit _hex_nibble extraction (the oracle-side formulation) for
+    EVERY bit of both fingerprint widths — 48 (12 nibbles, one chunk)
+    and 128 (32 nibbles, two 12-digit chunks + one 8-digit tail)."""
+    hashes = spark.createDataFrame(
+        [(hashlib.md5(f"tok{i}".encode()).hexdigest(),) for i in range(64)]
+        + [("0" * 32,), ("f" * 32,), ("fedcba9876543210" * 2,)],
+        "h string",
+    )
+    for bits in (48, 128):
+        n_nib = bits // 4
+        packed = hashes.select(
+            "h", *dd._packed_hex_chunks(F.col("h"), n_nib)
+        )
+        checks = []
+        for j in range(bits):
+            pos = j // 4
+            old = (
+                dd._hex_nibble(F.col("h"), pos)
+                .bitwiseAND(F.lit(1 << (j % 4))) > 0
+            )
+            new = (
+                F.shiftright(
+                    F.col(f"_p{pos // 12}"),
+                    dd._packed_bit_shift(pos, j % 4, n_nib),
+                ).bitwiseAND(F.lit(1)) > 0
+            )
+            checks.append((old == new).alias(f"b{j}"))
+        bad = packed.select(checks).filter(
+            ~F.forall(
+                F.array(*[F.col(f"b{j}") for j in range(bits)]),
+                lambda x: x,
+            )
+        )
+        assert bad.count() == 0, f"packed extraction diverges at bits={bits}"
+
+
 def test_near_dup_clusters_equals_raw_graph_cc(spark):
     """The exact-collapse fast path must be invisible in the result:
     clustering through representatives equals connected components over

@@ -26,6 +26,45 @@ def test_index_partitions_corpus(spark):
     assert assignments.agg(F.countDistinct("cluster")).first()[0] <= 8
 
 
+def test_assign_agg_path_matches_window_ranking_and_tiebreak(spark):
+    """The r14 n_probe=1 fast path (map-side MIN(struct(_d, cluster))
+    over the norm-decomposed ordering key) must reproduce the window
+    formulation's rank-1 row exactly — including the cluster-id
+    tie-break on equidistant centroids and the ‖b‖²−2a·b ≡ ‖a−b‖²
+    order equivalence."""
+    from pyspark.sql import Window
+
+    vecs = spark.createDataFrame(
+        # vec 1 sits exactly between centroids 0 and 1 → tie → cluster 0;
+        # vec 2 nearer centroid 1; vec 3 nearer centroid 0.
+        [(1, [5, 0]), (2, [9, 1]), (3, [2, -1]), (4, [0, 0]), (5, [10, 10])],
+        "_id int, qvec array<bigint>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [0, 0]), (1, [10, 0]), (2, [100, 100])],
+        "cluster int, centroid array<bigint>",
+    )
+    fast = {
+        (r._id, r.cluster)
+        for r in ivf._assign(vecs, cents).select("_id", "cluster").collect()
+    }
+    # reference: explicit squared-L2 + row_number window (the pre-r14
+    # formulation, kept inline as the semantic spec)
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "_id", "cluster", ivf._l2sq(F.col("qvec"), F.col("centroid")).alias("_d")
+    )
+    w = Window.partitionBy("_id").orderBy("_d", "cluster")
+    ref = {
+        (r._id, r.cluster)
+        for r in scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("_id", "cluster")
+        .collect()
+    }
+    assert fast == ref
+    assert (1, 0) in fast  # the equidistant tie resolves to the lower id
+
+
 def test_full_probe_equals_exact(spark):
     corpus = emb(spark).limit(200)
     queries = corpus.filter(F.col("vec_id") % 50 == 0)

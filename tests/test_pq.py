@@ -73,6 +73,33 @@ def test_codebooks_match_numpy_replay(spark):
     assert got == exp_flat
 
 
+def test_nearest_code_agg_path_matches_window_ranking(spark):
+    """The r14 MIN(struct(_d, code)) fast path must reproduce the window
+    formulation's rank-1 codeword exactly — including the code-id
+    tie-break and the ‖cw‖²−2·sv·cw ≡ ‖sv−cw‖² order equivalence."""
+    from pyspark.sql import Window
+
+    corpus = emb(spark).limit(120)
+    sv = pq.subvectors(corpus, "vec_id", "embedding")
+    books = pq.pq_codebooks(corpus.limit(80), n_iters=1)
+    fast = {
+        (r._id, r.m): r.code
+        for r in pq._nearest_code(sv, books).collect()
+    }
+    scored = sv.join(F.broadcast(books), "m").select(
+        "_id", "m", "code",
+        pq._sub_l2sq(F.col("sv"), F.col("cw")).alias("_d"),
+    )
+    w = Window.partitionBy("_id", "m").orderBy("_d", "code")
+    ref = {
+        (r._id, r.m): r.code
+        for r in scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .collect()
+    }
+    assert fast == ref
+
+
 def test_training_reduces_quantization_error(spark):
     """Lloyd monotonicity on exact integers: total squared quantization
     error after 2 rounds must not exceed the seed codebook's error."""

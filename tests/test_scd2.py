@@ -95,6 +95,68 @@ def test_row_hash_concat_ws_null_distinction(spark):
     assert h1 != h2
 
 
+def test_merge_matches_three_join_formulation(spark):
+    """The r14 single-full-outer-join merge must emit exactly the row
+    set of the original three-join formulation (changed-keys inner,
+    new-keys anti, semi/anti consumers — kept inline here as the
+    semantic spec) on a batch that exercises every branch: changed,
+    unchanged, brand-new, absent-from-batch, and null attributes."""
+    dim = mk_dim(spark, [
+        ("E1", "Ann", "IT", None, dt.date(2024, 1, 1), None, True),
+        ("E2", "Bob", "HR", None, dt.date(2024, 1, 1), None, True),
+        ("E3", "Cyd", "ML", None, dt.date(2024, 1, 1), None, True),
+        ("E4", None, "OPS", None, dt.date(2024, 1, 1), None, True),
+        # one closed history row that must pass through untouched
+        ("E1", "Ann", "OLD", None, dt.date(2023, 1, 1),
+         dt.date(2024, 1, 1), False),
+    ]).withColumn(
+        "row_hash",
+        F.when(F.col("is_current"), scd2_row_hash(ATTRS))
+        .otherwise(F.col("row_hash")),
+    )
+    inc = mk_inc(spark, [
+        ("E1", "Ann", "FIN"),   # changed
+        ("E2", "Bob", "HR"),    # unchanged
+        ("E4", None, "OPS"),    # unchanged with null attr
+        ("E5", "Eve", "SEC"),   # brand new
+        # E3 absent from the batch → stays open untouched
+    ])
+    as_of = "2024-06-01"
+    got = merge_scd2(dim, inc, KEY, ATTRS, as_of)
+
+    # --- the pre-r14 three-join formulation, verbatim ---
+    inc_h = inc.select(KEY, *ATTRS).withColumn("row_hash", scd2_row_hash(ATTRS))
+    cur_open = dim.filter(F.col("is_current"))
+    history = dim.filter(~F.col("is_current"))
+    changed_keys = (
+        cur_open.alias("c")
+        .join(inc_h.alias("i"), on=KEY)
+        .filter(~F.col("c.row_hash").eqNullSafe(F.col("i.row_hash")))
+        .select(KEY)
+    )
+    new_keys = inc_h.join(cur_open, on=KEY, how="left_anti").select(KEY)
+    expired = (
+        cur_open.join(changed_keys, on=KEY, how="left_semi")
+        .withColumn("valid_to", F.to_date(F.lit(as_of)))
+        .withColumn("is_current", F.lit(False))
+    )
+    unchanged = cur_open.join(changed_keys, on=KEY, how="left_anti")
+    inserts = (
+        inc_h.join(changed_keys.unionByName(new_keys), on=KEY, how="left_semi")
+        .withColumn("valid_from", F.to_date(F.lit(as_of)))
+        .withColumn("valid_to", F.lit(None).cast("date"))
+        .withColumn("is_current", F.lit(True))
+    )
+    cols = got.columns
+    ref = (
+        history.select(cols)
+        .unionByName(unchanged.select(cols))
+        .unionByName(expired.select(cols))
+        .unionByName(inserts.select(cols))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
 # --- multi-batch CDC -> SCD2 composition (the Debezium->warehouse chain) ---
 
 
