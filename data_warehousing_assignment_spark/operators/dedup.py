@@ -138,6 +138,23 @@ def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
     return F.array(*out)
 
 
+def shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Pinned ``(id_col, _sh)`` raw (multiset) word-shingle frame — the
+    shared tokenize+shingle pass for pipelines that consume shingles
+    more than once (r14: MinHash signatures for candidate generation
+    AND the n-gram Jaccard verify both derive from this one frame in
+    :func:`near_dup_clusters`, where the shingle build was measured as
+    the dominant map-side cost — built twice before, once now).
+    Scope-owned persist (caching.pin)."""
+    return pin(
+        scale_out(df.select(id_col, text_col)).select(
+            F.col(id_col), word_shingles(tokens(text_col), n).alias("_sh")
+        )
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -145,6 +162,7 @@ def minhash_lsh_candidates(
     k: int = 12,
     bands: int = 4,
     n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH: explode the band
     keys and self-join on (band, band_hash) with id< id to orient pairs.
@@ -159,9 +177,18 @@ def minhash_lsh_candidates(
     are ~(bands × 36) bytes/doc — at 100 TB of text that's a few hundred
     GB cluster-wide, MEMORY_AND_DISK-safe. The persist is scope-owned
     (caching.pin): run inside ``cache_scope()`` to release it once the
-    pairs are materialized."""
+    pairs are materialized.
+
+    ``shingles``: optional prebuilt :func:`shingle_frame` — signatures
+    are then derived from it instead of re-tokenizing ``df`` (the same
+    seeded-md5 mins over the same arrays → identical signatures)."""
     r = k // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, n)
+    if shingles is not None:
+        sigs = shingles.select(
+            id_col, minhash_from_shingles(F.col("_sh"), k).alias("sig")
+        )
+    else:
+        sigs = minhash_signatures(df, id_col, text_col, k, n)
     keyed = pin(
         sigs.select(
             F.col(id_col).alias("doc_a"),
@@ -186,6 +213,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.0,
     size_prefilter: bool = False,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs: join each
     side's (deduplicated) shingle array onto the pair, then row-local
@@ -211,12 +239,21 @@ def ngram_jaccard_pairs(
     adding two extra joins over the 27 M-pair frame. Default stays OFF;
     the option exists for corpora where LSH precision is genuinely low
     (short docs, tiny band counts)."""
-    sh = pin(  # joined twice (a- and b-side) — don't shingle twice
-        scale_out(df.select(id_col, text_col)).select(
+    if shingles is not None:
+        # prebuilt raw-shingle frame (see shingle_frame): dedup to the
+        # SET row-locally — array_distinct over the identical array the
+        # inline path would have built, so _sh is value-identical.
+        sh = shingles.select(
             F.col(id_col).alias("_id"),
-            F.array_distinct(word_shingles(tokens(text_col), n)).alias("_sh"),
+            F.array_distinct(F.col("_sh")).alias("_sh"),
         )
-    )
+    else:
+        sh = pin(  # joined twice (a- and b-side) — don't shingle twice
+            scale_out(df.select(id_col, text_col)).select(
+                F.col(id_col).alias("_id"),
+                F.array_distinct(word_shingles(tokens(text_col), n)).alias("_sh"),
+            )
+        )
     if size_prefilter and threshold > 0:
         sz = sh.select("_id", F.size("_sh").alias("_n"))
         candidates = (
@@ -392,9 +429,16 @@ def near_dup_clusters(
         mapping.filter(F.col(id_col) == F.col("_rep")).select(id_col),
         id_col,
     )
-    cands = minhash_lsh_candidates(rep_rows, id_col, text_col, k, bands)
+    # ONE tokenize+shingle pass feeds both candidate generation and the
+    # Jaccard verify (r14; measured as the dominant map-side cost of
+    # this pipeline — it ran twice before). Arrays identical, so both
+    # consumers see exactly the values they built inline before.
+    shf = shingle_frame(rep_rows, id_col, text_col, n=3)
+    cands = minhash_lsh_candidates(
+        rep_rows, id_col, text_col, k, bands, shingles=shf
+    )
     edges = ngram_jaccard_pairs(
-        rep_rows, cands, id_col, text_col, threshold=threshold
+        rep_rows, cands, id_col, text_col, threshold=threshold, shingles=shf
     ).select("doc_a", "doc_b")
     comp = connected_components(
         rep_rows.select(id_col), edges, id_col=id_col,

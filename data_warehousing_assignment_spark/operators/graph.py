@@ -9,9 +9,10 @@ one representative per group. That is connected components over the
 pair graph.
 
 Scale design: min-label propagation with POINTER DOUBLING. Each
-iteration is one distributed join + one map-side-combinable min
-aggregation (shuffle keyed by node id, never materializing anything
-super-linear in |edges|), followed — once the graph has survived two
+iteration forwards labels along the (pre-partitioned, pinned) edge
+list and re-aggregates with ONE map-side-combinable min per node —
+a single exchange keyed by node id, never materializing anything
+super-linear in |edges| — followed — once the graph has survived two
 rounds unconverged — by a shortcut join
 ``label(v) <- label(label(v))`` — the path-doubling step of
 Shiloach-Vishkin-style CC (same O(log) mechanics as the
@@ -69,29 +70,51 @@ def connected_components(
     # (minhash → LSH bucket join → Jaccard verify); joined once per
     # iteration, an unpersisted plan would re-run that whole pipeline
     # every round (benchmarked 30 s → 4 s at the 10× probe).
+    # PRE-PARTITIONED on the propagation key before the pin (r14,
+    # guide §2.4): the persisted frame reports hashpartitioning(_a), so
+    # each round's edge⋈labels join re-shuffles only the (tiny) labels
+    # side — the edge list crosses the wire once per CC run, not once
+    # per round.
     fwd = edges.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b"))
     sym = pin(
         fwd.union(fwd.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+        .repartition("_a")
     )
 
-    labels = nodes.select(
-        F.col(id_col).alias("_node"), F.col(id_col).alias("component")
+    # Only nodes that touch an edge can ever change label — isolated
+    # nodes label themselves by construction. Run the iteration over
+    # the edge-touched subgraph and union the isolated nodes back at
+    # the end (r14): per-round join/aggregate work scales with the dup
+    # graph, not the corpus. (In a typical corpus most documents are
+    # singletons; at 100 TB that is the difference between iterating
+    # over everything and iterating over the few % that deduplicate.)
+    all_nodes = nodes.select(F.col(id_col).alias("_node"))
+    touched = all_nodes.join(
+        sym.select(F.col("_a").alias("_node")), on="_node", how="semi"
+    )
+    labels = touched.select(
+        "_node", F.col("_node").alias("component")
     ).localCheckpoint(eager=False)
 
+    # Seed the probe with the initial label sum so a graph that is
+    # already at its fixpoint still exits after one round (the round
+    # itself is the zero-change confirmation).
+    prev_sum = labels.agg(
+        F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
     for i in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym["_a"] == labels["_node"])
-            .groupBy("_b")
-            .agg(F.min("component").alias("_nmin"))
+        # One exchange per round (r14; was join → groupBy → left-join =
+        # three): each edge forwards its source's label to its target,
+        # the union with the current labels re-aggregates per node with
+        # a map-side-combinable MIN. min(own, incoming) ≡ the previous
+        # least/coalesce formulation row for row.
+        incoming = sym.join(labels, sym["_a"] == labels["_node"]).select(
+            F.col("_b").alias("_node"), F.col("component")
         )
-        propagated = labels.join(
-            neighbor_min, labels["_node"] == neighbor_min["_b"], "left"
-        ).select(
-            "_node",
-            F.least(
-                F.col("component"), F.coalesce("_nmin", F.col("component"))
-            ).alias("component"),
-            (F.col("_nmin") < F.col("component")).alias("_prop_changed"),
+        propagated = (
+            labels.unionByName(incoming)
+            .groupBy("_node")
+            .agg(F.min("component").alias("component"))
         )
         if i >= 3:
             # Pointer doubling: label(v) <- label(label(v)). Every label
@@ -115,21 +138,27 @@ def connected_components(
             ).select(
                 "_node",
                 F.least("component", "_pcomp").alias("component"),
-                (
-                    F.col("_prop_changed")
-                    | (F.col("_pcomp") < F.col("component"))
-                ).alias("_changed"),
             )
         else:
-            updated = propagated.withColumnRenamed("_prop_changed", "_changed")
+            updated = propagated
         updated = updated.localCheckpoint(eager=False)
-        # one tiny driver scalar per round — the convergence probe
-        changed = updated.filter(F.col("_changed")).count()
-        labels = updated.drop("_changed")
-        if changed == 0:
+        # Convergence probe WITHOUT a changed-flag pass (r14): labels
+        # only ever decrease, so Σ component (exact decimal sum of
+        # int64 ids) is strictly decreasing while anything changes and
+        # exactly equal at the fixpoint. One scalar aggregate over the
+        # just-checkpointed frame replaces the old filter+count job.
+        cur_sum = updated.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels = updated
+        if prev_sum is not None and cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
 
-    return labels.withColumnRenamed("_node", id_col)
+    isolated = all_nodes.join(
+        sym.select(F.col("_a").alias("_node")), on="_node", how="anti"
+    ).select("_node", F.col("_node").alias("component"))
+    return labels.unionByName(isolated).withColumnRenamed("_node", id_col)
 
 
 def pagerank_fixed_point(

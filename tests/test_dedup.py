@@ -641,3 +641,42 @@ def test_exact_dedup_incremental_three_batch_chain(spark):
     # (b) idempotency: batch 1 re-applied against the full corpus index
     replay = classify(corpus_hashes, batches[1]).collect()
     assert replay and all(r.status == "dup_of_corpus" for r in replay)
+
+
+# --- r14: shared shingle frame (one tokenize+shingle pass for the
+# clustering pipeline) must be value-identical to the inline paths ----------
+
+
+def test_shared_shingle_frame_matches_inline_candidates_and_jaccard(spark):
+    df = docs_df(spark)
+    shf = dd.shingle_frame(df, "doc_id", "text", 3)
+    # candidate pairs: shared-frame signatures ≡ inline signatures
+    inline_c = sorted(
+        map(tuple, dd.minhash_lsh_candidates(df, "doc_id", "text").collect())
+    )
+    shared_c = sorted(
+        map(
+            tuple,
+            dd.minhash_lsh_candidates(
+                df, "doc_id", "text", shingles=shf
+            ).collect(),
+        )
+    )
+    assert inline_c == shared_c and len(inline_c) > 0
+    # jaccard verify: shared-frame sets ≡ inline sets (values too)
+    cands = dd.minhash_lsh_candidates(df, "doc_id", "text")
+    inline_j = sorted(
+        map(
+            tuple,
+            dd.ngram_jaccard_pairs(df, cands, "doc_id", "text").collect(),
+        )
+    )
+    shared_j = sorted(
+        map(
+            tuple,
+            dd.ngram_jaccard_pairs(
+                df, cands, "doc_id", "text", shingles=shf
+            ).collect(),
+        )
+    )
+    assert inline_j == shared_j and len(inline_j) > 0
