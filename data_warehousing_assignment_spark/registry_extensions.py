@@ -2324,8 +2324,12 @@ def op_ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines; idf = ln((N+1)/(df+1)) is one libm call on identical
     doubles, rounded to 6 dp before ranking so a last-ulp difference
     cannot flip the order; ties broken by token. The df side is
-    vocab-sized → broadcast join onto tf; N is a broadcast 1-row
-    relation (never a driver collect)."""
+    vocab-sized and joins UNHINTED (r14, verdict-#1 discipline: a
+    forced broadcast of an unbounded web-token vocabulary is a
+    designed-in driver OOM at 100 TB — AQE broadcasts it at small SF
+    and falls back to a shuffle join at scale, plan-pinned in
+    tests/test_plan_shapes.py); N is a broadcast 1-row relation (never
+    a driver collect)."""
     from pyspark.sql import Window
 
     docs = docs_t(spark, sf_dir)
@@ -2340,7 +2344,7 @@ def op_ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_counts = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_counts), "tok")
+        tf.join(df_counts, "tok")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -3855,7 +3859,9 @@ def _blockmax_frames(
             )
         )
         tf = pin(
-            tf.join(F.broadcast(tokrank), "tok")
+            # vocab-sized rank frame joins UNHINTED (same verdict-#1
+            # discipline as idf/dl below — AQE owns the strategy)
+            tf.join(tokrank, "tok")
             .filter(
                 F.conv(
                     F.substring(

@@ -443,3 +443,24 @@ def test_retrieval_metrics_broadcasts_rank_frame(spark):
         assert "SortMergeJoin" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_tfidf_vocab_join_not_force_broadcast(spark, qs):
+    """r14 optimization sweep: op-ext-tfidf carried the one remaining
+    vocab-sized broadcast hint (df_counts — one row per distinct raw
+    token, the same unbounded-at-100 TB class as the bm25 dl/idf hints
+    verdict #1 removed). With auto-broadcast disabled, any surviving
+    BroadcastHashJoin would be a forced hint: the df join must fall
+    back to a shuffle join (AQE owns the strategy); the only allowed
+    hint is the 1-row n_docs cross-join, which plans as a
+    BroadcastNestedLoopJoin."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(qs["op-ext-tfidf"](spark, SF_SMALL))
+        assert "BroadcastHashJoin" not in plan, (
+            "vocab-sized broadcast hint reintroduced into op-ext-tfidf"
+        )
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
