@@ -49,15 +49,56 @@ def _assign(corpus: DataFrame, centroids: DataFrame, n_probe: int = 1) -> DataFr
     of the 3-pass zip/square/sum of a materialized difference vector.
 
     n_probe == 1 (the corpus-assignment path, every build/extend pass):
-    the argmin is a map-side-combinable MIN(struct(_d, cluster)) — the
-    pre-aggregation collapses the k candidate rows per vector to 1
-    BEFORE the exchange, so the shuffle carries n rows instead of the
-    window formulation's n·k rows (each dragging the full qvec array;
-    guide §2.3 "aggregate before you shuffle"). struct min is
-    lexicographic ⇒ exactly row_number().orderBy(_d, cluster) rank 1.
+    the argmin is ROW-LOCAL (r14, guide §2.4 remove shuffles outright /
+    §1.2 algorithm first): the k centroids are collapsed into ONE
+    broadcast 1-row array; each corpus row computes one (d, cluster)
+    struct per centroid (``transform``) and takes ``array_min`` — the
+    lexicographic struct min ⇒ exactly the previous
+    MIN(struct(_d, cluster)) ⇒ exactly row_number().orderBy(_d,
+    cluster) rank 1 (pinned in tests/test_ivf.py). The r14-interim
+    MIN(struct) aggregation already collapsed the exchange to n rows,
+    but still materialized n·k joined rows (each copying the
+    64-element qvec) and shuffled the corpus once per pass; this
+    formulation materializes n rows and shuffles NOTHING — every Lloyd
+    round's assignment is a pure map stage.
 
     n_probe > 1 (query-side probing, Q rows): window ranking unchanged.
     """
+    if n_probe == 1:
+        # (cluster, centroid, ‖b‖²) structs as ONE 1-row broadcast array
+        # — k·d int64s, a few KB even at the 100 TB sizing. (If the
+        # centroid frame were ever empty with a non-empty corpus the
+        # row-local argmin would yield NULL clusters where the join
+        # formulation yielded zero rows — unreachable here: every
+        # caller derives centroids from the same non-empty corpus.)
+        cent_arr = F.broadcast(
+            centroids.select(
+                F.struct(
+                    F.col("cluster"),
+                    F.col("centroid"),
+                    int_dot(F.col("centroid"), F.col("centroid")).alias(
+                        "_nb2"
+                    ),
+                ).alias("_c")
+            ).agg(F.collect_list("_c").alias("_cents"))
+        )
+        # One dot per centroid (transform), then array_min over the
+        # (d, cluster) structs = lexicographic min = exactly the old
+        # MIN(struct(_d, cluster)) / row_number rank-1 tie-break.
+        best = F.array_min(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    (
+                        c["_nb2"] - 2 * int_dot(F.col("qvec"), c["centroid"])
+                    ).alias("_d"),
+                    c["cluster"].alias("cluster"),
+                ),
+            )
+        )
+        return corpus.crossJoin(cent_arr).select(
+            corpus["*"], best["cluster"].alias("cluster")
+        )
     cent = F.broadcast(
         centroids.withColumn(
             "_nb2", int_dot(F.col("centroid"), F.col("centroid"))
@@ -69,25 +110,6 @@ def _assign(corpus: DataFrame, centroids: DataFrame, n_probe: int = 1) -> DataFr
         (F.col("_nb2") - 2 * int_dot(F.col("qvec"), F.col("centroid")))
         .alias("_d"),
     )
-    if n_probe == 1:
-        # Group on the primitive id columns only — an array in the
-        # grouping key would make every sort/merge comparison walk the
-        # 64-element vector. qvec rides along via first(): all k
-        # candidate rows of a group carry the IDENTICAL qvec, so
-        # first() is value-deterministic regardless of row order.
-        keys = [c for c in corpus.columns if c != "qvec"]
-        out_cols = [
-            F.col("qvec") if c == "qvec" else F.col(c)
-            for c in corpus.columns
-        ]
-        return (
-            scored.groupBy(*keys)
-            .agg(
-                F.min(F.struct("_d", "cluster")).alias("_best"),
-                F.first("qvec").alias("qvec"),
-            )
-            .select(*out_cols, F.col("_best.cluster").alias("cluster"))
-        )
     w = Window.partitionBy(*[c for c in corpus.columns if c != "qvec"]).orderBy(
         "_d", "cluster"
     )
@@ -229,6 +251,13 @@ def build_ivf_index(
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < n_iters:
             centroids = centroids.localCheckpoint(eager=True)
 
+    # PIN the finished centroid frame (k rows — bytes, scope-owned):
+    # both consumers of the index (the corpus assignment below and the
+    # caller's query-side probe _assign) otherwise each re-run the
+    # whole lazy Lloyd chain — 2 extra full assignment passes over the
+    # corpus per downstream force (r14; the sf10 bench re-forced the
+    # chain once per probe-side evaluation, ~15 s/force at 200k rows).
+    centroids = pin(centroids)
     assignments = assign_to_index(corpus, centroids, id_col, vec_col)
     return centroids, assignments
 
@@ -276,6 +305,111 @@ def load_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame
     return (
         spark.read.parquet(f"{path}/centroids"),
         spark.read.parquet(f"{path}/assignments"),
+    )
+
+
+def _probe_cell_topk_np(cells: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+    """Per-(probed cell, query) top-``k`` candidate scores — the IVF probe
+    scan as a cogrouped Arrow/numpy stage (r14, guide §4.2/§8).
+
+    The join formulation materialized |cell|·|probes-of-cell| candidate
+    rows, each carrying BOTH 64-element vectors (~1 KB/pair; 31 M pairs
+    ≈ 32 GB of row traffic at the sf10 probe), then sorted all of them
+    for the global top-k window. Here each (cluster) group crosses the
+    Python boundary ONCE — corpus vectors ~520 B/row, probe vectors
+    Q·n_probe rows — scores come from one float64 GEMM per probe chunk,
+    and only the per-(cell, query) top-k rows (≤ k rows per query per
+    probed cell) return to the JVM. The caller's global top-k window is
+    unchanged; per-cell top-k feeding a global top-k is lossless because
+    every global top-k row is by definition within its own cell's top-k
+    under the SAME (score desc, neighbor_id asc) order.
+
+    Exactness (the oracles replay scoring in SQL and stay hash-exact):
+
+    * quantized components |v| < 1e6 ⇒ products < 1e12 and 64-term sums
+      < 2^53, so float64 GEMM accumulates EXACT integers regardless of
+      summation order — bit-equal to the JVM int64 dot then cast.
+    * score = dot / (nq · nc) uses the SAME precomputed norm doubles
+      (carried in, never recomputed) and the same two IEEE ops in the
+      same order ⇒ bit-identical doubles.
+    * zero-norm edge: the JVM division under the engine session (ANSI
+      off) yields NULL for den = 0 — never NaN (dot is finite and a
+      zero denominator forces dot = 0) — and NULL sorts LAST under the
+      caller's DESC window. numpy computes 0/0 = NaN; the ranking key
+      maps NaN to -inf (ranks last, ties by neighbor_id — exactly the
+      window's NULL placement) and the pandas→Arrow return converts
+      NaN to null, so the VALUE matches the JVM's NULL too. Ties keep
+      the smallest neighbor_id. Pinned value-equal to the inline join
+      formulation (incl. tie, self-pair and zero-norm cases) in
+      tests/test_ivf.py.
+    """
+    import numpy as np
+
+    out_schema = (
+        "query_id "
+        + dict(probes.dtypes)["query_id"]
+        + ", neighbor_id "
+        + dict(cells.dtypes)["neighbor_id"]
+        + ", score double"
+    )
+
+    def score_group(cell_pdf, probe_pdf):
+        import pandas as pd
+
+        if len(cell_pdf) == 0 or len(probe_pdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "score": []}
+            )
+        nid = cell_pdf["neighbor_id"].to_numpy()
+        cm = np.vstack(cell_pdf["cv"].to_numpy()).astype(np.float64)
+        ncn = cell_pdf["_nc"].to_numpy(dtype=np.float64)
+        n = len(nid)
+        out_q, out_n, out_s = [], [], []
+        # chunk the probe side so the score matrix stays ~|cell|·512
+        for lo in range(0, len(probe_pdf), 512):
+            chunk = probe_pdf.iloc[lo : lo + 512]
+            qid = chunk["query_id"].to_numpy()
+            qm = np.vstack(chunk["qv"].to_numpy()).astype(np.float64)
+            nqn = chunk["_nq"].to_numpy(dtype=np.float64)
+            dots = cm @ qm.T  # exact: every partial sum < 2^53
+            scores = dots / (ncn[:, None] * nqn[None, :])
+            # ranking key: numpy 0/0 = NaN where the JVM (ANSI off)
+            # yields NULL, which the DESC window sorts LAST
+            keys = np.where(np.isnan(scores), -np.inf, scores)
+            for j in range(len(qid)):
+                key = keys[:, j]
+                selfmask = nid == qid[j]
+                if selfmask.any():
+                    key = np.where(selfmask, -np.inf, key)
+                m = n - int(selfmask.sum())
+                if m <= 0:
+                    continue
+                if m > k:
+                    kth = np.partition(key, n - k)[n - k]
+                    cand = np.nonzero((key >= kth) & ~selfmask)[0]
+                else:
+                    cand = np.nonzero(~selfmask)[0]
+                order = np.lexsort((nid[cand], -key[cand]))[:k]
+                pick = cand[order]
+                out_q.append(np.full(len(pick), qid[j]))
+                out_n.append(nid[pick])
+                out_s.append(scores[pick, j])
+        if not out_q:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "score": []}
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    return (
+        cells.groupBy("cluster")
+        .cogroup(probes.groupBy("cluster"))
+        .applyInPandas(score_group, out_schema)
     )
 
 
@@ -331,16 +465,11 @@ def ivf_cosine_topk(
         F.col("query_id"), F.col("qvec").alias("qv"), "cluster"
     ).withColumn("_nq", F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double")))
 
-    dot = int_dot(F.col("qv"), F.col("cv")).cast("double")
-    scored = (
-        cells.join(F.broadcast(probes), on="cluster")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot / (F.col("_nq") * F.col("_nc"))).alias("score"),
-        )
-    )
+    # Probe scan: per-(cell, query) top-k via the cogrouped numpy GEMM
+    # stage (bit-identical scores and order — see _probe_cell_topk_np);
+    # the global window below then ranks ≤ k·n_probe rows per query
+    # instead of every candidate pair.
+    scored = _probe_cell_topk_np(cells, probes, k)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

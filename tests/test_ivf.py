@@ -319,3 +319,99 @@ def test_cell_drift_alarm_fires_on_skewed_delta(spark):
     assert got[1].shift_ppm == 1000000 - (1000000 * nb1) // tb
     # the alarm signal: the flooded cell's shift is strongly positive
     assert got[1].shift_ppm > 400000
+
+
+def test_probe_cell_topk_np_matches_join_formulation(spark):
+    """The r14 cogrouped numpy probe scan must reproduce the pre-r14
+    pair-join + global-window formulation EXACTLY — same (query_id,
+    neighbor_id, rank) and bit-identical score doubles — including:
+    score ties at the k boundary (lowest neighbor_id wins), self-pair
+    exclusion, a zero-norm corpus vector (the JVM's 0-denominator
+    division yields NULL under the engine session — DESC-sorts last;
+    the numpy NaN must land in the same place with the same null
+    value), and a query probing a cell with fewer than k candidates."""
+    from pyspark.sql import Window
+
+    # corpus: cluster 0 holds ties (two identical vectors) + a zero
+    # vector (NaN score); cluster 1 is smaller than k.
+    cells = spark.createDataFrame(
+        [
+            (10, [4, 0], 0),
+            (11, [4, 0], 0),   # tie with 10 on every query
+            (12, [0, 0], 0),   # zero norm → NULL score, ranks last
+            (13, [1, 3], 0),
+            (14, [9, 9], 1),
+            (1, [7, 7], 1),    # self-pair for query 1
+        ],
+        "neighbor_id bigint, cv array<bigint>, cluster int",
+    ).withColumn(
+        "_nc",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("cv", "cv", lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ).cast("double")
+        ),
+    )
+    probes = spark.createDataFrame(
+        [
+            (1, [1, 1], 0),
+            (1, [1, 1], 1),   # second probed cell, has 1's own row
+            (2, [2, 1], 0),
+            (2, [2, 1], 1),
+        ],
+        "query_id bigint, qv array<bigint>, cluster int",
+    ).withColumn(
+        "_nq",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("qv", "qv", lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ).cast("double")
+        ),
+    )
+    k = 5  # > |real candidates| for query 1 → its NULL row enters top-k
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id")
+    )
+
+    def topk(scored):
+        return sorted(
+            (r.query_id, r.neighbor_id, r.rank, r.score)
+            for r in scored.withColumn(
+                "rank", F.row_number().over(w)
+            )
+            .filter(F.col("rank") <= k)
+            .collect()
+        )
+
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    ).cast("double")
+    ref = topk(
+        cells.join(F.broadcast(probes), on="cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (F.col("_nq") * F.col("_nc"))).alias("score"),
+        )
+    )
+    got = topk(ivf._probe_cell_topk_np(cells, probes, k))
+    # NaN != NaN — compare with an exact bit-level fold
+    import struct
+
+    def canon(rows):
+        return [
+            (q, n, r, struct.pack(">d", s) if isinstance(s, float) else s)
+            for (q, n, r, s) in rows
+        ]
+
+    assert canon(got) == canon(ref) and len(got) > 0
+    # the zero-norm candidate lands LAST for query 1, with a NULL score
+    q1_last = next(r for r in got if r[0] == 1 and r[2] == 5)
+    assert q1_last[1] == 12 and q1_last[3] is None
