@@ -125,14 +125,20 @@ def minhash_signatures(
 
 def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
     """Banded LSH keys: array of (band_idx, md5(sig slice)) structs.
-    Two docs sharing ANY band hash are candidate near-dups."""
+    Two docs sharing ANY band hash are candidate near-dups.
+
+    band_hash is the 16-byte ``unhex`` packing of the md5 hex digest
+    (r14, guide §2.3 shuffle fewer bytes): the key is internal to the
+    bucket self-joins — never an output column — and unhex is bijective
+    on md5 output, so every join/group matches exactly the same pairs
+    while the keyed frames shuffle and compare half the key bytes."""
     out = []
     for b in range(bands):
         parts = [F.element_at(sig, b * rows_per_band + j + 1) for j in range(rows_per_band)]
         out.append(
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *parts)).alias("band_hash"),
+                F.unhex(F.md5(F.concat_ws("|", *parts))).alias("band_hash"),
             )
         )
     return F.array(*out)

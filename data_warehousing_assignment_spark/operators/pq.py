@@ -30,7 +30,7 @@ has an identical operand order in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_warehousing_assignment_spark.caching import pin
@@ -90,33 +90,41 @@ def _nearest_code(sv_df: DataFrame, codebooks: DataFrame) -> DataFrame:
     subspace (exact integer distance, code-id tiebreak). The codebook is
     M·K rows — always broadcast.
 
-    r14 (same rewrite as operators/ivf._assign): the argmin is a
-    map-side-combinable MIN(struct(_d, code)) grouped by the subvector
-    row — the pre-aggregation collapses the K candidate rows per
-    subvector BEFORE the exchange (n·M rows shuffled instead of
-    n·M·K through the former window sort), and the ordering key is the
-    norm-decomposed ‖cw‖² − 2·sv·cw (exact int64; ‖sv‖² is constant
-    within a group so order and ties match ‖sv−cw‖² exactly, and ties
-    break on the lower code id either way — lexicographic struct MIN ≡
+    r14 v2 (same rewrite as operators/ivf._assign's row-local path,
+    guide §2.4): each subspace's codewords collapse into ONE array row
+    (M broadcast rows total); a subvector row joins its subspace's
+    array and takes ``array_min`` over the per-codeword (d, code)
+    structs — zero exchanges and zero n·M·K row materialization, where
+    the interim MIN(struct) aggregation still built n·M·K joined rows
+    and shuffled n·M. Ordering key is the norm-decomposed
+    ‖cw‖² − 2·sv·cw (exact int64; ‖sv‖² is constant within a row's
+    candidate set so order and ties match ‖sv−cw‖² exactly, and ties
+    break on the lower code id — lexicographic struct min ≡
     row_number().orderBy(_d, code) rank 1). Pinned equal to the window
     formulation in tests/test_pq.py."""
-    cb = F.broadcast(
-        codebooks.withColumn("_ncw2", int_dot(F.col("cw"), F.col("cw")))
-    )
-    scored = sv_df.join(cb, "m").select(
-        "_id", "m", "sv", "code",
-        (F.col("_ncw2") - 2 * int_dot(F.col("sv"), F.col("cw"))).alias("_d"),
-    )
-    return (
-        # group on the primitive (_id, m) key only; sv rides along via
-        # first() — every candidate row of a group carries the identical
-        # subvector, so first() is value-deterministic (see ivf._assign).
-        scored.groupBy("_id", "m")
-        .agg(
-            F.min(F.struct("_d", "code")).alias("_best"),
-            F.first("sv").alias("sv"),
+    percell = F.broadcast(
+        codebooks.select(
+            "m",
+            F.struct(
+                F.col("code"),
+                F.col("cw"),
+                int_dot(F.col("cw"), F.col("cw")).alias("_ncw2"),
+            ).alias("_e"),
         )
-        .select("_id", "m", "sv", F.col("_best.code").alias("code"))
+        .groupBy("m")
+        .agg(F.collect_list("_e").alias("_cb"))
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("_cb"),
+            lambda e: F.struct(
+                (e["_ncw2"] - 2 * int_dot(F.col("sv"), e["cw"])).alias("_d"),
+                e["code"].alias("code"),
+            ),
+        )
+    )
+    return sv_df.join(percell, "m").select(
+        "_id", "m", "sv", best["code"].alias("code")
     )
 
 
@@ -189,6 +197,95 @@ def pq_encode(
     return _nearest_code(sv, codebooks).select("_id", "m", "code")
 
 
+def _codebook_arrays(codebooks: DataFrame) -> DataFrame:
+    """ONE-row broadcast frame ``(_cbs)``: an M-element array (indexed
+    by m+1) of code-sorted ``(code, cw, _ncw2)`` struct arrays — the
+    whole codebook as a row-local lookup structure (M·K·d int64s, a few
+    KB; the same collapse as ivf._assign's centroid array)."""
+    return F.broadcast(
+        codebooks.select(
+            "m",
+            F.struct(
+                F.col("code"),
+                F.col("cw"),
+                int_dot(F.col("cw"), F.col("cw")).alias("_ncw2"),
+            ).alias("_e"),
+        )
+        .groupBy("m")
+        .agg(F.array_sort(F.collect_list("_e")).alias("_cb"))
+        .select(F.struct("m", "_cb").alias("_p"))
+        .agg(F.array_sort(F.collect_list("_p")).alias("_ps"))
+        .select(F.transform("_ps", lambda p: p["_cb"]).alias("_cbs"))
+    )
+
+
+def _best_struct_expr(qv: Column | str) -> Column:
+    """Per-subspace argmin against the broadcast ``_cbs`` arrays: an
+    M-element array of the chosen ``(_d, code, _nn)`` structs for the
+    quantized vector column ``qv``. The struct min compares (_d, code)
+    exactly like :func:`_nearest_code` — ``_nn`` (the chosen codeword's
+    ‖cw‖²) sits BEHIND code in the struct, reachable only on a
+    (_d, code) tie, impossible because codes are unique per subspace —
+    so the chosen code per (vector, m) is identical to pq_encode's."""
+    qcol = F.col(qv) if isinstance(qv, str) else qv
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.array_min(
+            F.transform(
+                F.element_at(F.col("_cbs"), m + 1),
+                lambda e: F.struct(
+                    (
+                        e["_ncw2"]
+                        - 2
+                        * int_dot(
+                            F.slice(qcol, m * PQ_DSUB + 1, F.lit(PQ_DSUB)),
+                            e["cw"],
+                        )
+                    ).alias("_d"),
+                    e["code"].alias("code"),
+                    e["_ncw2"].alias("_nn"),
+                ),
+            )
+        ),
+    )
+
+
+def pq_encode_packed(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(_id, codes, nx): every vector's M PQ codes as ONE array column
+    plus its exact non-residual reconstruction norm
+    ‖x̃‖² = Σₘ‖cw_codeₘ‖² — the packed, fully ROW-LOCAL form of
+    :func:`pq_encode` + the xnrm aggregation (r14, guide §2.4 remove
+    shuffles outright): the per-subspace argmin runs inside one
+    ``transform`` over the broadcast codebook arrays instead of the
+    n·M-row subvector explode + join + per-vector aggregation, so the
+    encode never crosses an exchange. codes[m+1] is subspace m's code;
+    nx is the int64 sum of the chosen codewords' norms (order-free,
+    exact). Pinned value-equal to pq_encode + the ‖cw‖² sum in
+    tests/test_pq.py."""
+    best = _best_struct_expr("_qv")
+    return (
+        corpus.select(
+            F.col(id_col).alias("_id"), quantize(vec_col).alias("_qv")
+        )
+        .crossJoin(_codebook_arrays(codebooks))
+        .select("_id", best.alias("_best"))
+        .select(
+            "_id",
+            F.transform(F.col("_best"), lambda b: b["code"]).alias("codes"),
+            F.aggregate(
+                F.col("_best"),
+                F.lit(0).cast("bigint"),
+                lambda a, b: a + b["_nn"],
+            ).alias("nx"),
+        )
+    )
+
+
 def ivf_pq_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -245,6 +342,12 @@ def ivf_pq_cosine_topk(
     The registered op therefore ships non-residual, n_probe=8,
     rerank=100 (recall@5 0.72 vs the old 0.42 at 2000 vectors)."""
     centroids, assignments = build_ivf_index(corpus, id_col, vec_col, n_clusters)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(vec_col).alias("qvec")
+    )
+    probes = _assign(q, centroids, n_probe=n_probe).select(
+        "query_id", "qvec", "cluster"
+    )
     if residual:
         asg = assignments.select(F.col(id_col).alias("_id"), "cluster")
         rvecs = pin(
@@ -266,46 +369,34 @@ def ivf_pq_cosine_topk(
             pq_encode(rvecs, codebooks, id_col="_id", vec_col="rv",
                       pre_quantized=True)
         )
-    else:
-        codebooks = pin(pq_codebooks(corpus, id_col, vec_col))
-        codes = pin(pq_encode(corpus, codebooks, id_col, vec_col))
-
-    # candidates: queries probe their n_probe nearest IVF cells
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quantize(vec_col).alias("qvec")
-    )
-    probes = _assign(q, centroids, n_probe=n_probe).select(
-        "query_id", "qvec", "cluster"
-    )
-    cand = (
-        assignments.select(
-            F.col(id_col).alias("neighbor_id"), "cluster"
+        cand = (
+            assignments.select(
+                F.col(id_col).alias("neighbor_id"), "cluster"
+            )
+            .join(F.broadcast(probes.select("query_id", "cluster")), "cluster")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", "cluster")
         )
-        .join(F.broadcast(probes.select("query_id", "cluster")), "cluster")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "cluster")
-    )
 
-    # ADC lookup table: exact query subvector · codeword, all M·K cells
-    qsv = subvectors(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
-        "query_id",
-        vec_col,
-    ).select(F.col("_id").alias("query_id"), "m", "sv")
-    lut = qsv.join(F.broadcast(codebooks), "m").select(
-        "query_id",
-        "m",
-        "code",
-        int_dot(F.col("sv"), F.col("cw")).alias("dot"),
-    )
+        # ADC lookup table: exact query subvector · codeword, M·K cells
+        qsv = subvectors(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+            "query_id",
+            vec_col,
+        ).select(F.col("_id").alias("query_id"), "m", "sv")
+        lut = qsv.join(F.broadcast(codebooks), "m").select(
+            "query_id",
+            "m",
+            "code",
+            int_dot(F.col("sv"), F.col("cw")).alias("dot"),
+        )
 
-    # reconstruction norms (exact): non-residual ‖x̃‖² = Σₘ‖cwₘ‖²
-    # (subspace orthogonality); residual adds the centroid norm and the
-    # exact centroid·codeword cross terms from broadcast-sized tables.
-    cw_nrm = codebooks.select(
-        "m", "code", int_dot(F.col("cw"), F.col("cw")).alias("nn")
-    )
-    if residual:
+        # reconstruction norms (exact): the residual form adds the
+        # centroid norm and the exact centroid·codeword cross terms
+        # from broadcast-sized tables to the per-code ‖cw‖² sum.
+        cw_nrm = codebooks.select(
+            "m", "code", int_dot(F.col("cw"), F.col("cw")).alias("nn")
+        )
         csv = subvectors(
             centroids.select("cluster", "centroid"), "cluster", "centroid",
             pre_quantized=True,
@@ -340,49 +431,133 @@ def ivf_pq_cosine_topk(
             "query_id", "cluster",
             int_dot(F.col("qvec"), F.col("centroid")).alias("_qc"),
         )
+        qn = q.select(
+            "query_id", int_dot(F.col("qvec"), F.col("qvec")).alias("nq")
+        )
+        adc = (
+            cand.join(
+                codes.select(F.col("_id").alias("neighbor_id"), "m", "code"),
+                "neighbor_id",
+            )
+            .join(F.broadcast(lut), ["query_id", "m", "code"])
+            .groupBy("query_id", "neighbor_id", "cluster")
+            .agg(F.sum("dot").cast("bigint").alias("adot"))
+            .join(F.broadcast(qc), ["query_id", "cluster"])
+            .select(
+                "query_id", "neighbor_id",
+                (F.col("adot") + F.col("_qc")).alias("adot"),
+            )
+        )
+        scored = (
+            adc.join(F.broadcast(qn), "query_id")
+            .join(xnrm, "neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.col("nq"),
+                (
+                    F.col("adot").cast("double")
+                    / (
+                        F.sqrt(F.col("nq").cast("double"))
+                        * F.sqrt(F.col("nx").cast("double"))
+                    )
+                ).alias("score"),
+            )
+        )
     else:
-        xnrm = (
-            codes.join(F.broadcast(cw_nrm), ["m", "code"])
-            .groupBy("_id")
-            .agg(F.sum("nn").cast("bigint").alias("nx"))
-            .select(F.col("_id").alias("neighbor_id"), "nx")
+        # r14 packed path (guide §2.4 remove shuffles outright, §2.3
+        # shuffle fewer bytes): the old shape joined the n·M-row code
+        # table onto every candidate (×M row blowup), re-aggregated the
+        # M lookups per (query, neighbor) through an exchange, and then
+        # SHUFFLED the whole Q·(n·n_probe/k)-row ADC result on
+        # neighbor_id to attach the reconstruction norms. Here the
+        # corpus makes ONE row-local pass — cluster (the identical
+        # argmin the assignments table holds; recomputed in-row so
+        # codes/norms attach without an n⋈n join), packed codes, and
+        # ‖x̃‖² — and each candidate row scores with M map lookups into
+        # a broadcast per-query LUT: zero exchanges between the scan
+        # and the top-k window. Every quantity is the same exact int64
+        # (adot = the same M dots summed; nx = the same M ‖cw‖² summed;
+        # integer addition is order-free), and the final score divides
+        # the same operands in the same order → bit-identical scores,
+        # identical ranks. Oracle replays the whole pipeline in SQL and
+        # stays hash-exact; the packed encode is pinned value-equal to
+        # pq_encode in tests/test_pq.py.
+        codebooks = pin(pq_codebooks(corpus, id_col, vec_col))
+        cbs = _codebook_arrays(codebooks)
+        vecs = corpus.select(
+            F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("qvec")
         )
-    qn = q.select(
-        "query_id", int_dot(F.col("qvec"), F.col("qvec")).alias("nq")
-    )
-
-    adc = (
-        cand.join(
-            codes.select(F.col("_id").alias("neighbor_id"), "m", "code"),
-            "neighbor_id",
+        # pinned like the code table it replaces (pq_encode was pinned
+        # here before): cluster+codes+norm ARE the stored index at
+        # production — ~30 B/row vs the 256 B raw vector — and every
+        # query batch re-probes them without re-encoding the corpus.
+        base = pin(
+            _assign(vecs, centroids)
+            .crossJoin(cbs)
+            .select(
+                "neighbor_id", "cluster", _best_struct_expr("qvec").alias("_best")
+            )
+            .select(
+                "neighbor_id",
+                "cluster",
+                F.transform(F.col("_best"), lambda b: b["code"]).alias("codes"),
+                F.aggregate(
+                    F.col("_best"),
+                    F.lit(0).cast("bigint"),
+                    lambda a, b: a + b["_nn"],
+                ).alias("nx"),
+            )
         )
-        .join(F.broadcast(lut), ["query_id", "m", "code"])
-        .groupBy("query_id", "neighbor_id", "cluster")
-        .agg(F.sum("dot").cast("bigint").alias("adot"))
-    )
-    if residual:
-        adc = adc.join(F.broadcast(qc), ["query_id", "cluster"]).select(
-            "query_id", "neighbor_id",
-            (F.col("adot") + F.col("_qc")).alias("adot"),
+        # per-query LUT: M maps code → (query subvector · codeword),
+        # exact int64 — Q rows, broadcast (M·K entries each).
+        qlut = q.crossJoin(cbs).select(
+            "query_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.map_from_entries(
+                    F.transform(
+                        F.element_at(F.col("_cbs"), m + 1),
+                        lambda e: F.struct(
+                            e["code"].alias("key"),
+                            int_dot(
+                                F.slice(
+                                    F.col("qvec"),
+                                    m * PQ_DSUB + 1,
+                                    F.lit(PQ_DSUB),
+                                ),
+                                e["cw"],
+                            ).alias("value"),
+                        ),
+                    )
+                ),
+            ).alias("_luts"),
+            int_dot(F.col("qvec"), F.col("qvec")).alias("nq"),
         )
-    else:
-        adc = adc.drop("cluster")
-    scored = (
-        adc.join(F.broadcast(qn), "query_id")
-        .join(xnrm, "neighbor_id")
-        .select(
+        cand = (
+            base.join(F.broadcast(probes.select("query_id", "cluster")), "cluster")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+        )
+        adot = F.aggregate(
+            F.sequence(F.lit(1), F.lit(PQ_M)),
+            F.lit(0).cast("bigint"),
+            lambda acc, i: acc
+            + F.element_at(
+                F.element_at(F.col("_luts"), i), F.element_at(F.col("codes"), i)
+            ),
+        )
+        scored = cand.join(F.broadcast(qlut), "query_id").select(
             "query_id",
             "neighbor_id",
             F.col("nq"),
             (
-                F.col("adot").cast("double")
+                adot.cast("double")
                 / (
                     F.sqrt(F.col("nq").cast("double"))
                     * F.sqrt(F.col("nx").cast("double"))
                 )
             ).alias("score"),
         )
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.col("neighbor_id")
     )

@@ -353,12 +353,17 @@ def contamination_hits(
     overlapping n-grams — the standard guard against benchmark leakage
     into training data (n=8..13 in published pipelines).
 
-    Scale shape: shingles are md5-hashed BEFORE the join so only 32-char
-    keys shuffle, never text; the benchmark side is deduplicated and
-    broadcast (eval suites are tiny next to a training corpus — if one
-    ever isn't, drop the hint and Catalyst falls back to a shuffle
-    hash join on the same key). Corpus-side grams are deduplicated
-    per doc first, so n_hits counts distinct shared grams. Returns
+    Scale shape: shingles are md5-hashed BEFORE the join so only
+    16-byte keys shuffle, never text (r14: ``unhex`` packs the hex
+    digest to binary — same 128 collision-safe bits, half the bytes
+    through the benchmark distinct exchange, the broadcast hash
+    relation and every probe compare; unhex is bijective on md5 output
+    so the join matches exactly the same gram pairs and n_hits is
+    unchanged); the benchmark side is deduplicated and broadcast (eval
+    suites are tiny next to a training corpus — if one ever isn't,
+    drop the hint and Catalyst falls back to a shuffle hash join on
+    the same key). Corpus-side grams are deduplicated per doc first,
+    so n_hits counts distinct shared grams. Returns
     ``(id_col, n_hits)``, contaminated docs only.
     """
 
@@ -368,7 +373,7 @@ def contamination_hits(
             F.explode(
                 F.array_distinct(word_shingles(tokens(text_col), n))
             ).alias("g"),
-        ).select("_id", F.md5("g").alias("gh"))
+        ).select("_id", F.unhex(F.md5("g")).alias("gh"))
 
     bench = grams(benchmark).select("gh").distinct()
     return (

@@ -36,8 +36,23 @@ from data_warehousing_assignment_spark.registry import (
 )
 
 
-def _month(col: str = "o_orderdate") -> Column:
-    return F.date_format(col, "yyyy-MM").alias("order_month")
+def _month_key(col: str = "o_orderdate") -> Column:
+    """Integer yyyy·100+MM grouping key (r14, guide §1.2 per-task work):
+    the monthly views group on this int — one calendar-field extraction
+    and an int hash per row — instead of running a per-row
+    DateTimeFormatter and hashing its string; :func:`_month_label` then
+    formats the handful of post-agg groups. year·100+month ↔ 'yyyy-MM'
+    is a bijection, so the groups are identical, and the label is
+    value-identical to date_format for any 1-to-4-digit year (lpad);
+    every rider op's DuckDB oracle re-attests the output hash-exact."""
+    return (F.year(col) * 100 + F.month(col)).alias("_ym")
+
+
+def _month_label() -> Column:
+    return F.expr(
+        "lpad(CAST(_ym DIV 100 AS STRING), 4, '0') || '-' ||"
+        " lpad(CAST(_ym % 100 AS STRING), 2, '0')"
+    ).alias("order_month")
 
 
 def kpi_headcount(orders: DataFrame) -> DataFrame:
@@ -83,7 +98,7 @@ def kpi_gross_monthly_expenses(
         orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy(
-            _month(),
+            _month_key(),
             F.col("n_name").alias("department"),
             F.col("o_orderpriority").alias("expense_type"),
         )
@@ -98,6 +113,7 @@ def kpi_gross_monthly_expenses(
                 / 100.0
             ).alias("gross_amount")
         )
+        .select(_month_label(), "department", "expense_type", "gross_amount")
         .orderBy("order_month", "department", "expense_type")
     )
 
@@ -113,8 +129,9 @@ def kpi_net_monthly_expenses_by_dept(
         .join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .groupBy(_month(), F.col("n_name").alias("department"))
+        .groupBy(_month_key(), F.col("n_name").alias("department"))
         .agg(F.round(F.sum(revenue), 2).cast("double").alias("net_amount"))
+        .select(_month_label(), "department", "net_amount")
         .orderBy("order_month", "department")
     )
 
@@ -128,8 +145,9 @@ def kpi_net_monthly_expenses_by_type(
     return (
         lineitem.filter(F.col("l_returnflag") != "R")
         .join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .groupBy(_month(), F.col("o_orderpriority").alias("expense_type"))
+        .groupBy(_month_key(), F.col("o_orderpriority").alias("expense_type"))
         .agg(F.round(F.sum(revenue), 2).cast("double").alias("net_amount"))
+        .select(_month_label(), "expense_type", "net_amount")
         .orderBy("order_month", "expense_type")
     )
 

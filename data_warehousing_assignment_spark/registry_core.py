@@ -358,6 +358,18 @@ def op_join_inner_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     table never shuffles for the dim joins, only for the final groupBy
     (map-side partial agg first).
 
+    r14 MEASURED NEGATIVE, reverted (kept as the round's join-order
+    note): pre-filtering ORDERS through the selective dim chain
+    (region='ASIA' → nation → customer, ~1/5 of customers) before the
+    fact join is the textbook §2.3 move, but the join-OUTPUT size
+    estimate (no CBO stats) blows past the broadcast threshold, so the
+    planner turned the statically-broadcastable orders side into a
+    SortMergeJoin — sf0.1 0.645→1.036 s, sf10 5.2→7.7 s, measured
+    both with and without a dim-side hint. The written left-deep order
+    keeps every join's build side a RAW SCAN the planner can size, so
+    sf0.1 plans all-BHJ (zero fact exchanges) and sf10 pays exactly one
+    fact SMJ then prunes through pipelined broadcast probes.
+
     Revenue runs in exact integer ten-thousandths-of-a-cent:
     price_cents · (100 − discount_cents) summed into decimal(38,0) (no
     int64 overflow at any sf), one final cast→divide in IEEE — the same
@@ -377,7 +389,12 @@ def op_join_inner_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .filter(F.col("r_name") == "ASIA")
-        .groupBy("n_name", F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        # group on the int yyyy·100+MM key, format the handful of
+        # post-agg groups (plans/kpi._month_key rationale — bijective
+        # key, label value-identical to date_format 'yyyy-MM')
+        .groupBy(
+            "n_name", (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("_ym")
+        )
         .agg(
             (
                 F.sum((pc * (F.lit(100) - dc)).cast("decimal(38,0)")).cast(
@@ -385,6 +402,14 @@ def op_join_inner_star(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 / 10000.0
             ).alias("revenue")
+        )
+        .select(
+            "n_name",
+            F.expr(
+                "lpad(CAST(_ym DIV 100 AS STRING), 4, '0') || '-' ||"
+                " lpad(CAST(_ym % 100 AS STRING), 2, '0')"
+            ).alias("order_month"),
+            "revenue",
         )
     )
 

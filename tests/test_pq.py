@@ -123,6 +123,32 @@ def test_training_reduces_quantization_error(spark):
     assert total_err(trained) <= total_err(seeds)
 
 
+def test_packed_encode_matches_rowwise_encode_and_norms(spark):
+    """The r14 packed row-local encode (pq_encode_packed) must reproduce
+    pq_encode's per-(vector, subspace) codes EXACTLY (same argmin key,
+    same code tie-break) and its nx must equal the sum of the chosen
+    codewords' ‖cw‖² — the xnrm the ADC scorer previously attached via
+    an n-row join. Codebook trained on a PREFIX so assignments are
+    non-trivial for the held-out rows."""
+    corpus = emb(spark).limit(150)
+    books = pq.pq_codebooks(corpus.limit(80), n_iters=1)
+    ref_codes = {
+        (r._id, r.m): r.code
+        for r in pq.pq_encode(corpus, books).collect()
+    }
+    nn = {
+        (r.m, r.code): sum(int(x) * int(x) for x in r.cw)
+        for r in books.collect()
+    }
+    packed = pq.pq_encode_packed(corpus, books).collect()
+    assert len(packed) == corpus.count()
+    for r in packed:
+        assert len(r.codes) == pq.PQ_M
+        for m, code in enumerate(r.codes):
+            assert ref_codes[(r._id, m)] == code
+        assert r.nx == sum(nn[(m, c)] for m, c in enumerate(r.codes))
+
+
 def test_codes_are_compact_and_total(spark):
     """Every vector gets exactly PQ_M codes, each in [0, PQ_K) — the
     32x-compression contract (8 small ints per 64-dim float vector)."""
