@@ -2164,7 +2164,16 @@ def op_ext_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d")
     )
     return (
-        tsr.point_in_interval_join(pts, iv, "d", "s", "e", bucket="1 month")
+        # The point spine is bounded by the query's own date-range
+        # contract (84 month starts) — broadcast it explicitly (r14):
+        # the planner sizes the generated sequence by estimate, which
+        # happens to pick the broadcast today (plans identical with and
+        # without the hint, sf0.001–sf10, ~9.6 s at sf10 either way);
+        # the hint pins that choice so an estimate flip at larger
+        # inputs can never sort the ~2-buckets-per-interval exploded
+        # fact side. Same allowed hint class as dims — never
+        # corpus-derived.
+        tsr.point_in_interval_join(F.broadcast(pts), iv, "d", "s", "e", bucket="1 month")
         .groupBy(F.date_format("d", "yyyy-MM-dd").alias("as_of_date"))
         .agg(
             F.count(F.lit(1)).alias("n_in_transit"),

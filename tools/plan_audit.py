@@ -247,6 +247,33 @@ ALLOWED = {
     "op-ext-ann-filtered-recall": {"cartesian"},
 }
 
+# r14 row-local IVF assignment (operators/ivf._assign): the k-row
+# centroid/codebook frame collapses into ONE broadcast array via a
+# global collect_list aggregate — an Exchange SinglePartition over k
+# rows (bytes, bounded by the cell count, never data-sized). The naive
+# substring detector pairs that exchange with the same plans'
+# query_id-PARTITIONED rank windows (and the k-row seed row_number)
+# and fires; every data-sized window in these plans is key-partitioned.
+# Sanction the pairing on every op that rides the IVF assign:
+for _ivf_rider in (
+    "op-ext-ann-ivf",
+    "op-ext-ann-ivf-fullprobe",
+    "op-ext-ann-ivf-scaled",
+    "op-ext-ann-ivf-incremental",
+    "op-ext-ann-incr-recall",
+    "op-ext-ann-recall-sampled",
+    "op-ext-ann-recall-surface",
+    "op-ext-rank-fusion",
+    "op-ext-fusion-baseline",
+    "op-ext-semantic-dedup",
+    "op-ext-ann-filtered",
+    "op-ext-ann-postfilter",
+    "op-ext-ann-filtered-recall",
+):
+    ALLOWED[_ivf_rider] = ALLOWED.get(_ivf_rider, set()) | {
+        "single-partition window"
+    }
+
 
 def audit(plan: str) -> set[str]:
     flags: set[str] = set()
