@@ -185,6 +185,15 @@ def minhash_lsh_candidates(
     (caching.pin): run inside ``cache_scope()`` to release it once the
     pairs are materialized.
 
+    r14 MEASURED NEGATIVE, reverted: the first-agreeing-band dedup that
+    replaced simhash_neardup_pairs' candidate DISTINCT does NOT carry
+    over here — each side's dedup state is the bands-element md5 array
+    (~64 B vs simhash's 16-byte fingerprint), and dragging two of those
+    through the ~100 M-row band join at the 100× synthesis spilled the
+    probe stage into a >20 min stall where the DISTINCT shape finishes
+    in ~5 s. The DISTINCT exchange carries two int64s per row — the
+    cheaper side of that trade at every tested SF.
+
     ``shingles``: optional prebuilt :func:`shingle_frame` — signatures
     are then derived from it instead of re-tokenizing ``df`` (the same
     seeded-md5 mins over the same arrays → identical signatures)."""
@@ -475,6 +484,18 @@ def simhash_neardup_pairs(
     O(Σ band-bucket²) — duplicate-density-bounded like MinHash-LSH,
     never O(n²) over the corpus.
 
+    First-agreeing-band dedup (r14, guide §2.4 remove shuffles
+    outright): the band self-join finds a qualifying pair once per
+    AGREEING band; the old shape collapsed those duplicates with a
+    DISTINCT exchange over the full candidate volume and then re-joined
+    the fingerprint table TWICE to score. The keyed frame now carries
+    the fingerprint (8-16 extra bytes over a doc×bands-row frame), so
+    each candidate row can (a) keep itself only when its band is the
+    pair's FIRST agreeing band — exactly one surviving row per
+    qualifying pair, the same set DISTINCT produced — and (b) score the
+    Hamming distance inline. Zero exchanges between the band join and
+    the output.
+
     Returns ``(doc_a, doc_b, hamming)`` with doc_a < doc_b."""
     if max_hamming >= bands:
         raise ValueError(
@@ -486,15 +507,28 @@ def simhash_neardup_pairs(
     width = bits // bands
     fp = pin(simhash(df, id_col, text_col, bits))
 
+    def _bv(side: str, b: int) -> Column:
+        return F.shiftright(F.col(f"{side}.simhash"), b * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+
     band_vals = F.array(*[
         F.shiftright(F.col("simhash"), b * width)
         .bitwiseAND(F.lit((1 << width) - 1))
         for b in range(bands)
     ])
     keyed = fp.select(
-        F.col(id_col), F.posexplode(band_vals).alias("_band", "_val")
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(band_vals).alias("_band", "_val"),
     )
-    cand = (
+    first_band = F.when(_bv("x", 0) == _bv("y", 0), F.lit(0))
+    for b in range(1, bands - 1):
+        first_band = first_band.when(_bv("x", b) == _bv("y", b), F.lit(b))
+    first_band = first_band.otherwise(F.lit(bands - 1))
+    ham = F.bit_count(
+        F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+    ).cast("bigint")
+    return (
         keyed.alias("x")
         .join(
             keyed.alias("y"),
@@ -502,19 +536,12 @@ def simhash_neardup_pairs(
             & (F.col("x._val") == F.col("y._val"))
             & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
         )
+        .filter(F.col("x._band") == first_band)
         .select(
             F.col(f"x.{id_col}").alias("doc_a"),
             F.col(f"y.{id_col}").alias("doc_b"),
+            ham.alias("hamming"),
         )
-        .distinct()
-    )
-    a = fp.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("_ha"))
-    b = fp.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("_hb"))
-    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("bigint")
-    return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
 
@@ -583,6 +610,15 @@ def simhash_neardup_pairs_wide(
     fingerprint than the 48-bit op — the 48-bit op stays the pinned
     small-scale anchor; this is the 100 TB operating point.
 
+    First-agreeing-band dedup + inline verify, exactly like
+    :func:`simhash_neardup_pairs` (r14): the keyed frame carries both
+    fingerprint halves, each qualifying pair survives only at its FIRST
+    agreeing band (≡ the former DISTINCT of all agreeing bands), and
+    the 128-bit Hamming distance scores inline — no candidate DISTINCT
+    exchange, no fingerprint re-joins. At the 100× synthesis the former
+    shape pushed ~4× the distinct pair volume through an exchange and
+    then shuffled the pair frame twice more for scoring.
+
     Returns ``(doc_a, doc_b, hamming)`` with doc_a < doc_b."""
     fp = pin(simhash128(df, id_col, text_col))
     band_vals = F.array(
@@ -594,9 +630,25 @@ def simhash_neardup_pairs_wide(
         .bitwiseAND(F.lit(4294967295).cast("bigint")),
     )
     keyed = fp.select(
-        F.col(id_col), F.posexplode(band_vals).alias("_band", "_val")
+        F.col(id_col), F.col("lo"), F.col("hi"),
+        F.posexplode(band_vals).alias("_band", "_val"),
     )
-    cand = (
+
+    def _bv(side: str, b: int) -> Column:
+        src = F.col(f"{side}.lo") if b < 2 else F.col(f"{side}.hi")
+        return F.shiftright(src, 32 * (b % 2)).bitwiseAND(
+            F.lit(4294967295).cast("bigint")
+        )
+
+    first_band = F.when(_bv("x", 0) == _bv("y", 0), F.lit(0))
+    for b in (1, 2):
+        first_band = first_band.when(_bv("x", b) == _bv("y", b), F.lit(b))
+    first_band = first_band.otherwise(F.lit(3))
+    ham = (
+        F.bit_count(F.col("x.lo").bitwiseXOR(F.col("y.lo")))
+        + F.bit_count(F.col("x.hi").bitwiseXOR(F.col("y.hi")))
+    ).cast("bigint")
+    return (
         keyed.alias("x")
         .join(
             keyed.alias("y"),
@@ -604,30 +656,12 @@ def simhash_neardup_pairs_wide(
             & (F.col("x._val") == F.col("y._val"))
             & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
         )
+        .filter(F.col("x._band") == first_band)
         .select(
             F.col(f"x.{id_col}").alias("doc_a"),
             F.col(f"y.{id_col}").alias("doc_b"),
+            ham.alias("hamming"),
         )
-        .distinct()
-    )
-    a = fp.select(
-        F.col(id_col).alias("doc_a"),
-        F.col("lo").alias("_la"),
-        F.col("hi").alias("_hia"),
-    )
-    b = fp.select(
-        F.col(id_col).alias("doc_b"),
-        F.col("lo").alias("_lb"),
-        F.col("hi").alias("_hib"),
-    )
-    ham = (
-        F.bit_count(F.col("_la").bitwiseXOR(F.col("_lb")))
-        + F.bit_count(F.col("_hia").bitwiseXOR(F.col("_hib")))
-    ).cast("bigint")
-    return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
 

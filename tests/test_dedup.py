@@ -234,6 +234,23 @@ def test_simhash_neardup_pairs_equals_all_pairs(spark):
     assert (0, 3, 0) in banded  # exact dup mod case/ws → distance 0
 
 
+def test_simhash_neardup_first_band_emits_each_pair_once(spark):
+    """The r14 first-agreeing-band filter replaces the candidate
+    DISTINCT: a pair agreeing on SEVERAL bands (exact dups agree on
+    all of them) must still come out exactly once, in both widths.
+    Set-equality tests cannot see double emission — this one counts."""
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for fn in (dd.simhash_neardup_pairs, dd.simhash_neardup_pairs_wide):
+        rows = fn(docs, "doc_id", "text").select("doc_a", "doc_b").collect()
+        pairs = [(r.doc_a, r.doc_b) for r in rows]
+        assert len(pairs) == len(set(pairs)), fn.__name__
+        assert pairs, fn.__name__  # corpus has near-dups by construction
+
+
 def test_simhash_neardup_rejects_lossy_banding(spark):
     df = docs_df(spark)
     import pytest
