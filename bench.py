@@ -226,6 +226,21 @@ def _median(xs: list[float]) -> float:
 def run_suite(spark, qs, names, sf_dir, sf, metric) -> dict:
     mins: dict[str, float] = {}
     medians: dict[str, float] = {}
+    # Suite-level un-timed warm-up (r15, r14 verdict #7): one dummy
+    # force before the first query spins up the executor pool, the
+    # noop-sink write path and the codegen/JIT infrastructure, so the
+    # suite's FIRST query stops absorbing the JVM cold start in its
+    # min-of-N (r14 measured the sf10 star at 11.1 s in first position
+    # vs 4.7 s isolated — same code). Purely additive: touches no
+    # input table, so per-query timings stay comparable.
+    try:
+        force(
+            spark.range(0, 10_000_000, 1, 32).selectExpr(
+                "sum(id * 3 + 1) as s"
+            )
+        )
+    except Exception:
+        pass
     for name in names:
         if name not in qs:
             continue
@@ -246,6 +261,22 @@ def run_suite(spark, qs, names, sf_dir, sf, metric) -> dict:
                 # only force(df) would measure the final join/filter
                 # (~0.5 s of a ~13 s pipeline at sf1)
                 "op-ext-winnow-neardup",
+                # r15 (r14 verdict #1): build_ivf_index PINS its
+                # finished centroid frame since r14, so on a lazy
+                # build-once query the k-means chain runs once at the
+                # first warm force and every later timed force measures
+                # the PROBE only — an unintended timed-region shift vs
+                # r13 and earlier. Rebuilding per timed force restores
+                # build+probe timing (the pin still serves its
+                # production purpose: ONE Lloyd chain per force instead
+                # of one per downstream consumer). Timed construction
+                # includes the auto-k count() jobs where the op uses
+                # them — part of the honest build cost.
+                "op-ext-ann-ivf",
+                "op-ext-ann-ivf-scaled",
+                "op-ext-ann-ivf-pq",
+                "op-ext-ann-ivf-fullprobe",
+                "op-ext-ann-ivf-incremental",
             )
 
             def fresh():

@@ -96,12 +96,17 @@ def connected_components(
         "_node", F.col("_node").alias("component")
     ).localCheckpoint(eager=False)
 
-    # Seed the probe with the initial label sum so a graph that is
-    # already at its fixpoint still exits after one round (the round
-    # itself is the zero-change confirmation).
-    prev_sum = labels.agg(
-        F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
+    # No seed-sum job (r15, guide §5 driver round-trips): round 1's own
+    # scalar is the first probe. The seed previously let a graph already
+    # at its fixpoint exit after one round — but with min-label init
+    # that only happens when EVERY edge is a self-loop: any edge (a, b)
+    # with a ≠ b strictly decreases max(label(a), label(b)) in round 1,
+    # so for real pair graphs (the near-dup builders emit a < b only)
+    # the seed comparison could never fire and its one extra driver
+    # round-trip + full labels pass per CC run bought nothing. A
+    # self-loop-only graph now converges in 2 rounds instead of 1 —
+    # same result, one cheap extra round on a degenerate input.
+    prev_sum = None
     for i in range(max_iter):
         # One exchange per round (r14; was join → groupBy → left-join =
         # three): each edge forwards its source's label to its target,

@@ -40,12 +40,26 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string> — row-local via
     transform(sequence(...)), no explode needed. Multiset (not dedup'd):
     every consumer below is order/multiplicity-insensitive (min-hash,
-    set-intersect)."""
-    # sequence(0, size-n) → one start index per shingle; slice is 1-based
-    return F.when(F.size(toks) >= n, F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )).otherwise(F.array(F.concat_ws(" ", toks)))
+    set-intersect).
+
+    ``toks`` is bound ONCE via a 1-element-array transform (a "let"
+    binding — r15, guide §1.2 per-task work): the shingle body
+    references the token array 3 times at top level and once per
+    SHINGLE inside the transform lambda, and codegen does not share a
+    non-trivial child expression across those references — with the
+    usual ``tokens(col)`` argument the regex split re-ran once per
+    gram (measured 21 µs/gram at the 100× synthesis; 10 µs/gram with
+    the binding — decontaminate's whole map side halved). Binding the
+    evaluated array to a lambda variable makes every inner reference a
+    variable read; same expression semantics, bit-identical output."""
+    def _body(tk: Column) -> Column:
+        # sequence(0, size-n) → one start index per shingle; slice is 1-based
+        return F.when(F.size(tk) >= n, F.transform(
+            F.sequence(F.lit(0), F.size(tk) - n),
+            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+        )).otherwise(F.array(F.concat_ws(" ", tk)))
+
+    return F.element_at(F.transform(F.array(toks), _body), 1)
 
 
 def stopword_hits(toks: Column, lang: str) -> Column:

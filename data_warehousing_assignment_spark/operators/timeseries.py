@@ -69,6 +69,69 @@ def point_in_interval_join(
     return joined.drop("_bk")
 
 
+def month_starts_in_intervals(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    spine_lo: str,
+    spine_hi: str,
+) -> DataFrame:
+    """Each interval row exploded to the month-START dates ``d`` with
+    ``start <= d < end`` (end-exclusive), clamped to the month spine
+    ``[spine_lo, spine_hi]`` (both 'yyyy-MM-01' month starts) — the
+    zero-join special case of :func:`point_in_interval_join` for the
+    calendar-spine shape (r15, guide §2.4 remove shuffles outright).
+
+    When the point set is exactly the month starts of a date range, the
+    bucket-expansion join degenerates: every month bucket contains
+    exactly ONE candidate point — the bucket start itself — so the
+    matching points are derivable ROW-LOCALLY from the interval alone.
+    Equivalence (pinned value-equal to the join formulation in
+    tests/test_timeseries.py):
+
+    * a month start d satisfies start <= d  ⟺  d ≥ the first month
+      start not before ``start`` — month(start) if day(start)=1, else
+      the next month;
+    * d < end  ⟺  d ≤ the month start of (end − 1 day) (d is a month
+      start and d ≤ end−1);
+    * d ∈ spine  ⟺  the clamp to [spine_lo, spine_hi] (month starts
+      themselves, so the clamped sequence enumerates exactly the
+      intersection).
+
+    The months enumerate as INT indexes (year·12 + month−1) — integer
+    sequence + int group key downstream instead of per-step calendar
+    arithmetic and a date hash (measured 4.7 s → 3.7 s at the 100×
+    synthesis on top of the join removal's 9.6 → 4.7 s). Exposes the
+    index as ``_m``; callers label post-agg via
+    ``format_string('%04d-%02d-01', _m div 12, _m % 12 + 1)`` —
+    value-identical to ``date_format(d, 'yyyy-MM-dd')`` on month
+    starts for 1-to-4-digit years (the spine contract).
+
+    NULL starts produce NULL sequences and explode to zero rows —
+    exactly the join formulation's behavior (NULL never joins)."""
+    s = F.col(start_col)
+    d1 = F.date_sub(F.col(end_col), 1)
+    first_m = (
+        F.year(s) * 12 + F.month(s) - 1
+        + F.when(F.dayofmonth(s) > 1, 1).otherwise(0)
+    )
+    last_m = F.year(d1) * 12 + F.month(d1) - 1
+    lo_lit = F.to_date(F.lit(spine_lo))
+    hi_lit = F.to_date(F.lit(spine_hi))
+    lo = F.greatest(first_m, F.year(lo_lit) * 12 + F.month(lo_lit) - 1)
+    hi = F.least(last_m, F.year(hi_lit) * 12 + F.month(hi_lit) - 1)
+    # greatest/least SKIP nulls, so a NULL start/end would clamp to the
+    # full spine instead of matching nothing — guard explicitly (the
+    # join formulation emits no row for NULL bounds).
+    months = F.when(
+        first_m.isNotNull() & last_m.isNotNull() & (lo <= hi),
+        F.sequence(lo, hi),
+    )
+    return intervals.select(
+        F.explode(months).alias("_m"), *intervals.columns
+    )
+
+
 def _trunc_unit(bucket: str) -> str:
     """'1 month' -> 'month' — the date_trunc unit for a bucket spec."""
     unit = bucket.split()[-1].rstrip("s")

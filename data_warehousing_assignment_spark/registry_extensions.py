@@ -2141,12 +2141,20 @@ def op_ext_dedup_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def op_ext_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-interval RANGE JOIN via bucket expansion
-    (operators/timeseries.py): lineitems in transit on each month-start
-    date, transit window = shipdate + deterministic 3-27 days. The
-    oracle states the naive inequality join; the Spark plan is the
-    bucket-expanded EQUI-join + residual filter — O(per-bucket work),
-    not O(|points|·|intervals|) BroadcastNestedLoopJoin."""
+    """Point-in-interval RANGE JOIN, zero-join form: lineitems in
+    transit on each month-start date, transit window = shipdate +
+    deterministic 3-27 days. The oracle states the naive inequality
+    join; the Spark plan (r15, guide §2.4) derives each interval's
+    matching month starts ROW-LOCALLY (the point spine is exactly the
+    month-bucket boundaries, so the r14 bucket-expansion equi-join
+    degenerated to one candidate point per bucket —
+    timeseries.month_starts_in_intervals has the equivalence argument,
+    pinned value-equal to the join formulation in
+    tests/test_timeseries.py) and feeds the grouped aggregate directly:
+    Scan → explode (~0.6 matching months/interval vs the expansion's
+    ~2 buckets/interval) → partial agg → ONE 84-group exchange. No
+    join at all — measured 9.6 s → 3.7 s at the 100× synthesis
+    (r14's broadcast-pinned expansion join), value-identical output."""
     li = t(spark, sf_dir, "lineitem")
     ship = F.col("l_shipdate").cast("date")
     days = (F.lit(3) + (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 25).cast(
@@ -2155,31 +2163,23 @@ def op_ext_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = li.select(
         ship.alias("s"), F.date_add(ship, days).alias("e"), "l_quantity"
     )
-    pts = spark.range(1).select(
-        F.explode(
-            F.expr(
-                "sequence(to_date('1995-01-01'), to_date('2001-12-01'),"
-                " interval 1 month)"
-            )
-        ).alias("d")
+    matched = tsr.month_starts_in_intervals(
+        iv, "s", "e", "1995-01-01", "2001-12-01"
     )
     return (
-        # The point spine is bounded by the query's own date-range
-        # contract (84 month starts) — broadcast it explicitly (r14):
-        # the planner sizes the generated sequence by estimate, which
-        # happens to pick the broadcast today (plans identical with and
-        # without the hint, sf0.001–sf10, ~9.6 s at sf10 either way);
-        # the hint pins that choice so an estimate flip at larger
-        # inputs can never sort the ~2-buckets-per-interval exploded
-        # fact side. Same allowed hint class as dims — never
-        # corpus-derived.
-        tsr.point_in_interval_join(F.broadcast(pts), iv, "d", "s", "e", bucket="1 month")
-        .groupBy(F.date_format("d", "yyyy-MM-dd").alias("as_of_date"))
+        matched.groupBy("_m")
         .agg(
             F.count(F.lit(1)).alias("n_in_transit"),
             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
             .cast("double")
             .alias("qty_in_transit"),
+        )
+        .select(
+            F.format_string(
+                "%04d-%02d-01", F.expr("_m div 12"), F.col("_m") % 12 + 1
+            ).alias("as_of_date"),
+            "n_in_transit",
+            "qty_in_transit",
         )
     )
 

@@ -46,6 +46,50 @@ def test_point_in_interval_matches_naive(spark):
     assert (4, D(2024, 2, 1)) in got        # start-inclusive enforced
 
 
+def test_month_starts_in_intervals_matches_join_formulation(spark):
+    """The r15 zero-join month-spine explode must emit exactly the
+    (interval, month-start) pairs the bucket-expansion join produced —
+    including boundary cases: start ON a month start (inclusive), end
+    ON a month start (exclusive), sub-month intervals matching nothing,
+    spine clamping on both edges, and NULL starts (no rows)."""
+    intervals = spark.createDataFrame(
+        [
+            (1, D(2024, 1, 1), D(2024, 1, 20)),   # starts on a month start
+            (2, D(2024, 1, 10), D(2024, 2, 1)),   # ends on one: Feb excluded
+            (3, D(2024, 1, 2), D(2024, 1, 30)),   # inside one month: no hit
+            (4, D(2023, 11, 5), D(2024, 4, 2)),   # clamped both sides
+            (5, D(2024, 2, 1), D(2024, 2, 2)),    # exactly one month start
+            (6, None, None),                      # NULL start: no rows
+            (7, D(2025, 1, 1), D(2025, 3, 1)),    # entirely past the spine
+        ],
+        "iv_id int, s date, e date",
+    )
+    spine_lo, spine_hi = "2024-01-01", "2024-03-01"
+    pts = spark.createDataFrame(
+        [(D(2024, 1, 1),), (D(2024, 2, 1),), (D(2024, 3, 1),)], "d date"
+    )
+    want = {
+        (r.iv_id, r.d)
+        for r in tsr.point_in_interval_join(
+            pts, intervals, "d", "s", "e", bucket="1 month"
+        ).collect()
+    }
+    got_rows = tsr.month_starts_in_intervals(
+        intervals, "s", "e", spine_lo, spine_hi
+    ).collect()
+    got = {
+        (r.iv_id, D(r._m // 12, r._m % 12 + 1, 1)) for r in got_rows
+    }
+    assert got == want
+    assert (1, D(2024, 1, 1)) in got          # start-inclusive
+    assert (2, D(2024, 2, 1)) not in got      # end-exclusive
+    assert all(p[0] != 3 for p in got)        # sub-month interval: none
+    assert {p for p in got if p[0] == 4} == {
+        (4, D(2024, 1, 1)), (4, D(2024, 2, 1)), (4, D(2024, 3, 1))
+    }                                          # spine clamp
+    assert all(p[0] not in (6, 7) for p in got)
+
+
 def test_cascade_levels_reaggregate_exactly(spark):
     rows = [
         (TS(2024, 1, 1, h, m), "a" if h % 2 else "b", float(h * 10 + m))
